@@ -1,0 +1,273 @@
+"""Aggregation operators (SURVEY.md §2.4) against the DuckDB oracle.
+
+Shuffle posture: every groupBy here benefits from partial (map-side)
+aggregation — Spark emits a partial hash-agg before the exchange, so
+the shuffle volume is O(groups), not O(rows). Grouping-set queries
+expand rows once map-side (Expand) then aggregate; that is the right
+trade at 100 TB versus re-scanning per grouping level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import davg, dec, dsum, sql_davg, sql_dsum
+from tms_etl_spark.sources.tables import load_table
+
+
+@query(
+    "agg_sum_avg_min_max",
+    oracle=f"""
+    SELECT l_suppkey,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def agg_sum_avg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: multi-metric grouped summary (reference: per-month×kind
+    file summary, /root/reference/src/main_02.py:823-900)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_conditional_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_error,
+           COUNT(*) AS n_total
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: success/error tallies (reference: per-file ok/err counters,
+    /root/reference/src/main_01.py:366-437)."""
+    ev = load_table(spark, sf_dir, "events")
+    one_if = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+    return ev.groupBy("user_id").agg(
+        one_if("purchase").alias("n_purchase"),
+        one_if("error").alias("n_error"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "agg_filtered_count",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_urgent
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_custkey
+    """,
+)
+def agg_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: filtered count by key (reference: existence-probe COUNT(*),
+    /root/reference/src/main_01.py:242-246)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+
+
+@query(
+    "agg_success_ratio",
+    oracle="""
+    SELECT user_id,
+           (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            / COUNT(*)) * 100 AS purchase_pct
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_success_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: rate aggregate (reference: collection success-rate,
+    /root/reference/src/tms_colector.py:299)."""
+    ev = load_table(spark, sf_dir, "events")
+    ok = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    return ev.groupBy("user_id").agg(
+        ((ok / F.count("*")) * 100).alias("purchase_pct")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: rollup subtotals (reference's implicit month→kind summary
+    hierarchy, /root/reference/src/main_02.py:830-881)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: cube — all grouping combinations in one Expand pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice", "sum_price")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: explicit grouping sets via the SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (exact form): continuous percentiles. Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` both linearly interpolate over the
+    sorted values, so results match exactly. The approximate sibling
+    (``approx_percentile``) is `agg_approx_distinct`'s rows-only
+    cousin — sketch outputs are engine-specific by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketch is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: approx_count_distinct (HyperLogLog++). Rows-only check —
+    the estimate is deterministic per engine but not across engines.
+    At 100 TB this replaces an exact COUNT(DISTINCT) whose shuffle
+    would be O(distinct values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_exact_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A8: exact distinct counts (expands to a two-phase aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                          * CAST(o_totalprice AS DECIMAL(19,4))), 0) AS DOUBLE)
+             AS ssq,
+           COUNT(*) AS n,
+           (CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                           * CAST(o_totalprice AS DECIMAL(19,4))), 0) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+              * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+              / COUNT(*))
+           / (COUNT(*) - 1) AS var_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent sample variance via exact decimal sums —
+    ``var_samp``'s streaming accumulation is partition-order-dependent;
+    this form is reproducible on any cluster layout.
+
+    The square is a *decimal* multiply on both sides (exact): a
+    double square decimal-cast afterwards is NOT cross-engine-safe at
+    16 significant digits — DuckDB's double→decimal cast scales by
+    10^s in double arithmetic, whose ulp reaches 0.5 there. DuckDB
+    gets DECIMAL(19,4) operands to force int128 multiply (width-18
+    would overflow); Spark's (18,4)×(18,4)→(37,8) is already exact.
+    The group sum needs 22 significant digits, past double's 15-16 —
+    the final decimal→double cast would differ by an ulp between
+    engines — so ssq is rounded to integer in decimal space first
+    (exact both sides; integers < 2^53 convert identically)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = dec("o_totalprice")
+    s = F.sum(p).cast("double")
+    ssq = F.round(F.sum(p * p), 0).cast("double")
+    n = F.count("*")
+    return o.groupBy("o_orderpriority").agg(
+        s.alias("s"),
+        ssq.alias("ssq"),
+        n.alias("n"),
+        ((ssq - s * s / n) / (n - F.lit(1))).alias("var_price"),
+    )
+
+
+@query(
+    "streaming_counts_batch",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def streaming_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/T7 batch-equivalent: running status counts (reference:
+    per-status tallies during collection,
+    /root/reference/src/tms_colector.py:192-250). The streaming form
+    (update-mode groupBy) is exercised in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))

@@ -1,0 +1,177 @@
+"""Text-analysis & dedup queries over the `documents` table
+(training-data-pipeline surface; BASELINE.json north star).
+
+Oracle-checkable entries use only regex/string built-ins with
+identical semantics in Spark (Java regex) and DuckDB (RE2); sketch
+operators (MinHash, SimHash) are engine-specific and run rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from tms_etl_spark.sources.tables import load_table
+
+STOPWORDS = "the|a|of|and|to|in|is|on|for|with"
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           length(text) AS text_len
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the base unit-of-work metric for
+    corpus sizing. JVM-side split; no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    SELECT doc_id,
+           length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct,
+           CAST(len(regexp_extract_all(lower(text), '\b({STOPWORDS})\b')) AS BIGINT)
+             AS n_stopwords,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           (CAST(len(regexp_extract_all(lower(text), '\b({STOPWORDS})\b')) AS BIGINT)
+            / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+             AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: punctuation count, stopword count &
+    ratio — the length/punct/stopword family of corpus filters."""
+    d = load_table(spark, sf_dir, "documents")
+    n_stop = F.regexp_count(F.lower("text"), F.lit(rf"\b({STOPWORDS})\b")).cast("long")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast("long").alias(
+            "n_punct"
+        ),
+        n_stop.alias("n_stopwords"),
+        n_tok.alias("n_tokens"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of)\b'))
+                     >= len(regexp_extract_all(lower(text), '\b(scan|merge|hash)\b'))
+                THEN 'en' ELSE 'tech' END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit heuristic (n-gram-lexicon style):
+    score per candidate lexicon, argmax wins."""
+    d = load_table(spark, sf_dir, "documents")
+    en = F.regexp_count(F.lower("text"), F.lit(r"\b(the|and|of)\b"))
+    tech = F.regexp_count(F.lower("text"), F.lit(r"\b(scan|merge|hash)\b"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(en >= tech, "en").otherwise("tech").alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (digest-based; the rolling-hash variant
+    is `dedup_simhash`'s rows-only cousin)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_short"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one shuffle on the content digest. At
+    100 TB this is the cheap first pass before any near-dup work."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d)
+
+
+@query(
+    "dedup_unigram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+                 AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (n_common / (sa.n_tok + sb.n_tok - n_common)) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (n_common / (sa.n_tok + sb.n_tok - n_common)) >= 0.8
+    """,
+)
+def dedup_unigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by unigram Jaccard ≥ 0.8 — the fully relational
+    form (explode → token self-join → set arithmetic); candidate
+    generation shuffles on token, never an all-pairs cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.8)
+
+
+@query("dedup_minhash_lsh")  # sketch: engine-specific hashes → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands, 3-shingles).
+    Rows-only check: xxhash64-seeded min-hashing has no DuckDB twin.
+    Verified against brute-force Jaccard in tests/test_dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d)
+
+
+@query("dedup_simhash")  # sketch: engine-specific hashes → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures per doc (bitwise built-ins only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d)

@@ -1,0 +1,62 @@
+"""Set operations (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.sources.tables import load_table
+
+
+def _typed(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == etype).select("user_id")
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: union+distinct (reference: month-set union across 3 kinds,
+    /root/reference/src/main_02.py:241)."""
+    return (
+        _typed(spark, sf_dir, "click")
+        .unionByName(_typed(spark, sf_dir, "view"))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: intersect — users seen on both sides."""
+    return _typed(spark, sf_dir, "purchase").intersect(
+        _typed(spark, sf_dir, "error")
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: except (distinct) — clicked but never purchased.
+    ``subtract`` is Spark's EXCEPT DISTINCT; ``exceptAll`` would keep
+    surplus multiplicities and diverge from the SQL EXCEPT."""
+    return _typed(spark, sf_dir, "click").subtract(_typed(spark, sf_dir, "purchase"))

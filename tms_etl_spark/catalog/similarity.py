@@ -1,0 +1,110 @@
+"""Similarity search over the `embeddings` table (array<float>, d=64).
+
+`sim_cosine_topk_exact` routes the dot products through DECIMAL sums
+(explode → position join → exact aggregation) so Spark and DuckDB
+produce bit-identical cosines — the oracle-checkable form.
+`sim_cosine_topk` is the production form (zip_with/aggregate fold,
+no explode, no shuffle before top-k); `sim_lsh_bucketed` is the ANN
+scale path. Both are verified against the exact form in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from tms_etl_spark.sources.tables import load_table
+
+_QUERY_VEC_ID = 0
+_K = 10
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "sim_cosine_topk_exact",
+    oracle=f"""
+    WITH q AS (
+        SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    ), v AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS vv
+        FROM embeddings WHERE vec_id <> {_QUERY_VEC_ID}
+    ), sums AS (
+        SELECT v.vec_id,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS dot,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(v.vv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nv,
+               CAST(ROUND(SUM(CAST(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nq
+        FROM v JOIN q USING (i) GROUP BY v.vec_id
+    ), scored AS (
+        SELECT vec_id, dot / (sqrt(nq) * sqrt(nv)) AS cos_sim,
+               row_number() OVER (ORDER BY dot / (sqrt(nq) * sqrt(nv)) DESC,
+                                  vec_id ASC) AS rn
+        FROM sums
+    )
+    SELECT vec_id, cos_sim FROM scored WHERE rn <= {_K}
+    """,
+)
+def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k in order-independent (decimal-exact)
+    arithmetic: explode embeddings by position, join to the query
+    vector's positions, aggregate exact sums. Bit-identical across
+    engines and cluster layouts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.posexplode("embedding").alias("i", "qv"))
+    )
+    v = emb.where(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", F.posexplode("embedding").alias("i", "vv")
+    )
+    dd = lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(28,14)")
+    sums = (
+        v.join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(dd(F.col("vv"), F.col("qv"))), 8).cast("double").alias("dot"),
+            F.round(F.sum(dd(F.col("vv"), F.col("vv"))), 8).cast("double").alias("nv"),
+            F.round(F.sum(dd(F.col("qv"), F.col("qv"))), 8).cast("double").alias("nq"),
+        )
+    )
+    scored = sums.select(
+        "vec_id",
+        (F.col("dot") / (F.sqrt("nq") * F.sqrt("nv"))).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _K)
+        .select("vec_id", "cos_sim")
+    )
+
+
+@query("sim_cosine_topk")  # fold-order float sums: engine-specific ulps → rows-only
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production brute-force ANN baseline: zip_with/aggregate fold
+    per row (no explode, no pre-top-k shuffle; TakeOrdered finishes).
+    Agreement with the exact form is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return cosine_topk(emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, k=_K)
+
+
+@query("sim_lsh_bucketed")  # hash-derived planes: engine-specific → rows-only
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane bucket, exact re-rank within
+    the query's bucket only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return lsh_topk(emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, k=_K, n_planes=4)

@@ -1,0 +1,196 @@
+"""Reference-faithful TMS semantics (SURVEY.md §2.2 P3/P4, §2.3 J2/J3,
+§2.10 U6, §2.6 O2) mapped onto the driver's synthetic tables.
+
+The true 71-column pipeline (schemas, CSV lake readers, desligado
+predicate on real shift rows, partitioned MERGE) lives in
+``tms_etl_spark.tms`` and is exercised by tests/test_tms_pipeline.py
+against generated fixtures; these catalog entries express the same
+operator semantics over the oracle-checkable tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import dsum, sql_dsum
+from tms_etl_spark.operators.merge import upsert, upsert_guarded
+from tms_etl_spark.sources.tables import load_table
+
+
+@query(
+    "tms_powered_off_filter",
+    oracle="""
+    SELECT event_id, user_id, ts, value
+    FROM events
+    WHERE strftime(ts, '%H') >= '16' AND value >= 150 AND event_type = 'error'
+    """,
+)
+def tms_powered_off_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: the is_tear_desligado predicate shape — a conjunctive
+    filter with a string-suffix/time test plus numeric thresholds
+    (/root/reference/src/main_01.py:439-458: endswith('.C') ∧
+    Funcionando=0 ∧ Parado≥400), mapped to the events table: last
+    shift of day (hour≥16) ∧ error ∧ value≥150."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        (F.date_format("ts", "HH") >= "16")
+        & (F.col("value") >= 150)
+        & (F.col("event_type") == "error")
+    ).select("event_id", "user_id", "ts", "value")
+
+
+@query(
+    "tms_upsert_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    ), updates AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey)
+    """,
+)
+def tms_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/S8: MERGE — updates override base on key, rest pass through
+    (reference upsert keyed on (dataTurno, tear),
+    /root/reference/src/main_01.py:255-305). Runs through the engine's
+    ``operators.merge.upsert`` (anti-join + union)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(
+        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    return upsert(base, updates, keys=["o_orderkey"])
+
+
+@query(
+    "tms_first_write_wins",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ), batch AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    ), effective AS (
+        SELECT * FROM batch WHERE o_totalprice >= 100000
+        UNION ALL
+        SELECT b.* FROM batch b
+        WHERE b.o_totalprice < 100000
+          AND NOT EXISTS (SELECT 1 FROM target t
+                          WHERE t.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM effective
+    UNION ALL
+    SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM effective e
+                      WHERE e.o_orderkey = t.o_orderkey)
+    """,
+)
+def tms_first_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J3: guarded MERGE — "suspect" rows (the desligado analog:
+    totalprice<100000) may only insert, never overwrite an existing
+    target row (/root/reference/src/main_01.py:460-473)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    target = o.where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select(*cols)
+    batch = o.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select(*cols)
+    return upsert_guarded(
+        target, batch, keys=["o_orderkey"], insert_only=F.col("o_totalprice") < 100000
+    )
+
+
+@query(
+    "tms_shift_summary",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CASE WHEN strftime(ts, '%H') < '08' THEN 'A'
+                WHEN strftime(ts, '%H') < '16' THEN 'B'
+                ELSE 'C' END AS shift,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tms_shift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 + A6: the A/B/C shift derivation (DataTurno's embedded
+    shift code, /root/reference/src/main_01.py:443-452) as a CASE
+    lookup over event time, with per-day-per-shift aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_format("ts", "HH")
+    shift = (
+        F.when(hour < "08", "A").when(hour < "16", "B").otherwise("C").alias("shift")
+    )
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), shift).agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@query(
+    "tms_unpivot_pareto",
+    oracle=f"""
+    WITH long AS (
+        SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem
+        UNION ALL SELECT 'tax', l_tax FROM lineitem
+    )
+    SELECT measure, COUNT(*) AS n, {sql_dsum("val", "total")}
+    FROM long GROUP BY measure
+    """,
+)
+def tms_unpivot_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: wide→long unpivot via ``stack`` (the faithful "UDTF" for
+    the reference's 10 Qtd*/Min* stop-reason pairs, SURVEY.md §1.2
+    idx 15-34), then a Pareto-style roll-up per measure class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, val)"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"), dsum("val", "total")
+    )
+
+
+@query(
+    "tms_top2_months",
+    oracle="""
+    SELECT event_type, month FROM (
+        SELECT event_type, strftime(ts, '%Y-%m') AS month,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY strftime(ts, '%Y-%m') DESC) AS rn
+        FROM (SELECT DISTINCT event_type, date_trunc('month', ts) AS ts
+              FROM events) m
+    ) t WHERE rn <= 2
+    """,
+)
+def tms_top2_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: the last-two-months selection per kind
+    (/root/reference/src/main_02.py:226-232)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    months = ev.select(
+        "event_type", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.desc("month"))
+    return (
+        months.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("event_type", "month")
+    )

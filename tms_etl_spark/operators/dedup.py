@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, cheapest-first — the standard pre-training-data ladder:
+
+1. exact: hash-groupBy on content digest (one shuffle on the digest);
+2. unigram/n-gram Jaccard: explode tokens → self-join on token →
+   count — fully relational, no UDFs, partitions by token;
+3. MinHash + LSH banding: per-doc signature via seeded xxhash64 mins
+   (built-in, JVM-side), band → bucket-join so candidate pairs are
+   generated per-bucket instead of all-pairs;
+4. SimHash: 64-bit weighted-bit signature; near-dups share signatures
+   within small Hamming distance.
+
+All-pairs comparisons only ever happen *within a bucket/band* — the
+property that keeps these viable at 100 TB (candidate generation is a
+shuffle on band-hash, not an O(n²) cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "tok") -> DataFrame:
+    """Lowercased whitespace tokens, one row per (doc, distinct token)."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias(out),
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 digest: (fp, keeper_doc_id, n_copies)."""
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Unigram-Jaccard similar pairs (doc_a < doc_b, jaccard ≥ threshold).
+
+    Relational form: explode distinct tokens, self-join on token to
+    count the intersection, join per-doc set sizes, compute
+    |A∩B| / (|A|+|B|-|A∩B|). The token join shuffles on token — hot
+    tokens (stopwords) should be pre-filtered at real scale (df-cut),
+    which is exactly what the threshold on document frequency in
+    ``jaccard_pairs_df_cut`` does.
+    """
+    toks = tokenize(df, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc (distinct), built with JVM array
+    functions (no Python in the loop): slide a window over the token
+    array with transform+slice."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: sig[k] = min over shingles of
+    xxhash64(k, shingle). One explode + one groupBy; all hashing is
+    the built-in xxhash64 (JVM, codegen'd), no UDFs."""
+    sh = shingles(df, text_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into bands, hash each
+    band, group docs sharing a band-hash. Returns distinct candidate
+    (doc_a, doc_b) pairs with the estimated Jaccard from signature
+    agreement. Candidate generation is a shuffle on (band, band_hash)
+    — never an all-pairs join."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk"), *sig.columns[1:]
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[
+                (F.col(f"a.h{k}") == F.col(f"b.h{k}")).cast("int").alias(f"eq{k}")
+                for k in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"eq{k}") for k in range(num_hashes)) / F.lit(num_hashes)
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).distinct()
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash signature: per token, xxhash64 gives 64 pseudo-random
+    bits; each bit votes ±1; the sign of the per-bit sum is the
+    signature bit. Entirely in shiftright/bitwise built-ins; one
+    groupBy per doc."""
+    toks = tokenize(df, text_col)
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))

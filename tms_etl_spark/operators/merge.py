@@ -1,0 +1,116 @@
+"""Join-based MERGE / upsert (SURVEY.md S8, J2, J3, P4).
+
+The reference upserts row-at-a-time into MariaDB keyed on
+``(dataTurno, tear)`` — existence probe then UPDATE-or-INSERT
+(/root/reference/src/main_01.py:235-305). Here the whole batch merges
+in one distributed plan:
+
+    merged = source ∪ (target ⟕anti source on keys)
+
+i.e. source rows win on key collision ("last writer wins", matching
+the reference's UPDATE-on-match), and untouched target rows pass
+through. ``first_write_wins_filter`` adds the reference's special
+case: rows flagged "powered-off" (desligado) may only INSERT, never
+UPDATE (/root/reference/src/main_01.py:460-473).
+
+Scale posture: the anti-join shuffles both sides on the key columns —
+at 100 TB the target side should be a partitioned table so the merge
+rewrites only the partitions the batch touches (dynamic partition
+overwrite); see ``upsert_partitioned``. When the batch is small
+relative to the target (the common incremental case) Spark's AQE
+converts the anti-join to a broadcast, which avoids shuffling the
+target entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedupe_batch(
+    source: DataFrame, keys: Sequence[str], precedence: Sequence[Column] | None = None
+) -> DataFrame:
+    """Keep one row per key within a batch, by explicit precedence.
+
+    The reference processes files newest-first and the last processed
+    row wins (/root/reference/src/main_01.py:330, :408-422); a
+    distributed merge must make that ordering explicit or results
+    differ run-to-run (SURVEY.md §7 risk note). ``precedence`` is a
+    list of ORDER BY columns, best-first.
+    """
+    from pyspark.sql import Window
+
+    order = list(precedence) if precedence is not None else [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """MERGE: source rows override target rows on key equality.
+
+    Equivalent SQL:
+        SELECT * FROM source
+        UNION ALL
+        SELECT t.* FROM target t LEFT ANTI JOIN source s USING (keys)
+    """
+    cols = target.columns
+    kept = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return source.select(*cols).unionByName(kept)
+
+
+def upsert_guarded(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    insert_only: Column,
+) -> DataFrame:
+    """MERGE with a first-write-wins guard (P4 semantics).
+
+    Source rows matching ``insert_only`` may only insert: if their key
+    already exists in the target, the target row is kept. All other
+    source rows upsert normally. This encodes the reference's
+    ``should_process_tear_desligado`` (/root/reference/src/main_01.py:460-473):
+    a powered-off shift row never overwrites an earlier real record.
+    """
+    guarded = source.where(insert_only)
+    normal = source.where(~insert_only)
+    # Guarded rows that collide with an existing target key are dropped.
+    guarded_new = guarded.join(
+        target.select(*keys).distinct(), on=list(keys), how="left_anti"
+    )
+    effective = normal.unionByName(guarded_new)
+    return upsert(target, effective, keys)
+
+
+def upsert_partitioned(
+    spark_target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+) -> None:
+    """Physical MERGE for a parquet table without Delta/Iceberg.
+
+    Rewrites only the ``partition_col`` partitions present in the
+    batch (dynamic partition overwrite) — the 100 TB-safe strategy:
+    read back just those partitions, merge in memory, overwrite them.
+    """
+    spark = source.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched = [r[0] for r in source.select(partition_col).distinct().collect()]
+    try:
+        target = spark.read.parquet(spark_target_path).where(
+            F.col(partition_col).isin(touched)
+        )
+        merged = upsert(target, source, keys)
+    except Exception:  # first write: no existing table
+        merged = source
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+        spark_target_path
+    )
