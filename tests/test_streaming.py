@@ -1,0 +1,133 @@
+"""Streaming-surface tests (SURVEY.md §2.9): file-stream ingestion
+with foreachBatch MERGE (T1/T2), windowed aggregates under a real
+streaming query (T4/T5), stateful dedup (T6), update-mode counts
+(T7). Memory sinks + availableNow triggers make these synchronous.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_tms_pipeline import _row
+from tms_etl_spark.sources.tables import load_table
+from tms_etl_spark.streaming.incremental import (
+    dedup_stream,
+    running_status_counts,
+    stream_import,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    """Materialize the events table as a small parquet dir that a
+    stream can replay (µs timestamps, so no NANOS issue)."""
+    out = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(out)
+    return out
+
+
+def test_stream_import_merges_and_is_idempotent(spark, tmp_path):
+    lake = tmp_path / "lake" / "2024-01" / "daily"
+    lake.mkdir(parents=True)
+    (lake / "a.csv").write_text(
+        "\n".join(
+            [
+                _row("2024-01-05.A", "00001", ef="50.0"),
+                _row("2024-01-05.C", "00002", func="0", par="440"),
+            ]
+        ),
+        encoding="utf-8",
+    )
+    target = str(tmp_path / "fact")
+    q = stream_import(
+        spark, str(tmp_path / "lake"), target, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    t = spark.read.parquet(target)
+    assert t.count() == 2
+
+    # new file arrives: desligado for existing key must not overwrite,
+    # normal update must.
+    (lake / "b.csv").write_text(
+        "\n".join(
+            [
+                _row("2024-01-05.A", "00001", ef="77.0"),
+                _row("2024-01-05.C", "00002", ef="0", func="0", par="440"),
+            ]
+        ),
+        encoding="utf-8",
+    )
+    q2 = stream_import(
+        spark, str(tmp_path / "lake"), target, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    t2 = spark.read.parquet(target)
+    assert t2.count() == 2
+    eff = {r["Tear"]: r["Eficiencia"] for r in t2.collect()}
+    assert eff["00001"] == 77.0  # updated
+
+
+def test_streaming_tumbling_window_matches_batch(spark, sf_dir, events_stream_dir):
+    batch_src = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_counts(batch_src).collect()
+    }
+
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(events_stream_dir)
+    agg = tumbling_counts(stream_src)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert got == expected
+
+
+def test_stateful_dedup_stream(spark, events_stream_dir):
+    batch_src = spark.read.parquet(events_stream_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(events_stream_dir)
+    deduped = dedup_stream(stream_src, keys=["user_id", "event_type"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT user_id, event_type FROM dedup_out")
+    assert out.count() == out.distinct().count()
+    assert out.count() == batch_src.select("user_id", "event_type").distinct().count()
+
+
+def test_running_counts_update_mode(spark, events_stream_dir):
+    batch_src = spark.read.parquet(events_stream_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(events_stream_dir)
+    q = (
+        running_status_counts(stream_src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("counts_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT * FROM counts_out").collect()
+    }
+    want = {
+        r["event_type"]: r["count"]
+        for r in batch_src.groupBy("event_type").count().collect()
+    }
+    assert got == want

@@ -57,6 +57,7 @@ def load_all() -> None:
         relational,
         setops,
         similarity,
+        stream_windows,
         tms_domain,
         windows,
     )

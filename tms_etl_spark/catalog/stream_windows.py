@@ -1,0 +1,91 @@
+"""Event-time window queries (SURVEY.md §2.9 T4/T5) — batch-semantics
+forms of the streaming aggregates, oracle-checked. The streaming
+execution of the same operators (watermarks, availableNow triggers,
+memory sinks) is exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import sql_dsum
+from tms_etl_spark.sources.tables import load_table
+from tms_etl_spark.streaming.incremental import session_counts, tumbling_counts
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum("value", "total")}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: 1-hour tumbling window counts+sums per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = tumbling_counts(ev, window="1 hour")
+    return agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "total"
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH assigned AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, value
+        FROM events
+        UNION ALL
+        SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), value
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS n
+    FROM assigned GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: sliding window (2h long, 1h slide) — every event lands in
+    two windows; Spark's Expand does the assignment map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: session windows with a 30-minute gap, per user. The oracle
+    is the classic gaps-and-islands rewrite (lag → new-session flag →
+    running sum → group) — the batch-equivalent the engine's
+    streaming session_window must agree with."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_counts(ev, gap="30 minutes")
+    return sess.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )

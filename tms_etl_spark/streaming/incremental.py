@@ -1,0 +1,129 @@
+"""Streaming operators (SURVEY.md §2.9).
+
+The reference's loop — poll for new daily CSVs, re-import an
+overlapping 2-month window, stay idempotent via the keyed upsert
+(/root/reference/src/main_01.py:1099-1189) — is literally Structured
+Streaming's micro-batch model. T1/T2 below make it explicit: a file
+stream over the lake + ``foreachBatch`` running the same guarded
+MERGE the batch pipeline uses, which is exactly-once *effective*
+(replays converge to the same table).
+
+Windows: event-time tumbling/sliding/session aggregations with
+watermarks sized to the reference's 2-month late-data reality
+(powered-off looms re-deliver days later, stepbystep.md:177-187).
+State scales with open windows per key — bounded by the watermark,
+so a 1000-executor run holds state proportional to (keys × windows
+inside the watermark), not to history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tms_etl_spark.operators.merge import upsert_guarded
+from tms_etl_spark.tms.quality import is_tear_desligado
+from tms_etl_spark.tms.schema import MERGE_KEYS, RAW_SCHEMA, with_types
+from tms_etl_spark.tms.source import arity_filter
+
+
+def stream_daily_files(spark: SparkSession, lake_root: str) -> DataFrame:
+    """T1: file-arrival micro-batch source over the daily lake
+    (streaming analog of sources.read_daily; one listing per trigger,
+    ``maxFilesPerTrigger`` bounds batch size at scale)."""
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("pathGlobFilter", "*.[cC][sS][vV]")
+        .option("maxFilesPerTrigger", 64)
+        .csv(f"{lake_root}/*/daily/")
+    )
+    return arity_filter(with_types(raw))
+
+
+def stream_import(
+    spark: SparkSession,
+    lake_root: str,
+    target_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """T2: idempotent incremental import — foreachBatch guarded MERGE
+    (first-write-wins for desligado rows), the streaming twin of
+    ``tms.pipeline.import_daily``."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        from tms_etl_spark.operators.merge import dedupe_batch
+
+        batch = dedupe_batch(batch, keys=list(MERGE_KEYS))
+        try:
+            target = sp.read.parquet(target_path)
+        except Exception:
+            batch.write.mode("overwrite").partitionBy("month").parquet(target_path)
+            return
+        months = [r[0] for r in batch.select("month").distinct().collect()]
+        merged = upsert_guarded(
+            target.where(F.col("month").isin(months)),
+            batch,
+            keys=list(MERGE_KEYS),
+            insert_only=is_tear_desligado(),
+        )
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(target_path)
+
+    return (
+        stream_daily_files(spark, lake_root)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T4: tumbling event-time window aggregate (works identically on
+    a batch or streaming frame; streaming adds the watermark bound)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(F.window(ts_col, window), key).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T5: session windows (gap-based). In streaming, state per open
+    session bounded by the watermark."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(F.session_window(ts_col, gap), key).agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """T6: stateful dedup — first occurrence wins within the
+    watermark horizon (the streaming analog of the desligado
+    first-write-wins guard)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def running_status_counts(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """T7: running per-status counts (reference: live tallies during
+    collection, /root/reference/src/tms_colector.py:192-250).
+    Write with outputMode('update')/'complete'."""
+    return events.groupBy(key).agg(F.count("*").alias("n"))

@@ -1,0 +1,28 @@
+"""Data-quality predicates (SURVEY.md §2.2) as pure Column
+expressions — Catalyst-visible, no UDFs (§2.10 U1/U2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def is_tear_desligado(
+    data_turno: str = "DataTurno",
+    funcionando: str = "Funcionando",
+    parado: str = "Parado",
+) -> Column:
+    """P3: loom powered off for the whole last shift —
+    ``DataTurno`` ends '.C' ∧ Funcionando = 0 ∧ Parado ≥ 400
+    (/root/reference/src/main_01.py:439-458; shift ≈ 440 min).
+
+    Expects typed columns (empty→0 coercion already applied); the
+    borderline cases (Parado=399, Funcionando=0.1) are NOT flagged,
+    matching the reference's strict comparisons.
+    """
+    return (
+        F.col(data_turno).endswith(".C")
+        & (F.col(funcionando) == 0.0)
+        & (F.col(parado) >= 400.0)
+    )
