@@ -14,7 +14,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Executor Python workers inherit PYTHONPATH; make the engine package
+# importable there too (any remaining Python-side functions ship
+# self-contained closures, this is defense in depth).
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from tms_etl_spark import catalog  # noqa: E402
 

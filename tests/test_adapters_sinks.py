@@ -1,0 +1,114 @@
+"""Adapter (S5-S7) and sink (S9-S12) tests — offline, fixture-driven."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tms_etl_spark.sources.adapters import (
+    collection_events,
+    looms_dimension,
+    months_dimension,
+    parse_select_options,
+    parse_status_lines,
+)
+from tms_etl_spark.sources.sinks import (
+    append_audit_event,
+    export_excel,
+    read_audit_log,
+    write_month_kind_csv,
+)
+
+LOOM_HTML = """
+<form><select name="loom">
+<option value="1">Tear 01 - 172.17.1.1</option>
+<option value="42">Tear 42 - 172.17.1.42</option>
+<option value="999">Sem IP</option>
+</select></form>
+"""
+
+MONTHS_HTML = """
+<select name="shift"><option value="2024.02">2024.02</option>
+<option value="2024.01">2024.01</option><option value="x">junk</option></select>
+<select name="operator"><option value="2024.02">2024.02</option></select>
+<select name="history"><option value="2024.01">2024.01</option></select>
+"""
+
+STATUS_LOG = """
+Iniciando coleta...
+00001 ---> Com Sucesso
+00002 ---> Desligada
+172.17.1.99 ---> Not Support TMS
+00004 ---> Horario do Tear Incorreto
+linha sem marcador
+"""
+
+
+def test_parse_select_options():
+    opts = parse_select_options(LOOM_HTML, "loom")
+    assert opts == [
+        ("1", "Tear 01 - 172.17.1.1"),
+        ("42", "Tear 42 - 172.17.1.42"),
+        ("999", "Sem IP"),
+    ]
+
+
+def test_looms_dimension(spark):
+    d = looms_dimension(spark, LOOM_HTML).orderBy("tear").collect()
+    assert [r["tear"] for r in d] == ["00001", "00042", "00999"]
+    assert d[1]["ip"] == "172.17.1.42"
+    assert d[2]["ip"] is None
+
+
+def test_months_dimension(spark):
+    m = months_dimension(spark, MONTHS_HTML)
+    rows = {(r["kind"], r["month"]) for r in m.collect()}
+    assert rows == {
+        ("shift", "2024.02"),
+        ("shift", "2024.01"),
+        ("operator", "2024.02"),
+        ("history", "2024.01"),
+    }  # junk value filtered by the YYYY.MM regex
+
+
+def test_status_lines(spark):
+    parsed = parse_status_lines(STATUS_LOG)
+    assert ("00001", "Com Sucesso") in parsed
+    assert ("172.17.1.99", "Not Support TMS") in parsed
+    assert len(parsed) == 4  # non-status lines ignored
+    ev = collection_events(spark, STATUS_LOG)
+    counts = {r["status"]: r["count"] for r in ev.groupBy("status").count().collect()}
+    assert counts["Com Sucesso"] == 1
+
+
+def test_month_kind_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01", "daily", "00001", 85.5), ("2024-02", "operator", "00002", 91.0)],
+        "month string, kind string, tear string, eficiencia double",
+    )
+    out = str(tmp_path / "export")
+    write_month_kind_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2
+    # hive-style partition dirs exist
+    import os
+
+    assert os.path.isdir(f"{out}/month=2024-01/kind=daily")
+
+
+def test_audit_log_append(spark, tmp_path):
+    path = str(tmp_path / "audit")
+    append_audit_event(spark, path, "run1", "collect", "ok")
+    append_audit_event(spark, path, "run1", "import", "ok", detail="42 rows")
+    log = read_audit_log(spark, path)
+    assert log.count() == 2
+    assert {r["step"] for r in log.collect()} == {"collect", "import"}
+
+
+def test_excel_export_gated(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    ok = export_excel(df, str(tmp_path / "r.xlsx"))
+    # openpyxl may or may not exist in the image; both paths are legal
+    if ok:
+        import os
+
+        assert os.path.exists(tmp_path / "r.xlsx")

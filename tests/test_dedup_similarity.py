@@ -1,0 +1,116 @@
+"""Quality tests for the sketch-based operators (no SQL oracle
+exists for these — correctness is statistical agreement with the
+exact computations)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from tms_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from tms_etl_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    """documents plus synthetic near-duplicates: doc_id+10000 copies
+    with one token changed — guaranteed high-Jaccard pairs."""
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    dup = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dup)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, num_hashes=32, bands=8, shingle_n=3)
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.where(F.col("est_jaccard") > 0.5).collect()
+    }
+    planted = {(i, i + 10000) for i in range(100)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall} too low"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs_with_dups):
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs_with_dups, num_hashes=32, bands=8).collect()
+    }
+    true = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs_with_dups, threshold=0.0).collect()
+    }
+    common = set(est) & set(true)
+    assert len(common) >= 50
+    # mean absolute error of the 32-hash estimate should be modest
+    mae = sum(abs(est[k] - true[k]) for k in common) / len(common)
+    assert mae < 0.2, f"minhash MAE {mae}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs_with_dups):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs_with_dups).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [hamming(sigs[i], sigs[i + 10000]) for i in range(100) if i in sigs]
+    far = [hamming(sigs[i], sigs[j]) for i, j in [(0, 1), (2, 3), (4, 5), (6, 7)]]
+    assert sum(near) / len(near) < 8
+    assert sum(far) / len(far) > 16
+
+
+def test_lsh_topk_equals_bruteforce_within_bucket(spark, sf_dir):
+    """LSH correctness (not statistical recall — the synthetic
+    embeddings are near-random, so bucket recall of the global top-k
+    is low by construction): the ANN result must be exactly the
+    brute-force top-k restricted to the query's bucket."""
+    from tms_etl_spark.operators.similarity import hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    approx = [r["vec_id"] for r in lsh_topk(corpus, qv, k=10, n_planes=4).collect()]
+
+    bucketed = corpus.withColumn("__b", hyperplane_bucket("embedding", 4, 64))
+    qb = (
+        spark.createDataFrame([(qv,)], "embedding: array<double>")
+        .withColumn("__b", hyperplane_bucket("embedding", 4, 64))
+        .head()["__b"]
+    )
+    in_bucket = bucketed.where(F.col("__b") == qb)
+    expected = [r["vec_id"] for r in cosine_topk(in_bucket, qv, k=10).collect()]
+    assert approx == expected
+    assert 0 < len(approx) <= 10
+
+
+def test_cosine_topk_agrees_with_exact_catalog_form(spark, sf_dir):
+    from tms_etl_spark.catalog import QUERIES, load_all
+
+    load_all()
+    fast = {
+        r["vec_id"]: r["cos_sim"]
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in QUERIES["sim_cosine_topk_exact"](spark, sf_dir).collect()
+    }
+    # the two forms rank by floats differing in the last ulps, so the
+    # k-th boundary may swap; require near-total agreement and close
+    # values on the intersection
+    common = set(fast) & set(exact)
+    assert len(common) >= 9
+    for k in common:
+        assert abs(fast[k] - exact[k]) < 1e-6

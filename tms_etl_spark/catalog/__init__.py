@@ -52,8 +52,11 @@ def load_all() -> None:
     """Import every catalog module (populates QUERIES/ORACLES)."""
     from tms_etl_spark.catalog import (  # noqa: F401
         aggregates,
+        functions_ext,
         joins,
+        joins_ext,
         llm_text,
+        multimodal,
         relational,
         setops,
         similarity,

@@ -1,0 +1,108 @@
+"""Large-join physical strategies (SURVEY.md §2.3 J5, §4): the same
+logical join executed as sort-merge and shuffled-hash via hints, plus
+a correlated-subquery shape. Semantically identical to their oracles;
+the point is certifying the engine controls the physical plan (see
+tests/test_plans.py for the explain() assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import dsum8, sql_dsum8
+from tms_etl_spark.sources.tables import load_table
+
+_REV_ORACLE = f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_dsum8("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+"""
+
+
+def _revenue_join(spark: SparkSession, sf_dir: str, hint: str | None) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    if hint:
+        o = o.hint(hint)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dsum8(rev, "revenue"))
+    )
+
+
+@query("join_sort_merge", oracle=_REV_ORACLE)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 large-large: sort-merge join — both sides shuffle on the
+    key, sorted streams merge. The default for fact-fact joins whose
+    build side exceeds memory; skew handled by AQE skew-join."""
+    return _revenue_join(spark, sf_dir, "merge")
+
+
+@query("join_shuffle_hash", oracle=_REV_ORACLE)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 large-large: shuffled hash join — same exchange, hash build
+    instead of sort. Wins when one side is much smaller per-partition
+    (no sort cost); loses the ability to spill gracefully."""
+    return _revenue_join(spark, sf_dir, "shuffle_hash")
+
+
+@query(
+    "scalar_subquery_share",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                       AS DOUBLE) FROM orders) AS price_share
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def scalar_subquery_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: each row normalized by a global aggregate —
+    planned as a broadcast of the 1-row subquery result, not a
+    shuffle (the 100 TB-safe global-normalization shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                           AS DOUBLE) FROM orders) AS price_share
+        FROM orders WHERE o_totalprice > 400000
+        """
+    )
+
+
+@query(
+    "correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+    )
+    """,
+)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J6: correlated EXISTS — decorrelated by Catalyst into the
+    same left-semi join the DataFrame API would write."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    s.createOrReplaceTempView("supplier")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+        )
+        """
+    )
