@@ -22,14 +22,18 @@ from tms_etl_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "join_broadcast_dim_chain",
+    "join_sort_merge",
     "agg_sum_avg_min_max",
+    "agg_rollup",
     "window_cumulative",
     "topk_per_group",
     "join_asof",
     "tms_upsert_merge",
+    "stream_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "text_quality_score",
 ]
 
 
@@ -39,10 +43,22 @@ def main() -> None:
     catalog.load_all()
     spark = get_spark(app_name="tms_etl_spark_bench")
 
+    # Warm the JVM (codegen, shuffle machinery, parquet reader) and
+    # the file-listing metadata once — timings then measure query
+    # execution, not cold-start.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).agg(
+        F.sum("id")
+    ).write.format("noop").mode("overwrite").save()
+    from tms_etl_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
-        # warm the reader metadata once so timings measure execution
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -13,8 +13,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tms_etl_spark_tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("spark_warehouse"))
+    s = get_spark(
+        app_name="tms_etl_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

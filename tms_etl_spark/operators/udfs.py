@@ -1,0 +1,123 @@
+"""UDF/UDAF/stateful surface (SURVEY.md §2.10, §2.9 T6).
+
+Policy: built-in Column expressions first (U1-U3, U6 need no UDFs at
+all — see quality.py / schema.py / the stack call in tms_domain).
+Below are the genuinely custom pieces, each in its preferred form:
+
+- ``weighted_avg_expr``: U5's weighted average as a pure expression —
+  the production form (codegen'd, partial-aggregated).
+- ``weighted_avg_udaf``: the same metric as a GROUPED_AGG pandas UDF,
+  certifying the engine's custom-aggregate surface; used when the
+  aggregation genuinely can't be expressed (e.g. calls a numeric
+  library). Arrow-batched; whole group per call.
+- ``ewma_by_key``: applyInPandasWithState custom stateful streaming
+  operator (exponentially weighted running mean per key) — state is
+  one float per key, bounded; works on batch via applyInPandas too.
+
+All worker functions are closure-self-contained (own imports, no
+module globals) — executors don't have the package on sys.path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def weighted_avg_expr(value: str, weight: str) -> Column:
+    """U5 production form: Σ(v·w)/Σ(w), decimal-exact."""
+    num = F.sum((F.col(value) * F.col(weight)).cast("decimal(28,8)")).cast("double")
+    den = F.sum(F.col(weight).cast("decimal(18,4)")).cast("double")
+    return num / den
+
+
+def make_weighted_avg_udaf():
+    """U5 UDAF form: GROUPED_AGG pandas UDF (whole group in, scalar
+    out). Returns the udf object (created lazily so importing this
+    module never needs pyarrow at import time)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        den = w.sum()
+        return float((v * w).sum() / den) if den else float("nan")
+
+    weighted_avg.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    return pandas_udf(weighted_avg, "double")
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Custom stateful operator: per-key EWMA over event order.
+
+    Batch path: applyInPandas per key (sorts the group by ``ts``).
+    The streaming path with explicit state lives in
+    ``ewma_stream_by_key``. Output: key, ts, value, ewma.
+    """
+    schema = f"{key} long, {ts} timestamp, {value} double, ewma double"
+    a = float(alpha)
+    kc, tc, vc = key, ts, value
+
+    def run(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values(tc)
+        ew, out = None, []
+        for v in pdf[vc]:
+            ew = v if ew is None else a * v + (1 - a) * ew
+            out.append(ew)
+        return _pd.DataFrame(
+            {kc: pdf[kc], tc: pdf[tc], vc: pdf[vc], "ewma": out}
+        )
+
+    return df.select(key, ts, value).groupBy(key).applyInPandas(run, schema)
+
+
+def ewma_stream_by_key(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+):
+    """T6 custom stateful streaming form: applyInPandasWithState —
+    one float of state per key, carried across micro-batches. Emits
+    (key, n_seen, ewma) per batch update."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} long, n_seen long, ewma double"
+    state_schema = "n long, ewma double"
+    a = float(alpha)
+    kc, tc, vc = key, ts, value
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as _pd
+
+        if state.exists:
+            n, ew = state.get
+        else:
+            n, ew = 0, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(tc)
+            for v in pdf[vc]:
+                ew = v if ew is None else a * v + (1 - a) * ew
+                n += 1
+        state.update((n, float(ew) if ew is not None else 0.0))
+        yield _pd.DataFrame({kc: [key_tuple[0]], "n_seen": [n], "ewma": [ew]})
+
+    return (
+        stream.select(key, ts, value)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
