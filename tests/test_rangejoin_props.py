@@ -1,0 +1,103 @@
+"""Bucketized range join correctness + hypothesis property tests for
+the merge operator (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.merge import dedupe_batch, upsert, upsert_guarded
+from tms_etl_spark.operators.rangejoin import bucketized_range_join
+from tms_etl_spark.sources.tables import load_table
+
+
+def test_bucketized_range_join_equals_naive(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.unix_timestamp("ts").alias("t"))
+        .limit(300)
+    )
+    # synthetic intervals spanning the event range
+    iv = spark.createDataFrame(
+        [(i, 1704067200 + i * 3600, 1704067200 + i * 3600 + 7200) for i in range(50)],
+        "iv_id long, lo long, hi long",
+    )
+    naive = (
+        ev.crossJoin(iv)
+        .where((F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")))
+        .select("event_id", "iv_id")
+    )
+    bucketed = bucketized_range_join(
+        ev, iv, point_col="t", lo_col="lo", hi_col="hi", bucket_width=3600
+    ).select("event_id", "iv_id")
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
+
+
+# ---------------------------------------------------------- properties
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key
+        st.integers(min_value=0, max_value=1000),  # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _df(spark, pairs, dedupe=True):
+    df = spark.createDataFrame(
+        [(k, v) for k, v in pairs] or [(None, None)], "k int, v int"
+    ).where(F.col("k").isNotNull())
+    if dedupe:
+        df = dedupe_batch(df, keys=["k"], precedence=[F.col("v")])  # larger v wins
+    return df
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows, batch=rows)
+def test_upsert_source_wins_and_preserves_rest(spark, target, batch):
+    t = _df(spark, target)
+    b = _df(spark, batch)
+    merged = {r["k"]: r["v"] for r in upsert(t, b, keys=["k"]).collect()}
+    tt = {r["k"]: r["v"] for r in t.collect()}
+    bb = {r["k"]: r["v"] for r in b.collect()}
+    expect = {**tt, **bb}  # batch overrides target
+    assert merged == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows, batch=rows)
+def test_upsert_idempotent(spark, target, batch):
+    t = _df(spark, target)
+    b = _df(spark, batch)
+    once = upsert(t, b, keys=["k"])
+    twice = upsert(once, b, keys=["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows, batch=rows)
+def test_guarded_upsert_never_overwrites_existing_with_guarded_rows(
+    spark, target, batch
+):
+    t = _df(spark, target)
+    b = _df(spark, batch)
+    # guard: odd values are "suspect" (insert-only)
+    merged = {
+        r["k"]: r["v"]
+        for r in upsert_guarded(
+            t, b, keys=["k"], insert_only=(F.col("v") % 2 == 1)
+        ).collect()
+    }
+    tt = {r["k"]: r["v"] for r in t.collect()}
+    bb = {r["k"]: r["v"] for r in b.collect()}
+    for k, v in merged.items():
+        if k in tt and k in bb and bb[k] % 2 == 1:
+            assert v == tt[k]  # guarded row could not overwrite
+        elif k in bb and bb[k] % 2 == 0:
+            assert v == bb[k]  # normal rows win
+        elif k not in bb:
+            assert v == tt[k]

@@ -60,3 +60,33 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``subtract`` is Spark's EXCEPT DISTINCT; ``exceptAll`` would keep
     surplus multiplicities and diverge from the SQL EXCEPT."""
     return _typed(spark, sf_dir, "click").subtract(_typed(spark, sf_dir, "purchase"))
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: intersect all — multiplicity = min(count_a, count_b)."""
+    return _typed(spark, sf_dir, "purchase").intersectAll(
+        _typed(spark, sf_dir, "error")
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: except all — per-occurrence subtraction."""
+    return _typed(spark, sf_dir, "click").exceptAll(
+        _typed(spark, sf_dir, "purchase")
+    )

@@ -33,22 +33,31 @@ from pyspark.sql import functions as F
 def dedupe_batch(
     source: DataFrame, keys: Sequence[str], precedence: Sequence[Column] | None = None
 ) -> DataFrame:
-    """Keep one row per key within a batch, by explicit precedence.
+    """Keep one row per key within a batch, by explicit precedence —
+    the row whose ``precedence`` tuple is LARGEST wins (lexicographic).
 
     The reference processes files newest-first and the last processed
     row wins (/root/reference/src/main_01.py:330, :408-422); a
     distributed merge must make that ordering explicit or results
-    differ run-to-run (SURVEY.md §7 risk note). ``precedence`` is a
-    list of ORDER BY columns, best-first.
-    """
-    from pyspark.sql import Window
+    differ run-to-run (SURVEY.md §7 risk note).
 
-    order = list(precedence) if precedence is not None else [F.lit(1)]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        source.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    Implemented as ``max_by`` aggregation, not a row_number window:
+    (a) a hash aggregate partial-combines duplicates map-side before
+    the shuffle, so the exchange moves one row per (partition, key)
+    instead of every row — the window form shuffles everything; (b) a
+    hot key degrades into partial-agg work, not a single-reducer sort;
+    (c) it sidesteps a Spark 4.1 WindowGroupLimit planner bug (missing
+    exchange under unions of reused rank-limited subplans:
+    "Can't zip RDDs with unequal numbers of partitions").
+    """
+    others = [c for c in source.columns if c not in keys]
+    pref = list(precedence) if precedence is not None else [F.lit(1)]
+    row = F.struct(*[F.col(c) for c in others])
+    won = source.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(row, F.struct(*pref)).alias("__row")
+    )
+    return won.select(
+        *keys, *[F.col(f"__row.{c}").alias(c) for c in others]
     )
 
 
@@ -85,7 +94,14 @@ def upsert_guarded(
     guarded_new = guarded.join(
         target.select(*keys).distinct(), on=list(keys), how="left_anti"
     )
-    effective = normal.unionByName(guarded_new)
+    # Explicit re-shuffle on the keys: both union branches arrive
+    # hash-partitioned(keys) from upstream windows/joins, and Spark
+    # 4.1's planner then skips the exchange under the downstream
+    # anti-join even though the union doubled the partition count
+    # ("Can't zip RDDs with unequal numbers of partitions"). The
+    # repartition also de-skews the merge input, which is what a
+    # 100 TB deployment wants here anyway.
+    effective = normal.unionByName(guarded_new).repartition(*keys)
     return upsert(target, effective, keys)
 
 

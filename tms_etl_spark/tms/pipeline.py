@@ -40,7 +40,7 @@ def prepare_batch(df: DataFrame) -> DataFrame:
     return dedupe_batch(
         clean,
         keys=list(MERGE_KEYS),
-        precedence=[F.desc("_src_mtime"), F.desc("_src_file")],
+        precedence=[F.col("_src_mtime"), F.col("_src_file")],  # larger wins
     ).drop("_src_file", "_src_mtime")
 
 
