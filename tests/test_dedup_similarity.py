@@ -114,3 +114,27 @@ def test_cosine_topk_agrees_with_exact_catalog_form(spark, sf_dir):
     assert len(common) >= 9
     for k in common:
         assert abs(fast[k] - exact[k]) < 1e-6
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
+    """Every LSH-found pair must appear in the exact pair set with
+    the same cosine (to float tolerance); recall is bucket-limited
+    but must be nonzero at these thresholds."""
+    from tms_etl_spark.catalog import QUERIES, load_all
+    from tms_etl_spark.operators.similarity import embedding_neardup_pairs
+    from tms_etl_spark.sources.tables import load_table as lt
+
+    load_all()
+    emb = lt(spark, sf_dir, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in QUERIES["sim_neardup_pairs_exact"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4, n_planes=4).collect()
+    }
+    assert lsh, "LSH found no pairs at all"
+    for pair, cos in lsh.items():
+        assert pair in exact
+        assert abs(cos - exact[pair]) < 1e-6

@@ -108,3 +108,67 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     return lsh_topk(emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, k=_K, n_planes=4)
+
+
+@query(
+    "sim_neardup_pairs_exact",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS x
+        FROM embeddings
+    ), j AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(ROUND(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                              AS DECIMAL(28,14))), 8) AS DOUBLE) AS dot,
+               CAST(ROUND(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)
+                              AS DECIMAL(28,14))), 8) AS DOUBLE) AS na,
+               CAST(ROUND(SUM(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                              AS DECIMAL(28,14))), 8) AS DOUBLE) AS nb
+        FROM v a JOIN v b USING (i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, dot / (sqrt(na) * sqrt(nb)) AS cos_sim
+    FROM j WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+    """,
+)
+def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4), decimal-exact
+    all-pairs form for the oracle. The production path is the
+    LSH-bucketed `sim_neardup_pairs_lsh` — this exact form exists to
+    pin the semantics (and is itself a legitimate brute-force baseline
+    at moderate corpus sizes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb")
+    )
+    dd = lambda p, q: (p.cast("double") * q.cast("double")).cast("decimal(28,14)")
+    j = (
+        a.join(b, "i")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.round(F.sum(dd(F.col("xa"), F.col("xb"))), 8).cast("double").alias("dot"),
+            F.round(F.sum(dd(F.col("xa"), F.col("xa"))), 8).cast("double").alias("na"),
+            F.round(F.sum(dd(F.col("xb"), F.col("xb"))), 8).cast("double").alias("nb"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    return j.select("vec_a", "vec_b", cos.alias("cos_sim")).where(cos >= 0.4)
+
+
+@query("sim_neardup_pairs_lsh")  # hash-derived buckets: rows-only
+def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-bucket candidate
+    generation + exact cosine within buckets (operators.similarity.
+    embedding_neardup_pairs); recall vs the exact form is asserted in
+    tests/test_dedup_similarity.py."""
+    from tms_etl_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.35, n_planes=4)

@@ -194,3 +194,66 @@ def tms_top2_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 2)
         .select("event_type", "month")
     )
+
+
+@query(
+    "tms_weighted_efficiency",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))), 2)
+                AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def tms_weighted_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: the weighted-efficiency aggregate (Σ(Eficiencia·Funcionando)
+    / ΣFuncionando per SURVEY §2.10) as a decimal-exact expression —
+    here weighted average price by quantity. The numerator sum is
+    rounded to scale 2 in decimal space (scale-8 sums cross the 2^53
+    double-cast bound at this magnitude; see catalog.exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.round(
+        F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,8)")),
+        2,
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    return li.groupBy("l_returnflag").agg((num / den).alias("weighted_price"))
+
+
+@query(
+    "tms_sql_functions",
+    oracle="""
+    SELECT event_id,
+           (strftime(ts, '%H') >= '16' AND value >= 150 AND event_type = 'error')
+             AS desligado_analog,
+           CASE WHEN CAST(strftime(ts, '%H') AS INT) < 8 THEN 'A'
+                WHEN CAST(strftime(ts, '%H') AS INT) < 16 THEN 'B'
+                ELSE 'C' END AS shift,
+           strftime(ts, '%Y.%m') AS month_dot,
+           strftime(date_trunc('month', ts) - INTERVAL 1 MONTH, '%Y-%m-%d')
+             AS prev_month_start
+    FROM events
+    """,
+)
+def tms_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U4/F11 via the registered SQL function surface
+    (functions.register_domain_functions): the domain vocabulary is
+    callable from plain SQL."""
+    from tms_etl_spark.functions import register_domain_functions
+
+    register_domain_functions(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               (date_format(ts, 'HH') >= '16' AND value >= 150
+                AND event_type = 'error') AS desligado_analog,
+               shift_of_hour(CAST(date_format(ts, 'HH') AS INT)) AS shift,
+               month_dot(CAST(ts AS DATE)) AS month_dot,
+               date_format(prev_month_start(CAST(ts AS DATE)), 'yyyy-MM-dd')
+                 AS prev_month_start
+        FROM events
+        """
+    )

@@ -98,3 +98,34 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-restricted.
+
+    Candidate pairs come from shared hyperplane buckets (shuffle on
+    the bucket id — never an all-pairs cross join); the exact cosine
+    re-rank runs only within buckets. Raising ``n_planes`` shrinks
+    buckets (cheaper, lower recall); multi-probe can recover recall.
+    """
+    b = df.withColumn("__bucket", hyperplane_bucket(vec_col, n_planes))
+    lhs = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("emb_a"),
+        "__bucket",
+    )
+    rhs = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("emb_b"),
+        "__bucket",
+    )
+    cand = lhs.join(rhs, "__bucket").where(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return cand.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )
