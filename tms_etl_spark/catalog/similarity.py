@@ -116,7 +116,7 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                unnest(embedding) AS x
-        FROM embeddings
+        FROM embeddings WHERE vec_id < 1000
     ), j AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                CAST(ROUND(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
@@ -138,8 +138,10 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs form for the oracle. The production path is the
     LSH-bucketed `sim_neardup_pairs_lsh` — this exact form exists to
     pin the semantics (and is itself a legitimate brute-force baseline
-    at moderate corpus sizes)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    at moderate corpus sizes). Bounded to a 1000-vector slice so the
+    O(n²·d) exact form stays tractable at any sf (the LSH twin is the
+    unbounded path)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     v = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
     a = v.select(
         F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa")

@@ -42,7 +42,10 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Unigram-Jaccard similar pairs (doc_a < doc_b, jaccard ≥ threshold).
 
@@ -50,10 +53,22 @@ def jaccard_pairs(
     count the intersection, join per-doc set sizes, compute
     |A∩B| / (|A|+|B|-|A∩B|). The token join shuffles on token — hot
     tokens (stopwords) should be pre-filtered at real scale (df-cut),
-    which is exactly what the threshold on document frequency in
-    ``jaccard_pairs_df_cut`` does.
+    which is exactly what the ``max_df`` document-frequency cut
+    does: tokens present in more than ``max_df`` fraction of docs are
+    excluded from BOTH the intersection and the set sizes (consistent
+    semantics, mirrored in the SQL oracle), bounding the token
+    self-join's worst key to max_df·n docs.
     """
     toks = tokenize(df, text_col)
+    if max_df is not None:
+        n_docs = df.count()
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df * n_docs)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
