@@ -131,3 +131,64 @@ def test_running_counts_update_mode(spark, events_stream_dir):
         for r in batch_src.groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T3: with a 1-hour watermark in append mode, an event arriving
+    in a later micro-batch but stamped far before the advanced
+    watermark is dropped from the streaming aggregate (batch keeps
+    it). This is the bounded-state contract: late beyond the horizon
+    is discarded, not buffered forever."""
+    import datetime as dt
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: events up to 12:00 -> watermark advances to ~11:00
+    write_batch("b1", [(t0 + dt.timedelta(hours=h), "x", 1.0) for h in range(13)])
+
+    sink = str(tmp_path / "late_sink")
+
+    def run_stream():
+        # file sink in append mode: supports checkpoint recovery
+        # (memory sink does not), and append emits a window only once
+        # its watermark closes it — the semantics under test
+        q = (
+            tumbling_counts(
+                spark.readStream.schema(schema).parquet(str(src)),
+                window="1 hour",
+                watermark="1 hour",
+            )
+            .select("window.start", "event_type", "n", "total")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+
+    # batch 2: one very late event (hour 0, far behind the watermark)
+    # plus one fresh event that moves processing forward
+    write_batch("b2", [(t0, "late", 99.0), (t0 + dt.timedelta(hours=14), "x", 1.0)])
+    run_stream()
+    # a third pass with a fresh future event closes remaining windows
+    write_batch("b3", [(t0 + dt.timedelta(hours=17), "x", 1.0)])
+    run_stream()
+    out = spark.read.parquet(sink).collect()
+    types = {r["event_type"] for r in out}
+    assert "late" not in types  # dropped: behind the watermark
+    # batch semantics keep it
+    batch = tumbling_counts(spark.read.parquet(str(src)), window="1 hour")
+    assert "late" in {r["event_type"] for r in batch.collect()}

@@ -218,3 +218,28 @@ def dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes relational Jaccard viable on a 100 TB corpus."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, threshold=0.5, max_df=0.5)
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967295.0 AS u
+        FROM documents) t
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment from an id
+    digest (operators.storage.hash_split): reproducible across runs,
+    partitionings, and engines — a doc keeps its split forever, which
+    fraction-based sampling cannot guarantee."""
+    from tms_etl_spark.operators.storage import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")

@@ -1,0 +1,97 @@
+"""Storage-layout & sampling operators — the housekeeping a 100 TB
+lake actually needs.
+
+- ``compact_small_files``: rewrite a parquet prefix into
+  target-sized files (the small-files problem: a micro-batch import
+  like tms.pipeline produces one file per trigger per partition;
+  listing cost and scan task count grow until someone compacts).
+- ``write_sorted_parquet``: range-partition + sort-within-partitions
+  on layout keys before writing, so min/max row-group statistics
+  become selective (poor-man's clustering/Z-order on one axis) and
+  later scans prune row groups, not just partitions.
+- ``sample_stratified``: per-class sampling with explicit fractions
+  (training-data class balancing), seed-deterministic.
+- ``hash_split``: deterministic train/validation/test assignment from
+  a stable id digest — reproducible across runs, partitionings and
+  cluster layouts, and stable under corpus growth (a doc keeps its
+  split forever; sampling by fraction would reshuffle everything).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_small_files(
+    spark, path: str, target_file_rows: int = 1_000_000
+) -> None:
+    """Rewrite ``path`` (parquet) with bounded rows per file. Uses
+    maxRecordsPerFile (per-writer cap) after an AQE-coalesced
+    round-trip; at cluster scale run per-partition to keep the
+    rewrite incremental."""
+    df = spark.read.parquet(path)
+    (
+        df.repartition(max(1, df.count() // target_file_rows or 1))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_file_rows)
+        .parquet(path + ".compact")
+    )
+    # atomic-ish swap (local/dev; object stores want a manifest swap)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(path + ".compact", path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    layout_cols: list[str],
+    num_files: int | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Cluster data on ``layout_cols`` at write time: range-partition
+    so each file owns a contiguous key range, sort within partitions
+    so row-group min/max stats are tight. Scans filtering on the
+    layout keys then skip whole files/row-groups."""
+    parts = num_files or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    out = df.repartitionByRange(int(parts), *layout_cols).sortWithinPartitions(
+        *layout_cols
+    )
+    out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    ).parquet(path)
+
+
+def sample_stratified(
+    df: DataFrame, class_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-class Bernoulli sampling (class balancing). Deterministic
+    for a fixed seed and input; distributed (no driver collection)."""
+    return df.sampleBy(class_col, fractions=fractions, seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    validation: float = 0.1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic split assignment from a digest of the id.
+
+    Uses the first 8 hex chars of md5(id) as a uniform 32-bit value —
+    stable across engines, runs, and partitionings (xxhash64 would be
+    Spark-specific). Buckets: [0, train) → train, [train,
+    train+validation) → validation, rest → test.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(0xFFFFFFFF))
+    return df.withColumn(
+        out_col,
+        F.when(u < train, "train")
+        .when(u < train + validation, "validation")
+        .otherwise("test"),
+    )
