@@ -112,3 +112,22 @@ def test_excel_export_gated(spark, tmp_path):
         import os
 
         assert os.path.exists(tmp_path / "r.xlsx")
+
+
+def test_jdbc_upsert_sql_generation():
+    from tms_etl_spark.sources.jdbc import upsert_sql
+
+    cols = ["DataTurno", "Tear", "Eficiencia"]
+    keys = ["DataTurno", "Tear"]
+    my = upsert_sql("tblDadosTeares", "tblDadosTeares__staging", cols, keys)
+    assert my.startswith("INSERT INTO tblDadosTeares")
+    assert "ON DUPLICATE KEY UPDATE Eficiencia = VALUES(Eficiencia)" in my
+    assert "DataTurno = VALUES" not in my  # keys never updated
+
+    pg = upsert_sql("t", "s", cols, keys, dialect="postgres")
+    assert "ON CONFLICT (DataTurno, Tear) DO UPDATE SET" in pg
+    assert "EXCLUDED.Eficiencia" in pg
+
+    ansi = upsert_sql("t", "s", cols, keys, dialect="ansi")
+    assert ansi.startswith("MERGE INTO t")
+    assert "WHEN MATCHED THEN UPDATE SET t.Eficiencia = s.Eficiencia" in ansi

@@ -84,3 +84,12 @@ def test_scalar_subquery_is_broadcast_not_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "scalar_subquery_share")
     assert "Subquery" in p or "ReusedSubquery" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q3_q5_join_strategies(spark, sf_dir):
+    """The composite analytics compile to: dims broadcast, exactly
+    one fact-fact exchange pair feeding a non-broadcast join."""
+    p3 = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert p3.count("BroadcastHashJoin") >= 1  # customer dim
+    p5 = _plan(spark, sf_dir, "q5_volume_by_nation")
+    assert p5.count("BroadcastHashJoin") >= 3  # supplier+nation+region
