@@ -176,3 +176,18 @@ def test_month_pruning(spark, tmp_path):
         (d / "f.csv").write_text(_row(f"{m}-01.A", "00001"), encoding="utf-8")
     df = read_daily(spark, str(tmp_path / "pr"), months=["2024-02"])
     assert {r["month"] for r in df.select("month").collect()} == {"2024-02"}
+
+
+def test_shift_minutes_invariant(spark, lake):
+    from tms_etl_spark.tms.quality import shift_minutes_violations
+    from tms_etl_spark.tms.source import read_daily
+    from tms_etl_spark.tms.pipeline import prepare_batch
+
+    batch = prepare_batch(read_daily(spark, lake))
+    bad = shift_minutes_violations(batch)
+    # fixture rows are built with Funcionando+Parado == 440 except the
+    # truncated row (0+0); the validator must flag exactly those
+    tears = {r["Tear"] for r in bad.select("Tear").collect()}
+    assert "00001" not in tears
+    for r in bad.collect():
+        assert r["__shift_total"] < 400 or r["__shift_total"] > 480

@@ -271,3 +271,44 @@ def streaming_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (update-mode groupBy) is exercised in tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/F8: ordered string aggregation — collect_set is unordered,
+    so the deterministic form is sort-then-join (listagg/string_agg
+    with ORDER BY on the oracle side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        )
+    )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT o_custkey,
+           bool_and(o_totalprice > 50000) AS all_big,
+           bool_or(o_orderstatus = 'F') AS any_final,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 boolean forms: every/any aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.bool_and(F.col("o_totalprice") > 50000).alias("all_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.count("*").alias("n"),
+    )

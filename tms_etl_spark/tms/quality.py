@@ -26,3 +26,20 @@ def is_tear_desligado(
         & (F.col(funcionando) == 0.0)
         & (F.col(parado) >= 400.0)
     )
+
+
+SHIFT_MINUTES = 440.0  # ~440-minute shifts, /root/reference/src/main_01.py:452
+
+
+def shift_minutes_violations(
+    df, funcionando: str = "Funcionando", parado: str = "Parado",
+    tolerance: float = 40.0,
+):
+    """Rows violating the shift-length invariant
+    ``Funcionando + Parado ≈ 440`` (SURVEY.md §1.2): the data-quality
+    screen a production import would quarantine on. Returns the
+    offending rows with the computed total."""
+    total = F.col(funcionando) + F.col(parado)
+    return df.withColumn("__shift_total", total).where(
+        (total < SHIFT_MINUTES - tolerance) | (total > SHIFT_MINUTES + tolerance)
+    )
