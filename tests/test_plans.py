@@ -7,17 +7,9 @@ aggregates partial-aggregating before the exchange, top-k bounded.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import DataFrame
-
 from tms_etl_spark import catalog
 
 catalog.load_all()
-
-
-def plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def _plan(spark, sf_dir, name) -> str:

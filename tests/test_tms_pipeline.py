@@ -7,7 +7,6 @@ idempotence, first-write-wins, newest-file-wins precedence.
 from __future__ import annotations
 
 import codecs
-import os
 
 import pytest
 from pyspark.sql import functions as F

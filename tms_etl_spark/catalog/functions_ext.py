@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
-from tms_etl_spark.catalog.exact import sql_dsum
 from tms_etl_spark.sources.tables import load_table
 
 
@@ -304,3 +303,25 @@ def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@query(
+    "explode_outer_tokens",
+    oracle=r"""
+    SELECT d.doc_id, u.tok
+    FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN NULL
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+          FROM documents WHERE doc_id < 200) d
+    LEFT JOIN LATERAL (SELECT unnest(d.arr) AS tok) u ON true
+    """,
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/U6: explode_outer — rows with a null array survive with a
+    null element (the LEFT JOIN LATERAL semantics), where plain
+    explode would drop them."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    arr = F.when(F.col("doc_id") % 50 == 0, F.lit(None)).otherwise(
+        F.split(F.trim("text"), r"\s+")
+    )
+    return d.select("doc_id", F.explode_outer(arr).alias("tok"))

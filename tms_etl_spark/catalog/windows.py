@@ -170,3 +170,32 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=[F.desc("o_totalprice"), F.asc("o_orderkey")],
         k=3,
     )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: calendar-interval range frame (the reference's rolling
+    30-day windows, /root/reference/src/main_01.py:1120) directly on
+    the timestamp ordering column — no epoch conversion."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS spend_30d
+        FROM orders
+        """
+    )
