@@ -1,0 +1,83 @@
+"""Scaling probe: run headline queries against synthetic 1×/2×/4×
+multiples of sf0.1 (union with key offsets, written to /tmp) and
+print per-scale wall times. A plan that would die at 100 TB shows
+super-linear growth here; the engine's headliners should track the
+data size roughly linearly on fixed cores.
+
+Usage: python scripts/scale_probe.py [q1_pricing_summary ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tms_etl_spark import catalog
+from tms_etl_spark.session import get_spark
+from tms_etl_spark.sources.tables import TABLE_NAMES, load_table
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "join_sort_merge",
+    "agg_sum_avg_min_max",
+    "window_cumulative",
+    "join_asof",
+]
+
+KEY_OFFSETS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 10_000},
+}
+
+
+def build_scaled(spark, base_dir: str, out_dir: str, mult: int) -> None:
+    for t in TABLE_NAMES:
+        df = load_table(spark, base_dir, t)
+        if t in KEY_OFFSETS and mult > 1:
+            parts = [df]
+            for i in range(1, mult):
+                shifted = df
+                for col, off in KEY_OFFSETS[t].items():
+                    shifted = shifted.withColumn(col, F.col(col) + i * off)
+                parts.append(shifted)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df  # dims stay fixed (realistic: dims don't scale with facts)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    catalog.load_all()
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1_000_000).groupBy((F.col("id") % 7)).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    results: dict[str, dict[int, float]] = {n: {} for n in names}
+    for mult in (1, 2, 4):
+        scaled_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_x{mult}")
+        build_scaled(spark, base, scaled_dir, mult)
+        for n in names:
+            t0 = time.perf_counter()
+            catalog.QUERIES[n](spark, scaled_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[n][mult] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"base": base, "multiples": [1, 2, 4], "sec": results}))
+
+
+if __name__ == "__main__":
+    main()

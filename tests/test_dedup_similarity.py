@@ -138,3 +138,31 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     for pair, cos in lsh.items():
         assert pair in exact
         assert abs(cos - exact[pair]) < 1e-6
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """HLL estimates must sit within a few percent of exact counts
+    (rows-only catalog entry; this pins its usefulness)."""
+    from tms_etl_spark.catalog import QUERIES, load_all
+    from tms_etl_spark.sources.tables import load_table as lt
+
+    load_all()
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    li = lt(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as FF
+
+    exact = {
+        r["l_returnflag"]: (r["p"], r["o"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            FF.countDistinct("l_partkey").alias("p"),
+            FF.countDistinct("l_orderkey").alias("o"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / max(e, 1) < 0.12, (k, a, e)  # rsd=5% default, allow ~2.4 sd

@@ -35,13 +35,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver's verify harness builds its own SparkSession.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The events table stores TIMESTAMP(NANOS) parquet, which the
-        # vectorized reader rejects; read nanos as long and convert
-        # with integer division (a double roundtrip would lose µs
-        # precision at 1e18 magnitudes).
+        # The driver's events table stores TIMESTAMP(NANOS) parquet,
+        # which the vectorized reader rejects; read nanos as long and
+        # convert with integer division (a double roundtrip would
+        # lose µs precision at 1e18 magnitudes). Re-materialized
+        # copies of events already carry a proper timestamp — only
+        # convert when the raw read actually yields a long.
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
