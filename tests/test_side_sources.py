@@ -1,0 +1,84 @@
+"""§1.3 side-dataset readers + analytics (stop_history sessions,
+operator productivity, forecast coverage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tms_etl_spark.tms.side_sources import (
+    forecast_coverage,
+    operator_productivity,
+    read_forecast,
+    read_operator,
+    read_stop_history,
+    stop_sessions,
+)
+
+
+@pytest.fixture(scope="module")
+def side_lake(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sidelake")
+    sh = root / "2024-01" / "stop_history"
+    sh.mkdir(parents=True)
+    sh.joinpath("stops.csv").write_text(
+        "ts_inicio,ts_fim,tear,motivo,duracao_min\n"
+        # burst of 3 stops within 30min gaps → one session
+        "2024-01-05 08:00:00,2024-01-05 08:05:00,00001,ParadasTrama,5\n"
+        "2024-01-05 08:20:00,2024-01-05 08:22:00,00001,ParadasTrama,2\n"
+        "2024-01-05 08:45:00,2024-01-05 08:50:00,00001,TrocaDeRolo,5\n"
+        # isolated stop 3h later → its own session
+        "2024-01-05 12:00:00,2024-01-05 12:30:00,00001,EnergiaDesligada,30\n"
+        # other loom
+        "2024-01-05 08:10:00,2024-01-05 08:15:00,00002,CorteTecido,5\n",
+        encoding="utf-8",
+    )
+    op = root / "2024-01" / "operator"
+    op.mkdir(parents=True)
+    op.joinpath("op.csv").write_text(
+        "data,operador,tear,turno,eficiencia,metros,paradas\n"
+        "2024-01-05,OP1,00001,A,90,100,2\n"
+        "2024-01-05,OP1,00002,A,80,300,1\n"
+        "2024-01-05,OP2,00003,A,95,50,0\n",
+        encoding="utf-8",
+    )
+    root.joinpath("forecast.csv").write_text(
+        "artigo,fio,estoque_kg,previsao_kg,mes\n"
+        "ART-1,FIO-10,500,400,2024.02\n"
+        "ART-2,FIO-20,100,400,2024.02\n",
+        encoding="utf-8",
+    )
+    return str(root)
+
+
+def test_stop_sessions(spark, side_lake):
+    stops = read_stop_history(spark, side_lake)
+    assert stops.count() == 5
+    sess = stop_sessions(stops).collect()
+    by_loom = {}
+    for r in sess:
+        by_loom.setdefault(r["tear"], []).append(r)
+    assert len(by_loom["00001"]) == 2  # burst collapsed + isolated
+    burst = max(by_loom["00001"], key=lambda r: r["n_stops"])
+    assert burst["n_stops"] == 3 and burst["min_total"] == 12.0
+    assert len(by_loom["00002"]) == 1
+
+
+def test_operator_productivity(spark, side_lake):
+    op = read_operator(spark, side_lake)
+    rank = {
+        r["operador"]: r for r in operator_productivity(op).collect()
+    }
+    # OP1 weighted ef: (90*100 + 80*300)/400 = 82.5
+    assert abs(rank["OP1"]["ef_ponderada"] - 82.5) < 1e-9
+    assert rank["OP1"]["rank_no_turno"] == 1  # 400m > 50m
+    assert rank["OP2"]["rank_no_turno"] == 2
+
+
+def test_forecast_coverage(spark, side_lake):
+    fc = forecast_coverage(read_forecast(spark, side_lake))
+    rows = {r["artigo"]: r for r in fc.collect()}
+    assert rows["ART-1"]["month"] == "2024-02"  # YYYY.MM normalized
+    assert rows["ART-1"]["compra_necessaria"] is False
+    assert rows["ART-2"]["compra_necessaria"] is True
+    assert abs(rows["ART-2"]["cobertura"] - 0.25) < 1e-12
