@@ -243,3 +243,19 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@query("dedup_clusters")  # iterative algorithm: rows-only by design
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS via iterative label
+    propagation (connected components): the final step of the dedup
+    ladder — one keeper per cluster, everything else droppable.
+    Driver orchestrates the loop; each round is one join + one min-agg
+    (operators.graph). Converges in O(diameter) rounds (near-dup
+    graphs are unions of small cliques)."""
+    from tms_etl_spark.operators.dedup import minhash_lsh_pairs
+    from tms_etl_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d).where(F.col("est_jaccard") > 0.5)
+    return dedup_clusters(pairs)
