@@ -217,7 +217,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 

@@ -61,9 +61,11 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         "s_suppkey",
         "s_acctbal",
-        F.rank().over(by_bal).alias("rnk"),
-        F.dense_rank().over(by_bal).alias("drnk"),
-        F.row_number().over(by_bal_uniq).alias("rn"),
+        # cast to long: Spark's rank family yields int32, DuckDB's
+        # int64 — keep the driver's schema comparison unambiguous
+        F.rank().over(by_bal).cast("long").alias("rnk"),
+        F.dense_rank().over(by_bal).cast("long").alias("drnk"),
+        F.row_number().over(by_bal_uniq).cast("long").alias("rn"),
     )
 
 
