@@ -40,8 +40,10 @@ def agg_sum_avg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_extendedprice", "avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
+        # parquet ms-timestamps read as NTZ; cast to session-TZ
+        # timestamp (UTC-pinned) for dtype parity with the oracle
+        F.min("l_shipdate").cast("timestamp").alias("first_ship"),
+        F.max("l_shipdate").cast("timestamp").alias("last_ship"),
         F.count("*").alias("n"),
     )
 

@@ -169,10 +169,10 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            sqrt(l_extendedprice) AS sqrt_price,
            abs(l_discount - 0.05) AS disc_dev,
-           ceil(l_quantity / 7) AS q_ceil,
-           floor(l_quantity / 7) AS q_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
            CAST(l_quantity AS BIGINT) % 5 AS q_mod,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            power(l_discount, 2) AS disc_sq
     FROM lineitem WHERE l_orderkey < 500
     """,

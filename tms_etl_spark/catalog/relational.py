@@ -162,7 +162,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.upper("lang").alias("lang_uc"),
         F.substring("text", 1, 20).alias("prefix"),
-        F.length("text").alias("text_len"),
+        F.length("text").cast("long").alias("text_len"),
         F.concat_ws("-", "lang", "source").alias("lang_source"),
         F.regexp_replace("source", "src", "S").alias("source_norm"),
         F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("has_spark"),
