@@ -81,7 +81,10 @@ def test_lsh_topk_equals_bruteforce_within_bucket(spark, sf_dir):
     row = emb.where(F.col("vec_id") == 0).select("embedding").head()
     qv = [float(x) for x in row["embedding"]]
     corpus = emb.where(F.col("vec_id") != 0)
-    approx = [r["vec_id"] for r in lsh_topk(corpus, qv, k=10, n_planes=4).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_topk(corpus, qv, k=10, n_planes=4, n_probes=0).collect()
+    ]
 
     bucketed = corpus.withColumn("__b", hyperplane_bucket("embedding", 4, 64))
     qb = (
@@ -93,6 +96,89 @@ def test_lsh_topk_equals_bruteforce_within_bucket(spark, sf_dir):
     expected = [r["vec_id"] for r in cosine_topk(in_bucket, qv, k=10).collect()]
     assert approx == expected
     assert 0 < len(approx) <= 10
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The driver-side hash twin must be bit-identical to the JVM
+    expression — every LSH plane weight derives from it."""
+    from tms_etl_spark.functions.xxhash import xxhash64_ints
+
+    cases = [(0, 0), (1, 5), (7, 63), (3, 2), (123, 456)]
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.xxhash64(F.lit(a), F.lit(b)).alias(f"h{i}")
+                for i, (a, b) in enumerate(cases)
+            ]
+        )
+        .head()
+    )
+    for i, (a, b) in enumerate(cases):
+        assert xxhash64_ints(a, b) == row[f"h{i}"]
+
+
+def test_query_probe_buckets_match_jvm(spark, sf_dir):
+    """Driver-side primary bucket == JVM hyperplane_bucket for real
+    embedding rows (the zero-Spark-job query path)."""
+    from tms_etl_spark.operators.similarity import (
+        hyperplane_bucket,
+        query_probe_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    rows = emb.select(
+        "vec_id", "embedding", hyperplane_bucket("embedding", 6, 64).alias("b")
+    ).collect()
+    assert rows
+    for r in rows:
+        vec = [float(x) for x in r["embedding"]]
+        assert query_probe_buckets(vec, 6)[0] == r["b"], r["vec_id"]
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark):
+    """Planted near-duplicate embeddings: 200 random unit-ish base
+    vectors plus 60 slightly perturbed copies (cosine ≥ ~0.99)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(60):
+        noisy = base[i] + rng.normal(scale=0.02, size=64)
+        noisy /= np.linalg.norm(noisy)
+        rows.append((10000 + i, [float(x) for x in noisy]))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_multiprobe_neardup_recall(spark, emb_with_dups):
+    """Multi-probe LSH at DEFAULT settings must recover ≥0.95 of the
+    planted near-dup pairs (i, i+10000)."""
+    from tms_etl_spark.operators.similarity import embedding_neardup_pairs
+
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb_with_dups, threshold=0.97).collect()
+    }
+    planted = {(i, 10000 + i) for i in range(60)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_multiprobe_lsh_topk_recall(spark, emb_with_dups):
+    """lsh_topk at defaults must find a planted duplicate as the top
+    neighbor for ≥0.95 of probed queries."""
+    hits = 0
+    for i in range(0, 20):
+        row = emb_with_dups.where(F.col("vec_id") == i).head()
+        qv = [float(x) for x in row["embedding"]]
+        corpus = emb_with_dups.where(F.col("vec_id") != i)
+        top = lsh_topk(corpus, qv, k=1).collect()
+        if top and top[0]["vec_id"] == 10000 + i:
+            hits += 1
+    assert hits >= 19, f"hits {hits}/20"
 
 
 def test_cosine_topk_agrees_with_exact_catalog_form(spark, sf_dir):

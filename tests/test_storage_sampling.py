@@ -21,9 +21,10 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     li.repartition(24).write.parquet(out)  # fragment: 24 files
     before = len(glob.glob(f"{out}/*.parquet"))
     rows_before = spark.read.parquet(out).count()
-    compact_small_files(spark, out, target_file_rows=rows_before)
+    # target >= total bytes -> exactly one output file, no count() pass
+    compact_small_files(spark, out, target_file_bytes=1 << 40)
     after = len(glob.glob(f"{out}/*.parquet"))
-    assert after < before
+    assert after == 1 and after < before
     assert spark.read.parquet(out).count() == rows_before
 
 

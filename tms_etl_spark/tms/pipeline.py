@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tms_etl_spark.operators.merge import dedupe_batch, upsert_guarded
+from tms_etl_spark.sources.fs import path_exists
 from tms_etl_spark.tms.quality import is_tear_desligado
 from tms_etl_spark.tms.schema import MERGE_KEYS
 from tms_etl_spark.tms.source import arity_filter, read_daily
@@ -27,15 +28,22 @@ from tms_etl_spark.tms.source import arity_filter, read_daily
 
 @dataclass
 class ImportStats:
+    """``table_rows`` counts the month partitions this batch touched
+    (post-merge), not the whole table — the stat stays O(batch), not
+    O(history)."""
+
     batch_rows: int
     table_rows: int
 
 
 def prepare_batch(df: DataFrame) -> DataFrame:
     """Clean + dedupe a raw typed batch: arity filter, then one row
-    per (DataTurno, Tear) with the reference's precedence — newest
-    source file wins (/root/reference/src/main_01.py:330), filename
-    as the deterministic tie-break (SURVEY.md §7 risk note)."""
+    per (DataTurno, Tear): newest source file wins, filename as the
+    deterministic tie-break. NOTE this is an intentional deterministic
+    redefinition, not fidelity — the reference's newest-first loop +
+    UPDATE-on-match (/root/reference/src/main_01.py:330,:408-422)
+    effectively lets the oldest file win on cross-file collisions; see
+    ``operators.merge.dedupe_batch`` (SURVEY.md §7 risk note)."""
     clean = arity_filter(df)
     return dedupe_batch(
         clean,
@@ -60,19 +68,17 @@ def import_daily(
     """
     batch = prepare_batch(read_daily(spark, lake_root, months, encoding))
     batch_rows = batch.count()
+    months_touched = [r[0] for r in batch.select("month").distinct().collect()]
 
-    try:
-        target = spark.read.parquet(target_path)
-        target_exists = True
-    except Exception:
-        target_exists = False
-
-    if not target_exists:
+    # Explicit filesystem probe, never `except Exception` around the
+    # read: a transient read error on an existing table must fail the
+    # job, not take the first-write overwrite branch (data loss).
+    if not path_exists(spark, target_path):
         # First load: desligado rows may insert (no prior record).
         merged = batch
         merged.write.mode("overwrite").partitionBy("month").parquet(target_path)
     else:
-        months_touched = [r[0] for r in batch.select("month").distinct().collect()]
+        target = spark.read.parquet(target_path)
         target_slice = target.where(F.col("month").isin(months_touched))
         merged = upsert_guarded(
             target_slice,
@@ -88,5 +94,12 @@ def import_daily(
             "month"
         ).parquet(target_path)
 
-    table_rows = spark.read.parquet(target_path).count()
+    # Post-write stat over the TOUCHED partitions only (partition
+    # pruning on `month`) — a full-table count here would be a 100 TB
+    # scan per incremental batch, for a number nobody needs exactly.
+    table_rows = (
+        spark.read.parquet(target_path)
+        .where(F.col("month").isin(months_touched))
+        .count()
+    )
     return ImportStats(batch_rows=batch_rows, table_rows=table_rows)
