@@ -32,7 +32,10 @@ HEADLINE = [
     "stream_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "sim_cosine_topk",
+    "sim_neardup_pairs_lsh",
+    "multimodal_feature_extract",
     "text_quality_score",
 ]
 

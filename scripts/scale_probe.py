@@ -29,6 +29,9 @@ DEFAULT_QUERIES = [
     "agg_sum_avg_min_max",
     "window_cumulative",
     "join_asof",
+    "dedup_minhash_lsh",
+    "sim_neardup_pairs_lsh",
+    "dedup_exact",
 ]
 
 KEY_OFFSETS = {
@@ -36,6 +39,10 @@ KEY_OFFSETS = {
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "customer": {"c_custkey": 1_000_000},
     "events": {"event_id": 10_000_000, "user_id": 10_000},
+    # LLM-tier tables scale too (duplicated content is fine for a
+    # wall-clock probe; key offsets keep ids unique)
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
 }
 
 
@@ -66,16 +73,26 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Per-query warm-up at 1×: codegen/compile cost otherwise lands
+    # entirely on the 1× measurement and fakes a sub-linear curve.
+    for n in names:
+        catalog.QUERIES[n](spark, base).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     results: dict[str, dict[int, float]] = {n: {} for n in names}
     for mult in (1, 2, 4):
         scaled_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_x{mult}")
         build_scaled(spark, base, scaled_dir, mult)
         for n in names:
-            t0 = time.perf_counter()
-            catalog.QUERIES[n](spark, scaled_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            results[n][mult] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: shields against GC blips
+                t0 = time.perf_counter()
+                catalog.QUERIES[n](spark, scaled_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[n][mult] = round(best, 3)
     print(json.dumps({"base": base, "multiples": [1, 2, 4], "sec": results}))
 
 

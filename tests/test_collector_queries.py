@@ -86,6 +86,33 @@ def test_collector_aborts_export_on_collect_failure():
     assert "Erro" in col.detail
 
 
+def test_collect_one_loom():
+    """"Tear Específico": only the selected loom is posted, and the
+    confirm GET follows success."""
+    cgi = FakeCGI()
+    c = TmsCollector("http://tms", cgi.get, cgi.post)
+    res = c.collect_one("2")
+    assert res.ok and res.looms == [("2", "Tear 02")]
+    assert cgi.forms[-1]["loom"] == ["2"]
+    assert any("getdata3.cgi" in u for u in cgi.calls)
+
+
+def test_collect_one_unknown_loom_aborts_before_post():
+    cgi = FakeCGI()
+    c = TmsCollector("http://tms", cgi.get, cgi.post)
+    res = c.collect_one("99")
+    assert not res.ok and "99" in res.detail
+    assert not any("getdata2" in u for u in cgi.calls)  # no POST fired
+
+
+def test_collect_one_failure_branch():
+    cgi = FakeCGI(collect_ok=False)
+    c = TmsCollector("http://tms", cgi.get, cgi.post)
+    res = c.collect_one("1")
+    assert not res.ok and "Erro" in res.detail
+    assert not any("getdata3" in u for u in cgi.calls)  # no confirm
+
+
 def _mk_fact(spark, tmp_path):
     lake = tmp_path / "lake" / "2024-01" / "daily"
     lake.mkdir(parents=True)

@@ -227,16 +227,20 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
 
 
 def test_approx_distinct_accuracy(spark, sf_dir):
-    """HLL estimates must sit within a few percent of exact counts
-    (rows-only catalog entry; this pins its usefulness)."""
+    """The catalog query now asserts HLL accuracy IN-QUERY (rsd=0.01,
+    |approx-exact|/exact <= 5%) and exposes exact counts the oracle
+    hash-checks; this pins the booleans true and the exact columns
+    against countDistinct."""
     from tms_etl_spark.catalog import QUERIES, load_all
     from tms_etl_spark.sources.tables import load_table as lt
 
     load_all()
-    approx = {
-        r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
-    }
+    rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    got = {}
+    for r in rows:
+        assert r["parts_within_5pct"] and r["orders_within_5pct"], r
+        got[r["l_returnflag"]] = (r["exact_parts"], r["exact_orders"])
     li = lt(spark, sf_dir, "lineitem")
     from pyspark.sql import functions as FF
 
@@ -249,6 +253,4 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         )
         .collect()
     }
-    for k in exact:
-        for a, e in zip(approx[k], exact[k]):
-            assert abs(a - e) / max(e, 1) < 0.12, (k, a, e)  # rsd=5% default, allow ~2.4 sd
+    assert got == exact

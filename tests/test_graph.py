@@ -28,6 +28,25 @@ def test_connected_components_long_chain_converges(spark):
     assert cc.count() == n + 1
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain deeper than the iteration budget must fail loudly, not
+    return silently-split components (round-1 ADVICE item 5)."""
+    import warnings
+
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components(edges, max_iter=2, strict=False)
+        assert any("did not converge" in str(x.message) for x in w)
+    assert labels.count() == 13  # best-effort labels still returned
+
+
 def test_dedup_clusters_from_minhash_pairs(spark, sf_dir):
     """End-to-end: planted near-dups → MinHash LSH pairs → clusters;
     every planted duplicate must resolve to its original as keeper."""

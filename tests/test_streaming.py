@@ -69,6 +69,29 @@ def test_stream_import_merges_and_is_idempotent(spark, tmp_path):
     assert eff["00001"] == 77.0  # updated
 
 
+def test_stream_merge_newest_file_wins_within_microbatch(spark, tmp_path):
+    """A single micro-batch spanning two files with a key collision
+    must resolve by the batch pipeline's precedence (newest mtime
+    wins), not arbitrarily (round-1 ADVICE item 2)."""
+    import time
+
+    lake = tmp_path / "lake" / "2024-03" / "daily"
+    lake.mkdir(parents=True)
+    (lake / "old.csv").write_text(
+        _row("2024-03-01.A", "00001", ef="10.0"), encoding="utf-8"
+    )
+    time.sleep(1.1)  # distinct mtimes
+    (lake / "new.csv").write_text(
+        _row("2024-03-01.A", "00001", ef="88.0"), encoding="utf-8"
+    )
+    target = str(tmp_path / "fact")
+    q = stream_import(spark, str(tmp_path / "lake"), target, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1
+    assert rows[0]["Eficiencia"] == 88.0
+
+
 def test_streaming_tumbling_window_matches_batch(spark, sf_dir, events_stream_dir):
     batch_src = spark.read.parquet(events_stream_dir)
     expected = {

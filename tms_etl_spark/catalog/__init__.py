@@ -48,23 +48,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Dict order IS the order the driver walks ``queries()`` — and the
+# round-1 evidence file recorded exactly the FIRST 50 entries. These
+# names go first: the flagship + every query CORRECTNESS_r01.json did
+# not sample + everything added since. The remainder keeps module
+# registration order; all of it has green round-1 driver evidence, so
+# across rounds every query has driver-file coverage.
+_DRIVER_PRIORITY = [
+    # flagship + relational core (not in r01 driver file)
+    "q1_pricing_summary", "scan_project_filter", "filter_null_coerce_json",
+    "case_when_bucket", "string_functions", "date_functions",
+    "month_normalize", "sort_limit_topk", "distinct_pairs",
+    # TMS domain surface
+    "tms_powered_off_filter", "tms_upsert_merge", "tms_first_write_wins",
+    "tms_shift_summary", "tms_unpivot_pareto", "tms_top2_months",
+    "tms_weighted_efficiency", "tms_sql_functions",
+    # windows
+    "window_latest_per_key", "window_rank_dense", "window_lag_lead",
+    "window_rolling_range", "window_cumulative", "topk_per_group",
+    "window_range_interval",
+    # set ops
+    "set_union_distinct", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_all",
+    # streaming windows
+    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    # similarity / ANN (incl. round-2 additions)
+    "sim_cosine_topk_exact", "sim_cosine_topk", "sim_lsh_bucketed",
+    "sim_neardup_pairs_exact", "sim_neardup_pairs_lsh", "sim_ivf_topk",
+    "sim_quantize_int8",
+    # llm-text entries without r01 driver rows + round-2 additions
+    "dedup_jaccard_dfcut", "split_train_test", "dedup_clusters",
+    "text_bpe_token_estimate", "text_winnow_fingerprint",
+    # multimodal
+    "multimodal_feature_extract", "multimodal_frame_sample",
+]
+
+
 def load_all() -> None:
-    """Import every catalog module (populates QUERIES/ORACLES)."""
+    """Import every catalog module (populates QUERIES/ORACLES), then
+    rebuild the registries so ``_DRIVER_PRIORITY`` names come first —
+    the driver samples a prefix of ``queries()``, and this keeps that
+    prefix pointed at the queries that most need fresh evidence."""
     from tms_etl_spark.catalog import (  # noqa: F401
+        relational,
+        tms_domain,
+        windows,
+        setops,
+        stream_windows,
+        similarity,
+        llm_text,
+        multimodal,
         aggregates,
         analytics,
         functions_ext,
         joins,
         joins_ext,
-        llm_text,
-        multimodal,
-        relational,
-        setops,
-        similarity,
-        stream_windows,
-        tms_domain,
-        windows,
     )
+
+    for reg in (QUERIES, ORACLES):
+        ordered = {k: reg[k] for k in _DRIVER_PRIORITY if k in reg}
+        ordered.update({k: v for k, v in reg.items() if k not in ordered})
+        reg.clear()
+        reg.update(ordered)
 
 
 __all__ = ["QUERIES", "ORACLES", "query", "load_all"]

@@ -259,3 +259,111 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d).where(F.col("est_jaccard") > 0.5)
     return dedup_clusters(pairs)
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9[:space:]]')) AS BIGINT)
+               AS n_bpe_pieces,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS n_word_runs
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimation (SURVEY 'token counting: whitespace +
+    a BPE-ish regex'): pre-tokenizer pieces in the GPT-2 style —
+    letter runs, single digits, punctuation marks — counted with a
+    portable character-class regex (same semantics in Java regex and
+    DuckDB's RE2). A letter run averages ~1.3 BPE tokens and digits
+    split per-char, so piece count is the standard cheap proxy for
+    tokenizer cost at corpus scale. JVM regexp_extract_all — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pieces), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_word_runs"),
+    )
+
+
+_WINNOW_K = 8  # k-gram length (chars)
+_WINNOW_W = 4  # window width (k-grams per window)
+_WINNOW_B = 1000  # analyzed prefix (chars) — bounds the explode
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, substr(text, 1, {_WINNOW_B}) AS t
+        FROM documents WHERE length(text) >= {_WINNOW_K}
+    ), g AS (
+        SELECT doc_id, i,
+               md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K})) AS h
+        FROM t, LATERAL unnest(generate_series(1,
+                 length(t) - {_WINNOW_K} + 1)) AS u(i)
+    ), w AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS mh
+        FROM g
+    ), sel AS (
+        SELECT DISTINCT doc_id, mh FROM w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           md5(string_agg(mh, '' ORDER BY mh)) AS fp_digest
+    FROM sel GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the rolling-hash fingerprinting SURVEY lists): hash
+    every k-gram, keep the minimum hash of each sliding window of w
+    consecutive k-grams, emit the per-doc selected-set size and a
+    digest of the sorted selection. Guarantees any shared substring
+    ≥ w+k-1 chars contributes a shared fingerprint — the
+    plagiarism/near-dup primitive that whole-doc digests can't give.
+
+    Cross-engine exactness: the "rolling hash" is md5 HEX compared
+    LEXICOGRAPHICALLY (identical in Spark and DuckDB), windows are
+    ROWS BETWEEN CURRENT AND w-1 FOLLOWING on both sides (trailing
+    short windows included in both), digest = md5 of the sorted
+    concatenation. All JVM built-ins: posexplode(sequence) for gram
+    positions, one window min, one groupBy."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= _WINNOW_K)
+        .select("doc_id", F.substring("text", 1, _WINNOW_B).alias("t"))
+    )
+    grams = d.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.length("t") - _WINNOW_K + 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.expr(f"substring(t, i, {_WINNOW_K})")).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    sel = (
+        grams.select("doc_id", F.min("h").over(win).alias("mh"))
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fp"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("mh")))).alias(
+            "fp_digest"
+        ),
+    )

@@ -50,16 +50,28 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'click'
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'click'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'purchase'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: except (distinct) — clicked but never purchased.
-    ``subtract`` is Spark's EXCEPT DISTINCT; ``exceptAll`` would keep
-    surplus multiplicities and diverge from the SQL EXCEPT."""
-    return _typed(spark, sf_dir, "click").subtract(_typed(spark, sf_dir, "purchase"))
+    """E2: except (distinct) — (user, day) pairs with a click but no
+    purchase. Day-level, not user-level: at sf0.01 every user has
+    every event type, so a user-level EXCEPT matches its oracle on 0
+    rows — false comfort (round-1 VERDICT item 3). 1010 rows at
+    sf0.01. ``subtract`` is Spark's EXCEPT DISTINCT; ``exceptAll``
+    would keep surplus multiplicities and diverge from SQL EXCEPT."""
+
+    def typed_days(etype: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+
+    return typed_days("click").subtract(typed_days("purchase"))
 
 
 @query(

@@ -174,3 +174,78 @@ def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.35, n_planes=4)
+
+
+@query("sim_ivf_topk")  # hash-seeded centroids: engine-specific → rows-only
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (operators.ivf): deterministic xxhash-sampled
+    coarse centroids + one Lloyd refinement, vectorized mapInPandas
+    cell assignment, exact cosine re-rank inside the query's n_probe
+    nearest cells. The second ANN family next to the hyperplane LSH
+    (`sim_lsh_bucketed`) — recall vs the exact scan and the
+    n_probe=n_cells ≡ brute-force identity are pinned in
+    tests/test_ivf.py."""
+    from tms_etl_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return ivf_topk(
+        emb.where(F.col("vec_id") != _QUERY_VEC_ID),
+        qv,
+        k=_K,
+        n_cells=16,
+        n_probe=6,
+    )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(s.maxabs / 127.0 AS DOUBLE) AS scale,
+           array_to_string(list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                               / (CASE WHEN s.maxabs = 0 THEN 1.0
+                                       ELSE s.maxabs END) + 0.5)
+                         AS INTEGER)), ',') AS qvec
+    FROM embeddings e JOIN s USING (vec_id)
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-side
+    operator of an embedding pipeline (4× smaller than float32, ~1%
+    cosine error; dequantization error bound pinned in
+    tests/test_ivf.py). Exactness discipline: quantized value =
+    floor(x·127/max|x| + 0.5) — one multiply, one divide, one add,
+    one floor, all IEEE-deterministic, so Spark and DuckDB agree
+    bit-for-bit (no round() whose half-even ties differ)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    safe = F.when(F.col("maxabs") == 0, F.lit(1.0)).otherwise(F.col("maxabs"))
+    return (
+        emb.withColumn("maxabs", maxabs)
+        .select(
+            "vec_id",
+            (F.col("maxabs") / 127.0).alias("scale"),
+            # serialized as a CSV string: int-array dtypes round-trip
+            # differently through Arrow/pandas across engines (numpy
+            # array vs list), which breaks repr-based row alignment
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda v: F.floor(v.cast("double") * 127.0 / safe + 0.5).cast(
+                        "int"
+                    ),
+                ),
+                ",",
+            ).alias("qvec"),
+        )
+    )

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 
 def dedupe_batch(
-    source: DataFrame, keys: Sequence[str], precedence: Sequence[Column] | None = None
+    source: DataFrame,
+    keys: Sequence[str],
+    precedence: Sequence[Column] | None = None,
+    content_tiebreak: bool = False,
 ) -> DataFrame:
     """Keep one row per key within a batch, by explicit precedence —
     the row whose ``precedence`` tuple is LARGEST wins (lexicographic).
@@ -54,10 +57,18 @@ def dedupe_batch(
     (c) it sidesteps a Spark 4.1 WindowGroupLimit planner bug (missing
     exchange under unions of reused rank-limited subplans:
     "Can't zip RDDs with unequal numbers of partitions").
-    """
+
+    ``content_tiebreak=True`` appends ``xxhash64`` of the non-key
+    columns as the FINAL precedence component: rows whose explicit
+    precedence ties (e.g. duplicates within one source file, where
+    mtime and filename are equal) resolve deterministically by row
+    content instead of by whichever partition's partial aggregate
+    lands last. 8 bytes of extra shuffle payload, not a row copy."""
     others = [c for c in source.columns if c not in keys]
     pref = list(precedence) if precedence is not None else [F.lit(1)]
     row = F.struct(*[F.col(c) for c in others])
+    if content_tiebreak:
+        pref.append(F.xxhash64(row))
     won = source.groupBy(*[F.col(k) for k in keys]).agg(
         F.max_by(row, F.struct(*pref)).alias("__row")
     )

