@@ -131,3 +131,52 @@ def test_jdbc_upsert_sql_generation():
     ansi = upsert_sql("t", "s", cols, keys, dialect="ansi")
     assert ansi.startswith("MERGE INTO t")
     assert "WHEN MATCHED THEN UPDATE SET t.Eficiencia = s.Eficiencia" in ansi
+
+
+def test_format_roundtrips(spark, sf_dir, tmp_path):
+    """parquet/ORC round-trip typed tables exactly; JSON/CSV
+    round-trip through text with an explicit read schema."""
+    from tms_etl_spark.sources.formats import read_table, write_table
+    from tms_etl_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    want = [tuple(r) for r in src.collect()]
+    schema = src.schema
+
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(src, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=schema)
+        got = [tuple(r) for r in back.orderBy("n_nationkey").collect()]
+        assert got == want, fmt
+
+
+def test_format_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partitioned ORC write produces partition dirs and the reader
+    prunes them (directory-level, before any file I/O)."""
+    import glob
+
+    from tms_etl_spark.sources.formats import read_table, write_table
+    from tms_etl_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_table(src, path, fmt="orc", partition_by=["o_orderstatus"])
+    assert glob.glob(f"{path}/o_orderstatus=*")
+    one = read_table(spark, path, fmt="orc").where("o_orderstatus = 'F'")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan
+    n_f = src.where("o_orderstatus = 'F'").count()
+    assert one.count() == n_f
+
+
+def test_format_rejects_unknown(spark, tmp_path):
+    import pytest
+
+    from tms_etl_spark.sources.formats import read_table, write_table
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        write_table(df, str(tmp_path / "x"), fmt="avro")
+    with pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "x"), fmt="xml")

@@ -254,3 +254,42 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. 2003): any two
+    docs sharing a substring of length >= w + k - 1 share at least
+    one selected fingerprint. Planted shared runs inside otherwise
+    disjoint alphabets must always collide; disjoint-alphabet docs
+    never can (no common k-gram at all)."""
+    import random
+
+    from tms_etl_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    rng = random.Random(13)
+    shared = "".join(rng.choice("XYZW") for _ in range(k + w - 1))
+    rows = []
+    for i in range(20):
+        # docs 0..19: lowercase junk with the shared run planted
+        junk = lambda n: "".join(rng.choice("abcdefgh") for _ in range(n))
+        rows.append((i, junk(rng.randint(20, 60)) + shared + junk(rng.randint(20, 60))))
+    for i in range(20, 30):
+        # docs 20..29: digits only — share no k-gram with anyone above
+        rows.append((i, "".join(rng.choice("0123456789") for _ in range(80))))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fp = winnow_fingerprints(df, k=k, w=w, prefix=None)
+    a = fp.selectExpr("doc_id AS da", "fingerprint")
+    b = fp.selectExpr("doc_id AS db", "fingerprint")
+    pairs = {
+        (r["da"], r["db"])
+        for r in a.join(b, "fingerprint").where("da < db").collect()
+    }
+    # every planted pair collides
+    for i in range(20):
+        for j in range(i + 1, 20):
+            assert (i, j) in pairs, (i, j)
+    # disjoint-alphabet docs never collide with the planted group
+    for i in range(20):
+        for j in range(20, 30):
+            assert (i, j) not in pairs

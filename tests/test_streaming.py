@@ -215,3 +215,44 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # batch semantics keep it
     batch = tumbling_counts(spark.read.parquet(str(src)), window="1 hour")
     assert "late" in {r["event_type"] for r in batch.collect()}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join (two watermarked file streams,
+    bounded state) must emit exactly the batch join's row set."""
+    from tms_etl_spark.streaming.incremental import interval_join
+
+    batch_src = spark.read.parquet(events_stream_dir)
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("l_ts")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("r_ts")
+        )
+        return clicks, purchases
+
+    bc, bp = split(batch_src)
+    expected = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in interval_join(bc, bp).collect()
+    }
+    assert expected  # non-vacuous
+
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(events_stream_dir)
+    sc, sp_ = split(stream_src)
+    q = (
+        interval_join(sc, sp_)
+        .writeStream.format("memory")
+        .queryName("ssij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM ssij").collect()
+    }
+    assert got == expected

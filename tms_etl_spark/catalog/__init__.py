@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "set_intersect_all", "set_except_all",
     # streaming windows
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_interval_join",
     # similarity / ANN (incl. round-2 additions)
     "sim_cosine_topk_exact", "sim_cosine_topk", "sim_lsh_bucketed",
     "sim_neardup_pairs_exact", "sim_neardup_pairs_lsh", "sim_ivf_topk",

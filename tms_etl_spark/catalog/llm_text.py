@@ -340,27 +340,12 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     short windows included in both), digest = md5 of the sorted
     concatenation. All JVM built-ins: posexplode(sequence) for gram
     positions, one window min, one groupBy."""
-    from pyspark.sql import Window
+    from tms_etl_spark.operators.dedup import winnow_fingerprints
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= _WINNOW_K)
-        .select("doc_id", F.substring("text", 1, _WINNOW_B).alias("t"))
-    )
-    grams = d.select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(1), F.length("t") - _WINNOW_K + 1)).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.expr(f"substring(t, i, {_WINNOW_K})")).alias("h"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
-    sel = (
-        grams.select("doc_id", F.min("h").over(win).alias("mh"))
-        .distinct()
-    )
+    d = load_table(spark, sf_dir, "documents")
+    sel = winnow_fingerprints(
+        d, k=_WINNOW_K, w=_WINNOW_W, prefix=_WINNOW_B
+    ).withColumnRenamed("fingerprint", "mh")
     return sel.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_fp"),
         F.md5(F.concat_ws("", F.array_sort(F.collect_list("mh")))).alias(

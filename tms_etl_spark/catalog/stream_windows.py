@@ -89,3 +89,37 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.start").alias("session_start"),
         "n_events",
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS l_ts,
+           CAST(p.ts AS TIMESTAMP) AS r_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-row depth: stream-stream interval join, batch-semantics form
+    (click→purchase attribution within 30 minutes per user). The
+    STREAMING execution of the same operator — two file streams, both
+    watermarked, bounded join state — is exercised in
+    tests/test_streaming.py and must produce the identical row set."""
+    from tms_etl_spark.streaming.incremental import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    return interval_join(
+        clicks, purchases.withColumnRenamed("r_user", "user_id")
+    )

@@ -217,3 +217,51 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    prefix: int | None = 1000,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every k-gram (md5 hex — lexicographically
+    comparable in any engine), keep the minimum of each sliding
+    window of ``w`` consecutive k-gram hashes, return the DISTINCT
+    (id, fingerprint) pairs.
+
+    Guarantee: two documents sharing a substring of length
+    ≥ w + k - 1 share at least one selected fingerprint (the shared
+    substring contains a full window, and both pick its minimum) —
+    pinned by a property test. ``prefix`` bounds the explode per doc
+    (None = whole text).
+
+    Scale shape: explode is O(chars), the window min partitions by
+    document (no cross-doc shuffle), the distinct is one exchange on
+    (id, fingerprint). Matching docs then join on the fingerprint —
+    candidate generation on a digest key, the same discipline as
+    MinHash banding.
+    """
+    t = F.col(text_col)
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        (F.substring(t, 1, prefix) if prefix else t).alias("__t"),
+    ).where(F.length("__t") >= k)
+    grams = src.select(
+        "__id",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.length("__t") - k + 1)).alias("i"),
+    ).select(
+        "__id", "i", F.md5(F.expr(f"substring(__t, i, {k})")).alias("h")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("__id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        grams.select("__id", F.min("h").over(win).alias("fingerprint"))
+        .distinct()
+        .select(F.col("__id").alias(id_col), "fingerprint")
+    )

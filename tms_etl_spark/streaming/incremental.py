@@ -147,3 +147,40 @@ def running_status_counts(events: DataFrame, key: str = "event_type") -> DataFra
     collection, /root/reference/src/tms_colector.py:192-250).
     Write with outputMode('update')/'complete'."""
     return events.groupBy(key).agg(F.count("*").alias("n"))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """T-row depth: stream-stream event-time interval join — right
+    events within ``[left_ts, left_ts + within]`` for the same key
+    (the click→purchase attribution shape). On streaming inputs both
+    sides carry watermarks, which is what lets Spark BOUND the join
+    state: buffered rows are dropped once the other side's watermark
+    passes the interval's end (Structured Streaming's stream-stream
+    join contract). On batch inputs the same expression is a plain
+    range-predicate join — tests assert batch ≡ streaming output.
+
+    Scale shape: shuffles both sides on the equi-key only; the time
+    predicate is evaluated within key partitions. State per key is
+    O(events inside watermark+interval), not O(history).
+    """
+    lw = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).select(
+        lw[key].alias(key),
+        lw[left_ts].alias(left_ts),
+        rw[right_ts].alias(right_ts),
+    )
