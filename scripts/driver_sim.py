@@ -48,7 +48,18 @@ def main() -> int:
     sf_dir = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
     catalog.load_all()
     names = sys.argv[1:] or sorted(catalog.ORACLES)
-    spark = SparkSession.builder.master("local[8]").appName("driver_sim").getOrCreate()
+    # SIM_MASTER / SIM_SHUFFLE let the gate re-run under a different
+    # parallelism (e.g. local[2] + 3 shuffle partitions) — results
+    # must be partition-layout-independent or the driver's unknown
+    # session config could flip them.
+    spark = (
+        SparkSession.builder.master(os.environ.get("SIM_MASTER", "local[8]"))
+        .config(
+            "spark.sql.shuffle.partitions", os.environ.get("SIM_SHUFFLE", "200")
+        )
+        .appName("driver_sim")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -18,11 +18,14 @@ def test_connected_components_basic(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    n = 40  # diameter 40 chain: exercises multi-round propagation
+    """Pointer jumping makes rounds O(log diameter): a depth-40 chain
+    must converge within 8 rounds (reachable distance ~2^r per
+    round), where plain neighbor-min propagation would need 40."""
+    n = 40
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
     )
-    cc = connected_components(edges, max_iter=64)
+    cc = connected_components(edges, max_iter=8)
     comps = {r["component"] for r in cc.collect()}
     assert comps == {0}
     assert cc.count() == n + 1

@@ -64,17 +64,38 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_component", F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jumping (shortcutting): component <- label(component).
+        # Plain neighbor-min needs O(diameter) rounds — a depth-1000
+        # chain would mean 1000 shuffle rounds; composing each node's
+        # label with its LABEL'S label doubles the reachable distance
+        # per round, so convergence is O(log diameter) at the price of
+        # one extra equi-join per round.
+        parents = propagated.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("__parent"),
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(parents, "component", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
+                    F.coalesce("__parent", F.col("component")),
                 ).alias("component"),
                 (
-                    F.coalesce("nbr_component", F.col("component"))
-                    < F.col("component")
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("__parent", F.col("component")),
+                    )
+                    < F.col("__old")
                 ).alias("__changed"),
             )
         ).localCheckpoint(eager=True)
