@@ -55,3 +55,71 @@ def test_frame_sample_fanout(spark, sf_dir):
     metas = media.select("doc_id", "media_meta.duration_s").orderBy("doc_id").collect()
     for got, meta in zip(per_doc, metas):
         assert got["n"] == max(int(meta["duration_s"]), 1)
+
+
+def test_resize_never_upscales_and_preserves_aspect(spark, sf_dir):
+    from tms_etl_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["multimodal_resize"](spark, sf_dir).limit(200).collect()
+    assert rows
+    for r in rows:
+        ow, oh, nw, nh = (
+            r["orig_width"], r["orig_height"], r["new_width"], r["new_height"]
+        )
+        assert 1 <= max(nw, nh) <= 256 or max(ow, oh) <= 256
+        assert nw <= max(ow, 1) and nh <= max(oh, 1)  # never upscale
+        if max(ow, oh) > 256:
+            # exact floor-scaled dims (the math IS the contract)
+            scale = 256 / max(ow, oh, 1)
+            assert nw == max(int(ow * scale), 1), r
+            assert nh == max(int(oh * scale), 1), r
+        assert len(r["resized_digest"]) == 64
+
+
+def test_resize_digest_deterministic(spark, sf_dir):
+    from tms_etl_spark.catalog import QUERIES, load_all
+
+    load_all()
+    q = QUERIES["multimodal_resize"]
+    a = {r["doc_id"]: r["resized_digest"] for r in q(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["resized_digest"] for r in q(spark, sf_dir).collect()}
+    assert a == b and a
+
+
+def test_chunk_audio_covers_duration(spark, sf_dir):
+    """Chunk windows tile [0, duration): consecutive chunks overlap by
+    exactly 1 s, the last chunk ends at the duration, and every chunk
+    is non-empty."""
+    from tms_etl_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["multimodal_chunk_audio"](spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in list(by_doc.items())[:100]:
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["chunk_start_s"] == 0.0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["chunk_start_s"] == a["chunk_start_s"] + 9.0  # 10s - 1s overlap
+            assert a["chunk_end_s"] > b["chunk_start_s"]  # overlap
+        last = chunks[-1]
+        assert last["chunk_end_s"] >= last["chunk_start_s"]
+        # full coverage: last chunk reaches the end of the recording
+        assert last["chunk_end_s"] == max(c["chunk_end_s"] for c in chunks)
+
+
+def test_chunk_audio_rejects_bad_params(spark, sf_dir):
+    import pytest
+
+    from tms_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        chunk_audio_plan,
+    )
+    from tms_etl_spark.sources.tables import load_table
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(ValueError):
+        chunk_audio_plan(docs, chunk_s=1.0, overlap_s=2.0)

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_token_estimate", "text_winnow_fingerprint",
     # multimodal
     "multimodal_feature_extract", "multimodal_frame_sample",
+    "multimodal_resize", "multimodal_chunk_audio",
 ]
 
 

