@@ -32,9 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tms_etl_spark.functions.xxhash import xxhash64_longs
-
-
 def sample_centroids(
     df: DataFrame, n_cells: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[list[float]]:
@@ -161,8 +158,3 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
-
-
-def _centroid_cache_key(df: DataFrame) -> int:
-    """Cheap deterministic cache key for per-session index reuse."""
-    return xxhash64_longs(id(df))
