@@ -83,6 +83,8 @@ _DRIVER_PRIORITY = [
     # multimodal
     "multimodal_feature_extract", "multimodal_frame_sample",
     "multimodal_resize", "multimodal_chunk_audio",
+    # data-quality suite (single-pass expectations)
+    "quality_profile",
 ]
 
 

@@ -344,3 +344,44 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "quality_profile",
+    oracle="""
+    SELECT 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT 'null_frac:l_shipdate',
+           CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'dup_rows:l_orderkey+l_linenumber',
+           CAST(COUNT(*) AS DOUBLE)
+             - CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'oob:l_quantity',
+           CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 END)
+                AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality suite (operators.expectations.profile):
+    row count, null fraction, key-uniqueness violation count, range
+    violations — every check a conditional aggregate in ONE scan +
+    ONE 1-row aggregate (the naive one-query-per-check form scans the
+    table once per metric). Values chosen non-vacuous on this data:
+    (l_orderkey, l_linenumber) has ~14k duplicate rows and quantities
+    run 1–50 against a [1, 45] bound."""
+    from tms_etl_spark.operators.expectations import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(
+        li,
+        null_cols=["l_shipdate"],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+        bounds={"l_quantity": (1, 45)},
+    )
