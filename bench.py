@@ -35,8 +35,12 @@ HEADLINE = [
     "dedup_clusters",
     "sim_cosine_topk",
     "sim_neardup_pairs_lsh",
+    "sim_ivf_topk",
     "multimodal_feature_extract",
     "text_quality_score",
+    "text_winnow_fingerprint",
+    "stream_interval_join",
+    "quality_profile",
 ]
 
 
