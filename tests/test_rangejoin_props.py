@@ -101,3 +101,59 @@ def test_guarded_upsert_never_overwrites_existing_with_guarded_rows(
             assert v == bb[k]  # normal rows win
         elif k not in bb:
             assert v == tt[k]
+
+
+def test_asof_forward_and_tolerance_semantics(spark):
+    """Forward direction picks the EARLIEST right row at-or-after the
+    left timestamp; tolerance nulls matches farther than the bound;
+    equal timestamps match inclusively in both directions."""
+    import datetime as dt
+
+    from tms_etl_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [("k", t(10), "L10"), ("k", t(30), "L30"), ("k", t(50), "L50")],
+        "key string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k", t(10), 100.0), ("k", t(35), 200.0), ("k", t(200), 300.0)],
+        "key string, ts timestamp, v double",
+    )
+
+    fwd = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on=["key"], ts="ts", right_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    # L10 matches the equal-ts right row (inclusive); L30 the next one
+    assert fwd == {"L10": 100.0, "L30": 200.0, "L50": 300.0}
+
+    tol = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on=["key"], ts="ts", right_cols=["v"],
+            direction="forward", tolerance="30 minutes",
+        ).collect()
+    }
+    # L50's nearest following row is 150 min away -> nulled by tolerance
+    assert tol == {"L10": 100.0, "L30": 200.0, "L50": None}
+
+    back = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on=["key"], ts="ts", right_cols=["v"],
+            tolerance="15 minutes",
+        ).collect()
+    }
+    # backward: L30's latest earlier row is t10 (20 min back -> nulled);
+    # L50's is t35 (15 min back -> inclusive match)
+    assert back == {"L10": 100.0, "L30": None, "L50": 200.0}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["key"], ts="ts", right_cols=["v"],
+                  direction="sideways")

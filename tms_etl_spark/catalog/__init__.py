@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = [
     "multimodal_resize", "multimodal_chunk_audio",
     # data-quality suite (single-pass expectations)
     "quality_profile",
+    # as-of variants (forward + tolerance, added round 2)
+    "join_asof_forward",
 ]
 
 

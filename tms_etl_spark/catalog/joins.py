@@ -255,3 +255,54 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", F.col("click_ts").alias("last_click_ts")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, 1 AS side FROM events
+        WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS side
+        FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+        SELECT user_id, ts, event_id, side,
+               last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts DESC, side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS matched_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN matched_ts IS NOT NULL
+                 AND matched_ts - ts <= INTERVAL 2 HOUR
+                THEN matched_ts END AS next_purchase_ts
+    FROM carried WHERE side = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (forward + tolerance): for each click, the EARLIEST purchase
+    at or after it per user, nulled when it is more than 2 hours out —
+    pandas merge_asof(direction='forward', tolerance=...) parity on
+    the same single-shuffle union+window plan."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts="ts",
+        right_cols=["purchase_ts"],
+        suffix="",
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("purchase_ts").alias("next_purchase_ts")
+    )
