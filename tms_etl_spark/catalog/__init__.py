@@ -80,8 +80,11 @@ _DRIVER_PRIORITY = [
     # llm-text entries without r01 driver rows + round-2 additions
     "dedup_jaccard_dfcut", "split_train_test", "dedup_clusters",
     "text_bpe_token_estimate", "text_winnow_fingerprint",
-    # multimodal
-    "multimodal_feature_extract", "multimodal_frame_sample",
+    # multimodal (frame_sample is deliberately NOT here: the priority
+    # window is ~50 entries and its fan-out shape is already evidenced
+    # by the oracle-backed chunk_audio; it keeps test + rows-only
+    # coverage from its module-order slot)
+    "multimodal_feature_extract",
     "multimodal_resize", "multimodal_chunk_audio",
     # data-quality suite (single-pass expectations)
     "quality_profile",
