@@ -70,11 +70,13 @@ _DRIVER_PRIORITY = [
     # set ops
     "set_union_distinct", "set_intersect", "set_except",
     "set_intersect_all", "set_except_all",
-    # streaming windows
+    # streaming windows + time series
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
-    "stream_interval_join",
-    # similarity / ANN (incl. round-2 additions)
-    "sim_cosine_topk_exact", "sim_cosine_topk", "sim_lsh_bucketed",
+    "stream_interval_join", "timeseries_resample_ffill",
+    # similarity / ANN (incl. round-2 additions; rows-only
+    # sim_cosine_topk is NOT here — its oracle-backed exact twin is,
+    # and the agreement test pins the fast form to it)
+    "sim_cosine_topk_exact", "sim_lsh_bucketed",
     "sim_neardup_pairs_exact", "sim_neardup_pairs_lsh", "sim_ivf_topk",
     "sim_quantize_int8",
     # llm-text entries without r01 driver rows + round-2 additions

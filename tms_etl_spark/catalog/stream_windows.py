@@ -123,3 +123,58 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         clicks, purchases.withColumnRenamed("r_user", "user_id")
     )
+
+
+@query(
+    "timeseries_resample_ffill",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+               COUNT(*) AS n, {sql_dsum("value", "total")}
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM b GROUP BY 1
+    ), cal AS (
+        SELECT s.event_type,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS TIMESTAMP) AS bucket_start
+        FROM s
+    ), filled AS (
+        SELECT c.event_type, c.bucket_start, b.n, b.total
+        FROM cal c LEFT JOIN b
+          ON b.event_type = c.event_type AND b.bucket_start = c.bucket_start
+    )
+    SELECT event_type, bucket_start, n,
+           last_value(total IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS total_ffill
+    FROM filled
+    """,
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill + forward fill
+    (operators.resample): hourly buckets per event type, missing
+    hours materialized from each key's own [min, max] span (~40 real
+    gaps per type at sf0.01 — non-vacuous), the decimal-exact value
+    sum carried forward across them, raw counts left NULL so gaps
+    stay visible. The reference's powered-off looms produce exactly
+    this shape (days of missing buckets under every report)."""
+    from tms_etl_spark.catalog.exact import dsum
+    from tms_etl_spark.operators.resample import fill_gaps, resample
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = resample(
+        ev,
+        ["event_type"],
+        "ts",
+        "1 hour",
+        [F.count("*").alias("n"), dsum("value", "total")],
+    )
+    filled = fill_gaps(
+        hourly, ["event_type"], "bucket_start", "1 hour", ffill_cols=["total"]
+    )
+    return filled.select(
+        "event_type", "bucket_start", "n", F.col("total").alias("total_ffill")
+    )
