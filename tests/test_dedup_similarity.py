@@ -293,3 +293,21 @@ def test_winnow_shared_substring_guarantee(spark):
     for i in range(20):
         for j in range(20, 30):
             assert (i, j) not in pairs
+
+
+def test_winnow_digest_single_shuffle(spark):
+    """The digest aggregation must REUSE the window's per-document
+    hash partitioning — exactly one exchange in the whole plan (the
+    distinct-then-groupBy chain costs three; at 4x data that was
+    super-linear)."""
+    from tms_etl_spark.operators.dedup import winnow_digest
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    plan = (
+        winnow_digest(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
