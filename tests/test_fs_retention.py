@@ -102,3 +102,35 @@ def test_upsert_partitioned_update_path(spark, tmp_path):
     assert got == {"k1": 99, "k2": 20, "k9": 90, "k3": 30}
     # the untouched 2024-02 partition was not rewritten away
     assert path_exists(spark, f"{target}/month=2024-02")
+
+
+def test_replace_dir_swaps_and_clears_stale_backup(spark, tmp_path):
+    """replace_dir keeps the final path continuously present (backup
+    rename, not delete-then-rename) and clears a leftover backup from
+    a previously crashed swap."""
+    from tms_etl_spark.sources.fs import replace_dir
+
+    final = tmp_path / "table"
+    staged = tmp_path / "table.staged"
+    stale = tmp_path / "table.__replacing__"
+    final.mkdir()
+    (final / "old.parquet").write_bytes(b"old")
+    staged.mkdir()
+    (staged / "new.parquet").write_bytes(b"new")
+    stale.mkdir()  # simulates a crash between backup and cleanup
+    (stale / "zombie.parquet").write_bytes(b"z")
+
+    replace_dir(spark, str(staged), str(final))
+    assert (final / "new.parquet").read_bytes() == b"new"
+    assert not staged.exists()
+    assert not stale.exists()  # backup cleaned up after the swap
+
+
+def test_replace_dir_into_absent_final(spark, tmp_path):
+    from tms_etl_spark.sources.fs import replace_dir
+
+    staged = tmp_path / "s"
+    staged.mkdir()
+    (staged / "a.parquet").write_bytes(b"a")
+    replace_dir(spark, str(staged), str(tmp_path / "t"))
+    assert (tmp_path / "t" / "a.parquet").read_bytes() == b"a"

@@ -54,10 +54,16 @@ def profile(
         )
     for keys in unique_keys:
         name = "+".join(keys)
+        # struct-wrapped so tuples containing NULL keys still count as
+        # distinct values (bare count_distinct(k1, k2) drops them,
+        # which would overstate dup_rows on nullable keys and diverge
+        # from the oracle's COUNT(DISTINCT (k1, k2)))
         aggs.append(
             (
                 F.count(F.lit(1)).cast("double")
-                - F.count_distinct(*[F.col(k) for k in keys]).cast("double")
+                - F.count_distinct(
+                    F.struct(*[F.col(k) for k in keys])
+                ).cast("double")
             ).alias(f"dup_rows:{name}")
         )
     for c, (lo, hi) in (bounds or {}).items():

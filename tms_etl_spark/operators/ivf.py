@@ -39,9 +39,13 @@ def sample_centroids(
     ``xxhash64(vec_id)`` is smallest — a uniform pseudo-random sample
     with no RNG state, reproducible anywhere. One bounded TakeOrdered
     (n_cells rows to the driver — the index metadata, not data)."""
+    # hash the id column AS-IS (xxhash64 accepts any type): a cast to
+    # long would NULL out non-numeric ids, collapsing every hash to
+    # the same value and silently degrading the "uniform sample" to
+    # an arbitrary id-order tie-break
     rows = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-        .withColumn("__h", F.xxhash64(F.col(id_col).cast("long")))
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
         .orderBy("__h", id_col)
         .limit(n_cells)
         .collect()

@@ -277,7 +277,10 @@ def embedding_neardup_pairs(
         score_bucket, "vec_a long, vec_b long, cos_sim double"
     )
     # a pair found via several shared probe buckets appears once per
-    # such bucket — dedup on the pair key (tiny: post-threshold rows)
+    # such bucket — dedup on the pair key (tiny: post-threshold rows).
+    # max, not first: per-bucket BLAS blocking can differ in the last
+    # ulp for the same pair, and first() would make the emitted score
+    # depend on bucket evaluation order.
     return scored.groupBy("vec_a", "vec_b").agg(
-        F.first("cos_sim").alias("cos_sim")
+        F.max("cos_sim").alias("cos_sim")
     )

@@ -91,10 +91,27 @@ def replace_dir(spark: SparkSession, staged: str, final: str) -> None:
     """
     fs, final_p, jvm = _fs(spark, final)
     staged_p = jvm.org.apache.hadoop.fs.Path(staged)
-    if fs.exists(final_p):
-        fs.delete(final_p, True)
-    if not fs.rename(staged_p, final_p):
-        raise IOError(f"rename {staged} -> {final} failed")
+    # Rename the current table aside BEFORE the swap so the final path
+    # is never absent: merge writers probe path_exists to pick the
+    # first-write branch, and a crash in a delete-then-rename window
+    # would make them silently abandon the staged data. Order here is
+    # rename-aside → rename-into-place → delete backup.
+    backup_p = jvm.org.apache.hadoop.fs.Path(final + ".__replacing__")
+    had_final = fs.exists(final_p)
+    if had_final:
+        if fs.exists(backup_p):  # leftover from a prior crash
+            fs.delete(backup_p, True)
+        if not fs.rename(final_p, backup_p):
+            raise IOError(f"backup rename {final} failed")
+    try:
+        if not fs.rename(staged_p, final_p):
+            raise IOError(f"rename {staged} -> {final} failed")
+    except Exception:
+        if had_final:  # restore the original so the table never vanishes
+            fs.rename(backup_p, final_p)
+        raise
+    if had_final:
+        fs.delete(backup_p, True)
 
 
 @dataclass
