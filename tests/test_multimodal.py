@@ -123,3 +123,48 @@ def test_chunk_audio_rejects_bad_params(spark, sf_dir):
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     with pytest.raises(ValueError):
         chunk_audio_plan(docs, chunk_s=1.0, overlap_s=2.0)
+
+
+def test_codec_seam_extract_features(spark, sf_dir):
+    """A user-supplied decoder flows through the seam (cloudpickled to
+    executors); the default stub stays bit-identical without it."""
+
+    def fake_real_codec(payload: bytes):
+        # self-contained, like a real PIL/ffmpeg wrapper must be
+        return 640, 480, [float(len(payload) % 7)] * 8
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_binary_payload(docs)
+    rows = extract_features(media, decode_fn=fake_real_codec).collect()
+    assert rows and all(r["width"] == 640 and r["height"] == 480 for r in rows)
+    # digest/n_bytes are codec-independent payload facts
+    assert all(len(r["digest"]) == 64 for r in rows)
+    # default path unchanged
+    stub = extract_features(media).orderBy("doc_id").first()
+    digest = hashlib.sha256(
+        docs.orderBy("doc_id").first()["text"].encode()
+    ).digest()
+    assert stub["width"] == int.from_bytes(digest[0:2], "big") % 1920
+
+
+def test_codec_seam_resize(spark, sf_dir):
+    from tms_etl_spark.operators.multimodal import resize_images
+
+    def fake_dims(payload: bytes):
+        return 512, 256  # forces a 2:1 downscale to 256x128
+
+    def fake_resample(payload: bytes, nw: int, nh: int) -> bytes:
+        return b"RESIZED" + nw.to_bytes(2, "big") + nh.to_bytes(2, "big")
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_binary_payload(docs)
+    rows = resize_images(
+        media, max_side=256, decode_fn=fake_dims, resample_fn=fake_resample
+    ).collect()
+    expect = hashlib.sha256(
+        b"RESIZED" + (256).to_bytes(2, "big") + (128).to_bytes(2, "big")
+    ).hexdigest()
+    assert rows
+    for r in rows:
+        assert (r["new_width"], r["new_height"]) == (256, 128)
+        assert r["resized_digest"] == expect

@@ -1,10 +1,20 @@
-"""Multimodal catalog entries (rows-only: binary payload processing
-has no SQL oracle; correctness is pinned by tests/test_multimodal.py
-against locally computed digests)."""
+"""Multimodal catalog entries.
+
+The payloads here are UTF-8 encodings of ``documents.text`` (the
+container has no image/audio codecs — the decode step is a
+deterministic sha256-digest stub, see operators/multimodal.py), which
+makes the whole pipeline ORACLE-BACKED: DuckDB's ``sha256(VARCHAR)``
+hashes the same UTF-8 bytes, hex-substring arithmetic reproduces the
+stub's dimension math, and the fan-out plans are plain arithmetic
+over ``octet_length``. Only the operators' array-typed feature column
+is serialized to a CSV string for the harness (pandas cannot sort
+list-typed cells — the round-1 array-serialization rule).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
 from tms_etl_spark.operators.multimodal import (
@@ -14,29 +24,134 @@ from tms_etl_spark.operators.multimodal import (
 )
 from tms_etl_spark.sources.tables import load_table
 
+# digest bytes b -> hex chars [2b+1, 2b+2]; DuckDB parses them via
+# CAST('0x..' AS INTEGER). Feature bytes are digest[4:12].
+_FEAT_BYTES_SQL = ",\n           ".join(
+    f"CAST(concat('0x', substr(digest, {9 + 2 * i}, 2)) AS INTEGER)"
+    for i in range(8)
+)
 
-@query("multimodal_feature_extract")  # binary pipeline: no SQL oracle
+
+@query(
+    "multimodal_feature_extract",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS digest
+        FROM documents
+    )
+    SELECT doc_id,
+           'image' AS modality,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           digest,
+           CAST(CAST(concat('0x', substr(digest, 1, 4)) AS INTEGER) % 1920
+                AS INTEGER) AS width,
+           CAST(CAST(concat('0x', substr(digest, 5, 4)) AS INTEGER) % 1080
+                AS INTEGER) AS height,
+           concat_ws(',',
+           {_FEAT_BYTES_SQL}
+           ) AS feat_bytes
+    FROM d
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → Arrow-batched decode (stubbed codec) →
-    per-item features. Rows-only check; digest determinism is
-    test-asserted."""
+    per-item features. The operator keeps its ``array<float>`` API;
+    this harness entry recovers the stub's digest bytes from the
+    features (``round(x*255)`` is lossless for float32(b/255)) and
+    serializes them as CSV so the driver's pandas canonicalizer can
+    sort the rows — and so the whole decode becomes hash-checkable in
+    DuckDB via sha256 + hex arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs))
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "digest",
+        "width",
+        "height",
+        F.array_join(
+            F.transform(
+                "feat",
+                lambda x: F.round(x.cast("double") * 255).cast("int"),
+            ),
+            ",",
+        ).alias("feat_bytes"),
+    )
 
 
-@query("multimodal_frame_sample")  # binary pipeline: no SQL oracle
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, octet_length(encode(text)) / 100.0 AS dur
+        FROM documents
+    ), fanout AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   greatest(CAST(floor(dur / 1.0) AS INTEGER), 1) - 1))
+                 AS frame_idx
+        FROM media
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           frame_idx * 1.0 AS frame_ts_s
+    FROM fanout
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out plan (JVM sequence+posexplode,
-    one row per frame before any decode work)."""
+    one row per frame before any decode work). Oracle-backed: the
+    fan-out arithmetic is plain doubles over the metadata duration,
+    identical in both engines (the media_meta struct is projected
+    away for the harness)."""
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample_plan(attach_binary_payload(docs, modality="video"))
+    frames = frame_sample_plan(attach_binary_payload(docs, modality="video"))
+    return frames.select("doc_id", "frame_idx", "frame_ts_s")
 
 
-@query("multimodal_resize")  # stubbed codec digest: no SQL oracle
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, sha256(text) AS pd
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(pd, 1, 4)) AS INTEGER) % 1920 AS w,
+               CAST(concat('0x', substr(pd, 5, 4)) AS INTEGER) % 1080 AS h
+        FROM d
+    ), t AS (
+        SELECT doc_id, text, w, h, greatest(w, h, 1) AS long_side
+        FROM dims
+    ), r AS (
+        SELECT doc_id, text, w, h,
+               CASE WHEN long_side <= 256 THEN greatest(w, 1)
+                    ELSE greatest(CAST(floor(w * (256.0 / long_side))
+                                       AS INTEGER), 1) END AS nw,
+               CASE WHEN long_side <= 256 THEN greatest(h, 1)
+                    ELSE greatest(CAST(floor(h * (256.0 / long_side))
+                                       AS INTEGER), 1) END AS nh
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS orig_width,
+           CAST(h AS INTEGER) AS orig_height,
+           CAST(nw AS INTEGER) AS new_width,
+           CAST(nh AS INTEGER) AS new_height,
+           sha256(text || ':' || nw || 'x' || nh) AS resized_digest
+    FROM r
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving image resize over binary payloads (Arrow-
-    batched mapInPandas; pixel resample stubbed, dimension math and
-    digest determinism test-pinned)."""
+    batched mapInPandas; pixel resample stubbed behind the
+    ``resample_fn`` seam). Fully oracle-backed: the stub's dimension
+    math (digest hex bytes mod 1920/1080, floor scale, never-upscale)
+    and the resized digest (sha256 of payload + ':WxH' marker) are
+    reproduced in DuckDB SQL."""
     from tms_etl_spark.operators.multimodal import resize_images
 
     docs = load_table(spark, sf_dir, "documents")

@@ -76,13 +76,22 @@ def _decode_stub(payload: bytes, codec: str) -> tuple[int, int, list[float]]:
     return width, height, feat
 
 
-def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+def extract_features(
+    df: DataFrame, batch_hint: int = 256, decode_fn=None
+) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
     One Arrow batch in, one out; per-batch Python overhead is
     amortized over ``batch_hint`` items. The output drops the payload
     (features are small) — keep payload-carrying frames narrow and
     short-lived.
+
+    ``decode_fn(payload: bytes) -> (width, height, feat)`` is the
+    codec seam: pass the real decoder (PIL/ffmpeg/torch) in
+    deployment; ``None`` uses the deterministic digest stub (the
+    codec libraries are not in this container). A supplied function
+    is shipped to executors by cloudpickle — it must be
+    self-contained or importable on the workers.
     """
 
     # NOTE: the worker function must be fully self-contained (its own
@@ -102,6 +111,7 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             feat = [b / 255.0 for b in digest[4:12]]
             return width, height, feat
 
+        decode = decode_fn if decode_fn is not None else decode_stub
         for pdf in batches:
             out = {
                 "doc_id": pdf["doc_id"],
@@ -111,7 +121,7 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
                     lambda b: _hl.sha256(b).hexdigest()
                 ),
             }
-            dims_feats = [decode_stub(b) for b in pdf["payload"]]
+            dims_feats = [decode(b) for b in pdf["payload"]]
             out["width"] = [d[0] for d in dims_feats]
             out["height"] = [d[1] for d in dims_feats]
             out["feat"] = [d[2] for d in dims_feats]
@@ -147,7 +157,9 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+def resize_images(
+    df: DataFrame, max_side: int = 256, decode_fn=None, resample_fn=None
+) -> DataFrame:
     """Image resize over binary payloads (mapInPandas, Arrow-batched).
 
     The aspect-preserving dimension math is REAL (floor-scaled so the
@@ -158,6 +170,13 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     100 TB the shape matters: payload stays inside one Arrow batch,
     output drops the original bytes, memory per task is bounded by
     maxRecordsPerBatch.
+
+    Codec seam: ``decode_fn(payload) -> (width, height)`` reads the
+    true dimensions, ``resample_fn(payload, new_w, new_h) -> bytes``
+    produces the resized payload (its sha256 is emitted as
+    ``resized_digest``). ``None`` keeps the deterministic stubs;
+    supplied functions are cloudpickled to executors, so they must be
+    self-contained or importable there.
     """
     side = int(max_side)
 
@@ -166,12 +185,21 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
 
         import pandas as _pd
 
-        def decode_dims(payload: bytes) -> tuple[int, int]:
+        def dims_stub(payload: bytes) -> tuple[int, int]:
             digest = _hl.sha256(payload).digest()
             return (
                 int.from_bytes(digest[0:2], "big") % 1920,
                 int.from_bytes(digest[2:4], "big") % 1080,
             )
+
+        # STUB resample: real code calls PIL here and returns the
+        # re-encoded bytes; this deterministic marker stands in so
+        # downstream plumbing (digest, schema) stays testable.
+        def resample_stub(payload: bytes, nw: int, nh: int) -> bytes:
+            return payload + f":{nw}x{nh}".encode()
+
+        decode = decode_fn if decode_fn is not None else dims_stub
+        resample = resample_fn if resample_fn is not None else resample_stub
 
         def target(w: int, h: int) -> tuple[int, int]:
             long_side = max(w, h, 1)
@@ -183,14 +211,9 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h = decode_dims(payload)
+                w, h = decode(payload)
                 nw, nh = target(w, h)
-                # STUB: real code calls PIL resize here and emits the
-                # re-encoded bytes; the digest is its deterministic
-                # stand-in so downstream plumbing stays testable.
-                fake = _hl.sha256(
-                    payload + f":{nw}x{nh}".encode()
-                ).hexdigest()
+                fake = _hl.sha256(resample(payload, nw, nh)).hexdigest()
                 rows.append((doc_id, w, h, nw, nh, fake))
             yield _pd.DataFrame(
                 rows,
