@@ -149,18 +149,25 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/J6: dedup-against-target anti-join (reference:
-    should_process_tear_desligado, /root/reference/src/main_01.py:460-473)."""
+    should_process_tear_desligado, /root/reference/src/main_01.py:460-473).
+    The probe side is the filtered "large orders" set so the anti side
+    is NON-EMPTY at every sf — a 0-row oracle match is false comfort
+    (the round-1 rule; in this synthetic data every customer has at
+    least one order, so the unfiltered form matched vacuously)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name")
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(big, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 @query(
