@@ -245,19 +245,66 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d, "doc_id").select("doc_id", "split")
 
 
-@query("dedup_clusters")  # iterative algorithm: rows-only by design
+@query(
+    "dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+                 AS tok
+        FROM documents
+    ), hot AS (
+        SELECT tok FROM toks0 GROUP BY tok
+        HAVING COUNT(*) > 0.5 * (SELECT COUNT(*) FROM documents)
+    ), toks AS (
+        SELECT t.doc_id, t.tok FROM toks0 t
+        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = t.tok)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE (n_common / (sa.n_tok + sb.n_tok - n_common)) >= 0.5
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM edges
+    ), reach(src, dst) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT reach.src, s.b FROM reach JOIN sym s ON reach.dst = s.a
+    )
+    SELECT src AS doc_id,
+           least(src, MIN(dst)) AS keeper_doc_id,
+           (least(src, MIN(dst)) <> src) AS is_duplicate
+    FROM reach GROUP BY src
+    """,
+)
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS via iterative label
     propagation (connected components): the final step of the dedup
     ladder — one keeper per cluster, everything else droppable.
     Driver orchestrates the loop; each round is one join + one min-agg
-    (operators.graph). Converges in O(diameter) rounds (near-dup
-    graphs are unions of small cliques)."""
-    from tms_etl_spark.operators.dedup import minhash_lsh_pairs
+    with pointer jumping (operators.graph), O(log diameter) rounds.
+
+    The edge source here is the DETERMINISTIC df-cut Jaccard pair set
+    (same pairs as `dedup_jaccard_dfcut`), which makes the clustering
+    fully oracle-checkable: DuckDB recomputes the components via a
+    recursive transitive closure and the driver hash-compares
+    (doc_id, keeper, is_duplicate) row for row. The MinHash/LSH edge
+    source (engine-specific sketches) drives the same operator in
+    tests/test_graph.py."""
+    from tms_etl_spark.operators.dedup import jaccard_pairs
     from tms_etl_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d).where(F.col("est_jaccard") > 0.5)
+    pairs = jaccard_pairs(d, threshold=0.5, max_df=0.5)
     return dedup_clusters(pairs)
 
 

@@ -101,13 +101,93 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, k=_K)
 
 
-@query("sim_lsh_bucketed")  # hash-derived planes: engine-specific → rows-only
+def _exact_rerank(sub: DataFrame, query_vec: list[float], k: int) -> DataFrame:
+    """Decimal-exact cosine top-k (vec_id, cos_exact) over ``sub`` —
+    the order-independent arithmetic twin used to pin the ANN paths'
+    float-fold re-rank in-query (posexplode + decimal sums, same
+    discipline as sim_cosine_topk_exact)."""
+    spark = sub.sparkSession
+    q = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(query_vec)], "i int, qv double"
+    )
+    v = sub.select("vec_id", F.posexplode("embedding").alias("i", "vv"))
+    dd = lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(28,14)")
+    sums = (
+        v.join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(dd(F.col("vv"), F.col("qv"))), 8).cast("double").alias("dot"),
+            F.round(F.sum(dd(F.col("vv"), F.col("vv"))), 8).cast("double").alias("nv"),
+            F.round(F.sum(dd(F.col("qv"), F.col("qv"))), 8).cast("double").alias("nq"),
+        )
+    )
+    scored = sums.select(
+        "vec_id",
+        (F.col("dot") / (F.sqrt("nq") * F.sqrt("nv"))).alias("cos_exact"),
+    )
+    w = Window.orderBy(F.desc("cos_exact"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "cos_exact")
+    )
+
+
+@query(
+    "sim_lsh_bucketed",
+    oracle=f"""
+    SELECT {_K} AS k,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id <> {_QUERY_VEC_ID}) AS BIGINT) AS n_corpus,
+           TRUE AS rerank_ids_ok,
+           TRUE AS rerank_cos_ok
+    """,
+)
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane bucket, exact re-rank within
-    the query's bucket only."""
+    the query's probe buckets only.
+
+    Oracle strategy: the bucket ids are xxhash-derived (no DuckDB
+    twin) and the synthetic embeddings are near-random, so recall@k
+    of the GLOBAL top-k is low by construction (statistical recall is
+    pinned on planted duplicates in tests/test_dedup_similarity.py).
+    What IS invariant — and what this entry has the driver pin per
+    scale factor — is the operator's exactness contract: the ANN
+    result must equal the decimal-exact cosine top-k restricted to
+    the same probed buckets, ids and scores (float fold vs decimal
+    arithmetic cross-check computed in-query; the oracle pins the
+    booleans TRUE and recomputes the corpus size)."""
+    from tms_etl_spark.operators.similarity import (
+        hyperplane_bucket,
+        query_probe_buckets,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    return lsh_topk(emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, k=_K, n_planes=4)
+    rest = emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+    ann = lsh_topk(rest, qv, k=_K, n_planes=4).withColumnRenamed(
+        "cos_sim", "cos_ann"
+    )
+    # the same probe restriction lsh_topk applies internally
+    qbuckets = query_probe_buckets(qv, n_planes=4, n_probes=2)
+    restricted = rest.withColumn(
+        "__bucket", hyperplane_bucket("embedding", 4, len(qv))
+    ).where(F.col("__bucket").isin(qbuckets))
+    exact = _exact_rerank(restricted, qv, _K)
+    cmp = exact.join(ann, "vec_id", "full")
+    summary = cmp.agg(
+        F.count(
+            F.when(F.col("cos_ann").isNull() | F.col("cos_exact").isNull(), 1)
+        ).alias("miss"),
+        F.max(F.abs(F.col("cos_ann") - F.col("cos_exact"))).alias("maxdiff"),
+    )
+    n_corpus = rest.agg(F.count("*").alias("n_corpus"))
+    return n_corpus.crossJoin(summary).select(
+        F.lit(_K).alias("k"),
+        "n_corpus",
+        (F.col("miss") == 0).alias("rerank_ids_ok"),
+        (F.coalesce(F.col("maxdiff"), F.lit(0.0)) <= 1e-6).alias("rerank_cos_ok"),
+    )
 
 
 @query(
@@ -142,13 +222,16 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²·d) exact form stays tractable at any sf (the LSH twin is the
     unbounded path)."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
-    v = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
-    a = v.select(
-        F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa")
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb")
-    )
+    return _exact_pairs(emb, 0.4).withColumnRenamed("cos_exact", "cos_sim")
+
+
+def _exact_pairs(emb_slice: DataFrame, min_cos: float) -> DataFrame:
+    """Decimal-exact all-pairs cosine ≥ ``min_cos`` over a BOUNDED
+    slice — (vec_a, vec_b, cos_exact). Shared by the exact near-dup
+    entry and the LSH agreement entry."""
+    v = emb_slice.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    a = v.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
+    b = v.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
     dd = lambda p, q: (p.cast("double") * q.cast("double")).cast("decimal(28,14)")
     j = (
         a.join(b, "i")
@@ -161,40 +244,141 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
-    return j.select("vec_a", "vec_b", cos.alias("cos_sim")).where(cos >= 0.4)
+    return j.select("vec_a", "vec_b", cos.alias("cos_exact")).where(
+        cos >= min_cos
+    )
 
 
-@query("sim_neardup_pairs_lsh")  # hash-derived buckets: rows-only
+@query(
+    "sim_neardup_pairs_lsh",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS x
+        FROM embeddings WHERE vec_id < 1000
+    ), j AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(ROUND(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                              AS DECIMAL(28,14))), 8) AS DOUBLE) AS dot,
+               CAST(ROUND(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)
+                              AS DECIMAL(28,14))), 8) AS DOUBLE) AS na,
+               CAST(ROUND(SUM(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                              AS DECIMAL(28,14))), 8) AS DOUBLE) AS nb
+        FROM v a JOIN v b USING (i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ), p AS (
+        SELECT vec_a, vec_b, dot / (sqrt(na) * sqrt(nb)) AS cos_exact FROM j
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE cos_exact >= 0.4) AS BIGINT)
+             AS n_exact_04,
+           TRUE AS found_any, TRUE AS subset_ok, TRUE AS cos_match_ok
+    FROM p
+    """,
+)
 def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-bucket candidate
     generation + exact cosine within buckets (operators.similarity.
-    embedding_neardup_pairs); recall vs the exact form is asserted in
-    tests/test_dedup_similarity.py."""
+    embedding_neardup_pairs).
+
+    Oracle strategy: the candidate buckets are hash-derived and
+    recall of WEAK pairs on near-random embeddings is bucket-limited
+    by construction (statistical recall is pinned on planted
+    duplicates in tests). The invariants the driver pins per scale
+    factor, computed in-query against the decimal-exact all-pairs
+    twin on the bounded vec_id<1000 slice: every LSH pair is a true
+    pair (subset, with 1e-6 score tolerance across the float/decimal
+    arithmetic), its score matches the exact cosine, and the pair set
+    is non-empty; the oracle recomputes the exact 0.4-threshold pair
+    count from scratch."""
     from tms_etl_spark.operators.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.35, n_planes=4)
+    lsh = (
+        embedding_neardup_pairs(emb, threshold=0.35, n_planes=4)
+        .where((F.col("vec_a") < 1000) & (F.col("vec_b") < 1000))
+        .withColumnRenamed("cos_sim", "cos_lsh")
+    )
+    # margin below the LSH threshold so float-vs-decimal boundary ulps
+    # cannot make a genuinely-found pair look like a subset violation
+    exact = _exact_pairs(emb.where(F.col("vec_id") < 1000), 0.30)
+    cmp = lsh.join(exact, ["vec_a", "vec_b"], "left")
+    lsh_summary = cmp.agg(
+        F.count("*").alias("n_lsh"),
+        F.count(
+            F.when(
+                F.col("cos_exact").isNull()
+                | (F.col("cos_exact") < 0.35 - 1e-6),
+                1,
+            )
+        ).alias("subset_viol"),
+        F.max(F.abs(F.col("cos_lsh") - F.col("cos_exact"))).alias("maxdiff"),
+    )
+    n_exact = exact.where(F.col("cos_exact") >= 0.4).agg(
+        F.count("*").alias("n_exact_04")
+    )
+    return n_exact.crossJoin(lsh_summary).select(
+        "n_exact_04",
+        (F.col("n_lsh") > 0).alias("found_any"),
+        (F.col("subset_viol") == 0).alias("subset_ok"),
+        (F.coalesce(F.col("maxdiff"), F.lit(0.0)) <= 1e-6).alias("cos_match_ok"),
+    )
 
 
-@query("sim_ivf_topk")  # hash-seeded centroids: engine-specific → rows-only
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    SELECT {_K} AS k,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id <> {_QUERY_VEC_ID}) AS BIGINT) AS n_corpus,
+           TRUE AS rerank_ids_ok,
+           TRUE AS rerank_cos_ok
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (operators.ivf): deterministic xxhash-sampled
-    coarse centroids + one Lloyd refinement, vectorized mapInPandas
-    cell assignment, exact cosine re-rank inside the query's n_probe
-    nearest cells. The second ANN family next to the hyperplane LSH
-    (`sim_lsh_bucketed`) — recall vs the exact scan and the
-    n_probe=n_cells ≡ brute-force identity are pinned in
-    tests/test_ivf.py."""
-    from tms_etl_spark.operators.ivf import ivf_topk
+    coarse centroids, vectorized mapInPandas cell assignment, exact
+    cosine re-rank inside the query's n_probe nearest cells. The
+    second ANN family next to the hyperplane LSH (`sim_lsh_bucketed`).
+
+    Oracle strategy mirrors sim_lsh_bucketed: cell membership is
+    hash-seeded (no DuckDB twin) and global-top-k recall on
+    near-random embeddings is probe-limited by construction
+    (statistical recall + the n_probe=n_cells ≡ brute-force identity
+    are pinned in tests/test_ivf.py). The per-SF driver-pinned
+    invariant: the ANN result equals the decimal-exact top-k over the
+    probed cells' members — ids and scores (float vs decimal
+    cross-check, computed in-query)."""
+    from tms_etl_spark.operators.ivf import (
+        assign_cells,
+        ivf_topk,
+        query_cells,
+        sample_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    return ivf_topk(
-        emb.where(F.col("vec_id") != _QUERY_VEC_ID),
-        qv,
-        k=_K,
-        n_cells=16,
-        n_probe=6,
+    rest = emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+    cents = sample_centroids(rest, 16)
+    ann = ivf_topk(
+        rest, qv, k=_K, n_cells=16, n_probe=6, centroids=cents
+    ).withColumnRenamed("cos_sim", "cos_ann")
+    probed = query_cells(qv, cents, 6)
+    restricted = assign_cells(rest, cents).where(F.col("cell").isin(probed))
+    exact = _exact_rerank(restricted, qv, _K)
+    cmp = exact.join(ann, "vec_id", "full")
+    summary = cmp.agg(
+        F.count(
+            F.when(F.col("cos_ann").isNull() | F.col("cos_exact").isNull(), 1)
+        ).alias("miss"),
+        F.max(F.abs(F.col("cos_ann") - F.col("cos_exact"))).alias("maxdiff"),
+    )
+    n_corpus = rest.agg(F.count("*").alias("n_corpus"))
+    return n_corpus.crossJoin(summary).select(
+        F.lit(_K).alias("k"),
+        "n_corpus",
+        (F.col("miss") == 0).alias("rerank_ids_ok"),
+        (F.coalesce(F.col("maxdiff"), F.lit(0.0)) <= 1e-6).alias("rerank_cos_ok"),
     )
 
 
