@@ -19,6 +19,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tms_etl_spark import catalog
 from tms_etl_spark.session import get_spark
 
+# Three catalog entries wrap their production operator in an in-query
+# agreement harness (a decimal-exact twin computed alongside, so the
+# DuckDB oracle can pin ANN/cluster invariants). The BENCH must keep
+# measuring the PRODUCTION operator — same work as rounds 1-2, so the
+# per-name comparison stays apples-to-apples and the harness cost
+# (which only the sf0.01 correctness gate pays) doesn't pollute the
+# throughput number.
+def _production_overrides():
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.dedup import minhash_lsh_pairs
+    from tms_etl_spark.operators.graph import dedup_clusters
+    from tms_etl_spark.operators.ivf import ivf_topk
+    from tms_etl_spark.operators.similarity import embedding_neardup_pairs
+    from tms_etl_spark.sources.tables import load_table
+
+    def neardup_lsh(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return embedding_neardup_pairs(emb, threshold=0.35, n_planes=4)
+
+    def ivf(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+        qv = [float(x) for x in row["embedding"]]
+        return ivf_topk(
+            emb.where(F.col("vec_id") != 0), qv, k=10, n_cells=16, n_probe=6
+        )
+
+    def clusters(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(d).where(F.col("est_jaccard") > 0.5)
+        return dedup_clusters(pairs)
+
+    return {
+        "sim_neardup_pairs_lsh": neardup_lsh,
+        "sim_ivf_topk": ivf,
+        "dedup_clusters": clusters,
+    }
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "join_broadcast_dim_chain",
@@ -69,10 +109,11 @@ def main() -> None:
     # speedups). "queries" carries best-of-N (the headline number);
     # medians ride along for run-variance visibility.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
+    overrides = _production_overrides()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
-        fn = catalog.QUERIES[name]
+        fn = overrides.get(name) or catalog.QUERIES[name]
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -97,6 +138,7 @@ def main() -> None:
     if prev_files:
         try:
             prev = json.load(open(prev_files[-1]))
+            prev = prev.get("parsed", prev)  # driver wraps the JSON line
             common = [q for q in timings if q in prev.get("queries", {})]
             now_t = round(sum(timings[q] for q in common), 2)
             then_t = round(sum(prev["queries"][q] for q in common), 2)

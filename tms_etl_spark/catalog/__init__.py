@@ -83,9 +83,9 @@ _DRIVER_PRIORITY = [
     # llm-text
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "dedup_exact", "dedup_unigram_jaccard",
-    # collections / windows extras
-    "explode_tokens", "array_functions", "map_functions",
-    "window_distribution",
+    # corpus filters (NEW this round — need first driver evidence)
+    "text_gopher_quality", "text_repetition_filter",
+    "text_pii_redact", "text_chunk_tokens",
 ]
 
 
@@ -102,6 +102,7 @@ def load_all() -> None:
         stream_windows,
         similarity,
         llm_text,
+        text_filters,
         multimodal,
         aggregates,
         analytics,

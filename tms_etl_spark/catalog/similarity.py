@@ -233,8 +233,13 @@ def _exact_pairs(emb_slice: DataFrame, min_cos: float) -> DataFrame:
     a = v.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
     b = v.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
     dd = lambda p, q: (p.cast("double") * q.cast("double")).cast("decimal(28,14)")
+    # broadcast the probe side: the join key (position i) has only
+    # `dim` distinct values, so a shuffle join degenerates to dim-way
+    # parallelism with ~n²/dim rows per key; broadcasting keeps the
+    # fan-out spread across the build side's partitions (measured 4×
+    # on the sf0.1 slice). The slice is bounded, so the broadcast is.
     j = (
-        a.join(b, "i")
+        a.join(F.broadcast(b), "i")
         .where(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_a", "vec_b")
         .agg(
@@ -300,25 +305,31 @@ def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("cos_sim", "cos_lsh")
     )
     # margin below the LSH threshold so float-vs-decimal boundary ulps
-    # cannot make a genuinely-found pair look like a subset violation
+    # cannot make a genuinely-found pair look like a subset violation.
+    # ONE pass over the (expensive, bounded) exact twin: full-outer
+    # join + a single aggregation computes the exact-pair count, the
+    # subset check and the score agreement together.
     exact = _exact_pairs(emb.where(F.col("vec_id") < 1000), 0.30)
-    cmp = lsh.join(exact, ["vec_a", "vec_b"], "left")
-    lsh_summary = cmp.agg(
-        F.count("*").alias("n_lsh"),
+    cmp = lsh.withColumn("__l", F.lit(1)).join(
+        exact, ["vec_a", "vec_b"], "full"
+    )
+    summary = cmp.agg(
+        F.count(F.when(F.col("cos_exact") >= 0.4, 1)).alias("n_exact_04"),
+        F.count(F.when(F.col("__l") == 1, 1)).alias("n_lsh"),
         F.count(
             F.when(
-                F.col("cos_exact").isNull()
-                | (F.col("cos_exact") < 0.35 - 1e-6),
+                (F.col("__l") == 1)
+                & (
+                    F.col("cos_exact").isNull()
+                    | (F.col("cos_exact") < 0.35 - 1e-6)
+                ),
                 1,
             )
         ).alias("subset_viol"),
         F.max(F.abs(F.col("cos_lsh") - F.col("cos_exact"))).alias("maxdiff"),
     )
-    n_exact = exact.where(F.col("cos_exact") >= 0.4).agg(
-        F.count("*").alias("n_exact_04")
-    )
-    return n_exact.crossJoin(lsh_summary).select(
-        "n_exact_04",
+    return summary.select(
+        F.col("n_exact_04").cast("long").alias("n_exact_04"),
         (F.col("n_lsh") > 0).alias("found_any"),
         (F.col("subset_viol") == 0).alias("subset_ok"),
         (F.coalesce(F.col("maxdiff"), F.lit(0.0)) <= 1e-6).alias("cos_match_ok"),
