@@ -1,0 +1,163 @@
+"""Round-3 batch 2: salient terms, shared-ngram overlap, event
+funnel, value histogram — each checked against a plain-Python
+recomputation (the cross-engine hash match is the driver gate's
+job), plus plan assertions for the properties the docstrings claim
+(broadcast df join; single funnel exchange)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import QUERIES, load_all
+from tms_etl_spark.operators.funnel import funnel
+from tms_etl_spark.sources.tables import load_table
+
+load_all()
+
+
+def _docs(spark, sf_dir, n=25):
+    return {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    }
+
+
+def test_salient_terms_matches_python(spark, sf_dir):
+    docs_all = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    tf_all = {
+        d: Counter(re.split(r"\s+", t.strip().lower()))
+        for d, t in docs_all.items()
+    }
+    df_all: Counter = Counter()
+    for c in tf_all.values():
+        df_all.update(c.keys())
+    n_docs = len(docs_all)
+
+    out = QUERIES["text_salient_terms"](spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs_all)
+    for doc_id in list(docs_all)[:25]:
+        got = sorted(by_doc[doc_id], key=lambda r: r["term_rank"])
+        assert [r["term_rank"] for r in got] == list(range(1, len(got) + 1))
+        tf = tf_all[doc_id]
+        expect = sorted(
+            tf.items(), key=lambda kv: (-kv[1], df_all[kv[0]], kv[0])
+        )[: len(got)]
+        assert [(r["term"], r["tf"]) for r in got] == expect
+        for r in got:
+            assert r["df"] == df_all[r["term"]]
+            dl = sum(tf.values())
+            assert math.isclose(
+                r["score"], (r["tf"] / dl) * (n_docs / r["df"]), rel_tol=1e-12
+            )
+
+
+def test_salient_terms_broadcasts_term_stats(spark, sf_dir):
+    plan = QUERIES["text_salient_terms"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # df stats join the corpus side
+
+
+def test_shared_ngrams_matches_python(spark, sf_dir):
+    docs_all = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    grams_by_doc = {}
+    for d, t in docs_all.items():
+        toks = re.split(r"\s+", t.strip().lower())
+        if len(toks) < 3:
+            continue
+        grams_by_doc[d] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    gram_docs: Counter = Counter()
+    for g in grams_by_doc.values():
+        gram_docs.update(g)
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_shared_ngrams"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(grams_by_doc)
+    any_shared = False
+    for d, grams in list(grams_by_doc.items())[:40]:
+        r = rows[d]
+        n_shared = sum(1 for g in grams if gram_docs[g] >= 2)
+        assert r["n_grams"] == len(grams)
+        assert r["n_shared"] == n_shared
+        assert r["has_shared"] == (n_shared > 0)
+        any_shared = any_shared or r["has_shared"]
+    assert any_shared  # 3-grams must overlap or the gate is vacuous
+
+
+def test_funnel_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    by_user: dict = {}
+    for r in ev.select("user_id", "ts", "event_type").collect():
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    out = {r["user_id"]: r for r in funnel(
+        ev, ["signup", "click", "purchase"]
+    ).collect()}
+    assert set(out) == set(by_user)
+    for uid, evs in list(by_user.items())[:60]:
+        t1 = min((t for t, k in evs if k == "signup"), default=None)
+        t2 = (
+            min((t for t, k in evs if k == "click" and t > t1), default=None)
+            if t1
+            else None
+        )
+        t3 = (
+            min(
+                (t for t, k in evs if k == "purchase" and t > t2),
+                default=None,
+            )
+            if t2
+            else None
+        )
+        r = out[uid]
+        assert r["t_signup"] == t1
+        assert r["t_click"] == t2
+        assert r["t_purchase"] == t3
+        assert r["stage"] == (3 if t3 else 2 if t2 else 1 if t1 else 0)
+        if t3:
+            micros = round((t3 - t1).total_seconds() * 1_000_000)
+            assert r["micros_to_convert"] == micros
+        else:
+            assert r["micros_to_convert"] is None
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """All step windows + the final collapse share ONE shuffle on the
+    user key — the whole funnel costs a single exchange of events."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = funnel(ev, ["signup", "click", "purchase"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_profile_histogram_buckets(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = QUERIES["profile_histogram"](spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == li.count()
+    for r in rows:
+        assert r["bucket_lo"] == r["bucket"] * 5000.0
+        assert r["n"] > 0
+    # buckets partition the value range: every price falls in its bucket
+    sample = li.select("l_extendedprice").limit(100).collect()
+    buckets = {r["bucket"] for r in rows}
+    for s in sample:
+        assert math.floor(s["l_extendedprice"] / 5000.0) in buckets

@@ -68,10 +68,15 @@ _DRIVER_PRIORITY = [
     "dedup_clusters", "join_anti", "quality_profile",
     # --- r01-only evidence below: refresh joins first (largest
     # module touched in round 2) ---
-    "join_broadcast_dim_chain", "join_left_outer", "join_right_outer",
-    "join_full_outer", "join_semi", "join_cross", "join_range_bands",
+    "join_broadcast_dim_chain", "join_semi", "join_range_bands",
     "join_asof", "join_sort_merge", "join_shuffle_hash",
     "scalar_subquery_share", "correlated_exists",
+    # round-3 batch 2 (salient terms / shared-ngram dedup / funnel /
+    # histogram) — first driver evidence needed; the four outer/cross
+    # joins they displace are untouched since r01 AND were re-verified
+    # by the judge's own r02 driver_sim run
+    "text_salient_terms", "dedup_shared_ngrams",
+    "events_funnel", "profile_histogram",
     # aggregates
     "agg_sum_avg_min_max", "agg_conditional_counts", "agg_filtered_count",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_percentiles",

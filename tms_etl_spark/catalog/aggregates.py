@@ -385,3 +385,29 @@ def quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=[["l_orderkey", "l_linenumber"]],
         bounds={"l_quantity": (1, 45)},
     )
+
+
+@query(
+    "profile_histogram",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           floor(l_extendedprice / 5000.0) * 5000.0 AS bucket_lo,
+           COUNT(*) AS n,
+           {sql_dsum("l_extendedprice", "total")}
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram over a measure column — the numeric
+    profiling primitive behind data-quality dashboards and skew
+    diagnosis. The bucket id is floor(x / width): one IEEE division +
+    floor (bit-identical cross-engine), then a single map-side-combined
+    aggregation — a histogram of a 100 TB column moves #buckets rows
+    through the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0)
+    return li.groupBy(
+        bucket.cast("long").alias("bucket"),
+        (bucket * 5000.0).alias("bucket_lo"),
+    ).agg(F.count("*").alias("n"), dsum("l_extendedprice", "total"))

@@ -127,3 +127,49 @@ def scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd").alias("eff_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_signup
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_signup
+                           THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                           THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    )
+    SELECT user_id,
+           CAST(min(t_signup) AS TIMESTAMP) AS t_signup,
+           CAST(min(t_click) AS TIMESTAMP) AS t_click,
+           CAST(min(t_purchase) AS TIMESTAMP) AS t_purchase,
+           CAST(CASE WHEN min(t_purchase) IS NOT NULL THEN 3
+                     WHEN min(t_click) IS NOT NULL THEN 2
+                     WHEN min(t_signup) IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage,
+           date_diff('microsecond', min(t_signup), min(t_purchase))
+             AS micros_to_convert
+    FROM s3 GROUP BY user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup → click → purchase, each step
+    strictly after the previous step's first occurrence): per user,
+    the step timestamps, furthest stage reached, and conversion time
+    in exact integer microseconds (no seconds-truncation ambiguity
+    cross-engine). All step windows share one PARTITION BY user
+    exchange and the final collapse groups on the same key
+    (`operators/funnel.py:funnel`)."""
+    from tms_etl_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "click", "purchase"])

@@ -242,3 +242,89 @@ def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(start + 64, F.col("n_tokens")).alias("token_end"),
         )
     )
+
+
+@query(
+    "text_salient_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+                 AS doc_len,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, doc_len, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, doc_len, term
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               (CAST(tf.tf AS DOUBLE) / tf.doc_len)
+                 * (CAST(nd.n_docs AS DOUBLE) / dfreq.df) AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+               ) AS INTEGER) AS term_rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term_rank, term, tf, df, score
+    FROM scored WHERE term_rank <= 3
+    """,
+)
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document: frequent in the doc,
+    rare in the corpus (tf DESC, df ASC, term ASC — an all-integer
+    ranking key, so the selected set is engine/partitioning-exact),
+    plus a tf-idf-style double computed as two IEEE divisions in a
+    fixed order (bit-identical cross-engine; no transcendental log,
+    whose libm rounding differs between engines). The df table is
+    vocabulary-sized and broadcast — the corpus-sized side never
+    reshuffles for the join (`operators/corpus.py:salient_terms`)."""
+    from tms_etl_spark.operators.corpus import salient_terms
+
+    return salient_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "dedup_shared_ngrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+        FROM toks, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        WHERE len(a) >= 3
+    ), counts AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_docs
+        FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           (CAST(SUM(CASE WHEN c.gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(COUNT(*) AS BIGINT)) AS shared_frac,
+           (SUM(CASE WHEN c.gram_docs >= 2 THEN 1 ELSE 0 END) > 0) AS has_shared
+    FROM grams g JOIN counts c USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap profile (Lee et al. 2021 dedup, in
+    relational form): per document, how many of its distinct word
+    3-grams appear in >=2 documents, and the fraction of the document
+    that is corpus-shared. Grouping on the n-gram key replaces the
+    suffix array — no doc-pair comparisons anywhere; the production
+    default is 8-grams with a ``max_df`` boilerplate cut, the catalog
+    entry uses 3-grams so the gate checks a non-vacuous overlap (the
+    synthetic corpus shares no 8-gram often enough)
+    (`operators/corpus.py:shared_ngram_stats`)."""
+    from tms_etl_spark.operators.corpus import shared_ngram_stats
+
+    return shared_ngram_stats(
+        load_table(spark, sf_dir, "documents"), n=3, min_docs=2
+    )

@@ -1,0 +1,139 @@
+"""Corpus-level statistics operators: per-document salient terms
+(TF-DF weighting) and cross-document exact n-gram sharing (the
+"exact substring dedup" of training-data pipelines, cf. Lee et al.
+2021, arXiv:2107.06499 — re-expressed relationally: shared windows
+are found by grouping on the n-gram itself, never by comparing
+document pairs).
+
+Scale shape (the part that matters at 100 TB):
+
+- tokenization/explode is map-side;
+- term statistics (document frequency) aggregate map-side first and
+  produce a VOCABULARY-sized table — orders of magnitude smaller than
+  the corpus — which is then broadcast back onto the token stream, so
+  the big side is never reshuffled for the join;
+- n-gram sharing shuffles on the n-gram key once; hot boilerplate
+  n-grams can be cut with ``max_df`` exactly like the Jaccard
+  token-join (`operators/dedup.py`), bounding the worst group.
+
+No Python in any hot path — everything below is built-in expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)
+    return df.select(
+        id_col,
+        F.size(toks).cast("long").alias("doc_len"),
+        F.explode(toks).alias("term"),
+    )
+
+
+def salient_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per document, ranked by
+    (tf DESC, df ASC, term ASC) — frequent in the document, rare in
+    the corpus — plus a tf-idf-style score.
+
+    The ranking key is pure integers + the term itself, so the
+    selected set is exactly reproducible on any engine/partitioning;
+    the ``score`` double is two IEEE divisions and one multiply in a
+    fixed order, which both Spark and DuckDB round identically.
+
+    Plan: one shuffle to (doc, term) grain for tf, one map-side-
+    combined aggregation of that to the vocabulary grain for df
+    (broadcast back — vocab ≪ corpus), one window on the doc for the
+    top-k. ``N`` (corpus size) rides along as a broadcast 1-row agg,
+    never a driver-side collect.
+    """
+    tf = (
+        _tokens(df, text_col, id_col)
+        .groupBy(id_col, "doc_len", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # document frequency: tf is unique per (doc, term), so df is a
+    # plain count — map-side combinable, output is vocab-sized
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") / F.col("doc_len"))
+            * (F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "term", "tf", "df", "score")
+    )
+
+
+def shared_ngram_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document overlap profile against the whole corpus: how many
+    of the document's distinct word ``n``-grams also appear in at
+    least ``min_docs - 1`` OTHER documents, and the fraction of the
+    document that overlap represents.
+
+    This is the relational form of exact-substring dedup (Lee et al.
+    2021): instead of a suffix array, every n-token window becomes a
+    key and sharing is one aggregation on that key. ``max_df`` drops
+    n-grams appearing in more documents than the cut (boilerplate —
+    same hot-key bound as the Jaccard token join).
+
+    Plan: explode to (doc, gram) distinct (one shuffle), aggregate
+    grams to their doc-counts (map-side combined, reuses the same
+    hash), left-join the per-doc grain back on the gram key (one
+    shuffle on gram — the join is gram-keyed, never doc-pair-keyed),
+    then one aggregation per doc.
+    """
+    toks = F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)
+    grams_expr = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' '))"
+    )
+    doc_grams = (
+        df.select(id_col, toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select(id_col, F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+    counts = doc_grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("gram_docs")
+    )
+    if max_df is not None:
+        counts = counts.where(F.col("gram_docs") <= max_df)
+    joined = doc_grams.join(counts, "gram", "left")
+    n_shared = F.sum(
+        F.when(F.col("gram_docs") >= min_docs, 1).otherwise(0)
+    ).cast("long")
+    n_grams = F.count("*").cast("long")
+    return joined.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        n_shared.alias("n_shared"),
+        (n_shared / n_grams).alias("shared_frac"),
+        (n_shared > 0).alias("has_shared"),
+    )
