@@ -77,11 +77,16 @@ _DRIVER_PRIORITY = [
     # by the judge's own r02 driver_sim run
     "text_salient_terms", "dedup_shared_ngrams",
     "events_funnel", "profile_histogram",
+    # round-3 batch 3 (training-data pipeline: packing, mixture,
+    # quantile cut, decontamination, inverted index) — first driver
+    # evidence needed; they displace five aggregates unchanged since
+    # r01 and re-verified by the judge's r02 driver_sim run
+    "pack_sequences", "sample_mixture", "quality_quantile_filter",
+    "contamination_check", "inverted_index",
     # aggregates
-    "agg_sum_avg_min_max", "agg_conditional_counts", "agg_filtered_count",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_percentiles",
+    "agg_sum_avg_min_max", "agg_rollup", "agg_percentiles",
     "agg_approx_distinct", "agg_exact_count_distinct", "agg_variance_exact",
-    "agg_min_max_by", "streaming_counts_batch",
+    "streaming_counts_batch",
     # analytics flagships
     "q3_shipping_priority", "q5_volume_by_nation", "scd2_customer_balance",
     "pivot_status",
@@ -108,6 +113,7 @@ def load_all() -> None:
         similarity,
         llm_text,
         text_filters,
+        training,
         multimodal,
         aggregates,
         analytics,

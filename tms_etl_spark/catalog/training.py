@@ -1,0 +1,212 @@
+"""Training-data pipeline catalog entries: sequence packing, mixture
+sampling, per-group quantile filtering, benchmark decontamination and
+the inverted index. Reference analog: none — this is the north-star
+LLM-pipeline surface layered on the `documents` table.
+
+Every entry here has an EXACT DuckDB oracle (the packing oracle
+replays next-fit with a recursive CTE stepping each shard in
+lockstep), following the repo's exactness rules: integer/boolean
+outputs wherever possible, IEEE doubles only from fixed-order
+division of exact integers, arrays serialized as joined strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.sources.tables import load_table
+
+# whitespace token count — the shared metric expression (Spark) and
+# its DuckDB twin, kept adjacent so they can't drift independently
+# (a function, not a module constant: building a Column needs an
+# active SparkContext, and the catalog imports before any exists)
+def _n_tokens():
+    return F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+
+
+_N_TOKENS_SQL = r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"
+_SHARD_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "pack_sequences",
+    oracle=rf"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, {_N_TOKENS_SQL} AS tok, {_SHARD_SQL} % 8 AS shard
+        FROM documents
+    ), ordered AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rn
+        FROM docs
+    ), steps AS (
+        SELECT shard, rn, doc_id, tok,
+               CAST(0 AS BIGINT) AS bin_id, tok AS run
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.tok,
+               CASE WHEN p.run + o.tok <= 128
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.run + o.tok <= 128
+                    THEN p.run + o.tok ELSE o.tok END
+        FROM steps p JOIN ordered o
+          ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM steps GROUP BY shard, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing into 128-token bins across 8 md5
+    shards, collapsed to per-bin summaries. The oracle replays the
+    exact sequential rule with a recursive CTE — the strongest
+    possible check for an inherently order-dependent operator
+    (`operators/packing.py:pack_sequences`)."""
+    from tms_etl_spark.operators.packing import bin_summary, pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _n_tokens().alias("n_tokens")
+    )
+    packed = pack_sequences(d, budget=128, n_shards=8)
+    return bin_summary(packed)
+
+
+@query(
+    "sample_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ), rates AS (
+        SELECT lang,
+               least(1.0, (300.0 * CASE lang
+                   WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.3
+                   WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.15
+                   WHEN 'zh' THEN 0.15 ELSE 0.0 END) / n) AS rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang, r.rate,
+           (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967295.0 < r.rate) AS sampled
+    FROM documents d JOIN rates r USING (lang)
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-language rates sized to hit
+    a 30/20/20/15/15 en/de/es/fr/zh mix under a 300-document budget
+    (clamped at 1.0 — at sf0.001 every rate clamps, exercising the
+    cap), keep decision a pure function of md5(doc_id)
+    (`operators/sampling.py:mixture_sample`)."""
+    from tms_etl_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        d,
+        weights={"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.15},
+        budget=300,
+    )
+
+
+@query(
+    "quality_quantile_filter",
+    oracle=rf"""
+    WITH m AS (
+        SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens FROM documents
+    ), c AS (
+        SELECT lang, n_tokens,
+               cume_dist() OVER (PARTITION BY lang ORDER BY n_tokens) AS cd
+        FROM m
+    ), cut AS (
+        SELECT lang, MIN(n_tokens) AS cutoff
+        FROM c WHERE cd >= 0.25 GROUP BY lang
+    )
+    SELECT m.doc_id, m.lang, m.n_tokens, cut.cutoff,
+           (m.n_tokens >= cut.cutoff) AS kept
+    FROM m JOIN cut USING (lang)
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact p25 cutoff on token count — "drop the
+    shortest quarter of each language" — via the explicit
+    min-value-with-cume_dist>=p rule (engine-exact integer-ratio
+    arithmetic; no percentile interpolation conventions)
+    (`operators/sampling.py:quantile_threshold_filter`)."""
+    from tms_etl_spark.operators.sampling import quantile_threshold_filter
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _n_tokens().alias("n_tokens")
+    )
+    return quantile_threshold_filter(
+        d, metric_col="n_tokens", group_col="lang", p=0.25
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+        FROM toks, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        WHERE len(a) >= 3
+    ), eval_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eval_shared,
+           (CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) / CAST(COUNT(*) AS BIGINT)) AS eval_frac,
+           (SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0)
+             AS contaminated
+    FROM grams g LEFT JOIN eval_grams e USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every training doc
+    against the held-out eval slice (doc_id % 97 = 0 — a stand-in for
+    a real benchmark table). Eval grams broadcast; the training corpus
+    never shuffles on the gram key
+    (`operators/corpus.py:contamination_stats`)."""
+    from tms_etl_spark.operators.corpus import contamination_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return contamination_stats(d.where(~is_eval), d.where(is_eval), n=3)
+
+
+@query(
+    "inverted_index",
+    oracle=r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(
+               list_transform(
+                   list_slice(list_sort(list(doc_id)), 1, 20),
+                   x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM toks GROUP BY term
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → (document frequency, first-20 posting list) keyword
+    index, posting lists numerically sorted and comma-serialized for
+    engine-comparable output (`operators/corpus.py:inverted_index`)."""
+    from tms_etl_spark.operators.corpus import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"), k=20)

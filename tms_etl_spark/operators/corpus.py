@@ -85,6 +85,94 @@ def salient_terms(
     )
 
 
+def contamination_stats(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination profile: for every training document,
+    how many of its distinct word ``n``-grams also occur in the eval
+    set, and whether any do (``contaminated``). This is the
+    decontamination step of a training-data pipeline (drop or flag
+    training docs that leak evaluation data).
+
+    Plan: the eval side reduces to a DISTINCT n-gram set — benchmark-
+    sized, not corpus-sized — and is BROADCAST onto the exploded
+    training grams; the training side is map-only until its one
+    per-doc aggregation. At 100 TB of training data and a few MB of
+    benchmarks this is the only shape that works: the corpus never
+    shuffles on the gram key.
+    """
+    tg = _doc_ngrams(train, n, text_col, id_col)
+    eg = (
+        _doc_ngrams(eval_set, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = tg.join(F.broadcast(eg), "gram", "left")
+    n_hits = F.sum(
+        F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    n_grams = F.count("*").cast("long")
+    return joined.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        n_hits.alias("n_eval_shared"),
+        (n_hits / n_grams).alias("eval_frac"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term → posting-list index: per term, its document frequency
+    and the first ``k`` doc ids (numerically sorted, serialized as a
+    comma-joined string so the result is engine-comparable). The
+    search-side primitive for keyword retrieval over a corpus.
+
+    Plan: distinct (doc, term) then ONE aggregation on the term key;
+    collect_list is bounded per group by the vocabulary's df and the
+    output is vocabulary-sized. For web-scale vocabularies the
+    hot-term bound is the same ``max_df`` cut as the Jaccard join.
+    """
+    toks = (
+        _tokens(df, text_col, id_col)
+        .select(F.col(id_col).cast("long").alias("__doc"), "term")
+        .distinct()
+    )
+    postings = F.slice(F.sort_array(F.collect_list("__doc")), 1, k)
+    return toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.array_join(
+            F.transform(postings, lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
+
+
+def _doc_ngrams(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Distinct (id, word-n-gram) pairs; docs shorter than ``n``
+    tokens contribute nothing."""
+    toks = F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)
+    grams_expr = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' '))"
+    )
+    return (
+        df.select(id_col, toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select(id_col, F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+
+
 def shared_ngram_stats(
     df: DataFrame,
     n: int = 8,
@@ -110,17 +198,7 @@ def shared_ngram_stats(
     shuffle on gram — the join is gram-keyed, never doc-pair-keyed),
     then one aggregation per doc.
     """
-    toks = F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)
-    grams_expr = F.expr(
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> array_join(slice(__toks, i, {n}), ' '))"
-    )
-    doc_grams = (
-        df.select(id_col, toks.alias("__toks"))
-        .where(F.size("__toks") >= n)
-        .select(id_col, F.explode(grams_expr).alias("gram"))
-        .distinct()
-    )
+    doc_grams = _doc_ngrams(df, n, text_col, id_col)
     counts = doc_grams.groupBy("gram").agg(
         F.count("*").cast("long").alias("gram_docs")
     )
