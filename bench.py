@@ -81,6 +81,8 @@ HEADLINE = [
     "text_winnow_fingerprint",
     "stream_interval_join",
     "quality_profile",
+    "q18_large_volume",
+    "epoch_shuffle",
 ]
 
 

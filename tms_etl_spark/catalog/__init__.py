@@ -58,6 +58,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the judge's own r02 driver_sim run): the two rows-only sketch
 # entries and nine single-function relational entries.
 _DRIVER_PRIORITY = [
+    # round-3 batch 4 (analytics widening + sketches + layout +
+    # training shuffles) — first driver evidence needed
+    "q6_revenue_change", "q10_returned_items", "q18_large_volume",
+    "ml_linear_fit_per_group", "sketch_hll_union",
+    "sketch_count_min_topk", "layout_zorder_key",
+    "epoch_shuffle", "sample_weighted", "sql_text_api",
     # --- changed this round (multimodal oracles + codec seam; ANN
     # agreement oracles; deterministic clusters; non-vacuous anti
     # join; expectations null-key struct fix) + never-sampled ---
@@ -83,16 +89,12 @@ _DRIVER_PRIORITY = [
     # r01 and re-verified by the judge's r02 driver_sim run
     "pack_sequences", "sample_mixture", "quality_quantile_filter",
     "contamination_check", "inverted_index",
-    # aggregates
+    # aggregates / analytics / llm-text refreshers (the rest of the
+    # r01-evidenced set was re-verified by the judge's r02 driver_sim
+    # run and is unchanged — dropped to hold the window at 50)
     "agg_sum_avg_min_max", "agg_rollup", "agg_percentiles",
-    "agg_approx_distinct", "agg_exact_count_distinct", "agg_variance_exact",
-    "streaming_counts_batch",
-    # analytics flagships
-    "q3_shipping_priority", "q5_volume_by_nation", "scd2_customer_balance",
-    "pivot_status",
-    # llm-text
-    "text_token_count", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "dedup_exact", "dedup_unigram_jaccard",
+    "q3_shipping_priority", "q5_volume_by_nation",
+    "text_token_count", "text_quality_score",
     # corpus filters (NEW this round — need first driver evidence)
     "text_gopher_quality", "text_repetition_filter",
     "text_pii_redact", "text_chunk_tokens",
@@ -120,6 +122,9 @@ def load_all() -> None:
         functions_ext,
         joins,
         joins_ext,
+        sketches,
+        layout,
+        sqlapi,
     )
 
     for reg in (QUERIES, ORACLES):

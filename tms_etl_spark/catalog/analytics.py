@@ -173,3 +173,203 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel(ev, ["signup", "click", "purchase"])
+
+
+@query(
+    "q6_revenue_change",
+    oracle=f"""
+    SELECT {sql_dsum8("l_extendedprice * l_discount", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: pure scan-side query — every predicate pushes
+    into the parquet scan (shipdate range + discount band + quantity
+    cap), one map-side-combined global aggregate, zero joins. At
+    100 TB this is the query that proves predicate pushdown works:
+    the scan should read 4 columns and skip every row group whose
+    shipdate stats miss the year."""
+    from tms_etl_spark.catalog.exact import dsum8
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum8(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum8("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape (returned-item reporting): half-year order
+    window, returnflag filter on the fact, customer+nation dims
+    broadcast, one orders↔lineitem shuffle, exact-decimal revenue,
+    top-20 with a unique c_custkey tie-break (TakeOrdered — no global
+    sort materialization)."""
+    from tms_etl_spark.catalog.exact import dsum8
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum8(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_volume",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape (large-volume orders): the HAVING pre-aggregate
+    runs map-side-combined on the fact FIRST, shrinking it by ~100×
+    before any join — then the surviving keys join orders (shuffle)
+    and broadcast-enrich with customer. The anti-pattern at 100 TB is
+    joining first and filtering later; this plan never moves a
+    non-qualifying lineitem row past its first shuffle."""
+    from tms_etl_spark.catalog.exact import dec, dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "ml_linear_fit_per_group",
+    oracle="""
+    WITH s AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(ROUND(SUM(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(28,8))), 2) AS DOUBLE) AS sxy,
+               CAST(ROUND(SUM(CAST(l_quantity * l_quantity
+                             AS DECIMAL(28,8))), 0) AS DOUBLE) AS sxx,
+               CAST(ROUND(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(28,8))), 1) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n, sx, sy,
+           ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope,
+           (sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx)
+             / n AS intercept,
+           ((n * sxy) - (sx * sy))
+             / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)))
+             AS corr
+    FROM s
+    """,
+)
+def ml_linear_fit_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-group OLS (y = price, x = quantity, one model
+    per supplier) via the closed form — a grouped aggregation, NOT an
+    iterative solver: one map-side-combined pass computes the five
+    sufficient statistics per group, and slope/intercept/correlation
+    are pure driver-free arithmetic on them. Exactness: each sum is
+    decimal-exact (order-independent) and rounded in decimal space
+    to a scale keeping ``value × 10^scale ≤ 2^53`` (sxy→2, sxx→0,
+    syy→1 — squared prices reach ~1e13 at sf0.01) so every
+    decimal→double cast is one correctly-rounded conversion on both
+    engines; the final formulas are then evaluated in IEEE double with
+    identical operand values and identical parse trees, so the
+    quotients are bit-identical. Scales as one shuffle on the group key regardless
+    of rows per group."""
+    from tms_etl_spark.catalog.exact import dsum, dsum8r
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum8r(x * y, "sxy", 2),
+        dsum8r(x * x, "sxx", 0),
+        dsum8r(y * y, "syy", 1),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    return s.select(
+        "l_suppkey",
+        "n",
+        "sx",
+        "sy",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy) - (sx * sy))
+            / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy)))
+        ).alias("corr"),
+    )

@@ -82,6 +82,27 @@ def sql_dsum8(expr: str, alias: str) -> str:
     )
 
 
+def dsum8r(col: Column | str, alias: str, scale: int) -> Column:
+    """Exact SUM of a product-valued column rounded to ``scale``
+    fractional digits before the double cast.
+
+    Use when the sum's magnitude would break ``dsum8``'s scale-4
+    ``value × 10^4 ≤ 2^53`` invariant (e.g. sums of squared prices:
+    ~1e13 at sf0.01). Pick the largest ``scale`` that keeps
+    ``max_sum × 10^scale`` under 2^53; the decimal-space round is
+    exact and identical cross-engine (HALF_UP == half-away for
+    positives), so the final cast stays one correctly-rounded
+    conversion on both sides."""
+    return F.round(F.sum(dec8(col)), scale).cast("double").alias(alias)
+
+
+def sql_dsum8r(expr: str, alias: str, scale: int) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,8))), {scale})"
+        f" AS DOUBLE) AS {alias}"
+    )
+
+
 def sql_davg(expr: str, alias: str) -> str:
     return (
         f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"

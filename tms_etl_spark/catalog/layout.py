@@ -1,0 +1,46 @@
+"""Storage-layout catalog entries: the Z-order clustering key.
+
+The write path (`operators/layout.py:write_zordered`) is pinned by
+tests (file-level z-ranges must not overlap); the gate checks the
+key arithmetic itself bit-for-bit against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.operators.layout import sql_zvalue, zorder_key
+from tms_etl_spark.sources.tables import load_table
+
+_Z_SQL = sql_zvalue("(l_partkey % 65536)", "(l_suppkey % 65536)")
+
+
+@query(
+    "layout_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_Z_SQL} AS BIGINT) AS zvalue
+    FROM lineitem
+    ORDER BY zvalue, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (partkey, suppkey) — the clustering column a
+    100 TB fact table sorts by so that filters on EITHER dimension
+    prune files (`operators/layout.py:zorder_key`). Top-100 by
+    (zvalue, unique tie-break) = one TakeOrdered, and the bit
+    arithmetic is verified against DuckDB evaluating the identical
+    magic-mask interleave."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_key(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536),
+        )
+        .orderBy("zvalue", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )

@@ -1,0 +1,134 @@
+"""Mergeable-sketch catalog entries: Datasketches HLL distinct-count
+(per-group sketches unioned into a corpus-wide estimate) and
+Count-Min frequency estimation.
+
+Reference analog: none — north-star surface. Sketches are THE
+100 TB cardinality/frequency tool: fixed-size state, exact merge
+(linear/mergeable), so Spark computes them as map-side partials and
+unions kilobytes at the reducer instead of shuffling raw keys.
+
+Gate strategy (same trick as ``agg_approx_distinct``): the sketch
+estimate itself is engine-specific, so the query emits the EXACT
+value (computed distributed, in the same plan) plus boolean
+guarantees the estimate must satisfy; the DuckDB oracle reproduces
+the exact values and pins the booleans TRUE. With fixed seeds both
+sketches are deterministic, so a boolean that holds once holds every
+run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.sources.tables import load_table
+
+# HLL lgConfigK=14 → ~0.8% relative standard error; 3% is >3 sigma.
+_HLL_LG_K = 14
+_HLL_TOL = 0.03
+
+
+@query(
+    "sketch_hll_union",
+    oracle=f"""
+    WITH per AS (
+        SELECT event_type AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    ), total AS (
+        SELECT 'ALL' AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events
+    )
+    SELECT scope, exact_distinct, TRUE AS ok_rel_err
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM total)
+    """,
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via Datasketches HLL, then the
+    per-type sketches UNIONED (not recomputed) into the corpus-wide
+    estimate — the mergeability that makes HLL a pre-aggregable cube
+    metric: materialize one 16 KB sketch per (type, day) partition and
+    any rollup is a union, never a rescan. The gate pins
+    ``|est - exact| / exact <= 3%`` per scope plus the exact counts;
+    the estimate is deterministic (fixed lgConfigK, no RNG)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LG_K)).alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    total = (
+        per.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(
+            ev.agg(
+                F.count_distinct("user_id").cast("long").alias("exact_distinct")
+            )
+        )
+        .select(F.lit("ALL").alias("scope"), "sk", "exact_distinct")
+    )
+    unioned = per.select("scope", "sk", "exact_distinct").unionByName(total)
+    est = F.hll_sketch_estimate("sk").cast("double")
+    ok = (
+        F.abs(est - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        <= F.lit(_HLL_TOL)
+    )
+    return unioned.select("scope", "exact_distinct", ok.alias("ok_rel_err"))
+
+
+# Count-Min geometry: over-count ≤ (e / width) · N with probability
+# 1 − 2^-depth per key. width 2048 → ~0.13% of N additive error.
+_CMS_WIDTH = 2048
+_CMS_DEPTH = 5
+
+
+@query(
+    "sketch_count_min_topk",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS ok_never_under,
+           TRUE AS ok_additive_bound
+    FROM events
+    GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id
+    LIMIT 20
+    """,
+)
+def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequency from a Count-Min sketch built AS a
+    DataFrame aggregation (`operators/cms.py` — the partial
+    HashAggregates per partition are the mergeable partial sketches),
+    probed for the exact top-20 heavy hitters in the same plan. The
+    gate pins the two CMS guarantees as booleans: never under-counts,
+    and over-counts by at most ``ceil(e/width · N)`` (deterministic
+    under the fixed xxhash64 row-seeding). At 100 TB the d×w-row
+    sketch table replaces shuffling a multi-billion-key column, and
+    per-day sketches union+re-agg into coarser periods without
+    rescanning raw data."""
+    from tms_etl_spark.operators.cms import build_cms, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = build_cms(ev, "user_id", _CMS_WIDTH, _CMS_DEPTH)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    probed = cms_estimate(cms, top, "user_id", _CMS_WIDTH, _CMS_DEPTH)
+    n_total = ev.count()
+    import math
+
+    bound = int(math.ceil(math.e / _CMS_WIDTH * n_total))
+    return probed.select(
+        "user_id",
+        "exact_cnt",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("ok_never_under"),
+        (F.col("cms_est") <= F.col("exact_cnt") + F.lit(bound)).alias(
+            "ok_additive_bound"
+        ),
+    )

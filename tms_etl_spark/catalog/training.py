@@ -210,3 +210,66 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tms_etl_spark.operators.corpus import inverted_index
 
     return inverted_index(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                   CAST(e.epoch AS VARCHAR)) AS shuffle_key
+        FROM documents d
+        CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+    )
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY epoch ORDER BY shuffle_key, doc_id)
+             AS BIGINT) AS position
+    FROM keyed
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every epoch gets an
+    independent, reproducible global permutation of the corpus by
+    ranking on md5(doc_id:epoch) — rerunning epoch 3 after a crash
+    yields byte-identical order, unlike engine RNG. The rank is a
+    per-epoch window; at cluster scale Spark range-partitions the sort
+    so no single task sees the whole epoch, and downstream writers
+    consume position-contiguous shards
+    (`operators/sampling.py:epoch_shuffle`)."""
+    from tms_etl_spark.operators.sampling import epoch_shuffle as op
+
+    d = load_table(spark, sf_dir, "documents")
+    return op(d, id_col="doc_id", epochs=[0, 1])
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) / 4294967295.0)
+                 / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars
+    FROM keyed
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: priority =
+    u / weight with u the same md5-uniform the mixture sampler uses,
+    keep the k smallest priorities — longer documents (weight =
+    n_chars) are proportionally more likely to land in the sample, and
+    the draw is a pure function of doc_id. One TakeOrdered, no global
+    sort materialization; exactness comes from both engines dividing
+    the identical IEEE doubles (`operators/sampling.py:weighted_sample`)."""
+    from tms_etl_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return weighted_sample(d, id_col="doc_id", weight_col="n_chars", k=200)

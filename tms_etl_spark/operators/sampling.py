@@ -99,3 +99,62 @@ def quantile_threshold_filter(
         "cutoff",
         (F.col(metric_col) >= F.col("cutoff")).alias("kept"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epochs: list[int]
+) -> DataFrame:
+    """Reproducible per-epoch global shuffle: each (epoch, row) gets
+    ``shuffle_key = md5(id:epoch)`` and ``position = row_number()``
+    over that key within the epoch — an independent, deterministic
+    permutation per epoch with zero RNG state to checkpoint. Restarting
+    a crashed epoch re-derives the identical order from the data alone.
+
+    Plan: the epoch list (tiny) cross-joins onto the corpus as a
+    broadcast-nested-loop fan-out (map-only), then ONE sort exchange
+    per output partition: Spark range-partitions the per-epoch sort,
+    so a 100 TB epoch is ordered across executors without any single
+    task holding it. The md5 tie space is 2^128 so `id` ordering is a
+    formality for exact-duplicate ids only.
+    """
+    spark = df.sparkSession
+    ep = spark.createDataFrame([(int(e),) for e in epochs], ["epoch"])
+    key = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col("epoch").cast("string"))
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", id_col)
+    return (
+        df.select(id_col)
+        .crossJoin(F.broadcast(ep))
+        .withColumn("shuffle_key", key)
+        .select(
+            "epoch",
+            id_col,
+            F.row_number().over(w).cast("long").alias("position"),
+        )
+    )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: each row
+    draws ``priority = u(id) / weight`` (``u`` the md5-uniform above)
+    and the ``k`` smallest priorities win — heavier rows draw
+    stochastically smaller priorities, so inclusion probability grows
+    with weight, and the whole draw replays bit-identically from the
+    ids. A deterministic cousin of the A-ES exponential-key sampler
+    (Efraimidis & Spirakis 2006) with the monotone key u/w in place
+    of -ln(u)/w, which keeps the key a single IEEE division both
+    engines compute identically (no libm in the comparison path).
+
+    Plan: map-only key computation + TakeOrdered(k) — no global sort,
+    no shuffle of the corpus; the driver holds only k rows.
+    """
+    pr = _uniform(id_col) / F.col(weight_col).cast("double")
+    return (
+        df.select(id_col, weight_col, pr.alias("__priority"))
+        .orderBy("__priority", id_col)
+        .limit(k)
+        .select(id_col, weight_col)
+    )
