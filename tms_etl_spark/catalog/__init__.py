@@ -64,6 +64,10 @@ _DRIVER_PRIORITY = [
     "ml_linear_fit_per_group", "sketch_hll_union",
     "sketch_count_min_topk", "layout_zorder_key",
     "epoch_shuffle", "sample_weighted", "sql_text_api",
+    # round-3 batch 5 (sessionize, per-group reservoir, winsorize,
+    # bloom membership) — first driver evidence needed
+    "events_sessionize", "sample_per_group", "feature_winsorize",
+    "sketch_bloom_membership",
     # --- changed this round (multimodal oracles + codec seam; ANN
     # agreement oracles; deterministic clusters; non-vacuous anti
     # join; expectations null-key struct fix) + never-sampled ---
@@ -89,12 +93,10 @@ _DRIVER_PRIORITY = [
     # r01 and re-verified by the judge's r02 driver_sim run
     "pack_sequences", "sample_mixture", "quality_quantile_filter",
     "contamination_check", "inverted_index",
-    # aggregates / analytics / llm-text refreshers (the rest of the
-    # r01-evidenced set was re-verified by the judge's r02 driver_sim
-    # run and is unchanged — dropped to hold the window at 50)
+    # aggregate refreshers (the rest of the r01-evidenced set was
+    # re-verified by the judge's r02 driver_sim run and is unchanged —
+    # dropped to hold the window at 50)
     "agg_sum_avg_min_max", "agg_rollup", "agg_percentiles",
-    "q3_shipping_priority", "q5_volume_by_nation",
-    "text_token_count", "text_quality_score",
     # corpus filters (NEW this round — need first driver evidence)
     "text_gopher_quality", "text_repetition_filter",
     "text_pii_redact", "text_chunk_tokens",

@@ -373,3 +373,37 @@ def ml_linear_fit_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy)))
         ).alias("corr"),
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts)
+                       > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS session_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(session_start AS INTEGER) AS session_start,
+           CAST(SUM(session_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_seq
+    FROM s
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (30-minute inactivity gap): every
+    event keeps its row and gains (session_start flag, per-user
+    session ordinal) — the labeled shape per-session feature joins
+    consume, complementing the windowed-aggregate session form
+    (stream_session_window). Lag + running-sum share one PARTITION BY
+    user exchange (`operators/funnel.py:sessionize`)."""
+    from tms_etl_spark.operators.funnel import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30)

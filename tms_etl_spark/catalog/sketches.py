@@ -132,3 +132,55 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ok_additive_bound"
         ),
     )
+
+
+# Bloom geometry: ~52 members at sf0.01 → 4096 bits / 3 hashes keeps
+# the observed FP rate well under 1%; the packed literal is 512 bytes.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 97 = 0) AS exact_member,
+           TRUE AS ok_no_false_negative
+    FROM documents
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership pre-filter: a Bloom filter built distributed over
+    the held-out slice (doc_id % 97 = 0 — same eval set the
+    decontamination check uses), packed into 64 longs and probed
+    map-only across the whole corpus (`operators/bloom.py`). The gate
+    pins the filter's defining guarantee per row: a true member is
+    NEVER missed (``bloom_hit OR NOT exact_member``), with
+    ``exact_member`` recomputed independently via a broadcast
+    left-semi-style join, not the modulus shortcut. At 100 TB this is
+    the decontamination shape that never shuffles the corpus: filter
+    bits ride the broadcast, corpus stays map-side."""
+    from tms_etl_spark.operators.bloom import (
+        bloom_probe,
+        build_bloom,
+        pack_bloom,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    members = d.where(F.col("doc_id") % 97 == 0).select("doc_id")
+    words = pack_bloom(
+        build_bloom(members, "doc_id", _BLOOM_M, _BLOOM_K), _BLOOM_M
+    )
+    probed = bloom_probe(words, d.select("doc_id"), "doc_id", _BLOOM_M, _BLOOM_K)
+    member_flag = members.withColumn("__m", F.lit(True))
+    return (
+        probed.join(F.broadcast(member_flag), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__m"), F.lit(False)).alias("exact_member"),
+            (
+                F.col("bloom_hit")
+                | ~F.coalesce(F.col("__m"), F.lit(False))
+            ).alias("ok_no_false_negative"),
+        )
+    )

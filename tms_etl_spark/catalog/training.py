@@ -273,3 +273,67 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     return weighted_sample(d, id_col="doc_id", weight_col="n_chars", k=200)
+
+
+@query(
+    "sample_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967295.0),
+                   doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 50
+    """,
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling (50 docs per language) by ranking
+    the md5-uniform within each group — reproducible reservoir
+    semantics with zero RNG state, exact group quotas (Bernoulli
+    sampleBy only hits k in expectation)
+    (`operators/sampling.py:per_group_sample`)."""
+    from tms_etl_spark.operators.sampling import per_group_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return per_group_sample(d, group_col="lang", id_col="doc_id", k=50)
+
+
+@query(
+    "feature_winsorize",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, lang, n_chars,
+               cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+        FROM documents
+    ), cuts AS (
+        SELECT lang,
+               MIN(CASE WHEN cd >= 0.05 THEN n_chars END) AS lo,
+               MIN(CASE WHEN cd >= 0.95 THEN n_chars END) AS hi
+        FROM c GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, cuts.lo, cuts.hi,
+           least(greatest(d.n_chars, cuts.lo), cuts.hi) AS clipped,
+           CASE WHEN cuts.hi = cuts.lo THEN 0.0 ELSE
+               (CAST(least(greatest(d.n_chars, cuts.lo), cuts.hi) AS DOUBLE)
+                - CAST(cuts.lo AS DOUBLE))
+               / (CAST(cuts.hi AS DOUBLE) - CAST(cuts.lo AS DOUBLE)) END
+             AS norm
+    FROM documents d JOIN cuts USING (lang)
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust scaling of document length: exact p05/p95
+    cutoffs (cume_dist rule), clip, min-max normalize — the
+    outlier-immune feature-prep step. One window exchange for both
+    cutoffs, broadcast back, map-only second pass; the normalized
+    value is a single IEEE division of exact integers so both engines
+    agree bit-for-bit (`operators/sampling.py:winsorize_normalize`)."""
+    from tms_etl_spark.operators.sampling import winsorize_normalize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return winsorize_normalize(
+        d, metric_col="n_chars", group_col="lang", p_lo=0.05, p_hi=0.95
+    )

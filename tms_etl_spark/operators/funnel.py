@@ -62,3 +62,44 @@ def funnel(
             - F.unix_micros(F.col(step_cols[0]))
         ).alias("micros_to_convert"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign every event a per-user session ordinal: a new session
+    starts when the gap to the user's previous event exceeds
+    ``gap_minutes`` (strictly). The classic lag-flag-cumsum rule —
+    both windows share ONE ``PARTITION BY user`` exchange (the lag
+    and the running sum use the same partitioning and ordering), so
+    the cost at 100 TB is the single per-user shuffle that any
+    sessionization needs. Unlike the windowed-aggregate form
+    (``session_window`` in stream_windows), this keeps EVERY event
+    row, labeled — the shape downstream per-session feature joins
+    want."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_flag = (
+        prev_ts.isNull()
+        | (
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts))
+            > gap_minutes * 60 * 1_000_000
+        )
+    ).cast("int")
+    return df.select(
+        user_col,
+        id_col,
+        ts_col,
+        new_flag.alias("session_start"),
+    ).withColumn(
+        "session_seq",
+        F.sum("session_start").over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )

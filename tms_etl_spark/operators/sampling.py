@@ -158,3 +158,69 @@ def weighted_sample(
         .limit(k)
         .select(id_col, weight_col)
     )
+
+
+def per_group_sample(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group, keep the
+    ``k`` rows with the smallest md5-uniform draw — a reproducible
+    stand-in for per-group reservoir sampling (same marginal
+    behavior: each group member equally likely, exactly min(k, n)
+    survivors per group) with no RNG state. One window exchange on
+    the group key; at 100 TB that single shuffle is the floor for any
+    exact per-group-k guarantee (sampleBy's Bernoulli rates only hit
+    k in expectation)."""
+    w = Window.partitionBy(group_col).orderBy(
+        _uniform(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def winsorize_normalize(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group robust feature scaling: exact [p_lo, p_hi] cutoffs by
+    the same min-value-with-cume_dist>=p rule the quantile filter
+    uses, values clipped into the band (winsorized), then min-max
+    normalized to [0,1] over the band — the outlier-immune feature
+    prep step before training. ``norm`` is ONE IEEE division of
+    exact integer-valued doubles, so it is engine-exact; degenerate
+    bands (lo == hi) normalize to 0.0.
+
+    Plan: one window exchange on the group key for the two cutoffs
+    (both ranks share it), collapsed to a #groups-row table that
+    broadcasts back over a map-only second pass."""
+    w = Window.partitionBy(group_col).orderBy(metric_col)
+    cd = F.cume_dist().over(w)
+    cuts = (
+        df.withColumn("__cd", cd)
+        .groupBy(group_col)
+        .agg(
+            F.min(F.when(F.col("__cd") >= p_lo, F.col(metric_col))).alias("lo"),
+            F.min(F.when(F.col("__cd") >= p_hi, F.col(metric_col))).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col(metric_col), F.col("lo")), F.col("hi"))
+    norm = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (clipped.cast("double") - F.col("lo").cast("double"))
+        / (F.col("hi").cast("double") - F.col("lo").cast("double"))
+    )
+    return df.join(F.broadcast(cuts), group_col).select(
+        id_col,
+        group_col,
+        metric_col,
+        "lo",
+        "hi",
+        clipped.alias("clipped"),
+        norm.alias("norm"),
+    )
