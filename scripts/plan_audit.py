@@ -58,6 +58,37 @@ AUDIT = [
         "interval join keyed on the equi-column (broadcast at small "
         "SF, shuffle at scale); time predicate evaluated in the join",
     ),
+    (
+        "q6_revenue_change",
+        ["PushedFilters", "HashAggregate"],
+        "pure scan query: every predicate pushed, zero joins, "
+        "map-side-combined single aggregate",
+    ),
+    (
+        "q18_large_volume",
+        ["HashAggregate", "BroadcastHashJoin"],
+        "HAVING pre-aggregate shrinks the fact ~100x BEFORE any join; "
+        "customer enrich broadcasts",
+    ),
+    (
+        "epoch_shuffle",
+        ["Window", "Exchange"],
+        "global per-epoch rank via bucketed two-phase ordering — the "
+        "corpus windows on (epoch, md5-prefix bucket), never on the "
+        "2-value epoch alone; offsets ride a broadcast",
+    ),
+    (
+        "sketch_count_min_topk",
+        ["HashAggregate"],
+        "CMS built as a DataFrame aggregation: partial HashAggregates "
+        "are the mergeable partial sketches",
+    ),
+    (
+        "feature_winsorize",
+        ["HashAggregate"],
+        "exact group quantiles from the (group, value) histogram — "
+        "no corpus-sized window partitioned by the 5-value group key",
+    ),
 ]
 
 

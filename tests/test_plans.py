@@ -85,3 +85,69 @@ def test_q3_q5_join_strategies(spark, sf_dir):
     assert p3.count("BroadcastHashJoin") >= 1  # customer dim
     p5 = _plan(spark, sf_dir, "q5_volume_by_nation")
     assert p5.count("BroadcastHashJoin") >= 3  # supplier+nation+region
+
+
+def test_q18_preaggregates_fact_before_join(spark, sf_dir):
+    # the HAVING aggregate must run on lineitem BEFORE any join —
+    # two-phase agg present AND the customer side broadcast
+    p = _plan(spark, sf_dir, "q18_large_volume")
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_bloom_probe_is_map_only(spark, sf_dir):
+    # probing a corpus against a packed filter must add ZERO exchanges
+    from tms_etl_spark.operators.bloom import bloom_probe, build_bloom, pack_bloom
+    from tms_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    words = pack_bloom(build_bloom(d.limit(10), "doc_id", 1024, 3), 1024)
+    probed = bloom_probe(words, d, "doc_id", 1024, 3)
+    p = probed._jdf.queryExecution().explainString(
+        probed._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in p
+
+
+def test_epoch_shuffle_never_windows_on_epoch_alone(spark, sf_dir):
+    # the corpus-sized rank window must partition by (epoch, bucket) —
+    # a 2-value epoch-only partitioning may appear exactly once, for
+    # the (epochs × 256)-row bucket-offset table; one-reducer-per-
+    # epoch over raw rows is dead at scale
+    p = _plan(spark, sf_dir, "epoch_shuffle")
+    epoch_only = [
+        line
+        for line in p.splitlines()
+        if "hashpartitioning(epoch" in line and "bucket" not in line
+    ]
+    bucketed = [
+        line
+        for line in p.splitlines()
+        if "hashpartitioning(epoch" in line and "bucket" in line
+    ]
+    assert len(bucketed) >= 1
+    assert len(epoch_only) <= 1
+
+
+def test_group_quantiles_never_shuffle_corpus_by_group(spark, sf_dir):
+    # histogram method: the only corpus-sized exchange keys on
+    # (group, value); any group-only partitioning must be on the tiny
+    # histogram side (rows already collapsed) — assert no Window sort
+    # over a group-only exchange that feeds from the raw scan: the
+    # plan's group-only hashpartitioning lines must carry the metric
+    # column too, except the #groups-row cutoff window
+    for name in ("feature_winsorize", "quality_quantile_filter"):
+        p = _plan(spark, sf_dir, name)
+        # raw-row ranking would appear as cume_dist/row_number over
+        # partitioning(lang) directly above the parquet scan; the
+        # histogram plan instead shows a two-phase HashAggregate on
+        # (lang, n_chars) first
+        assert p.count("HashAggregate") >= 2, name
+        assert "cume_dist" not in p, name
+
+
+def test_per_group_sample_ranks_salted_first(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sample_per_group")
+    assert "__salt" in p  # salted pre-prune window exists

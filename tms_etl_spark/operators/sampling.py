@@ -79,19 +79,18 @@ def quantile_threshold_filter(
     ``kept = metric >= cutoff`` — i.e. drop the bottom ``p`` of each
     group by the metric.
 
-    Plan: one window exchange on the group key to rank the metric,
-    collapsed to a #groups-row cutoff table that broadcasts back —
-    the second pass over the corpus is map-only. cume_dist is exact
-    integer-ratio arithmetic, so the cutoff is engine-exact (no
-    percentile interpolation conventions involved).
+    Plan: exact group quantiles WITHOUT ranking raw rows by group — a
+    ``cume_dist OVER (PARTITION BY group)`` window funnels each whole
+    group through one reducer, which dies at 100 TB when groups are
+    few (5 languages!). Instead the cutoffs come from the value
+    histogram: one map-side-combined count per (group, value) — tiny
+    output for any discrete metric — then cume_dist arithmetic runs
+    on the histogram itself (cumulative count / group total, exact
+    integer ratios, identical to row-level cume_dist by definition).
+    The #groups-row cutoff table broadcasts back; the corpus is never
+    shuffled by the group key at all.
     """
-    w = Window.partitionBy(group_col).orderBy(metric_col)
-    cuts = (
-        df.withColumn("__cd", F.cume_dist().over(w))
-        .where(F.col("__cd") >= p)
-        .groupBy(group_col)
-        .agg(F.min(metric_col).alias("cutoff"))
-    )
+    cuts = _histogram_cutoffs(df, metric_col, group_col, [("cutoff", p)])
     return df.join(F.broadcast(cuts), group_col).select(
         id_col,
         group_col,
@@ -101,36 +100,101 @@ def quantile_threshold_filter(
     )
 
 
+def _histogram_cutoffs(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    probes: list[tuple[str, float]],
+) -> DataFrame:
+    """Exact per-group quantile cutoffs from the (group, value) count
+    histogram: for each ``(alias, p)`` probe, the smallest value whose
+    cumulative row fraction reaches ``p`` — exactly the SQL
+    ``MIN(value) WHERE cume_dist >= p`` rule, computed on the
+    histogram (cume_dist(v) = #rows with metric <= v / #rows, which
+    is cumulative histogram count over group total).
+
+    The only shuffle of corpus-sized data is the map-side-combined
+    histogram aggregation keyed by (group, value) — balanced however
+    few groups there are; everything after runs on the histogram.
+    """
+    hist = df.groupBy(group_col, metric_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(metric_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(group_col)
+    cd = (F.sum("__n").over(w_cum) / F.sum("__n").over(w_tot)).alias("__cd")
+    with_cd = hist.select(group_col, metric_col, cd)
+    return with_cd.groupBy(group_col).agg(
+        *[
+            F.min(F.when(F.col("__cd") >= p, F.col(metric_col))).alias(alias)
+            for alias, p in probes
+        ]
+    )
+
+
 def epoch_shuffle(
-    df: DataFrame, id_col: str, epochs: list[int]
+    df: DataFrame, id_col: str, epochs: list[int], bucket_hex: int = 2
 ) -> DataFrame:
     """Reproducible per-epoch global shuffle: each (epoch, row) gets
-    ``shuffle_key = md5(id:epoch)`` and ``position = row_number()``
-    over that key within the epoch — an independent, deterministic
-    permutation per epoch with zero RNG state to checkpoint. Restarting
-    a crashed epoch re-derives the identical order from the data alone.
+    ``shuffle_key = md5(id:epoch)`` and ``position`` = its global rank
+    on that key within the epoch — an independent, deterministic
+    permutation per epoch with zero RNG state to checkpoint.
+    Restarting a crashed epoch re-derives the identical order from
+    the data alone.
 
-    Plan: the epoch list (tiny) cross-joins onto the corpus as a
-    broadcast-nested-loop fan-out (map-only), then ONE sort exchange
-    per output partition: Spark range-partitions the per-epoch sort,
-    so a 100 TB epoch is ordered across executors without any single
-    task holding it. The md5 tie space is 2^128 so `id` ordering is a
-    formality for exact-duplicate ids only.
+    A naive ``row_number() OVER (PARTITION BY epoch)`` funnels each
+    whole epoch through ONE reducer — dead at 100 TB. Instead the
+    global rank is computed bucketed: the first ``bucket_hex`` hex
+    chars of the key split each epoch into 16^bucket_hex
+    uniformly-loaded buckets; per-bucket local ranks run in parallel,
+    and each bucket's starting offset is the cumulative count of the
+    smaller buckets — a (epochs × buckets)-row aggregate that
+    broadcasts back. Identical output to the single-reducer form
+    (md5 is uniform, the bucket prefix IS the key's leading bytes, so
+    bucket order == key order), but the widest window partition is
+    1/256th (default) of an epoch, and the bucket count is a knob.
+
+    Plan: broadcast fan-out of the epoch list (map-only), one
+    map-side-combined count per (epoch, bucket), one window exchange
+    on (epoch, bucket), one broadcast join for the offsets.
     """
     spark = df.sparkSession
     ep = spark.createDataFrame([(int(e),) for e in epochs], ["epoch"])
     key = F.md5(
         F.concat_ws(":", F.col(id_col).cast("string"), F.col("epoch").cast("string"))
     )
-    w = Window.partitionBy("epoch").orderBy("shuffle_key", id_col)
-    return (
+    keyed = (
         df.select(id_col)
         .crossJoin(F.broadcast(ep))
         .withColumn("shuffle_key", key)
+        .withColumn("bucket", F.substring("shuffle_key", 1, bucket_hex))
+    )
+    counts = keyed.groupBy("epoch", "bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch",
+        "bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_local = Window.partitionBy("epoch", "bucket").orderBy("shuffle_key", id_col)
+    return (
+        keyed.join(F.broadcast(offsets), ["epoch", "bucket"])
         .select(
             "epoch",
             id_col,
-            F.row_number().over(w).cast("long").alias("position"),
+            (F.row_number().over(w_local) + F.col("__offset"))
+            .cast("long")
+            .alias("position"),
         )
     )
 
@@ -161,23 +225,38 @@ def weighted_sample(
 
 
 def per_group_sample(
-    df: DataFrame, group_col: str, id_col: str, k: int
+    df: DataFrame, group_col: str, id_col: str, k: int, n_salts: int = 64
 ) -> DataFrame:
     """Deterministic k-per-group sample: within each group, keep the
     ``k`` rows with the smallest md5-uniform draw — a reproducible
     stand-in for per-group reservoir sampling (same marginal
     behavior: each group member equally likely, exactly min(k, n)
-    survivors per group) with no RNG state. One window exchange on
-    the group key; at 100 TB that single shuffle is the floor for any
-    exact per-group-k guarantee (sampleBy's Bernoulli rates only hit
-    k in expectation)."""
-    w = Window.partitionBy(group_col).orderBy(
-        _uniform(id_col).asc(), F.col(id_col).asc()
+    survivors per group) with no RNG state; sampleBy's Bernoulli
+    rates only hit k in expectation.
+
+    Low-cardinality groups (5 languages) make a plain per-group
+    window one-reducer-per-group, so the exact top-k runs two-phase:
+    rank within (group, salt) first — ``n_salts`` uniformly-loaded
+    window partitions per group — keep each salt's k best (the global
+    k best are necessarily among them), then the exact rank touches
+    only ≤ n_salts·k candidate rows per group. Corpus-sized data
+    shuffles once, on the salted key."""
+    u = _uniform(id_col)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
     )
+    w_local = Window.partitionBy(group_col, "__salt").orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    candidates = (
+        salted.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= k)
+    )
+    w_final = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        candidates.withColumn("__rk", F.row_number().over(w_final))
         .where(F.col("__rk") <= k)
-        .drop("__rk")
+        .drop("__rk", "__lrk", "__salt")
     )
 
 
@@ -197,18 +276,12 @@ def winsorize_normalize(
     exact integer-valued doubles, so it is engine-exact; degenerate
     bands (lo == hi) normalize to 0.0.
 
-    Plan: one window exchange on the group key for the two cutoffs
-    (both ranks share it), collapsed to a #groups-row table that
-    broadcasts back over a map-only second pass."""
-    w = Window.partitionBy(group_col).orderBy(metric_col)
-    cd = F.cume_dist().over(w)
-    cuts = (
-        df.withColumn("__cd", cd)
-        .groupBy(group_col)
-        .agg(
-            F.min(F.when(F.col("__cd") >= p_lo, F.col(metric_col))).alias("lo"),
-            F.min(F.when(F.col("__cd") >= p_hi, F.col(metric_col))).alias("hi"),
-        )
+    Plan: both cutoffs come from one (group, value) histogram pass
+    (see ``_histogram_cutoffs`` — no corpus-sized window partitioned
+    by the low-cardinality group key), collapsed to a #groups-row
+    table that broadcasts back over a map-only second pass."""
+    cuts = _histogram_cutoffs(
+        df, metric_col, group_col, [("lo", p_lo), ("hi", p_hi)]
     )
     clipped = F.least(F.greatest(F.col(metric_col), F.col("lo")), F.col("hi"))
     norm = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
