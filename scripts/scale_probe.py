@@ -35,6 +35,12 @@ DEFAULT_QUERIES = [
     "text_winnow_fingerprint",
     "stream_interval_join",
     "quality_profile",
+    # round-3 batch 4/5 heavyweights: global ordering, pre-agg join,
+    # histogram quantiles, sessionization
+    "epoch_shuffle",
+    "q18_large_volume",
+    "feature_winsorize",
+    "events_sessionize",
 ]
 
 KEY_OFFSETS = {

@@ -407,3 +407,42 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sessionize(ev, gap_minutes=30)
+
+
+@query(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS avg,
+           MIN(o_totalprice) AS min,
+           MAX(o_totalprice) AS max
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-customer rollup is built
+    as BASE states (orders before 1997-07-01) merged with a DELTA
+    batch (the rest) — never a recompute over raw history — and the
+    gate proves the merged result bit-identical to DuckDB's full
+    GROUP BY over everything, which is the defining IVM invariant.
+    All states are commutative monoids, sums decimal-exact, avg one
+    IEEE division at finalization (`operators/ivm.py`)."""
+    from tms_etl_spark.operators.ivm import (
+        aggregate_states,
+        finalize,
+        merge_states,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    base = aggregate_states(
+        o.where(F.col("o_orderdate") < cut), ["o_custkey"], "o_totalprice"
+    )
+    delta = aggregate_states(
+        o.where(F.col("o_orderdate") >= cut), ["o_custkey"], "o_totalprice"
+    )
+    return finalize(merge_states(base, delta, ["o_custkey"]), ["o_custkey"])

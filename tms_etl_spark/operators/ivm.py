@@ -1,0 +1,71 @@
+"""Incremental view maintenance for aggregate rollups.
+
+Reference analog: the reference recomputes its per-month summaries
+from scratch on every import (main_01.py's full-table SELECT +
+re-insert loop); at 100 TB a materialized rollup must instead absorb
+a delta batch in O(delta). The standard trick: store the rollup as
+*partial aggregate states* (sum, count, min, max — all commutative
+monoids), then maintenance is ``union(base_states, delta_states) →
+re-aggregate by key`` and finalization (avg = sum/count) happens at
+read time. This is exactly Spark's own partial/final HashAggregate
+contract, lifted to table granularity — so the merged result is
+bit-identical to a full recompute by construction (decimal-exact
+sums are order-independent).
+
+Deletes/updates ride the same path with negated contributions
+(count = -1, sum = -x), the classic "delta stream" encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# State columns a rollup table carries per key. Extend as needed —
+# any commutative-monoid state merges the same way.
+_MERGE_RULES = {
+    "cnt": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def aggregate_states(
+    df: DataFrame, keys: list[str], value_col: str, dec: str = "decimal(18,4)"
+) -> DataFrame:
+    """Collapse raw rows to per-key partial states (one row per key):
+    cnt, decimal-exact sum, min, max over ``value_col``."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(v.cast(dec)).alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def merge_states(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Absorb a delta-batch state table into the base rollup:
+    union + one re-aggregation on the key. Cost is O(base keys +
+    delta keys) — the raw history is never touched. Because every
+    state is a commutative monoid and the sum is decimal-exact, the
+    result is bit-identical to recomputing from all raw rows."""
+    merged = base.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        *[rule(c).alias(c) for c, rule in _MERGE_RULES.items()]
+    )
+
+
+def finalize(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time finalization: expose the derived metrics (avg =
+    sum/cnt as one IEEE division of exact operands)."""
+    return states.select(
+        *keys,
+        F.col("cnt").cast("long").alias("n"),
+        F.col("sum").cast("double").alias("total"),
+        (F.col("sum").cast("double") / F.col("cnt")).alias("avg"),
+        "min",
+        "max",
+    )
