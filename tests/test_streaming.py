@@ -256,3 +256,55 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
         for r in spark.sql("SELECT * FROM ssij").collect()
     }
     assert got == expected
+
+
+def test_stream_interval_left_outer_bounded_and_sound(
+    spark, sf_dir, events_stream_dir
+):
+    """Left-outer stream-stream interval join: Spark only accepts the
+    query if the state bound is provable (watermark + time-bounded
+    condition — analysis fails otherwise, so a green start IS the
+    contract check). Soundness: every emitted row must appear in the
+    batch left-outer result; every MATCHED pair must be emitted even
+    in one availableNow pass (outer NULLs may lawfully be withheld
+    until a later watermark advance)."""
+    from tms_etl_spark.streaming.incremental import interval_join
+
+    batch_src = spark.read.parquet(events_stream_dir)
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("l_ts")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("r_ts")
+        )
+        return clicks, purchases
+
+    bc, bp = split(batch_src)
+    batch_rows = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in interval_join(bc, bp, how="left_outer").collect()
+    }
+    assert any(r[2] is None for r in batch_rows)  # real unmatched side
+    matched = {r for r in batch_rows if r[2] is not None}
+
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(
+        events_stream_dir
+    )
+    sc, sp_ = split(stream_src)
+    q = (
+        interval_join(sc, sp_, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("ssij_left")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM ssij_left").collect()
+    }
+    assert matched <= got
+    assert got <= batch_rows

@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     # bloom membership) — first driver evidence needed
     "events_sessionize", "sample_per_group", "feature_winsorize",
     "sketch_bloom_membership", "ivm_incremental_agg",
+    "stream_interval_join_left",
     # --- changed this round (multimodal oracles + codec seam; ANN
     # agreement oracles; deterministic clusters; non-vacuous anti
     # join; expectations null-key struct fix) + never-sampled ---
@@ -96,7 +97,7 @@ _DRIVER_PRIORITY = [
     # aggregate refreshers (the rest of the r01-evidenced set was
     # re-verified by the judge's r02 driver_sim run and is unchanged —
     # dropped to hold the window at 50)
-    "agg_sum_avg_min_max", "agg_rollup",
+    "agg_sum_avg_min_max",
     # corpus filters (NEW this round — need first driver evidence)
     "text_gopher_quality", "text_repetition_filter",
     "text_pii_redact", "text_chunk_tokens",

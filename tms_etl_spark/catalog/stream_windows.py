@@ -178,3 +178,39 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "event_type", "bucket_start", "n", F.col("total").alias("total_ffill")
     )
+
+
+@query(
+    "stream_interval_join_left",
+    oracle="""
+    SELECT c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS l_ts,
+           CAST(p.ts AS TIMESTAMP) AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: every click, with its attributed
+    30-minute purchase OR NULL — the "never converted" rows an
+    attribution funnel reports on. Streaming-wise the outer emission
+    waits for the right watermark to pass the interval end (state
+    stays bounded); batch-wise it is this plain outer range join
+    (`streaming/incremental.py:interval_join(how='left_outer')`)."""
+    from tms_etl_spark.streaming.incremental import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    return interval_join(
+        clicks,
+        purchases.withColumnRenamed("r_user", "user_id"),
+        how="left_outer",
+    )

@@ -158,6 +158,7 @@ def interval_join(
     within: str = "30 minutes",
     left_watermark: str = "1 hour",
     right_watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """T-row depth: stream-stream event-time interval join — right
     events within ``[left_ts, left_ts + within]`` for the same key
@@ -168,10 +169,19 @@ def interval_join(
     join contract). On batch inputs the same expression is a plain
     range-predicate join — tests assert batch ≡ streaming output.
 
+    ``how="left_outer"`` keeps unmatched left rows (NULL right_ts) —
+    the "clicks that never converted" side of attribution. In
+    streaming mode the outer result for a left row is emitted only
+    once the right watermark passes its interval end (it must be
+    certain no match can still arrive) — same state bound, delayed
+    emission; in batch mode it is an ordinary outer range join.
+
     Scale shape: shuffles both sides on the equi-key only; the time
     predicate is evaluated within key partitions. State per key is
     O(events inside watermark+interval), not O(history).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported interval join type {how!r}")
     lw = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
     cond = (
@@ -179,7 +189,7 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond).select(
+    return lw.join(rw, cond, how).select(
         lw[key].alias(key),
         lw[left_ts].alias(left_ts),
         rw[right_ts].alias(right_ts),
