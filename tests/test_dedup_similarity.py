@@ -182,20 +182,31 @@ def test_multiprobe_lsh_topk_recall(spark, emb_with_dups):
 
 
 def test_cosine_topk_agrees_with_exact_catalog_form(spark, sf_dir):
+    """The catalog entry now computes the fold-vs-decimal agreement
+    in-query (the driver-pinned invariant); here we assert the
+    booleans actually hold, and separately that the raw operator's
+    top-k scores agree with the exact twin's."""
     from tms_etl_spark.catalog import QUERIES, load_all
 
     load_all()
+    row = QUERIES["sim_cosine_topk"](spark, sf_dir).head()
+    assert row["n_corpus"] > 0
+    assert row["topk_ids_ok"] and row["topk_cos_ok"]
+
+    from tms_etl_spark.operators.similarity import cosine_topk
+    from tms_etl_spark.sources.tables import load_table as lt
+
+    emb = lt(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in qrow["embedding"]]
     fast = {
         r["vec_id"]: r["cos_sim"]
-        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+        for r in cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=10).collect()
     }
     exact = {
         r["vec_id"]: r["cos_sim"]
         for r in QUERIES["sim_cosine_topk_exact"](spark, sf_dir).collect()
     }
-    # the two forms rank by floats differing in the last ulps, so the
-    # k-th boundary may swap; require near-total agreement and close
-    # values on the intersection
     common = set(fast) & set(exact)
     assert len(common) >= 9
     for k in common:

@@ -28,6 +28,32 @@ def events_stream_dir(spark, sf_dir, tmp_path):
     return out
 
 
+def test_loader_event_time_is_timestamp(spark, sf_dir, tmp_path):
+    """Regression: the loader seam must hand every consumer a plain
+    TIMESTAMP event-time column, whatever the parquet's physical
+    encoding (nanos-as-long OR timestamp[us] without UTC adjustment,
+    which Spark reads as TIMESTAMP_NTZ). NTZ breaks ``unix_micros``
+    (funnel/sessionize) and ``withWatermark`` (T3-T6) — this test
+    fails if the ``normalize_event_time`` cast is ever removed."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from tms_etl_spark.sources.tables import normalize_event_time
+
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+
+    # and the seam itself repairs a synthetic NTZ frame (what a
+    # regenerated testdata drop would produce)
+    ntz = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts, 1 AS k")
+    assert isinstance(ntz.schema["ts"].dataType, TimestampNTZType)
+    fixed = normalize_event_time(ntz)
+    assert isinstance(fixed.schema["ts"].dataType, TimestampType)
+    # watermark is accepted post-normalization (the T3 contract)
+    tumbling_counts(fixed.withColumn("event_type", F.lit("x")).withColumn(
+        "value", F.lit(1.0)
+    )).collect()
+
+
 def test_stream_import_merges_and_is_idempotent(spark, tmp_path):
     lake = tmp_path / "lake" / "2024-01" / "daily"
     lake.mkdir(parents=True)

@@ -91,14 +91,47 @@ def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_cosine_topk")  # fold-order float sums: engine-specific ulps → rows-only
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT {_K} AS k,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id <> {_QUERY_VEC_ID}) AS BIGINT) AS n_corpus,
+           TRUE AS topk_ids_ok,
+           TRUE AS topk_cos_ok
+    """,
+)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production brute-force ANN baseline: zip_with/aggregate fold
     per row (no explode, no pre-top-k shuffle; TakeOrdered finishes).
-    Agreement with the exact form is asserted in tests."""
+
+    Oracle strategy (the agreement pattern proven on the other four
+    ANN entries): the fold's float sums are order-dependent, so raw
+    scores have engine-specific ulps and no DuckDB twin. The per-SF
+    driver-pinned invariant, computed in-query: the fold's top-k over
+    the FULL corpus equals the decimal-exact top-k (`_exact_rerank`,
+    the same arithmetic `sim_cosine_topk_exact` hash-matches against
+    DuckDB) — same ids, scores within 1e-6; the oracle recomputes the
+    corpus size and pins the booleans TRUE."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    return cosine_topk(emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, k=_K)
+    rest = emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+    ann = cosine_topk(rest, qv, k=_K).withColumnRenamed("cos_sim", "cos_ann")
+    exact = _exact_rerank(rest, qv, _K)
+    cmp = exact.join(ann, "vec_id", "full")
+    summary = cmp.agg(
+        F.count(
+            F.when(F.col("cos_ann").isNull() | F.col("cos_exact").isNull(), 1)
+        ).alias("miss"),
+        F.max(F.abs(F.col("cos_ann") - F.col("cos_exact"))).alias("maxdiff"),
+    )
+    n_corpus = rest.agg(F.count("*").alias("n_corpus"))
+    return n_corpus.crossJoin(summary).select(
+        F.lit(_K).alias("k"),
+        "n_corpus",
+        (F.col("miss") == 0).alias("topk_ids_ok"),
+        (F.coalesce(F.col("maxdiff"), F.lit(0.0)) <= 1e-6).alias("topk_cos_ok"),
+    )
 
 
 def _exact_rerank(sub: DataFrame, query_vec: list[float], k: int) -> DataFrame:

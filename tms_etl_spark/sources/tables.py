@@ -47,8 +47,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return normalize_event_time(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Coerce a TIMESTAMP_NTZ event-time column to TIMESTAMP.
+
+    Parquet written with ``timestamp[us]`` and no UTC-adjustment flag
+    reads back as TIMESTAMP_NTZ, which breaks ``unix_micros`` and
+    ``withWatermark`` (event time must be TIMESTAMP). The session tz
+    is pinned UTC above, so the cast is a deterministic relabel, not
+    a wall-clock shift. Applied at the loader seam once so every
+    downstream operator (funnel, sessionize, streaming watermarks)
+    sees a uniform event-time type.
+    """
+    if ts_col in df.columns:
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from tms_etl_spark.operators.merge import upsert_guarded
+from tms_etl_spark.sources.tables import normalize_event_time
 from tms_etl_spark.tms.quality import is_tear_desligado
 from tms_etl_spark.tms.schema import MERGE_KEYS, RAW_SCHEMA, with_types
 from tms_etl_spark.tms.source import arity_filter
@@ -111,6 +112,7 @@ def tumbling_counts(
 ) -> DataFrame:
     """T4: tumbling event-time window aggregate (works identically on
     a batch or streaming frame; streaming adds the watermark bound)."""
+    events = normalize_event_time(events, ts_col)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return src.groupBy(F.window(ts_col, window), key).agg(
         F.count("*").alias("n"),
@@ -127,6 +129,7 @@ def session_counts(
 ) -> DataFrame:
     """T5: session windows (gap-based). In streaming, state per open
     session bounded by the watermark."""
+    events = normalize_event_time(events, ts_col)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return src.groupBy(F.session_window(ts_col, gap), key).agg(
         F.count("*").alias("n_events")
@@ -139,6 +142,7 @@ def dedup_stream(
     """T6: stateful dedup — first occurrence wins within the
     watermark horizon (the streaming analog of the desligado
     first-write-wins guard)."""
+    events = normalize_event_time(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
@@ -182,6 +186,8 @@ def interval_join(
     """
     if how not in ("inner", "left_outer"):
         raise ValueError(f"unsupported interval join type {how!r}")
+    left = normalize_event_time(left, left_ts)
+    right = normalize_event_time(right, right_ts)
     lw = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
     cond = (
