@@ -32,12 +32,21 @@ def _production_overrides():
     from tms_etl_spark.operators.dedup import minhash_lsh_pairs
     from tms_etl_spark.operators.graph import dedup_clusters
     from tms_etl_spark.operators.ivf import ivf_topk
-    from tms_etl_spark.operators.similarity import embedding_neardup_pairs
+    from tms_etl_spark.operators.similarity import (
+        cosine_topk,
+        embedding_neardup_pairs,
+    )
     from tms_etl_spark.sources.tables import load_table
 
     def neardup_lsh(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         return embedding_neardup_pairs(emb, threshold=0.35, n_planes=4)
+
+    def cosine(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+        qv = [float(x) for x in row["embedding"]]
+        return cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
 
     def ivf(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
@@ -56,6 +65,7 @@ def _production_overrides():
         "sim_neardup_pairs_lsh": neardup_lsh,
         "sim_ivf_topk": ivf,
         "dedup_clusters": clusters,
+        "sim_cosine_topk": cosine,
     }
 
 
@@ -110,7 +120,7 @@ def main() -> None:
     # comparison conflated a warm-up methodology change with real
     # speedups). "queries" carries best-of-N (the headline number);
     # medians ride along for run-variance visibility.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     overrides = _production_overrides()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

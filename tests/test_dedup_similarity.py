@@ -42,6 +42,37 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
     assert recall >= 0.9, f"LSH recall {recall} too low"
 
 
+def test_minhash_lsh_hot_bucket_bounded(spark):
+    """A degenerate corpus — 5k IDENTICAL docs — lands every doc in
+    the same band-buckets. Uncapped, that is C(5000,2) ≈ 12.5M pairs
+    per band; with the per-bucket cap the pair count must be linear
+    (star over the overflow + all-pairs over the cap head) and the
+    component must stay fully connected through the representative."""
+    n = 5000
+    cap = 64
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document text repeated verbatim many times over").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket_docs=cap)
+    cnt = pairs.count()
+    # bound: C(cap,2) + (n - cap) per bucket family; identical docs
+    # share every band, so buckets coincide → one bucket's worth
+    assert cnt <= cap * (cap - 1) // 2 + (n - cap), cnt
+    # connectivity: every doc appears in at least one pair, and all
+    # pairs are perfect-match signatures
+    touched = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d")).distinct()
+    assert touched.count() == n
+    assert pairs.where(F.col("est_jaccard") < 1.0).count() == 0
+    # single connected component via the star links
+    from tms_etl_spark.operators.graph import dedup_clusters
+
+    comp = dedup_clusters(pairs)
+    assert comp.select("keeper_doc_id").distinct().count() == 1
+
+
 def test_minhash_estimate_tracks_true_jaccard(spark, docs_with_dups):
     est = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]

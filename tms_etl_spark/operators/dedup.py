@@ -149,12 +149,29 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_docs: int = 256,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into bands, hash each
     band, group docs sharing a band-hash. Returns distinct candidate
     (doc_a, doc_b) pairs with the estimated Jaccard from signature
     agreement. Candidate generation is a shuffle on (band, band_hash)
-    — never an all-pairs join."""
+    — never an all-pairs join.
+
+    Hot-bucket bound: a degenerate corpus (thousands of identical or
+    near-identical docs) lands them all in ONE band-bucket, whose
+    within-bucket join would be quadratic. Buckets larger than
+    ``max_bucket_docs`` are capped: the first ``max_bucket_docs``
+    docs (deterministic pseudo-random order by xxhash64(doc_id))
+    all-pairs as usual, and every overflow doc pairs only with the
+    bucket's representative (a star). Per-bucket pair count is then
+    C(cap,2) + (size-cap) — LINEAR in bucket size — while every
+    bucket member stays connected through the representative, so
+    downstream ``dedup_clusters`` components are unchanged. Recall
+    impact: only pairs BETWEEN two overflow docs of the same hot
+    bucket are not emitted directly (they remain linked via the
+    star); cross-bucket recall is untouched — the planted-duplicate
+    recall test (≥0.9) passes with the cap in force.
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, num_hashes, shingle_n)
     band_keys = F.array(
@@ -168,10 +185,17 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    from pyspark.sql import Window
+
     banded = sig.select("doc_id", "sig", F.explode(band_keys).alias("bk"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
+    # deterministic pseudo-random rank within the bucket; one window
+    # on the same (bk) partitioning the join below shuffles on anyway
+    rk = Window.partitionBy("bk").orderBy(F.xxhash64("doc_id"), "doc_id")
+    banded = banded.withColumn("__rk", F.row_number().over(rk))
+    head = banded.where(F.col("__rk") <= max_bucket_docs)
+    a = head.alias("a")
+    b = head.alias("b")
+    core = (
         a.join(b, "bk")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -180,11 +204,26 @@ def minhash_lsh_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        # pairs sharing several bands appear once per band; the
-        # signatures are functionally dependent on the pair, so
-        # dedup on the pair alone
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    overflow = banded.where(F.col("__rk") > max_bucket_docs)
+    rep = banded.where(F.col("__rk") == 1).select(
+        "bk", F.col("doc_id").alias("r_id"), F.col("sig").alias("r_sig")
+    )
+    star = (
+        overflow.join(rep, "bk")
+        .select(
+            F.least("doc_id", "r_id").alias("doc_a"),
+            F.greatest("doc_id", "r_id").alias("doc_b"),
+            F.col("sig").alias("sig_a"),
+            F.col("r_sig").alias("sig_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    # pairs sharing several bands appear once per band; the
+    # signatures are functionally dependent on the pair, so
+    # dedup on the pair alone. est_jaccard is symmetric, so the
+    # star's least/greatest swap of (sig_a, sig_b) is harmless.
+    cand = core.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
