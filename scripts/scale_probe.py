@@ -41,6 +41,11 @@ DEFAULT_QUERIES = [
     "q18_large_volume",
     "feature_winsorize",
     "events_sessionize",
+    # round-3 batch 5 + IVM: per-group reservoir, mergeable partials
+    "sample_per_group",
+    "ivm_incremental_agg",
+    # round-4: funnel shares sessionize's one-exchange shape
+    "events_funnel",
 ]
 
 KEY_OFFSETS = {
@@ -77,6 +82,13 @@ def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or DEFAULT_QUERIES
     catalog.load_all()
+    # The probe measures PRODUCTION operators, same as bench.py: a few
+    # catalog entries wrap their operator in the in-query agreement
+    # harness (bounded exact twins for the DuckDB oracle), whose fixed
+    # cost would swamp the scaling signal.
+    from bench import _production_overrides
+
+    overrides = _production_overrides()
     spark = get_spark(app_name="scale_probe")
     spark.range(1_000_000).groupBy((F.col("id") % 7)).count().write.format(
         "noop"
@@ -85,9 +97,8 @@ def main() -> None:
     # Per-query warm-up at 1×: codegen/compile cost otherwise lands
     # entirely on the 1× measurement and fakes a sub-linear curve.
     for n in names:
-        catalog.QUERIES[n](spark, base).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn = overrides.get(n) or catalog.QUERIES[n]
+        fn(spark, base).write.format("noop").mode("overwrite").save()
 
     # SCALE_MULTS extends the curve (e.g. "1,2,4,8"): the 8× point
     # separates fixed overhead (job submit, codegen, partition floor)
@@ -106,7 +117,8 @@ def main() -> None:
             best = float("inf")
             for _ in range(2):  # best-of-2: shields against GC blips
                 t0 = time.perf_counter()
-                catalog.QUERIES[n](spark, scaled_dir).write.format("noop").mode(
+                fn = overrides.get(n) or catalog.QUERIES[n]
+                fn(spark, scaled_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)

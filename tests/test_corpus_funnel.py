@@ -161,3 +161,70 @@ def test_profile_histogram_buckets(spark, sf_dir):
     buckets = {r["bucket"] for r in rows}
     for s in sample:
         assert math.floor(s["l_extendedprice"] / 5000.0) in buckets
+
+
+def test_ngram_lm_counts_matches_python(spark, sf_dir):
+    """Bigram/context/continuation counts vs a plain-Python
+    recomputation over the whole documents table."""
+    from tms_etl_spark.operators.corpus import ngram_lm_counts
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    pair: Counter = Counter()
+    for t in docs.values():
+        toks = re.split(r"\s+", t.strip().lower())
+        for a, b in zip(toks, toks[1:]):
+            pair[(a, b)] += 1
+    ctx: Counter = Counter()
+    cont: Counter = Counter()
+    for (a, b), c in pair.items():
+        ctx[a] += c
+        cont[b] += 1
+
+    out = ngram_lm_counts(
+        load_table(spark, sf_dir, "documents"), n=2
+    ).collect()
+    assert len(out) == len(pair)
+    for r in out:
+        k = (r["context"], r["word"])
+        assert r["ngram_count"] == pair[k], k
+        assert r["context_count"] == ctx[r["context"]]
+        assert r["continuation_count"] == cont[r["word"]]
+
+
+def test_ngram_lm_counts_trigram_form(spark):
+    """General n: trigram context is the first two tokens joined."""
+    from tms_etl_spark.operators.corpus import ngram_lm_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    rows = {
+        (r["context"], r["word"]): r
+        for r in ngram_lm_counts(df, n=3).collect()
+    }
+    assert rows[("a b", "c")]["ngram_count"] == 2
+    assert rows[("a b", "d")]["ngram_count"] == 1
+    assert rows[("a b", "c")]["context_count"] == 3  # a-b seen 3x total
+    # "c" follows 2 distinct contexts: "a b" and "b c"→? no: contexts
+    # ending in c: ("a b", c) and ("c a" has word b)... recompute:
+    # trigrams: (a b, c) x2, (b c, a), (c a, b), (a b, d)
+    assert rows[("a b", "c")]["continuation_count"] == 1  # c only after "a b"
+
+
+def test_subword_vocab_topk_planted(spark):
+    from tms_etl_spark.operators.corpus import subword_vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "zzzz zzzz yy"), (2, "zzzz xq")], "doc_id long, text string"
+    )
+    # char-3-grams: zzzz -> zzz, zzz (2 per occurrence; 3 occurrences
+    # -> 6); yy -> yy (short word whole); xq -> xq
+    out = subword_vocab_topk(df, k=10, n=3).collect()
+    ranked = sorted(out, key=lambda r: r["vocab_rank"])
+    assert ranked[0]["gram"] == "zzz" and ranked[0]["cnt"] == 6
+    grams = {r["gram"]: r["cnt"] for r in out}
+    assert grams["yy"] == 1 and grams["xq"] == 1
+    assert [r["vocab_rank"] for r in ranked] == list(range(1, len(ranked) + 1))

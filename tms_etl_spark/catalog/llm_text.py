@@ -391,3 +391,72 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_digest(d, k=_WINNOW_K, w=_WINNOW_W, prefix=_WINNOW_B)
+
+
+@query(
+    "ngram_lm_counts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+        WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+    ), g AS (
+        SELECT t[CAST(i AS INTEGER)] AS context,
+               t[CAST(i AS INTEGER) + 1] AS word
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ), pair AS (
+        SELECT context, word, CAST(COUNT(*) AS BIGINT) AS ngram_count
+        FROM g GROUP BY context, word
+    ), ctx AS (
+        SELECT context, CAST(SUM(ngram_count) AS BIGINT) AS context_count
+        FROM pair GROUP BY context
+    ), cont AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS continuation_count
+        FROM pair GROUP BY word
+    )
+    SELECT p.context, p.word, p.ngram_count, c.context_count,
+           k.continuation_count
+    FROM pair p JOIN ctx c USING (context) JOIN cont k USING (word)
+    """,
+)
+def ngram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count tables (operators.corpus.ngram_lm_counts): the
+    Kneser-Ney sufficient statistics — (context, word) counts, context
+    totals, continuation counts — all exact longs. The vocabulary-
+    building / LM-scoring side of a training-data pipeline."""
+    from tms_etl_spark.operators.corpus import ngram_lm_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_lm_counts(d, n=2)
+
+
+@query(
+    "subword_vocab_topk",
+    oracle=r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ), grams AS (
+        SELECT substr(w, CAST(i AS INTEGER), 3) AS gram
+        FROM (SELECT w FROM words WHERE w <> '') s,
+             LATERAL unnest(generate_series(1, greatest(length(w) - 2, 1)))
+               AS u(i)
+    ), counts AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram
+    ), ranked AS (
+        SELECT gram, cnt,
+               row_number() OVER (ORDER BY cnt DESC, gram ASC) AS vocab_rank
+        FROM counts
+    )
+    SELECT CAST(vocab_rank AS INTEGER) AS vocab_rank, gram, cnt
+    FROM ranked WHERE vocab_rank <= 100
+    """,
+)
+def subword_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 character-trigram subword vocabulary candidates
+    (operators.corpus.subword_vocab_topk) with the BPE short-word
+    convention and a deterministic (cnt DESC, gram ASC) tie-break."""
+    from tms_etl_spark.operators.corpus import subword_vocab_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return subword_vocab_topk(d, k=100, n=3)

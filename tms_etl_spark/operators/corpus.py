@@ -155,6 +155,94 @@ def inverted_index(
     )
 
 
+def ngram_lm_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram language-model count tables — the sufficient statistics
+    of Kneser-Ney / Stupid-Backoff estimation over a corpus: for every
+    word ``n``-gram (context = first n-1 tokens, word = last), its
+    corpus count, the context's total count, and the word's
+    continuation count (distinct contexts it follows — the KN
+    numerator). All counts are exact longs, so the table is engine-
+    comparable bit-for-bit.
+
+    Plan: one explode to n-gram grain (map-side), ONE shuffle to the
+    (context, word) type grain; the two marginals are map-side-
+    combined aggregations OF THE TYPE TABLE (n-gram-type-sized, not
+    corpus-sized) joined back on their keys. At 100 TB the corpus is
+    touched once; everything after operates on the vocabulary-bounded
+    type table.
+    """
+    toks = F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)
+    gram_struct = (
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> struct(array_join(slice(__toks, i, {n - 1}), ' ') AS context, "
+        f"element_at(__toks, i + {n - 1}) AS word))"
+    )
+    grams = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select(F.explode(F.expr(gram_struct)).alias("g"))
+        .select("g.context", "g.word")
+    )
+    pair = grams.groupBy("context", "word").agg(
+        F.count("*").cast("long").alias("ngram_count")
+    )
+    ctx = pair.groupBy("context").agg(
+        F.sum("ngram_count").cast("long").alias("context_count")
+    )
+    cont = pair.groupBy("word").agg(
+        F.count("*").cast("long").alias("continuation_count")
+    )
+    return pair.join(ctx, "context").join(cont, "word").select(
+        "context", "word", "ngram_count", "context_count", "continuation_count"
+    )
+
+
+def subword_vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Subword vocabulary candidates: the ``k`` most frequent
+    character ``n``-grams over the corpus's words (a word shorter
+    than ``n`` characters contributes itself whole — the BPE
+    convention that short words are atomic tokens). Returns
+    (vocab_rank, gram, cnt) with the deterministic tie-break
+    (cnt DESC, gram ASC), so the selected set is reproducible on any
+    engine or partitioning.
+
+    Plan: explode words (map-side), explode char-grams (map-side,
+    bounded per word by its length), ONE map-side-combined count on
+    the gram key to a vocabulary-sized table, then TakeOrdered for
+    the top-k — no global sort of the corpus, and the final
+    row_number window runs over k rows only.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)).alias("w")
+    ).where(F.col("w") != "")
+    # sequence(1, greatest(length-n+1, 1)) degenerates to [1] for
+    # short words, and substring(w, 1, n) of a short word IS the word
+    grams = words.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(w) - {n - 1}, 1)), "
+                f"i -> substring(w, i, {n}))"
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").cast("long").alias("cnt"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return topk.withColumn(
+        "vocab_rank", F.row_number().over(w).cast("int")
+    ).select("vocab_rank", "gram", "cnt")
+
+
 def _doc_ngrams(
     df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
