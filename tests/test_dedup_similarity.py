@@ -353,3 +353,27 @@ def test_winnow_digest_single_shuffle(spark):
         winnow_digest(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_embedding_neardup_hot_bucket_bounded(spark):
+    """5k identical embeddings share every probe bucket; the star cap
+    must keep the pair count linear and the component connected."""
+    from tms_etl_spark.operators.similarity import embedding_neardup_pairs
+
+    n, cap = 5000, 64
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in base]).alias("embedding"),
+    )
+    pairs = embedding_neardup_pairs(
+        df, threshold=0.9, n_planes=4, n_probes=1, max_bucket_rows=cap
+    )
+    rows = pairs.collect()
+    # per distinct probed bucket the bound is C(cap,2)+(n-cap); after
+    # the pair-level dedup the union over buckets cannot exceed the
+    # per-bucket bound times the probe fan-out (1 + n_probes)
+    assert 0 < len(rows) <= (cap * (cap - 1) // 2 + (n - cap)) * 2
+    touched = {r["vec_a"] for r in rows} | {r["vec_b"] for r in rows}
+    assert touched == set(range(n))  # all connected via head or star
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-9 for r in rows)

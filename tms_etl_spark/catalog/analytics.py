@@ -446,3 +446,221 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderdate") >= cut), ["o_custkey"], "o_totalprice"
     )
     return finalize(merge_states(base, delta, ["o_custkey"]), ["o_custkey"])
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape (adapted: the synthetic lineitem has no
+    commitdate, so "late" = shipped after the order date): priority
+    counts of orders with at least one late lineitem. The EXISTS is a
+    LEFT SEMI join — the fact table never duplicates orders rows, and
+    the non-equi part of the condition rides the semi join. One
+    shuffle on the orderkey; the priority aggregation partial-combines
+    on a 5-value key."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    WITH s AS (
+        SELECT {sql_dsum8("CASE WHEN p.p_type LIKE 'PROMO%' THEN "
+                          "l.l_extendedprice * (1 - l.l_discount) "
+                          "ELSE 0 END", "promo_revenue")},
+               {sql_dsum8("l.l_extendedprice * (1 - l.l_discount)",
+                          "total_revenue")}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    )
+    SELECT promo_revenue, total_revenue,
+           promo_revenue / total_revenue * 100 AS promo_pct
+    FROM s
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: promotion revenue share over a shipdate
+    window. The part dim broadcasts; the conditional and total sums
+    ride ONE aggregation over the joined fact (no second pass); the
+    percentage is a single double divide+multiply of two exact
+    decimal sums — deterministic cross-engine."""
+    from tms_etl_spark.catalog.exact import dsum8
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum8(promo, "promo_revenue"),
+            dsum8(rev, "total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue") * 100).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10 AND p.p_brand <> 'Brand#45'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape (adapted: no partsupp table, so supplier
+    participation comes from lineitem): distinct suppliers per
+    (brand, type, size) excluding a complained-about supplier set.
+    The part dim and the exclusion list both broadcast (the NOT IN is
+    a broadcast ANTI join — never a shuffled subquery); the only fact
+    shuffle is the final distinct-count aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_brand") != "Brand#45")
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum8("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape (adapted to available columns): revenue under
+    an OR-of-ANDs predicate that mixes part and lineitem attributes.
+    The disjunction cannot fully push to either scan, but its
+    single-table residuals can (Catalyst extracts `p_brand IN (...)`
+    to the part side and quantity bounds to the fact side); the dim
+    broadcasts and the whole filter evaluates join-side in codegen —
+    the canonical "complex predicate, still one fact pass" shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    from tms_etl_spark.catalog.exact import dsum8
+
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(cond).agg(
+        dsum8(rev, "revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c, a
+    WHERE c.c_acctbal > a.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape (adapted: nationkey instead of phone country
+    code, and "dormant" = no order since 2000 — every synthetic
+    customer has SOME order, so the literal never-ordered form is
+    vacuous): well-funded customers gone quiet. Composes a scalar
+    subquery (the positive-balance average — broadcast as a 1-row
+    cross join, exact-sum so the threshold is bit-identical
+    cross-engine), an ANTI join against the date-filtered orders on
+    the customer key (the filter pushes to the orders scan before the
+    anti join shuffles), and an exact-sum aggregation by nation."""
+    from tms_etl_spark.catalog.exact import davg, dsum
+
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        dsum("c_acctbal", "total_acctbal"),
+    )

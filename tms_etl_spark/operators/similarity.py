@@ -196,6 +196,7 @@ def embedding_neardup_pairs(
     n_planes: int = 6,
     n_probes: int = 2,
     dim: int = 64,
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-restricted.
 
@@ -222,10 +223,18 @@ def embedding_neardup_pairs(
     found via several shared probe buckets and shuffles only
     (id, id, score) triples that already passed the threshold.
 
-    Hot-bucket caveat at scale: one task scores a whole bucket, so
-    ``n_planes`` must grow with corpus size to bound bucket width
-    (16 planes → 65k buckets); time per bucket is quadratic in its
-    width even though memory is not.
+    Hot-bucket bound: one task scores a whole bucket, so a degenerate
+    corpus (thousands of identical embeddings share every probe
+    bucket) would be quadratic in both time and emitted pairs.
+    Buckets wider than ``max_bucket_rows`` are star-capped, the same
+    discipline as ``minhash_lsh_pairs``: the first ``max_bucket_rows``
+    rows (deterministic vec_id order) all-pairs as usual, and every
+    overflow row scores only against the bucket's representative
+    (first row) — per-bucket work drops to O(cap² + (n−cap)·d) and
+    pairs to C(cap,2) + (n−cap), both linear in bucket size past the
+    cap, while every member stays connected through the
+    representative. ``n_planes`` still controls typical bucket width
+    (16 planes → 65k buckets); the cap is the adversarial backstop.
     """
     probed = df.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -233,6 +242,7 @@ def embedding_neardup_pairs(
         F.explode(probe_buckets(vec_col, n_planes, dim, n_probes)).alias("__bucket"),
     )
     thr = float(threshold)
+    cap = int(max_bucket_rows)
 
     def score_bucket(pdf):
         # self-contained closure: executors may lack the repo on path
@@ -249,6 +259,9 @@ def embedding_neardup_pairs(
         n = len(pdf)
         if n < 2:
             return empty
+        # deterministic order so the capped head is the same set on
+        # every run/partitioning
+        pdf = pdf.sort_values("vec_id")
         mat = np.stack(pdf["__emb"].to_numpy())
         ids = pdf["vec_id"].to_numpy().astype("int64")
         norms = np.linalg.norm(mat, axis=1)
@@ -256,9 +269,10 @@ def embedding_neardup_pairs(
         unit = mat / norms[:, None]
         out = [empty]
         block = 1024
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            sims = unit[s:e] @ unit.T  # (block, n)
+        head = min(n, cap)
+        for s in range(0, head, block):
+            e = min(s + block, head)
+            sims = unit[s:e] @ unit[:head].T  # (block, head)
             ia, ib = np.nonzero(sims >= thr)
             a_ids, b_ids = ids[s + ia], ids[ib]
             keep = a_ids < b_ids  # drops self-pairs and mirror dups
@@ -269,6 +283,18 @@ def embedding_neardup_pairs(
                         "vec_b": b_ids[keep],
                         "cos_sim": sims[ia[keep], ib[keep]],
                     }
+                )
+            )
+        if n > cap:
+            # star the overflow against the bucket representative:
+            # linear work, keeps every member connected
+            sims = unit[cap:] @ unit[0]  # (n-cap,)
+            hit = np.nonzero(sims >= thr)[0]
+            a_ids = np.minimum(ids[cap + hit], ids[0])
+            b_ids = np.maximum(ids[cap + hit], ids[0])
+            out.append(
+                pd.DataFrame(
+                    {"vec_a": a_ids, "vec_b": b_ids, "cos_sim": sims[hit]}
                 )
             )
         return pd.concat(out, ignore_index=True)
