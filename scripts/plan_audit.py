@@ -89,6 +89,32 @@ AUDIT = [
         "exact group quantiles from the (group, value) histogram — "
         "no corpus-sized window partitioned by the 5-value group key",
     ),
+    (
+        "q4_order_priority",
+        ["LeftSemi", "HashAggregate"],
+        "EXISTS compiles to LEFT SEMI (no orders duplication); the "
+        "non-equi shipdate predicate rides the semi join",
+    ),
+    (
+        "q19_disjunctive_revenue",
+        ["BroadcastHashJoin", "PushedFilters"],
+        "OR-of-ANDs across the join: single-table residuals extracted "
+        "and pushed to both scans, dim broadcast, one fact pass",
+    ),
+    (
+        "q22_dormant_customers",
+        ["LeftAnti", "PushedFilters"],
+        "scalar-subquery threshold broadcasts as a 1-row relation; "
+        "the dormancy date filter reaches the orders scan before the "
+        "anti join",
+    ),
+    (
+        "events_sessionize",
+        ["Window", "Exchange"],
+        "lag-flag-cumsum sessionization: both windows share ONE "
+        "user-key exchange (green again after the round-4 NTZ loader "
+        "fix)",
+    ),
 ]
 
 

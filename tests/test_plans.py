@@ -151,3 +151,60 @@ def test_group_quantiles_never_shuffle_corpus_by_group(spark, sf_dir):
 def test_per_group_sample_ranks_salted_first(spark, sf_dir):
     p = _plan(spark, sf_dir, "sample_per_group")
     assert "__salt" in p  # salted pre-prune window exists
+
+
+def test_q4_semi_join_no_duplication(spark, sf_dir):
+    """The EXISTS must compile to a LEFT SEMI join (orders rows never
+    duplicate) with the non-equi shipdate predicate riding it."""
+    p = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert p.count("HashAggregate") >= 2  # partial + final on priority
+
+
+def test_q14_single_fact_pass_broadcast_dim(spark, sf_dir):
+    """Conditional + total sums in ONE aggregation over the joined
+    fact; the part dim broadcasts; the shipdate window reaches the
+    lineitem scan."""
+    p = _plan(spark, sf_dir, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    # one aggregation pass (partial+final), not one per metric: the
+    # details section lists each distinct scan node once
+    scans = [
+        ln
+        for ln in p.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 2  # lineitem + part, each once
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q16_supplier_cnt")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q19_residual_predicates_push_to_scans(spark, sf_dir):
+    """The OR-of-ANDs can't fully push, but Catalyst must extract the
+    single-table residuals: brand/size bounds to the part scan,
+    quantity bounds to the lineitem scan."""
+    p = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+    scan_lines = [
+        ln for ln in p.splitlines() if "PushedFilters" in ln
+    ]
+    pushed = " ".join(scan_lines)
+    assert "l_quantity" in pushed  # fact-side residual reached the scan
+    assert "p_brand" in pushed or "p_size" in pushed  # dim-side residual
+
+
+def test_q22_threshold_broadcast_and_pushed_date(spark, sf_dir):
+    """The scalar average joins as a broadcast (1-row) relation — no
+    shuffle join anywhere — and the dormancy date filter reaches the
+    orders scan before the anti join."""
+    p = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
