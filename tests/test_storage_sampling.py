@@ -82,3 +82,37 @@ def test_hash_split_deterministic_and_proportional(spark, sf_dir):
     ma = {r["doc_id"]: r["split"] for r in a.select("doc_id", "split").collect()}
     mb = {r["doc_id"]: r["split"] for r in b.select("doc_id", "split").collect()}
     assert ma == mb
+
+
+def test_temperature_sample_flattens_mixture(spark, sf_dir):
+    """alpha=0.5 shares must sit between uniform and proportional:
+    rare classes get MORE than their frequency share, common classes
+    less; shares sum to 1; decisions are deterministic."""
+    import math
+
+    from tms_etl_spark.operators.sampling import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = temperature_sample(d, budget=300)
+    rows = out.collect()
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["lang"], r["share"])
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    sq_total = sum(math.sqrt(n) for n in counts.values())
+    assert abs(sum(by_class.values()) - 1.0) < 1e-9
+    for lang, share in by_class.items():
+        freq = counts[lang] / total
+        expect = math.sqrt(counts[lang]) / sq_total
+        assert abs(share - expect) < 1e-6
+        if freq < 1 / len(counts):
+            assert share > freq  # rare class upweighted
+        elif freq > 1 / len(counts):
+            assert share < freq  # common class downweighted
+    # deterministic: re-evaluation produces identical decisions
+    again = {(r["doc_id"], r["sampled"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["sampled"]) for r in rows}

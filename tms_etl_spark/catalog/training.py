@@ -337,3 +337,42 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_normalize(
         d, metric_col="n_chars", group_col="lang", p_lo=0.05, p_hi=0.95
     )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ), s AS (
+        SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS total
+        FROM c
+    ), r AS (
+        SELECT lang, n,
+               CAST(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,8))
+                    AS DOUBLE) / s.total AS share
+        FROM c, s
+    ), rr AS (
+        SELECT lang, share, least(1.0, (300.0 * share) / n) AS rate
+        FROM r
+    )
+    SELECT d.doc_id, d.lang, rr.share, rr.rate,
+           (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967295.0 < rr.rate) AS sampled
+    FROM documents d JOIN rr USING (lang)
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture sampling under a 300-doc
+    budget: shares derived from sqrt(class count) — rare languages
+    upweighted relative to their frequency, no explicit weight table
+    (`operators/sampling.py:temperature_sample`). sqrt is the one
+    power IEEE requires correctly rounded, and the share denominator
+    sums through DECIMAL, so rates (and thus every keep decision)
+    hash-match DuckDB exactly."""
+    from tms_etl_spark.operators.sampling import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_sample(d, budget=300)

@@ -66,6 +66,58 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    budget: int,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling at alpha = 0.5: class
+    shares proportional to sqrt(count) instead of count — the
+    multilingual-corpus trick (cf. XLM-R) that upweights rare
+    languages without an explicit weight table. ``mixture_sample``
+    takes the mix as an input; this derives it from the data.
+
+    alpha is FIXED at 0.5 because sqrt is the one power IEEE-754
+    requires to be correctly rounded — Spark and DuckDB agree
+    bit-for-bit, where a general ``pow(n, alpha)`` may differ in the
+    last ulp and flip a keep decision. The share denominator sums the
+    per-class sqrt through DECIMAL (exact, order-independent), so
+    every rate is a deterministic function of the class counts.
+
+    Plan: one map-side-combined count per class (#classes rows), a
+    1-row exact-decimal total, both broadcast back; the corpus is
+    map-only — same shape as ``mixture_sample``.
+    """
+    counts = df.groupBy(class_col).agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    # scale 8: sqrt(n) x 10^8 stays under 2^53 for any real corpus
+    # (n up to ~8e15 rows), keeping the decimal->double cast a single
+    # correctly-rounded conversion in both engines
+    sq = F.sqrt(F.col("__n").cast("double")).cast("decimal(28,8)")
+    total = counts.agg(F.sum(sq).cast("double").alias("__s"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", sq.cast("double") / F.col("__s"))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.col("share") / F.col("__n"),
+            ),
+        )
+        .select(class_col, "share", "rate")
+    )
+    return df.join(F.broadcast(rates), class_col).select(
+        id_col,
+        class_col,
+        "share",
+        "rate",
+        (_uniform(id_col) < F.col("rate")).alias("sampled"),
+    )
+
+
 def quantile_threshold_filter(
     df: DataFrame,
     metric_col: str,
