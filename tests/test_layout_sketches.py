@@ -105,3 +105,54 @@ def test_weighted_sample_matches_python_replay(spark):
         i for i, w in sorted(rows, key=lambda t: (u(t[0]) / t[1], t[0]))[:25]
     )
     assert got == expect
+
+
+def _xy2d_ref(bits, x, y):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    """Spark fold == classic xy2d walk on the full 64x64 grid; the
+    4096 keys are a permutation of 0..4095 (bijectivity) and every
+    consecutive pair of keys is grid-adjacent — the Hilbert locality
+    property Z-order lacks."""
+    from tms_etl_spark.operators.layout import hilbert_key
+
+    grid = (
+        spark.range(64)
+        .select(F.col("id").alias("x"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("y")))
+    )
+    rows = grid.select("x", "y", hilbert_key("x", "y", bits=6)).collect()
+    assert all(r["hvalue"] == _xy2d_ref(6, r["x"], r["y"]) for r in rows)
+    ds = sorted(r["hvalue"] for r in rows)
+    assert ds == list(range(4096))
+    pos = {r["hvalue"]: (r["x"], r["y"]) for r in rows}
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(4095)
+    )
+
+
+def test_hilbert_key_full_width_spot_check(spark):
+    """bits=16 (the catalog form) against the reference on scattered
+    points across the full 65536^2 domain."""
+    from tms_etl_spark.operators.layout import hilbert_key
+
+    pts = [(0, 0), (65535, 65535), (12345, 54321), (1, 65534), (40000, 7)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", hilbert_key("x", "y", bits=16)).collect()
+    for r in rows:
+        assert r["hvalue"] == _xy2d_ref(16, r["x"], r["y"]), (r["x"], r["y"])

@@ -44,3 +44,45 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zvalue", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+_H_CTE = None  # built lazily so the import stays cheap
+
+
+def _hilbert_oracle() -> str:
+    from tms_etl_spark.operators.layout import sql_hilbert_cte
+
+    inner = sql_hilbert_cte(
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem",
+        "l_partkey % 65536",
+        "l_suppkey % 65536",
+        bits=16,
+    )
+    return (
+        f"SELECT l_orderkey, l_linenumber, hvalue FROM ({inner})\n"
+        "ORDER BY hvalue, l_orderkey, l_linenumber LIMIT 100"
+    )
+
+
+@query("layout_hilbert_key", oracle=_hilbert_oracle())
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve key over (partkey, suppkey) — the
+    better-locality sibling of `layout_zorder_key`: consecutive keys
+    are always grid-adjacent, so clustered files carry tighter
+    min/max ranges on both dimensions
+    (`operators/layout.py:hilbert_key`). The Spark side folds the
+    bit-level walk with F.aggregate (linear expression tree); the
+    oracle runs the identical integer arithmetic as a chain of
+    per-level CTEs — bit-for-bit comparable."""
+    from tms_etl_spark.operators.layout import hilbert_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            hilbert_key(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536),
+        )
+        .orderBy("hvalue", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
