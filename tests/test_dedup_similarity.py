@@ -377,3 +377,31 @@ def test_embedding_neardup_hot_bucket_bounded(spark):
     touched = {r["vec_a"] for r in rows} | {r["vec_b"] for r in rows}
     assert touched == set(range(n))  # all connected via head or star
     assert all(abs(r["cos_sim"] - 1.0) < 1e-9 for r in rows)
+
+
+def test_sorted_neighborhood_boundary_and_count(spark):
+    """Pairs must cross prefix-bucket boundaries (global ranks, not
+    per-bucket), hit the exact n*w - w(w+1)/2 count, and match a
+    single-partition reference ranking."""
+    from tms_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # keys spanning buckets 'a'..'e' with bucket_chars=1
+    rows = [(i, chr(ord("a") + i // 4) + f"{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    w = 3
+    pairs = sorted_neighborhood_pairs(
+        df, F.col("k"), w=w, bucket_chars=1
+    ).collect()
+    n = len(rows)
+    assert len(pairs) == n * w - w * (w + 1) // 2
+    got = {(r["doc_a"], r["doc_b"], r["rank_gap"]) for r in pairs}
+    # reference: ranks are just doc_id order here (keys ascend with id)
+    expect = {
+        (a, a + d, d)
+        for a in range(n)
+        for d in range(1, w + 1)
+        if a + d < n
+    }
+    assert got == expect
+    # boundary pairs exist (doc 3 'a3' pairs with doc 4 'b0')
+    assert (3, 4, 1) in got

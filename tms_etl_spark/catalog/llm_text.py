@@ -460,3 +460,33 @@ def subword_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return subword_vocab_topk(d, k=100, n=3)
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=r"""
+    WITH r AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY substring(lower(trim(text)), 1, 16), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS INTEGER) AS rank_gap
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández/Stolfo): candidates =
+    pairs within 3 ranks of each other when sorted by the 16-char
+    text prefix (`operators/dedup.py:sorted_neighborhood_pairs`).
+    The engine computes the global rank bucketed (prefix buckets +
+    broadcast offsets — never one ORDER BY reducer); the oracle's
+    single-reducer row_number defines the same ranks, so the pair
+    sets hash-match."""
+    from tms_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 16)
+    return sorted_neighborhood_pairs(d, key, w=3)

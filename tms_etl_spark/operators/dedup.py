@@ -345,3 +345,67 @@ def winnow_digest(
         F.size(fps).cast("long").alias("n_fp"),
         F.md5(F.concat_ws("", fps)).alias("fp_digest"),
     ).select(F.col("__id").alias(id_col), "n_fp", "fp_digest")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col,
+    w: int = 3,
+    id_col: str = "doc_id",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández/Stolfo, SIGMOD 1995):
+    sort the corpus by a domain blocking key and emit every pair
+    within a sliding window of ``w`` ranks — the fourth candidate-
+    generation family next to MinHash banding, the df-cut token join
+    and winnowing. Output: (doc_a, doc_b, rank_gap) with doc_a the
+    lower-ranked id; pair count is exactly n·w − w(w+1)/2, LINEAR in
+    the corpus.
+
+    Scale shape: the global rank is computed BUCKETED (the
+    epoch_shuffle discipline — local ranks within a key-prefix bucket
+    plus broadcast cumulative offsets), never as one
+    ``row_number() OVER (ORDER BY key)`` reducer. The prefix bucket
+    preserves key order by construction; unlike the md5 case the
+    blocking key's distribution is domain-controlled, so
+    ``bucket_chars`` is the skew knob (more chars → more, smaller
+    buckets). Window pairs then come from an equi-join on
+    rank = rank + d for d in 1..w — a shuffle on the uniform rank
+    value, and pairs across bucket boundaries fall out for free
+    because ranks are global."""
+    key = key_col if not isinstance(key_col, str) else F.col(key_col)
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col), key.alias("__key")
+    ).withColumn("__bucket", F.substring("__key", 1, bucket_chars))
+    counts = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the offsets window is global but runs over the BUCKET-COUNT
+    # table (16^bucket_chars rows), not the corpus
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_local = Window.partitionBy("__bucket").orderBy("__key", id_col)
+    ranked = (
+        keyed.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            (F.row_number().over(w_local) + F.col("__offset"))
+            .cast("long")
+            .alias("__rn"),
+        )
+    )
+    ds = F.explode(F.array(*[F.lit(d) for d in range(1, w + 1)])).alias("__d")
+    probes = ranked.select(
+        F.col(id_col).alias("doc_a"), "__rn", ds
+    ).withColumn("__rn2", F.col("__rn") + F.col("__d"))
+    partners = ranked.select(
+        F.col(id_col).alias("doc_b"), F.col("__rn").alias("__rn2")
+    )
+    return probes.join(partners, "__rn2").select(
+        "doc_a", "doc_b", F.col("__d").cast("int").alias("rank_gap")
+    )
