@@ -490,3 +490,54 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     key = F.substring(F.lower(F.trim(F.col("text"))), 1, 16)
     return sorted_neighborhood_pairs(d, key, w=3)
+
+
+@query(
+    "dedup_fuzzy_pairs",
+    oracle=r"""
+    WITH r AS (
+        SELECT doc_id,
+               substring(lower(trim(text)), 1, 40) AS probe,
+               row_number() OVER (
+                   ORDER BY substring(lower(trim(text)), 1, 16), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.probe, b.probe) AS INTEGER) AS edit_dist
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+    WHERE levenshtein(a.probe, b.probe) <= 10
+    """,
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: sorted-neighborhood candidates scored
+    with Levenshtein edit distance on a 40-char probe, keeping pairs
+    within distance 10 — the record-linkage pipeline (block → compare
+    → match) in two relational steps. Edit distance is an exact
+    integer, so the whole result hash-matches cross-engine; the
+    candidate set is the SNM window (linear), never all-pairs, and
+    the O(len²) distance computation runs only on candidates."""
+    from tms_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 16)
+    probes = d.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("probe"),
+    )
+    cand = sorted_neighborhood_pairs(d, key, w=3).drop("rank_gap")
+    pa = probes.select(
+        F.col("doc_id").alias("doc_a"), F.col("probe").alias("__pa")
+    )
+    pb = probes.select(
+        F.col("doc_id").alias("doc_b"), F.col("probe").alias("__pb")
+    )
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn(
+            "edit_dist", F.levenshtein("__pa", "__pb").cast("int")
+        )
+        .where(F.col("edit_dist") <= 10)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

@@ -184,3 +184,155 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ok_no_false_negative"),
         )
     )
+
+
+# Theta k=2^14 → ~0.8% RSE on estimation mode; 5% is generous.
+_THETA_LG_K = 14
+_THETA_TOL = 0.05
+
+
+@query(
+    "sketch_theta_setops",
+    oracle="""
+    WITH r AS (SELECT DISTINCT l_partkey FROM lineitem
+               WHERE l_returnflag = 'R'),
+         a AS (SELECT DISTINCT l_partkey FROM lineitem
+               WHERE l_returnflag = 'A')
+    SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_r,
+           CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM r UNION
+                                       SELECT * FROM a)) AS BIGINT)
+             AS n_union,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM r INTERSECT
+                                       SELECT * FROM a)) AS BIGINT)
+             AS n_intersect,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM r EXCEPT
+                                       SELECT * FROM a)) AS BIGINT)
+             AS n_diff,
+           TRUE AS ok_union, TRUE AS ok_intersect, TRUE AS ok_diff
+    """,
+)
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA via Datasketches theta sketches —
+    the capability HLL lacks: |R ∩ A| and |R − A| of two key sets
+    from their kilobyte sketches alone, no re-scan. At 100 TB this is
+    how "users who did X but never Y" is answered from per-partition
+    sketches. The gate computes the exact counts in the same plan and
+    pins each estimate within 5% (theta is deterministic: fixed
+    lgNomEntries, seed-stable hashing); the oracle recomputes the
+    exact set sizes and pins the booleans TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R")
+    a = li.where(F.col("l_returnflag") == "A")
+    sk = (
+        r.agg(F.theta_sketch_agg("l_partkey", F.lit(_THETA_LG_K)).alias("sr"))
+        .crossJoin(
+            a.agg(
+                F.theta_sketch_agg("l_partkey", F.lit(_THETA_LG_K)).alias("sa")
+            )
+        )
+        .select(
+            F.theta_sketch_estimate(F.theta_union("sr", "sa")).alias("e_union"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("sr", "sa")
+            ).alias("e_intersect"),
+            F.theta_sketch_estimate(
+                F.theta_difference("sr", "sa")
+            ).alias("e_diff"),
+        )
+    )
+    rk = r.select("l_partkey").distinct()
+    ak = a.select("l_partkey").distinct()
+    exact = (
+        rk.agg(F.count("*").cast("long").alias("n_r"))
+        .crossJoin(ak.agg(F.count("*").cast("long").alias("n_a")))
+        .crossJoin(
+            rk.unionByName(ak)
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_union"))
+        )
+        .crossJoin(
+            rk.intersect(ak).agg(
+                F.count("*").cast("long").alias("n_intersect")
+            )
+        )
+        .crossJoin(
+            rk.exceptAll(ak)
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_diff"))
+        )
+    )
+
+    def ok(est, exact_col):
+        return (
+            F.abs(F.col(est) - F.col(exact_col))
+            <= F.greatest(
+                F.lit(1.0), F.lit(_THETA_TOL) * F.col(exact_col)
+            )
+        )
+
+    return exact.crossJoin(sk).select(
+        "n_r",
+        "n_a",
+        "n_union",
+        "n_intersect",
+        "n_diff",
+        ok("e_union", "n_union").alias("ok_union"),
+        ok("e_intersect", "n_intersect").alias("ok_intersect"),
+        ok("e_diff", "n_diff").alias("ok_diff"),
+    )
+
+
+# KLL k=200 → normalized rank error ~1.65% (one-sided); 5% is >3x.
+_KLL_K = 200
+_KLL_TOL = 0.05
+
+
+@query(
+    "sketch_kll_quantiles",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75
+    FROM lineitem
+    """,
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles via Datasketches KLL: one sketch per
+    return-flag group, MERGED (not recomputed) into the corpus-wide
+    sketch, then queried at p25/p50/p75 — the pre-aggregable
+    percentile metric (per-partition sketches union into any rollup;
+    approx_percentile's state never leaves the plan). KLL estimates
+    carry engine/run-specific compaction randomness, so the gate is
+    the rank contract computed in-query: the exact rank of each
+    estimated quantile (fraction of rows ≤ it, computed distributed)
+    must sit within 5% of the target rank; the oracle recomputes the
+    row count and pins the booleans TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice", F.lit(_KLL_K)).alias("sk")
+    )
+    merged = per.agg(F.kll_merge_agg_double("sk", F.lit(_KLL_K)).alias("sk"))
+    est = merged.select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.25)).alias("q25"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.75)).alias("q75"),
+    )
+    joined = li.crossJoin(F.broadcast(est))
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.avg(
+            (F.col("l_extendedprice") <= F.col("q25")).cast("double")
+        ).alias("r25"),
+        F.avg(
+            (F.col("l_extendedprice") <= F.col("q50")).cast("double")
+        ).alias("r50"),
+        F.avg(
+            (F.col("l_extendedprice") <= F.col("q75")).cast("double")
+        ).alias("r75"),
+    )
+    return agg.select(
+        "n_rows",
+        (F.abs(F.col("r25") - 0.25) <= _KLL_TOL).alias("ok_q25"),
+        (F.abs(F.col("r50") - 0.5) <= _KLL_TOL).alias("ok_q50"),
+        (F.abs(F.col("r75") - 0.75) <= _KLL_TOL).alias("ok_q75"),
+    )
