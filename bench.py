@@ -93,6 +93,10 @@ HEADLINE = [
     "quality_profile",
     "q18_large_volume",
     "epoch_shuffle",
+    # round-4 additions: LM count tables, Hilbert layout, fuzzy linkage
+    "ngram_lm_counts",
+    "layout_hilbert_key",
+    "dedup_fuzzy_pairs",
 ]
 
 

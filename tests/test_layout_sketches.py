@@ -156,3 +156,20 @@ def test_hilbert_key_full_width_spot_check(spark):
     rows = df.select("x", "y", hilbert_key("x", "y", bits=16)).collect()
     for r in rows:
         assert r["hvalue"] == _xy2d_ref(16, r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_hilbert_tile_join_equals_fold(spark):
+    """The broadcast-tile form must equal the pure-Column FSM fold on
+    a random scatter across the full 16-bit domain."""
+    from tms_etl_spark.operators.layout import hilbert_key, with_hilbert_key
+
+    pts = spark.range(2000).select(
+        (F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))).alias("x"),
+        (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(0xFFFF))).alias("y"),
+    )
+    fold = pts.select("x", "y", hilbert_key("x", "y", bits=16)).collect()
+    tile = {
+        (r["x"], r["y"]): r["hvalue"]
+        for r in with_hilbert_key(pts, "x", "y").collect()
+    }
+    assert all(tile[(r["x"], r["y"])] == r["hvalue"] for r in fold)

@@ -70,19 +70,22 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     better-locality sibling of `layout_zorder_key`: consecutive keys
     are always grid-adjacent, so clustered files carry tighter
     min/max ranges on both dimensions
-    (`operators/layout.py:hilbert_key`). The Spark side folds the
-    bit-level walk with F.aggregate (linear expression tree); the
-    oracle runs the identical integer arithmetic as a chain of
-    per-level CTEs — bit-for-bit comparable."""
-    from tms_etl_spark.operators.layout import hilbert_key
+    (`operators/layout.py:with_hilbert_key` — two broadcast joins
+    against the precomputed 8-bit FSM tile table, whole-stage
+    codegen'd; the pure-Column fold `hilbert_key` is the portable
+    slow form, equality pinned in tests). The oracle runs the
+    identical integer arithmetic as a chain of per-level CTEs —
+    bit-for-bit comparable."""
+    from tms_etl_spark.operators.layout import with_hilbert_key
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    keyed = with_hilbert_key(
+        li, F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536
+    )
     return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            hilbert_key(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536),
-        )
+        keyed.select("l_orderkey", "l_linenumber", "hvalue")
         .orderBy("hvalue", "l_orderkey", "l_linenumber")
         .limit(100)
     )
