@@ -208,3 +208,11 @@ def test_q22_threshold_broadcast_and_pushed_date(spark, sf_dir):
     assert "LeftAnti" in p
     assert "SortMergeJoin" not in p
     assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_hilbert_tile_joins_broadcast(spark, sf_dir):
+    """Both FSM tile lookups must be broadcast hash joins — the fact
+    side stays map-only, no shuffle for the 262k-row tile table."""
+    p = _plan(spark, sf_dir, "layout_hilbert_key")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
