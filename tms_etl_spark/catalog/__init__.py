@@ -54,11 +54,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (the NTZ event-time fix and the sim_cosine_topk agreement oracle,
 # plus the LSH hot-bucket cap feeding dedup_minhash_lsh and
 # dedup_clusters), so nothing's newest evidence predates its last
-# code change; (2) ALL 40 entries whose only driver evidence is r01
-# — after this round every query's evidence is ≤2 rounds old; (3)
-# the events/streaming-adjacent r02 rows whose input path the loader
-# fix touched. Everything left out is r02/r03-evidenced, unchanged,
-# and re-verified by the judge's full oracle sweep each round.
+# code change; (2) every round-4 ADDITION (never driver-sampled —
+# ranks above stale refresh); (3) the events/streaming-adjacent r02
+# rows the loader fix touched; (4) the r01-only entries, except
+# eleven single-function rows displaced by (2) and documented
+# inline. Everything left out is unchanged and re-verified by the
+# judge's full oracle sweep each round.
 _DRIVER_PRIORITY = [
     # fixed this round (TIMESTAMP_NTZ loader cast) — red in r03
     "events_funnel", "events_sessionize",
@@ -68,6 +69,9 @@ _DRIVER_PRIORITY = [
     "ngram_lm_counts", "subword_vocab_topk",
     "q4_order_priority", "q14_promo_revenue", "q16_supplier_cnt",
     "q19_disjunctive_revenue", "q22_dormant_customers",
+    "sample_temperature", "layout_hilbert_key",
+    "dedup_sorted_neighborhood", "dedup_fuzzy_pairs",
+    "sketch_theta_setops", "sketch_kll_quantiles",
     # events-reading entries whose input path the loader fix touched
     "streaming_counts_batch", "stream_tumbling_window",
     "stream_session_window", "stream_interval_join",
@@ -77,12 +81,14 @@ _DRIVER_PRIORITY = [
     "join_right_outer", "union_all_counts", "pivot_status",
     "q3_shipping_priority", "q5_volume_by_nation",
     "scd2_customer_balance",
-    # --- r01-only: aggregates ---
-    "agg_approx_distinct", "agg_boolean", "agg_conditional_counts",
-    "agg_cube", "agg_exact_count_distinct", "agg_filtered_count",
-    "agg_grouping_sets", "agg_min_max_by", "agg_percentiles",
-    "agg_rollup", "agg_string_concat", "agg_success_ratio",
-    "agg_variance_exact",
+    # --- r01-only: aggregates (six single-function entries —
+    # boolean/string_concat/filtered/conditional/success_ratio/
+    # min_max_by — yield their slots to the six newest entries;
+    # never-sampled ranks above stale-refresh, and the sweep
+    # re-verifies the displaced six every round) ---
+    "agg_approx_distinct", "agg_cube", "agg_exact_count_distinct",
+    "agg_grouping_sets", "agg_percentiles",
+    "agg_rollup", "agg_variance_exact",
     # --- r01-only: functions / windows (five single-function
     # entries — math/null/regex/explode×2 — yield their slots to the
     # five new TPC-H shapes; they are unchanged since r01 and the
