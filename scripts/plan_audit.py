@@ -115,6 +115,24 @@ AUDIT = [
         "user-key exchange (green again after the round-4 NTZ loader "
         "fix)",
     ),
+    (
+        "layout_hilbert_key",
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "Hilbert key via two broadcast FSM-tile joins (fact side "
+        "map-only, codegen'd) + bounded top-k",
+    ),
+    (
+        "dedup_sorted_neighborhood",
+        ["Window", "Exchange"],
+        "SNM global rank computed bucketed (prefix buckets + "
+        "broadcast offsets), window pairs via rank-offset equi-join",
+    ),
+    (
+        "sketch_theta_setops",
+        ["HashAggregate"],
+        "theta sketches as partial-aggregable state; set algebra on "
+        "kilobyte sketches, exact counts in the same plan",
+    ),
 ]
 
 

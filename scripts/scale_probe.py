@@ -46,6 +46,11 @@ DEFAULT_QUERIES = [
     "ivm_incremental_agg",
     # round-4: funnel shares sessionize's one-exchange shape
     "events_funnel",
+    # round-4 additions: LM type-table counts, tile-join Hilbert,
+    # SNM blocking + levenshtein scoring
+    "ngram_lm_counts",
+    "layout_hilbert_key",
+    "dedup_fuzzy_pairs",
 ]
 
 KEY_OFFSETS = {
