@@ -334,3 +334,60 @@ def test_stream_interval_left_outer_bounded_and_sound(
     }
     assert matched <= got
     assert got <= batch_rows
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static broadcast join: streaming result set must equal
+    the batch join; no watermark required (stateless)."""
+    from tms_etl_spark.streaming.incremental import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement")],
+        "event_type string, category string",
+    )
+    batch_src = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r["event_id"], r["category"])
+        for r in enrich_stream(batch_src, dim, "event_type").collect()
+    }
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(events_stream_dir)
+    q = (
+        enrich_stream(stream_src, dim, "event_type")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["category"])
+        for r in spark.sql("SELECT event_id, category FROM enriched").collect()
+    }
+    assert got == expected
+    assert any(c is not None for _, c in got)  # join non-vacuous
+
+
+def test_dedup_within_watermark_bounded_state(spark, events_stream_dir):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    horizon are removed (one row per key here — the whole replay is
+    one micro-batch, well inside the 1h watermark)."""
+    from tms_etl_spark.streaming.incremental import dedup_stream_within_watermark
+
+    batch_src = spark.read.parquet(events_stream_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(events_stream_dir)
+    q = (
+        dedup_stream_within_watermark(stream_src, keys=["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT user_id, event_type FROM dedup_wm")
+    assert out.count() == out.distinct().count()
+    assert (
+        out.count()
+        == batch_src.select("user_id", "event_type").distinct().count()
+    )

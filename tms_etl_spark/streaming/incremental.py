@@ -200,3 +200,35 @@ def interval_join(
         lw[left_ts].alias(left_ts),
         rw[right_ts].alias(right_ts),
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a (possibly
+    streaming) fact against a static dimension. The static side is
+    broadcast per micro-batch — stateless (no watermark needed,
+    unlike stream-stream joins), and the stream side stays map-only;
+    at scale this is the standard pattern for attaching dimension
+    attributes to events in flight. Works identically on batch
+    frames (tests assert batch ≡ streaming output)."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """T6 variant with the bounded-state guarantee made explicit:
+    ``dropDuplicatesWithinWatermark`` only guarantees dedup for
+    duplicates arriving within the watermark delay of each other and
+    is allowed to DROP state older than the watermark — unlike plain
+    ``dropDuplicates`` (which keeps every seen key forever: correct
+    but unbounded at 100 TB). This is the form a production pipeline
+    runs: state is O(keys inside the watermark horizon)."""
+    events = normalize_event_time(events, ts_col)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
