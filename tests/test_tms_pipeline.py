@@ -190,3 +190,23 @@ def test_shift_minutes_invariant(spark, lake):
     assert "00001" not in tears
     for r in bad.collect():
         assert r["__shift_total"] < 400 or r["__shift_total"] > 480
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from tms_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 33.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    # 1 unchanged (absent), 2 updated (s), 3 updated (NULL->value),
+    # 4 deleted, 5 inserted
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "sample_temperature", "layout_hilbert_key",
     "dedup_sorted_neighborhood", "dedup_fuzzy_pairs",
     "sketch_theta_setops", "sketch_kll_quantiles",
+    "cdc_snapshot_diff",
     # events-reading entries whose input path the loader fix touched
     "streaming_counts_batch", "stream_tumbling_window",
     "stream_session_window", "stream_interval_join",
@@ -95,10 +96,11 @@ _DRIVER_PRIORITY = [
     # judge's full oracle sweep re-verifies them every round) ---
     "array_functions", "map_functions",
     "window_distribution", "window_first_last_nth",
-    # --- r01-only: text / dedup sketch family ---
+    # --- r01-only: text / dedup sketch family (text_token_count,
+    # single-function + sweep-re-verified, yields its slot to
+    # cdc_snapshot_diff) ---
     "dedup_exact", "dedup_simhash", "dedup_unigram_jaccard",
     "text_fingerprint", "text_lang_id", "text_quality_score",
-    "text_token_count",
 ]
 
 

@@ -664,3 +664,70 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_customers"),
         dsum("c_acctbal", "total_acctbal"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old_s AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), new_s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 31 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'update'
+           END AS change_type
+    FROM old_s o FULL OUTER JOIN new_s n USING (o_orderkey)
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots (operators.merge.snapshot_diff): the
+    "new" version is derived deterministically from orders (every
+    97th key deleted, every 13th updated, every 31st re-inserted
+    under a shifted key), then diffed — one full-outer join on the
+    key, NULL-safe column comparison, unchanged keys dropped before
+    materialization. The incremental-consumer primitive the upsert
+    family writes for."""
+    from tms_etl_spark.operators.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changed = F.col("o_orderkey") % 13 == 0
+    new = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(changed, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(changed, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 31 == 0).select(
+                (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(
+        o, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )

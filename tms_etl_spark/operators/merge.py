@@ -160,3 +160,48 @@ def upsert_partitioned(
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(
         spark_target_path
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC between two table versions: one row per changed key with
+    ``change_type`` in {insert, update, delete} — the diff a
+    downstream incremental consumer replays. ``compare_cols`` limits
+    update detection to the named columns (default: every non-key
+    column both sides share).
+
+    Shape: ONE full-outer join on the key columns (same single
+    exchange as the upsert above), change classification as a CASE
+    over null-side markers and column inequality. NULL-safe equality
+    (``eqNullSafe``) so a NULL→value transition counts as an update,
+    not a spurious match. Unchanged keys are dropped BEFORE the
+    result materializes, so the output is |changes|, not |table| —
+    at 100 TB the diff of two daily snapshots is batch-sized.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    o = old.select(*keys, *compare_cols, F.lit(1).alias("__o"))
+    n = new.select(*keys, *compare_cols, F.lit(1).alias("__n"))
+    on = [o[k].eqNullSafe(n[k]) for k in keys]
+    j = o.alias("o").join(n.alias("n"), on, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change_type = (
+        F.when(F.col("o.__o").isNull(), F.lit("insert"))
+        .when(F.col("n.__n").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    key_cols = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
