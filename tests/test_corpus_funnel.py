@@ -228,3 +228,56 @@ def test_subword_vocab_topk_planted(spark):
     grams = {r["gram"]: r["cnt"] for r in out}
     assert grams["yy"] == 1 and grams["xq"] == 1
     assert [r["vocab_rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+
+
+def test_new_operator_edge_cases(spark):
+    """Degenerate-input behavior of the round-4 operators: none may
+    crash, and each has a defined boundary semantics."""
+    from tms_etl_spark.operators.corpus import (
+        ngram_lm_counts,
+        subword_vocab_topk,
+    )
+    from tms_etl_spark.operators.dedup import sorted_neighborhood_pairs
+    from tms_etl_spark.operators.merge import snapshot_diff
+    from tms_etl_spark.operators.sampling import temperature_sample
+
+    # docs shorter than n contribute no n-grams; a single long doc does
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    out = ngram_lm_counts(df, n=3)
+    assert out.count() == 0
+    out2 = ngram_lm_counts(
+        df.unionByName(
+            spark.createDataFrame([(3, "x y z")], "doc_id long, text string")
+        ),
+        n=3,
+    )
+    assert out2.count() == 1
+
+    # k larger than the vocabulary returns the whole vocabulary, ranked
+    v = subword_vocab_topk(df, k=1000, n=3)
+    rows = sorted(v.collect(), key=lambda r: r["vocab_rank"])
+    assert [r["vocab_rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+    # window wider than the corpus: all C(n,2) pairs, no crash
+    snm = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(5)], "doc_id long, k string"
+    )
+    pairs = sorted_neighborhood_pairs(snm, "k", w=10).collect()
+    assert len(pairs) == 10  # C(5,2)
+
+    # single class: share = 1.0, rate = min(1, budget/n)
+    one = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    )
+    t = temperature_sample(one, budget=3).collect()
+    assert all(abs(r["share"] - 1.0) < 1e-12 for r in t)
+    assert all(abs(r["rate"] - 0.3) < 1e-12 for r in t)
+
+    # empty new snapshot: everything is a delete
+    old = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    empty = spark.createDataFrame([], "k long, v double")
+    d = snapshot_diff(old, empty, keys=["k"])
+    assert {r["change_type"] for r in d.collect()} == {"delete"}
+    assert d.count() == 2
