@@ -405,3 +405,21 @@ def test_sorted_neighborhood_boundary_and_count(spark):
     assert got == expect
     # boundary pairs exist (doc 3 'a3' pairs with doc 4 'b0')
     assert (3, 4, 1) in got
+
+
+def test_prefix_join_equals_bruteforce(spark, docs_with_dups):
+    """Prefix filtering is EXACT: result must equal jaccard_pairs
+    bit-for-bit at the same threshold (the guarantee LSH can't give)."""
+    from tms_etl_spark.operators.dedup import jaccard_prefix_join
+
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(docs_with_dups, threshold=0.5).collect()
+    }
+    assert set(pref) == set(brute)
+    assert all(pref[k] == brute[k] for k in pref)
+    assert len(pref) > 100  # non-vacuous on the planted corpus

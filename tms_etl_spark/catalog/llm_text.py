@@ -541,3 +541,41 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 10)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+                 AS tok
+        FROM documents WHERE doc_id < 1000
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (n_common / (sa.n_tok + sb.n_tok - n_common)) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (n_common / (sa.n_tok + sb.n_tok - n_common)) >= 0.8
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.8 pairs via prefix filtering
+    (`operators/dedup.py:jaccard_prefix_join`, AllPairs WWW'07):
+    same answer as `dedup_unigram_jaccard` (the oracle is the
+    brute-force definition) but candidates join only on each doc's
+    rarest-token prefix — the scale path that stays EXACT where
+    MinHash trades recall. Same 1000-doc slice as the brute-force
+    twin so the two entries are directly comparable."""
+    from tms_etl_spark.operators.dedup import jaccard_prefix_join
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return jaccard_prefix_join(d, threshold=0.8)

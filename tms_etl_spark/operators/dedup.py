@@ -409,3 +409,71 @@ def sorted_neighborhood_pairs(
     return probes.join(partners, "__rn2").select(
         "doc_a", "doc_b", F.col("__d").cast("int").alias("rank_gap")
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (Bayardo/Ma/
+    Srikant "Scaling Up All Pairs Similarity Search", WWW 2007): all
+    pairs with unigram Jaccard ≥ ``threshold`` — same output as the
+    brute-force ``jaccard_pairs`` (equality pinned by test), but
+    candidates come from PREFIX tokens only. Order every doc's tokens
+    rarest-first (global df ascending); a pair with J ≥ t must share
+    a token within each doc's first ``n − ⌈t·n⌉ + 1`` tokens, so the
+    join keys on the rarest slice of each doc — exactly the tokens
+    with the SMALLEST groups. Unlike LSH/SNM this is a guarantee, not
+    a recall trade: verification computes the exact Jaccard for every
+    candidate.
+
+    Scale shape: token df table is vocabulary-sized (broadcast); the
+    prefix join shuffles on rare tokens (bounded groups by
+    construction — a token in many docs is in few prefixes); exact
+    verification joins candidates back to full token sets, costing
+    O(candidates × avg doc tokens). The prefix length uses
+    ``n − floor(t·n) + 1`` — one token longer than the tight bound,
+    so float rounding of ``t·n`` can only ADD candidates, never drop
+    a true pair."""
+    toks = tokenize(df, text_col)
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("__df", "tok")
+    ranked = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix_len = F.col("__n") - F.floor(F.lit(float(threshold)) * F.col("__n")) + 1
+    prefix = ranked.where(F.col("__rn") <= prefix_len).select("doc_id", "tok")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__common") / (
+        F.col("__na") + F.col("__nb") - F.col("__common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
