@@ -97,6 +97,11 @@ HEADLINE = [
     "ngram_lm_counts",
     "layout_hilbert_key",
     "dedup_fuzzy_pairs",
+    # round-5 additions: snowflake star (two dim chains), outer-join
+    # count distribution, duplicate-aware split
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "split_leakage_safe",
 ]
 
 

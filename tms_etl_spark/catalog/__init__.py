@@ -49,58 +49,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Dict order IS the order the driver walks ``queries()`` — its
-# evidence file records exactly the FIRST ~50 entries. Round-4
-# window: (1) every entry whose code or oracle changed this round
-# (the NTZ event-time fix and the sim_cosine_topk agreement oracle,
-# plus the LSH hot-bucket cap feeding dedup_minhash_lsh and
-# dedup_clusters), so nothing's newest evidence predates its last
-# code change; (2) every round-4 ADDITION (never driver-sampled —
-# ranks above stale refresh); (3) the events/streaming-adjacent r02
-# rows the loader fix touched; (4) the r01-only entries, except
-# eleven single-function rows displaced by (2) and documented
-# inline. Everything left out is unchanged and re-verified by the
-# judge's full oracle sweep each round.
+# evidence file records exactly the FIRST ~50 entries. Round-5
+# window, ranked by evidence need: (1) the eleven never-driver-
+# sampled entries — the ten round-5 additions (TPC-H Q7/Q8/Q9/Q13/
+# Q15/Q17/Q21, leakage-safe split, k-fold balance, per-label
+# centroid) plus dedup_jaccard_prefix, which landed after round 4's
+# rotation and so missed that window; (2) the twelve entries whose
+# only driver evidence is round 1; (3) the twenty-seven stalest
+# round-2 rows (alphabetical within the tier). Everything displaced
+# (all round-3/4-evidenced rows) is unchanged and re-verified by
+# the judge's full oracle sweep each round.
 _DRIVER_PRIORITY = [
-    # fixed this round (TIMESTAMP_NTZ loader cast) — red in r03
-    "events_funnel", "events_sessionize",
-    # oracle/code changed this round
-    "sim_cosine_topk", "dedup_minhash_lsh", "dedup_clusters",
-    # NEW this round (first driver evidence needed)
-    "ngram_lm_counts", "subword_vocab_topk",
-    "q4_order_priority", "q14_promo_revenue", "q16_supplier_cnt",
-    "q19_disjunctive_revenue", "q22_dormant_customers",
-    "sample_temperature", "layout_hilbert_key",
-    "dedup_sorted_neighborhood", "dedup_fuzzy_pairs",
-    "sketch_theta_setops", "sketch_kll_quantiles",
-    "cdc_snapshot_diff",
-    # events-reading entries whose input path the loader fix touched
-    "streaming_counts_batch", "stream_tumbling_window",
-    "stream_session_window", "stream_interval_join",
-    "sim_cosine_topk_exact",
-    # --- r01-only evidence: joins/setops/relational ---
-    "join_cross", "join_full_outer", "join_left_outer",
-    "join_right_outer", "union_all_counts", "pivot_status",
-    "q3_shipping_priority", "q5_volume_by_nation",
-    "scd2_customer_balance",
-    # --- r01-only: aggregates (six single-function entries —
-    # boolean/string_concat/filtered/conditional/success_ratio/
-    # min_max_by — yield their slots to the six newest entries;
-    # never-sampled ranks above stale-refresh, and the sweep
-    # re-verifies the displaced six every round) ---
-    "agg_approx_distinct", "agg_cube", "agg_exact_count_distinct",
-    "agg_grouping_sets", "agg_percentiles",
-    "agg_rollup", "agg_variance_exact",
-    # --- r01-only: functions / windows (five single-function
-    # entries — math/null/regex/explode×2 — yield their slots to the
-    # five new TPC-H shapes; they are unchanged since r01 and the
-    # judge's full oracle sweep re-verifies them every round) ---
-    "array_functions", "map_functions",
-    "window_distribution", "window_first_last_nth",
-    # --- r01-only: text / dedup sketch family (text_token_count,
-    # single-function + sweep-re-verified, yields its slot to
-    # cdc_snapshot_diff) ---
-    "dedup_exact", "dedup_simhash", "dedup_unigram_jaccard",
-    "text_fingerprint", "text_lang_id", "text_quality_score",
+    # (1) never driver-sampled: round-5 additions ...
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q21_waiting_suppliers",
+    "split_leakage_safe", "sample_kfold_balance",
+    "embedding_centroid_per_label",
+    # ... and the late round-4 addition that missed its rotation
+    "dedup_jaccard_prefix",
+    # (2) r01-only evidence
+    "agg_boolean", "agg_conditional_counts", "agg_filtered_count",
+    "agg_min_max_by", "agg_string_concat", "agg_success_ratio",
+    "explode_outer_tokens", "explode_tokens", "math_functions",
+    "null_handling", "regex_extract", "text_token_count",
+    # (3) oldest r02 evidence (alphabetical)
+    "case_when_bucket", "date_functions", "dedup_jaccard_dfcut",
+    "distinct_pairs", "filter_null_coerce_json", "join_asof_forward",
+    "month_normalize", "q1_pricing_summary", "scan_project_filter",
+    "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union_distinct", "sim_quantize_int8",
+    "sort_limit_topk", "split_train_test", "stream_sliding_window",
+    "string_functions", "text_bpe_token_estimate",
+    "text_winnow_fingerprint", "timeseries_resample_ffill",
+    "tms_first_write_wins", "tms_powered_off_filter",
+    "tms_shift_summary", "tms_sql_functions", "tms_top2_months",
 ]
 
 
@@ -128,6 +111,7 @@ def load_all() -> None:
         sketches,
         layout,
         sqlapi,
+        tpch,
     )
 
     for reg in (QUERIES, ORACLES):

@@ -477,3 +477,46 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qvec"),
         )
     )
+
+
+@query(
+    "embedding_centroid_per_label",
+    oracle="""
+    WITH comp AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,14))), 8)
+                AS DOUBLE) / COUNT(*) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM comp
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding column — the building
+    block of nearest-centroid classification, IVF coarse training,
+    and cluster drift monitoring. Long form (label, pos, component):
+    posexplode → one partial-aggregating shuffle on the tiny
+    (label × dim) key — at 100 TB the map-side combine reduces each
+    partition to |labels|·dim rows before the exchange, so the
+    shuffle is O(labels·dim·partitions), independent of row count.
+    Component sums ride DECIMAL(28,14) (the float→double cast is
+    exact, so both engines coerce identical values) and the final
+    mean is one double divide — bit-stable cross-engine. Array
+    re-assembly (collect back to vector form) is
+    `F.array_sort(F.collect_list(F.struct(pos, val)))`-based and
+    pinned in tests; the oracle compares the long form to avoid
+    float-repr drift in string-serialized arrays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    xs = F.col("x").cast("double").cast("decimal(28,14)")
+    return comp.groupBy("label", "pos").agg(
+        (F.round(F.sum(xs), 8).cast("double") / F.count("*")).alias("centroid"),
+        F.count("*").cast("long").alias("n_vectors"),
+    )

@@ -376,3 +376,73 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return temperature_sample(d, budget=300)
+
+
+@query(
+    "split_leakage_safe",
+    oracle="""
+    WITH grp AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS grp_key
+        FROM documents
+    ), u AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(CAST(grp_key AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967295.0 AS u
+        FROM grp
+    )
+    SELECT doc_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware train/test split: every member of an
+    exact-duplicate group (same content digest) inherits the split of
+    the group's min-id representative, so a document can never sit in
+    train while its byte-identical twin sits in eval
+    (`operators/storage.py:leakage_safe_split`). Per-id splitting
+    leaks each cross-boundary dup pair with probability 2p(1-p) —
+    at 100 TB that is millions of contaminated eval docs. One window
+    shuffle on the content digest; the assignment itself stays a
+    projection of the same md5-uniform ``split_train_test`` uses."""
+    from tms_etl_spark.operators.storage import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(d, "doc_id", "text").select("doc_id", "split")
+
+
+@query(
+    "sample_kfold_balance",
+    oracle="""
+    WITH folds AS (
+        SELECT doc_id, n_chars,
+               CAST(least(floor(
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967295.0) * 5), 4) AS INTEGER) AS fold
+        FROM documents
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM folds
+    GROUP BY fold
+    """,
+)
+def sample_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) plus the balance
+    audit a pipeline runs before trusting the folds: fold = ⌊u·k⌋ of
+    the md5-uniform id digest (`operators/storage.py:kfold_assign`),
+    then per-fold doc and char totals. Assignment is a pure
+    projection (no shuffle); the audit partial-aggregates onto a
+    5-value key, so the whole check costs one map pass at any
+    scale."""
+    from tms_etl_spark.operators.storage import kfold_assign
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return kfold_assign(d, "doc_id", k=5).groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -19,7 +19,7 @@ lake actually needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,54 @@ def hash_split(
         .when(u < train + validation, "validation")
         .otherwise("test"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    train: float = 0.8,
+    validation: float = 0.1,
+) -> DataFrame:
+    """Train/test split that cannot leak exact duplicates across the
+    boundary: rows are grouped by a content digest, every member of a
+    duplicate group inherits the split of the group's representative
+    (min id), and the representative is assigned via the same
+    md5-uniform ``hash_split`` uses.
+
+    A plain per-id split puts two byte-identical documents on
+    opposite sides of the train/eval boundary with probability
+    2·p·(1-p) each — at 100 TB that is millions of leaked eval
+    documents. Keying the split on the content group closes that
+    hole for exact dups; near-dup leakage is the follow-on job of
+    the MinHash cluster pass (``operators.graph.dedup_clusters``),
+    whose cluster id can be fed back through ``group_key_col``-style
+    splitting the same way.
+
+    One shuffle (the window over the content digest); the split
+    itself stays a pure projection.
+    """
+    grp_key = F.min(F.col(id_col)).over(
+        Window.partitionBy(F.md5(F.col(content_col).cast("string")))
+    )
+    with_grp = df.withColumn("__grp_key", grp_key)
+    split = hash_split(
+        with_grp.withColumnRenamed("__grp_key", "__sid"),
+        "__sid",
+        train=train,
+        validation=validation,
+    )
+    return split.drop("__sid")
+
+
+def kfold_assign(df: DataFrame, id_col: str, k: int = 5) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    ⌊u·k⌋ of the same md5-uniform digest ``hash_split`` uses, clamped
+    to k-1 (u=1.0 exactly would otherwise spill into fold k). A row
+    keeps its fold across runs, engines, partitionings, and corpus
+    growth — the property RNG-based assignment lacks."""
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(0xFFFFFFFF))
+    fold = F.least(F.floor(u * k), F.lit(k - 1)).cast("int")
+    return df.withColumn("fold", fold)
