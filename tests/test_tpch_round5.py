@@ -149,3 +149,54 @@ def test_centroid_reassembles_to_vectors(spark, sf_dir):
     expect = np.mean([m["embedding"] for m in members], axis=0)
     got = np.array(one["centroid_vec"])
     assert np.allclose(expect, got, atol=1e-6)
+
+
+def test_q2_argmin_is_window_not_self_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    # per-part cheapest supplier must be rank-1 window, not a
+    # min-subquery self-join of the offers
+    assert "RunningWindowFunction" in p or "Window" in p
+    offer_scans = [
+        ln for ln in p.splitlines() if "Location" in ln and "lineitem" in ln
+    ]
+    assert len(offer_scans) == 1
+
+
+def test_q11_threshold_is_broadcast_over_derived_agg(spark, sf_dir):
+    # the global total aggregates the FIRST aggregation's output; the
+    # static plan prints the fact subtree twice, but AQE's exchange
+    # reuse makes the second an actual ReusedExchange at runtime —
+    # execute, then assert on the final adaptive plan
+    df = catalog.QUERIES["q11_important_parts"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "isFinalPlan=true" in p
+    assert p.count("ReusedExchange") >= 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_q12_single_pass_conditional_tallies(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q12_shipmode_priority")
+    assert p.count("HashAggregate") >= 2  # partial + final, one pass
+    assert "PushedFilters" in p and "l_shipdate" in p
+
+
+def test_q20_semi_join_chain_never_duplicates(spark, sf_dir):
+    out = catalog.QUERIES["q20_promotable_suppliers"](spark, sf_dir)
+    rows = out.collect()
+    # semi-join semantics: each supplier appears at most once
+    names = [r["s_name"] for r in rows]
+    assert len(names) == len(set(names))
+    p = _plan(spark, sf_dir, "q20_promotable_suppliers")
+    assert "LeftSemi" in p
+
+
+def test_corpus_prep_pipeline_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "corpus_prep_pipeline")
+    # gates fused into the scan; dedup window is the only exchange
+    # (plus its AQE read) — no second data shuffle for the split
+    exchanges = [ln for ln in p.splitlines() if ln.strip().startswith("(") is False and "Exchange" in ln and "Reused" not in ln]
+    assert p.count("Exchange hashpartitioning") <= 2  # tree + details of ONE exchange
+    assert "PushedFilters" in p and "n_chars" in p

@@ -50,12 +50,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Dict order IS the order the driver walks ``queries()`` — its
 # evidence file records exactly the FIRST ~50 entries. Round-5
-# window, ranked by evidence need: (1) the eleven never-driver-
-# sampled entries — the ten round-5 additions (TPC-H Q7/Q8/Q9/Q13/
-# Q15/Q17/Q21, leakage-safe split, k-fold balance, per-label
-# centroid) plus dedup_jaccard_prefix, which landed after round 4's
-# rotation and so missed that window; (2) the twelve entries whose
-# only driver evidence is round 1; (3) the twenty-seven stalest
+# window, ranked by evidence need: (1) the sixteen never-driver-
+# sampled entries — the fifteen round-5 additions (TPC-H Q2/Q7/Q8/
+# Q9/Q11/Q12/Q13/Q15/Q17/Q20/Q21, corpus-prep pipeline, leakage-safe
+# split, k-fold balance, per-label centroid) plus
+# dedup_jaccard_prefix, which landed after round 4's rotation and so
+# missed that window; (2) the twelve entries whose only driver
+# evidence is round 1; (3) the twenty-two stalest
 # round-2 rows (alphabetical within the tier). Everything displaced
 # (all round-3/4-evidenced rows) is unchanged and re-verified by
 # the judge's full oracle sweep each round.
@@ -64,8 +65,10 @@ _DRIVER_PRIORITY = [
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q21_waiting_suppliers",
-    "split_leakage_safe", "sample_kfold_balance",
-    "embedding_centroid_per_label",
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q12_shipmode_priority", "q20_promotable_suppliers",
+    "corpus_prep_pipeline", "split_leakage_safe",
+    "sample_kfold_balance", "embedding_centroid_per_label",
     # ... and the late round-4 addition that missed its rotation
     "dedup_jaccard_prefix",
     # (2) r01-only evidence
@@ -82,8 +85,6 @@ _DRIVER_PRIORITY = [
     "sort_limit_topk", "split_train_test", "stream_sliding_window",
     "string_functions", "text_bpe_token_estimate",
     "text_winnow_fingerprint", "timeseries_resample_ffill",
-    "tms_first_write_wins", "tms_powered_off_filter",
-    "tms_shift_summary", "tms_sql_functions", "tms_top2_months",
 ]
 
 

@@ -428,3 +428,250 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu_supp AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ), offers AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        JOIN eu_supp s ON s.s_suppkey = l.l_suppkey
+        GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, l_suppkey) AS rn
+        FROM offers
+    )
+    SELECT p.p_partkey, p.p_type, p.p_size,
+           s.s_name, s.s_acctbal, es.n_name AS nation,
+           b.unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN eu_supp es ON es.s_suppkey = b.l_suppkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1 AND p.p_size <= 15 AND p.p_type = 'LARGE'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape (adapted: no partsupp, so the per-(part,
+    supplier) offer price is the cheapest observed unit sale price):
+    for every small LARGE-type part, the EUROPE supplier offering it
+    cheapest. The correlated MIN becomes a grouped aggregate + window
+    argmin (rank-1 with supplier tie-break, so the answer SET is
+    well-defined); region/nation/supplier dims broadcast; the only
+    fact shuffles are the (part,supplier) aggregation and the
+    partkey argmin window. unit_cost is one double divide of source
+    doubles — identical IEEE ops both engines."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(
+            F.broadcast(eu_supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
+        .select(
+            "p_partkey", "p_type", "p_size",
+            "s_name", "s_acctbal", "nation", "unit_cost",
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH nation_stock AS (
+        SELECT l.l_partkey,
+               {sql_dsum8("l.l_extendedprice * l.l_quantity", "part_value")}
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    ), total AS (
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,8))) AS DOUBLE)
+                 AS total_value,
+               COUNT(*) AS n_parts
+        FROM nation_stock
+    )
+    SELECT ns.l_partkey AS partkey, ns.part_value
+    FROM nation_stock ns, total t
+    WHERE ns.part_value > 1.2 * (t.total_value / t.n_parts)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape (adapted: "stock value" = traded value
+    l_extendedprice·l_quantity from one nation's suppliers): parts
+    whose value exceeds 1.2× the nation's average part value — the
+    scale-invariant form of Q11's FRACTION·total cut (the original's
+    0.0001/SF constant is itself scale-adjusted; an average-relative
+    threshold stays non-vacuous at every SF). The global threshold is
+    a second aggregation OVER THE FIRST's result (never a second fact
+    scan) broadcast as a 1-row cross join. Both engines compare
+    against the same exact-decimal-derived double, so the > cut is
+    bit-deterministic. Note l_extendedprice·
+    l_quantity carries ≤2+0 decimals — scale-8 coercion is
+    midpoint-free; the re-sum of part_value doubles goes back
+    through DECIMAL(28,8) (each part_value is a ≤4-decimal value
+    exactly representable in double, so the cast is exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    )
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    stock_val = F.col("l_extendedprice") * F.col("l_quantity")
+    nation_stock = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum8(stock_val, "part_value"))
+    )
+    total = nation_stock.agg(
+        F.sum(F.col("part_value").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        nation_stock.crossJoin(F.broadcast(total))
+        .where(
+            F.col("part_value")
+            > F.lit(1.2) * (F.col("total_value") / F.col("n_parts"))
+        )
+        .select("partkey", "part_value")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_class
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape (adapted: no shipmode column, so lines class
+    into SLOW/FAST by shipping delay >60 days): urgent-vs-other order
+    counts per shipping class. The canonical conditional-tally-
+    after-join shape: one fact join, one 2-key aggregation, both
+    CASE tallies in the same pass."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    ship_class = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        "SLOW",
+    ).otherwise("FAST")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q20_promotable_suppliers",
+    oracle="""
+    WITH red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ), heavy AS (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN red_parts rp ON rp.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 100
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (SELECT 1 FROM heavy h WHERE h.l_suppkey = s.s_suppkey)
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape (adapted: no partsupp availability, so the
+    inner threshold is shipped volume): suppliers who moved >100
+    units of 'red' parts since 1996 — the nested-semi-join chain.
+    Part list broadcasts into the fact, the HAVING aggregate shrinks
+    the fact to supplier keys, and that tiny key set drives a
+    broadcast SEMI join against supplier. Integer-valued quantities
+    sum exactly as doubles (well under 2^53), so the >100 cut is
+    engine-stable."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )

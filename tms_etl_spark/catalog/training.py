@@ -446,3 +446,65 @@ def sample_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle=r"""
+    WITH gated AS (
+        SELECT doc_id, lang, text,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+        WHERE n_chars BETWEEN 20 AND 20000
+    ), kept AS (
+        SELECT doc_id, lang, n_tokens
+        FROM (
+            SELECT doc_id, lang, n_tokens,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM gated
+            WHERE n_tokens >= 5
+        ) t
+        WHERE rn = 1
+    )
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967295.0 AS u
+        FROM kept) f
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation in ONE composed plan — the
+    flagship composition test: length gate (pushed to the scan) →
+    token-count gate → exact dedup keeping the min-id representative
+    (one window over the content digest) → deterministic train/
+    validation/test split (a pure projection, via
+    `operators/storage.py:hash_split` on the already-deduped ids).
+    Catalyst fuses the gates into the scan filter and the pipeline
+    costs exactly one shuffle (the dedup window) at any scale; the
+    split-after-dedup ordering means a duplicate can never straddle
+    the boundary, making this the single-query equivalent of the
+    filter→dedup→split ladder a 100 TB pretraining run executes."""
+    from pyspark.sql import Window
+
+    from tms_etl_spark.operators.storage import hash_split
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").between(20, 20000)
+    )
+    gated = d.withColumn("n_tokens", _n_tokens()).where(F.col("n_tokens") >= 5)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return hash_split(kept, "doc_id").select(
+        "doc_id", "lang", "n_tokens", "split"
+    )
