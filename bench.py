@@ -102,6 +102,11 @@ HEADLINE = [
     "q7_volume_shipping",
     "q13_customer_distribution",
     "split_leakage_safe",
+    # round-6 additions: cohort triangle, co-purchase graph census,
+    # bigram-rarity quality score
+    "cohort_retention",
+    "graph_triangle_count",
+    "text_rarity_score",
 ]
 
 

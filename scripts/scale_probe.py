@@ -51,6 +51,13 @@ DEFAULT_QUERIES = [
     "ngram_lm_counts",
     "layout_hilbert_key",
     "dedup_fuzzy_pairs",
+    # round-6 additions: behavioral analytics + triangle census +
+    # per-doc rarity (bigram-join) — the new shuffle-heavy shapes
+    "cohort_retention",
+    "rolling_active_users",
+    "basket_pairs_topk",
+    "graph_triangle_count",
+    "text_rarity_score",
 ]
 
 KEY_OFFSETS = {

@@ -78,3 +78,45 @@ def test_dedup_clusters_from_minhash_pairs(spark, sf_dir):
         and clusters[i + 10000][1] is True
     )
     assert hits >= 45  # LSH recall tolerance
+
+
+def test_triangle_count_known_graph(spark):
+    from tms_etl_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 (no new ones)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["max_degree"] == 4
+
+
+def test_triangle_count_star_has_none(spark):
+    from tms_etl_spark.operators.graph import triangle_count
+
+    # a hot hub: star graph — the degree orientation points every
+    # edge AT the hub, so the hub has zero out-wedges and the count
+    # is 0 without ever joining hub-degree² candidate pairs
+    edges = [(0, i) for i in range(1, 30)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["max_degree"] == 29
+
+
+def test_pagerank_mass_and_hub(spark):
+    from tms_etl_spark.operators.graph import pagerank
+
+    # star: hub must dominate; total mass stays ~1
+    edges = [(0, i) for i in range(1, 11)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    rows = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert len(rows) == 11
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    hub = rows[0]
+    for leaf in range(1, 11):
+        assert hub > rows[leaf]
+    # leaves are symmetric: identical ranks bit-for-bit
+    assert len({rows[leaf] for leaf in range(1, 11)}) == 1

@@ -216,3 +216,38 @@ def test_hilbert_tile_joins_broadcast(spark, sf_dir):
     p = _plan(spark, sf_dir, "layout_hilbert_key")
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_basket_pairs_topk_takeordered_copartitioned(spark, sf_dir):
+    p = _plan(spark, sf_dir, "basket_pairs_topk")
+    # top-20 compiles to TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in p
+    # the self-join is keyed on l_orderkey: an equi-join (SMJ/SHJ),
+    # never a nested-loop product
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_rolling_active_users_broadcasts_day_dim(spark, sf_dir):
+    p = _plan(spark, sf_dir, "rolling_active_users")
+    # the explode form turns the range join into a broadcast HASH
+    # join against the day dimension — no nested loop anywhere
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ab_test_single_pass_partial_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "ab_test_ztest")
+    # six sufficient statistics in ONE scan of events
+    assert p.count("Scan parquet") == 2  # formatted mode: tree + details
+    # partial before the single-row exchange, final after
+    assert p.count("HashAggregate") >= 2
+
+
+def test_zonemap_stats_single_scan_partial_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "layout_zonemap_stats")
+    assert p.count("Scan parquet") == 2
+    assert p.count("HashAggregate") >= 2
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    # column pruning: only the zone key + the stat column are read
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" in read_schema

@@ -49,18 +49,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Dict order IS the order the driver walks ``queries()`` — its
-# evidence file records exactly the FIRST ~50 entries. Round-5
-# window, ranked by evidence need: (1) the sixteen never-driver-
-# sampled entries — the fifteen round-5 additions (TPC-H Q2/Q7/Q8/
-# Q9/Q11/Q12/Q13/Q15/Q17/Q20/Q21, corpus-prep pipeline, leakage-safe
-# split, k-fold balance, per-label centroid) plus
-# dedup_jaccard_prefix, which landed after round 4's rotation and so
-# missed that window; (2) the twelve entries whose only driver
-# evidence is round 1; (3) the twenty-two stalest
-# round-2 rows (alphabetical within the tier). Everything displaced
-# (all round-3/4-evidenced rows) is unchanged and re-verified by
-# the judge's full oracle sweep each round.
+# evidence file records exactly the FIRST ~50 entries. Current
+# window, ranked by evidence need: (0) the seven round-6 additions
+# (behavioral analytics, triangle census, rarity score, zone maps);
+# (1) the sixteen never-driver-sampled round-5 entries — TPC-H
+# Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q17/Q20/Q21, corpus-prep pipeline,
+# leakage-safe split, k-fold balance, per-label centroid, plus
+# dedup_jaccard_prefix which missed round 4's rotation; (2) the
+# twelve entries whose only driver evidence is round 1; (3) the
+# fifteen stalest round-2 rows (alphabetical within the tier).
+# Everything displaced (all round-3/4-evidenced rows) is unchanged
+# and re-verified by the judge's full oracle sweep each round.
 _DRIVER_PRIORITY = [
+    # (0) never driver-sampled: round-6 additions (behavioral
+    # analytics + zone maps), newest-first
+    "cohort_retention", "rolling_active_users", "ab_test_ztest",
+    "basket_pairs_topk", "graph_triangle_count", "graph_pagerank_topk",
+    "text_rarity_score", "layout_zonemap_stats",
     # (1) never driver-sampled: round-5 additions ...
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
@@ -81,10 +86,7 @@ _DRIVER_PRIORITY = [
     "distinct_pairs", "filter_null_coerce_json", "join_asof_forward",
     "month_normalize", "q1_pricing_summary", "scan_project_filter",
     "set_except", "set_except_all", "set_intersect",
-    "set_intersect_all", "set_union_distinct", "sim_quantize_int8",
-    "sort_limit_topk", "split_train_test", "stream_sliding_window",
-    "string_functions", "text_bpe_token_estimate",
-    "text_winnow_fingerprint", "timeseries_resample_ffill",
+    "set_intersect_all", "set_union_distinct",
 ]
 
 
@@ -113,6 +115,7 @@ def load_all() -> None:
         layout,
         sqlapi,
         tpch,
+        behavior,
     )
 
     for reg in (QUERIES, ORACLES):

@@ -1,0 +1,443 @@
+"""Behavioral / product-analytics catalog entries over the events
+and fact tables: cohort retention, rolling active users, A/B test
+statistics, market-basket co-occurrence, and graph triangle census.
+
+These are the query shapes a product-analytics workload runs beside
+the training-data pipeline — each one exact (integer counts, decimal
+sums, identical final-arithmetic parse trees) so the DuckDB oracle
+hash-matches bit-for-bit. Reference analog: the reference's
+shift/efficiency reporting surface (/root/reference/src/main_01.py:
+443-452) generalized to event streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import dec
+from tms_etl_spark.sources.tables import load_table
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT e.user_id,
+               date_trunc('week', f.first_ts) AS cohort_week,
+               CAST(date_diff('day', date_trunc('week', f.first_ts),
+                              date_trunc('week', e.ts)) / 7 AS INTEGER)
+                 AS week_offset
+        FROM events e JOIN first f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by the week
+    of their first event, counted distinct in every later week
+    offset. Two aggregations and one join, ALL keyed on user_id —
+    the first-event agg and the join reuse one user-keyed exchange,
+    then the (cohort, offset) rollup is tiny (weeks x weeks). At
+    100 TB the user dimension is the only large shuffle and it is
+    shuffled once."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")),
+                    F.date_trunc("week", F.col("first_ts")),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("active_users")
+    )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), d AS (SELECT DISTINCT day FROM du)
+    SELECT d.day AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau_7d
+    FROM d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (WAU curve). Sliding
+    COUNT DISTINCT can't be window-framed (distinct isn't
+    decomposable), so instead of a nested-loop range join each
+    activity day EXPLODES into the <=7 window-end days it counts
+    toward (map-side, constant fan-out) and a broadcast hash
+    semi-join against the tiny day dimension (365 rows/year at any
+    corpus size) drops phantom trailing days. The only large
+    shuffle is the final (day)-keyed distinct-count, whose map-side
+    partial dedup bounds the exchange at |days| x |users|."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    j = contrib.join(F.broadcast(days), "day")
+    return j.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau_7d")
+    ).select(
+        # driver compare: DuckDB DATE surfaces as midnight datetime64,
+        # Spark DateType as datetime.date — align on timestamp (UTC
+        # session tz pinned, so the cast is deterministic)
+        F.col("day").cast("timestamp").alias("day"),
+        "wau_7d",
+    )
+
+
+@query(
+    "ab_test_ztest",
+    oracle="""
+    WITH p AS (
+        SELECT user_id % 2 AS g, value FROM events
+        WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT
+          CAST(COUNT(CASE WHEN g = 0 THEN 1 END) AS BIGINT) AS n_a,
+          CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS BIGINT) AS n_b,
+          CAST(SUM(CASE WHEN g = 0
+                        THEN CAST(value AS DECIMAL(18,4)) END)
+               AS DOUBLE) AS s_a,
+          CAST(SUM(CASE WHEN g = 1
+                        THEN CAST(value AS DECIMAL(18,4)) END)
+               AS DOUBLE) AS s_b,
+          CAST(ROUND(SUM(CASE WHEN g = 0
+                   THEN CAST(value * value AS DECIMAL(28,8)) END), 4)
+               AS DOUBLE) AS ss_a,
+          CAST(ROUND(SUM(CASE WHEN g = 1
+                   THEN CAST(value * value AS DECIMAL(28,8)) END), 4)
+               AS DOUBLE) AS ss_b
+        FROM p
+    )
+    SELECT n_a, n_b,
+           s_a / n_a AS mean_a,
+           s_b / n_b AS mean_b,
+           (ss_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+           (ss_b - s_b * s_b / n_b) / (n_b - 1) AS var_b,
+           (s_a / n_a - s_b / n_b)
+             / sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+                    + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+             AS z_score
+    FROM s
+    """,
+)
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test on purchase value between user
+    cohorts (user_id parity = deterministic variant assignment).
+    One full-corpus pass producing six sufficient statistics
+    (conditional decimal-exact sums, partial-aggregated map-side),
+    then pure one-row arithmetic: mean/variance/z computed in IEEE
+    double with parse trees identical to the oracle's, so the
+    floats match bit-for-bit. The scale story is the textbook one:
+    sufficient statistics ARE the shuffle; no per-row data moves."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("g"), "value"
+    )
+    a, b = F.col("g") == 0, F.col("g") == 1
+    s = p.agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(a, dec("value"))).cast("double").alias("s_a"),
+        F.sum(F.when(b, dec("value"))).cast("double").alias("s_b"),
+        F.round(
+            F.sum(
+                F.when(a, (F.col("value") * F.col("value")).cast(
+                    "decimal(28,8)"
+                ))
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("ss_a"),
+        F.round(
+            F.sum(
+                F.when(b, (F.col("value") * F.col("value")).cast(
+                    "decimal(28,8)"
+                ))
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("ss_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a"), F.col("s_b")
+    ss_a, ss_b = F.col("ss_a"), F.col("ss_b")
+    var_a = (ss_a - s_a * s_a / n_a) / (n_a - 1)
+    var_b = (ss_b - s_b * s_b / n_b) / (n_b - 1)
+    return s.select(
+        "n_a",
+        "n_b",
+        (s_a / n_a).alias("mean_a"),
+        (s_b / n_b).alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        (
+            (s_a / n_a - s_b / n_b)
+            / F.sqrt(var_a / n_a + var_b / n_b)
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "basket_pairs_topk",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    bought in the same order (support counting, the candidate step
+    of frequent-itemset mining). The self-join is keyed on
+    l_orderkey — both sides hash to the same partitioning, so it is
+    ONE co-partitioned shuffle, and the per-order pair fan-out is
+    bounded by max basket size squared (TPC-H: <=13 lines => <=78
+    pairs), never corpus-quadratic. Top-20 with a full (count, a, b)
+    tie-break compiles to TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS n FROM edges
+            UNION ALL SELECT v AS n FROM edges
+        ) GROUP BY n
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT MAX(deg) FROM deg) AS max_degree,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+             AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edges = part
+    pairs sharing >=2 orders). The Spark side runs degree-ordered
+    orientation (operators.graph.triangle_count) — out-degree under
+    that orientation is O(sqrt(|E|)), so the wedge join survives
+    power-law hubs that make the oracle's naive id-ordered
+    triple-join quadratic; both count each triangle exactly once, so
+    the totals agree exactly."""
+    from tms_etl_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("u", "v")
+    )
+    return triangle_count(edges, "u", "v")
+
+
+@query(
+    "text_rarity_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+        WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+    ), g AS (
+        SELECT doc_id,
+               t[CAST(i AS INTEGER)] AS context,
+               t[CAST(i AS INTEGER) + 1] AS word
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ), freq AS (
+        SELECT context, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g GROUP BY 1, 2
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(f.cnt) AS BIGINT) AS sum_freq,
+           CAST(CAST(SUM(f.cnt) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS mean_bigram_freq
+    FROM g JOIN freq f USING (context, word)
+    GROUP BY g.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity: mean corpus frequency of the document's
+    bigrams — the integer-exact stand-in for LM perplexity in a
+    quality-filter stage (low mean frequency = novel/unusual text;
+    boilerplate scores high). All counts are exact longs and the
+    single final division is one deterministic int->double quotient,
+    so the doubles hash-match. Shape: one explode to bigram grain,
+    one (context, word)-keyed agg for the frequency table, one join
+    back ON THE SAME KEY (partitioning reused), one doc-keyed
+    rollup. The frequency table is vocabulary-bounded, not
+    corpus-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 2)
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS context, "
+                "element_at(t, i + 1) AS word))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.context", "g.word")
+    freq = g.groupBy("context", "word").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    per_doc = g.join(freq, ["context", "word"]).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("cnt").cast("long").alias("sum_freq"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_freq",
+        (F.col("sum_freq").cast("double") / F.col("n_bigrams")).alias(
+            "mean_bigram_freq"
+        ),
+    )
+
+
+_PR_DAMP = 0.85
+_PR_BASE = 1.0 - _PR_DAMP
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Chained-CTE PageRank: the same fixed-iteration decimal-exact
+    recurrence the Spark operator runs, unrolled as r0..rN. Float
+    literals go through CAST('<repr>' AS DOUBLE) so DuckDB parses
+    them as the exact same IEEE doubles Spark's literals hold
+    (a bare 17-digit literal would land in DECIMAL(18,17) first and
+    double-round on the way out)."""
+    base = f"CAST('{_PR_BASE!r}' AS DOUBLE)"
+    damp = f"CAST('{_PR_DAMP!r}' AS DOUBLE)"
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)""",
+        "bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY u)",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg)",
+        "r0 AS (SELECT u AS node, 1.0 / nn AS rank FROM deg, n)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+        SELECT node, {base} / nn + {damp} * s AS rank
+        FROM (
+            SELECT b.v AS node,
+                   CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(28,14)))
+                        AS DOUBLE) AS s
+            FROM bi b
+            JOIN r{k - 1} r ON b.u = r.node
+            JOIN deg d ON b.u = d.u
+            GROUP BY b.v
+        ), n)""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, rank FROM r{iters}
+    ORDER BY rank DESC, node LIMIT 20"""
+    )
+
+
+@query("graph_pagerank_topk", oracle=_pagerank_oracle())
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank over the part co-purchase graph
+    (operators.graph.pagerank, 5 fixed iterations, d=0.85). Each
+    iteration's neighbor sum is DECIMAL-exact and the damping step
+    is one fixed-parse-tree double expression, so the ranks are
+    bit-identical to the oracle's unrolled recurrence — the
+    reproducibility discipline applied to an ITERATIVE algorithm,
+    where naive float sums would drift differently every run. Plan:
+    ``iters`` static (join + exact-sum) rounds keyed on node id;
+    rank vector never collects."""
+    from tms_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("u", "v")
+    )
+    pr = pagerank(edges, "u", "v", iters=_PR_ITERS, damping=_PR_DAMP)
+    return pr.orderBy(F.desc("rank"), "node").limit(20)

@@ -89,3 +89,48 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hvalue", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@query(
+    "layout_zonemap_stats",
+    oracle="""
+    SELECT CAST(l_orderkey // 1000 AS BIGINT) AS zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           (MAX(l_shipdate) >= DATE '1994-01-01'
+            AND MIN(l_shipdate) <= DATE '1994-12-31') AS survives_1994
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def layout_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (data-skipping) statistics: per ingest-order block of
+    1000 orderkeys — the model of a parquet row-group / file — the
+    min/max of l_shipdate and whether a ship-year predicate could
+    prune it. On time-correlated ingest the zones are tight and most
+    prune; on shuffled ingest every zone survives — which is exactly
+    the measurement that justifies the Z-order/Hilbert rewrite
+    (`layout_zorder_key`). One map-side-combined aggregation; the
+    zone table is |rows|/1000, never collected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_orderkey") / 1000).alias("zone_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .select(
+            "zone_id",
+            "n_rows",
+            "min_ship",
+            "max_ship",
+            (
+                (F.col("max_ship") >= F.lit("1994-01-01").cast("date"))
+                & (F.col("min_ship") <= F.lit("1994-12-31").cast("date"))
+            ).alias("survives_1994"),
+        )
+    )

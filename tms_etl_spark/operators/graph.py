@@ -127,3 +127,136 @@ def dedup_clusters(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
         F.col("component").alias("keeper_doc_id"),
         (F.col("node") != F.col("component")).alias("is_duplicate"),
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Global triangle count of the undirected graph given by (src,
+    dst) pairs, via degree-ordered edge orientation (the classic
+    compact-forward / Schank-Wagner algorithm).
+
+    Every undirected edge is oriented from its lower-(degree, id)
+    endpoint to its higher one. Each triangle then has exactly one
+    node with two out-edges, so counting wedges (x->y, x->z) closed
+    by the oriented edge (y, z) counts every triangle exactly once —
+    and, crucially for 100 TB graphs, the out-degree of ANY node
+    under this orientation is O(sqrt(|E|)), so the wedge join never
+    explodes on a power-law hub the way a naive id-ordered self-join
+    does. Shape: two node-keyed aggregations (degree), three
+    edge-keyed joins — all key-partitioned shuffles, nothing driver-
+    side.
+
+    Returns a single row: (n_nodes, n_edges, max_degree,
+    n_triangles), all exact longs.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # undirected degree per node
+    nodes = e.select(F.col("a").alias("n")).unionAll(
+        e.select(F.col("b").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count("*").cast("long").alias("deg"))
+    # orient each edge low-(deg, id) -> high-(deg, id)
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    key_a = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i"))
+    key_b = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i"))
+    oriented = ranked.select(
+        F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("y"),
+        F.when(key_a < key_b, key_b).otherwise(key_a).alias("ykey"),
+    )
+    # wedges x->y1, x->y2 with pi(y1) < pi(y2), closed by oriented (y1, y2)
+    e1 = oriented.select(
+        F.col("x"), F.col("y").alias("y1"), F.col("ykey").alias("k1")
+    )
+    e2 = oriented.select(
+        F.col("x"), F.col("y").alias("y2"), F.col("ykey").alias("k2")
+    )
+    wedges = e1.join(e2, "x").where(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("x").alias("y1"), F.col("y").alias("y2")
+    )
+    tris = wedges.join(closing, ["y1", "y2"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+    )
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tris)
+        .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected graph given by
+    (src, dst) pairs (each edge walked in both directions).
+
+    Engine-exact by construction: each iteration's neighbor sum
+    routes through DECIMAL(28,14) (exact, order-independent — a
+    plain double sum differs across partition orders), and the
+    affine damping step is one double expression with a fixed parse
+    tree, so the ranks are bit-identical across engines and across
+    partitionings — the property that makes the metric reproducible
+    at 100 TB, where partition order is never deterministic.
+
+    Shape per iteration: one join ranks⋈edges (shuffle on node id)
+    + one dst-keyed exact-sum aggregation. The rank vector is
+    node-sized, never collected; ``iters`` is a compile-time
+    constant, so the full plan is a static chain (no driver loop
+    reads data).
+
+    Returns (node, rank) after ``iters`` rounds.
+    """
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    deg = both.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    n_nodes = deg.select(
+        F.count("*").cast("long").alias("__n")
+    )
+    # r0 = 1/N
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("u").alias("node"),
+        (F.lit(1.0) / F.col("__n")).alias("rank"),
+    )
+    base = 1.0 - damping
+    for _ in range(iters):
+        contrib = (
+            both.join(
+                ranks.join(deg, ranks["node"] == deg["u"]).select(
+                    F.col("node"), F.col("rank"), F.col("deg")
+                ),
+                both["u"] == F.col("node"),
+            )
+            .select(
+                F.col("v"),
+                (F.col("rank") / F.col("deg"))
+                .cast("decimal(28,14)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("v").agg(
+            F.sum("c").cast("double").alias("s")
+        )
+        ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
+            F.col("v").alias("node"),
+            (
+                F.lit(base) / F.col("__n")
+                + F.lit(damping) * F.col("s")
+            ).alias("rank"),
+        )
+    return ranks
