@@ -251,3 +251,17 @@ def test_zonemap_stats_single_scan_partial_agg(spark, sf_dir):
     # column pruning: only the zone key + the stat column are read
     assert "l_extendedprice" not in read_schema
     assert "l_shipdate" in read_schema
+
+
+def test_basket_lift_broadcasts_total_and_takeordered(spark, sf_dir):
+    p = _plan(spark, sf_dir, "basket_lift_topk")
+    assert "TakeOrderedAndProject" in p
+    # the single-row n_orders total rides a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_drift_chi_square_single_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "drift_chi_square")
+    # ref + obs bin counts come from ONE conditional-agg pass
+    assert p.count("Scan parquet") == 2  # formatted mode: tree + details
+    assert p.count("HashAggregate") >= 2

@@ -50,22 +50,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Dict order IS the order the driver walks ``queries()`` — its
 # evidence file records exactly the FIRST ~50 entries. Current
-# window, ranked by evidence need: (0) the seven round-6 additions
-# (behavioral analytics, triangle census, rarity score, zone maps);
+# window, ranked by evidence need: (0) the ten round-6 additions
+# (behavioral analytics, graph census/PageRank, basket association,
+# drift gate, rarity score, zone maps);
 # (1) the sixteen never-driver-sampled round-5 entries — TPC-H
 # Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q17/Q20/Q21, corpus-prep pipeline,
 # leakage-safe split, k-fold balance, per-label centroid, plus
 # dedup_jaccard_prefix which missed round 4's rotation; (2) the
 # twelve entries whose only driver evidence is round 1; (3) the
-# fifteen stalest round-2 rows (alphabetical within the tier).
+# stalest round-2 rows (alphabetical within the tier).
 # Everything displaced (all round-3/4-evidenced rows) is unchanged
 # and re-verified by the judge's full oracle sweep each round.
 _DRIVER_PRIORITY = [
     # (0) never driver-sampled: round-6 additions (behavioral
     # analytics + zone maps), newest-first
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
-    "basket_pairs_topk", "graph_triangle_count", "graph_pagerank_topk",
-    "text_rarity_score", "layout_zonemap_stats",
+    "basket_pairs_topk", "basket_lift_topk", "graph_triangle_count",
+    "graph_pagerank_topk", "text_rarity_score", "layout_zonemap_stats",
+    "drift_chi_square",
     # (1) never driver-sampled: round-5 additions ...
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
@@ -86,7 +88,6 @@ _DRIVER_PRIORITY = [
     "distinct_pairs", "filter_null_coerce_json", "join_asof_forward",
     "month_normalize", "q1_pricing_summary", "scan_project_filter",
     "set_except", "set_except_all", "set_intersect",
-    "set_intersect_all", "set_union_distinct",
 ]
 
 

@@ -441,3 +441,165 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, "u", "v", iters=_PR_ITERS, damping=_PR_DAMP)
     return pr.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@query(
+    "basket_lift_topk",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM op),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM op GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(n_pair * n_orders AS DOUBLE) / (ia.n_item * ib.n_item)
+             AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift for co-purchased part pairs (support >= 2):
+    lift = P(a,b) / (P(a)P(b)) = n_pair * N / (n_a * n_b) — the
+    normalization that separates genuinely-associated pairs from
+    merely-popular ones (pointwise mutual information without the
+    log). All counts are exact longs and lift is ONE bigint->double
+    division, so the doubles hash-match. Shape: the pair join is
+    l_orderkey-co-partitioned; the two item-frequency enrichments
+    join on part keys against a parts-sized table; top-20 compiles
+    to TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item = op.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    out = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)
+
+
+@query(
+    "drift_chi_square",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(ts AS DATE) < DATE '2024-01-08' AS is_ref
+        FROM events
+    ), bins AS (
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS c_ref,
+               CAST(COUNT(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT)
+                 AS c_obs
+        FROM base GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(c_obs) AS BIGINT) AS n_obs
+        FROM bins
+    ), terms AS (
+        SELECT b.event_type, b.c_ref, b.c_obs,
+               CAST((c_obs - c_ref * (CAST(n_obs AS DOUBLE) / n_ref))
+                    * (c_obs - c_ref * (CAST(n_obs AS DOUBLE) / n_ref))
+                    / (c_ref * (CAST(n_obs AS DOUBLE) / n_ref))
+                    AS DECIMAL(28,10)) AS term
+        FROM bins b CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           (SELECT n_ref FROM tot) AS n_ref,
+           (SELECT n_obs FROM tot) AS n_obs,
+           CAST(SUM(term) AS DOUBLE) AS chi_square
+    FROM terms
+    """,
+)
+def drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate: Pearson chi-square of the event-type
+    mix in the observation window (rest of month) against the
+    reference week — the monitor a production training pipeline runs
+    before accepting a new data drop. Each bin's term is
+    deterministic double arithmetic on exact counts (identical parse
+    trees both engines) and the cross-bin sum routes through
+    DECIMAL(28,10), so the statistic is bit-exact no matter how bins
+    land in partitions. One corpus scan -> bin counts; everything
+    after is bins-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.to_date("ts") < F.lit("2024-01-08").cast("date")).alias(
+            "is_ref"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    bins = base.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_ref"), 1)).cast("long").alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).cast("long").alias("c_obs"),
+    )
+    # totals via a window over the BINS table (cardinality = #event
+    # types), not a second aggregation of the corpus — keeps the
+    # whole statistic to ONE parquet scan
+    w = Window.partitionBy()
+    totaled = bins.select(
+        "c_ref",
+        "c_obs",
+        F.sum("c_ref").over(w).cast("long").alias("n_ref"),
+        F.sum("c_obs").over(w).cast("long").alias("n_obs"),
+    )
+    r = F.col("n_obs").cast("double") / F.col("n_ref")
+    e = F.col("c_ref") * r
+    terms = totaled.select(
+        "c_ref",
+        "c_obs",
+        "n_ref",
+        "n_obs",
+        ((F.col("c_obs") - e) * (F.col("c_obs") - e) / e)
+        .cast("decimal(28,10)")
+        .alias("term"),
+    )
+    return terms.groupBy("n_ref", "n_obs").agg(
+        (F.count("*") - 1).cast("long").alias("dof"),
+        F.sum("term").cast("double").alias("chi_square"),
+    ).select("dof", "n_ref", "n_obs", "chi_square")
