@@ -133,6 +133,44 @@ AUDIT = [
         "theta sketches as partial-aggregable state; set algebra on "
         "kilobyte sketches, exact counts in the same plan",
     ),
+    (
+        "basket_pairs_topk",
+        ["TakeOrderedAndProject", "HashAggregate"],
+        "co-purchase self-join co-partitioned on l_orderkey (pair "
+        "fan-out bounded by basket size, never corpus-quadratic); "
+        "top-20 bounded",
+    ),
+    (
+        "graph_triangle_count",
+        ["HashAggregate", "Exchange"],
+        "degree-oriented triangle census: orientation bounds any "
+        "node's out-degree at O(sqrt(E)), so the wedge join survives "
+        "power-law hubs",
+    ),
+    (
+        "graph_pagerank_topk",
+        ["HashAggregate", "Exchange"],
+        "5 static PageRank rounds, each one node-keyed join + "
+        "DECIMAL-exact sum; rank vector never collects",
+    ),
+    (
+        "rolling_active_users",
+        ["BroadcastHashJoin", "HashAggregate"],
+        "sliding distinct via map-side explode to window-end days + "
+        "broadcast day-dim hash join (no nested-loop range join)",
+    ),
+    (
+        "cohort_retention",
+        ["HashAggregate", "Exchange"],
+        "first-event agg and join both keyed on user_id (one large "
+        "exchange); final rollup is weeks-x-weeks tiny",
+    ),
+    (
+        "drift_chi_square",
+        ["HashAggregate", "Window"],
+        "one corpus scan -> bin counts; totals via window over the "
+        "bins table, chi-square terms DECIMAL-summed",
+    ),
 ]
 
 

@@ -120,3 +120,69 @@ def test_pagerank_mass_and_hub(spark):
         assert hub > rows[leaf]
     # leaves are symmetric: identical ranks bit-for-bit
     assert len({rows[leaf] for leaf in range(1, 11)}) == 1
+
+
+def test_triangle_count_random_vs_bruteforce(spark):
+    """Differential: degree-oriented count vs itertools brute force
+    on seeded Erdos-Renyi graphs."""
+    import itertools
+    import random
+
+    from tms_etl_spark.operators.graph import triangle_count
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(range(n), 2)
+            if rng.random() < 0.15
+        ]
+        adj = set(edges)
+        expect = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        df = spark.createDataFrame(edges, ["u", "v"])
+        row = triangle_count(df).collect()[0]
+        assert row["n_triangles"] == expect, f"seed {seed}"
+        assert row["n_edges"] == len(edges)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Differential: the decimal-exact distributed recurrence vs a
+    plain Python power iteration (same damping/iters) — agreement to
+    1e-9 (the decimal rounding floor is 1e-14)."""
+    import itertools
+    import random
+
+    from tms_etl_spark.operators.graph import pagerank
+
+    rng = random.Random(3)
+    n = 25
+    edges = [
+        (u, v)
+        for u, v in itertools.combinations(range(n), 2)
+        if rng.random() < 0.2
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    deg = {x: 0 for x in nodes}
+    nbrs = {x: [] for x in nodes}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    r = {x: 1.0 / len(nodes) for x in nodes}
+    for _ in range(5):
+        r = {
+            x: 0.15 / len(nodes)
+            + 0.85 * sum(r[y] / deg[y] for y in nbrs[x])
+            for x in nodes
+        }
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {row["node"]: row["rank"] for row in pagerank(df).collect()}
+    assert set(got) == set(nodes)
+    for x in nodes:
+        assert abs(got[x] - r[x]) < 1e-9, x
