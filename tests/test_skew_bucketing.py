@@ -79,3 +79,86 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert _plan(agg).count("Exchange") == 0
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A month-partitioned fact joined to a filtered dim must get a
+    runtime partition-pruning subquery on the fact scan (DPP) — at
+    100 TB this is the difference between scanning one month and
+    scanning the table."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    fact_path = str(tmp_path / "li_by_month")
+    li.write.partitionBy("ship_month").mode("overwrite").parquet(fact_path)
+    # DPP requires a file-based dim with a SELECTIVE predicate — a
+    # literal LocalRelation never qualifies
+    dim_path = str(tmp_path / "month_dim")
+    li.select("ship_month").distinct().withColumn(
+        "tag",
+        F.when(F.col("ship_month") == "1994-03", "target").otherwise(
+            "other"
+        ),
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "target")
+    q = fact.join(dim, "ship_month").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    plan = _plan(q)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """A pathologically hot join key must be split by AQE's skew-join
+    handling at runtime (skew=true in the final adaptive plan), not
+    serialized onto one reducer."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    old["spark.sql.adaptive.skewJoin.skewedPartitionFactor"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", None
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # 200k rows on ONE key vs a uniform right side; collect the
+        # JOIN itself so its own AdaptiveSparkPlan finalizes
+        left = spark.range(200_000).select(
+            F.lit(7).alias("k"),
+            (F.col("id") * F.lit(1234567)).alias("payload"),
+        ).unionAll(
+            spark.range(2_000).select(
+                (F.col("id") % 64).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        right = spark.range(64).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 202_000
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

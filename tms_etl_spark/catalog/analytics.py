@@ -731,3 +731,49 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         o, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
     )
+
+
+@query(
+    "ivm_join_delta",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance
+    (operators.ivm.join_view_delta): orders and customer are each
+    split into a history and an insert batch; the maintained view
+    ``J_old ∪ ΔJ`` (delta rule ΔJ = ΔR⋈S_old ∪ R_new⋈ΔS) is then
+    aggregated per nation and must equal the oracle's from-scratch
+    full join — proving the delta algebra covers every new pair
+    exactly once. Both delta joins carry the SMALL side as the
+    delta, so a production batch compiles to broadcast probes of
+    the history, never a history×history re-join."""
+    from tms_etl_spark.operators.ivm import join_view_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice",
+        "o_orderdate",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+    r_old = o.where(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+    r_delta = o.where(F.col("o_orderdate") >= cutoff).drop("o_orderdate")
+    s_old = c.where(F.col("c_custkey") % 20 != 0)
+    s_delta = c.where(F.col("c_custkey") % 20 == 0)
+    j_old = r_old.join(s_old, ["c_custkey"])
+    dj = join_view_delta(r_old, s_old, r_delta, s_delta, ["c_custkey"])
+    view = j_old.unionByName(dj)
+    return view.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -92,7 +92,10 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join against the tiny day dimension (365 rows/year at any
     corpus size) drops phantom trailing days. The only large
     shuffle is the final (day)-keyed distinct-count, whose map-side
-    partial dedup bounds the exchange at |days| x |users|."""
+    partial dedup bounds the exchange at |days| x |users|. The day
+    dimension costs one extra single-column scan partial-agged to
+    |days| rows map-side; a production deployment joins a static
+    calendar table instead and pays zero."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(
         F.to_date("ts").alias("day"), "user_id"

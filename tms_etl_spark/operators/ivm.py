@@ -69,3 +69,28 @@ def finalize(states: DataFrame, keys: list[str]) -> DataFrame:
         "min",
         "max",
     )
+
+
+def join_view_delta(
+    r_old: DataFrame,
+    s_old: DataFrame,
+    r_delta: DataFrame,
+    s_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Delta rule for an inner-join view J = R ⋈ S under inserts:
+
+        ΔJ = (ΔR ⋈ S_old)  ∪  (R_new ⋈ ΔS),   R_new = R_old ∪ ΔR
+
+    Using R_new (not R_old) in the second term absorbs the ΔR⋈ΔS
+    cross term, so the two joins partition the new pairs exactly —
+    ``J_old ∪ ΔJ`` is the full recomputed join, row for row.
+
+    The 100 TB argument: both joins have a DELTA on one side, so
+    with a small batch they compile to broadcast joins and the cost
+    is O(|Δ| + matched rows) — the history tables are probed, never
+    re-joined against each other. Deletes ride the same algebra with
+    negated delta streams (as in ``merge_states``).
+    """
+    r_new = r_old.unionByName(r_delta)
+    return r_delta.join(s_old, on).unionByName(r_new.join(s_delta, on))
