@@ -281,3 +281,56 @@ def test_new_operator_edge_cases(spark):
     d = snapshot_diff(old, empty, keys=["k"])
     assert {r["change_type"] for r in d.collect()} == {"delete"}
     assert d.count() == 2
+
+
+def test_cooccurrence_mega_basket_bounded(spark):
+    """A planted 5k-item basket must emit at most C(cap,2) pairs —
+    never the quadratic 12.5M — while normal baskets stay exact."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.corpus import cooccurrence_pairs
+
+    mega = spark.range(5_000).select(
+        F.lit(0).alias("basket"), F.col("id").alias("item")
+    )
+    normal = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)],
+        ["basket", "item"],
+    )
+    pairs = cooccurrence_pairs(
+        mega.unionByName(normal), "basket", "item", max_basket=64
+    )
+    rows = pairs.collect()
+    from_mega = [r for r in rows if r["item_a"] >= 100 or r["item_b"] >= 100]
+    assert len(from_mega) <= 64 * 63 // 2
+    exact = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in rows
+        if r["item_a"] in (10, 11, 12) and r["item_b"] in (10, 11, 12)
+    }
+    assert exact[(10, 11)] == 2
+    assert exact[(10, 12)] == 1
+    assert exact[(11, 12)] == 1
+
+
+def test_cooccurrence_uncapped_is_exact(spark, sf_dir):
+    """At TPC-H basket sizes (<=13) the cap never binds: operator
+    output must equal the plain self-join pair counts."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.corpus import cooccurrence_pairs
+    from tms_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("item_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("item_b"))
+    plain = (
+        a.join(b, "l_orderkey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+    )
+    got = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0

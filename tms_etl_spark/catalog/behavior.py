@@ -234,20 +234,24 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the 20 part pairs most often
     bought in the same order (support counting, the candidate step
-    of frequent-itemset mining). The self-join is keyed on
-    l_orderkey — both sides hash to the same partitioning, so it is
-    ONE co-partitioned shuffle, and the per-order pair fan-out is
-    bounded by max basket size squared (TPC-H: <=13 lines => <=78
-    pairs), never corpus-quadratic. Top-20 with a full (count, a, b)
-    tie-break compiles to TakeOrdered."""
+    of frequent-itemset mining; operators.corpus.cooccurrence_pairs).
+    The self-join is keyed on l_orderkey — both sides hash to the
+    same partitioning, so it is ONE co-partitioned shuffle, and
+    per-basket pair fan-out is hard-capped at C(max_basket, 2) (a
+    degenerate mega-basket samples down deterministically; TPC-H
+    baskets are <=13 lines, so the cap never binds here and the
+    oracle is exact). Top-20 with a full (count, a, b) tie-break
+    compiles to TakeOrdered."""
+    from tms_etl_spark.operators.corpus import cooccurrence_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
     return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("n_orders"))
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            F.col("n_baskets").alias("n_orders"),
+        )
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
@@ -290,18 +294,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tms_etl_spark.operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-        .select("u", "v")
+    return triangle_count(_copurchase_edges(li), "u", "v")
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Support>=2 part co-purchase edges via the capped co-occurrence
+    operator (per-basket pair fan-out hard-bounded)."""
+    from tms_etl_spark.operators.corpus import cooccurrence_pairs
+
+    return (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .where(F.col("n_baskets") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
     )
-    return triangle_count(edges, "u", "v")
 
 
 @query(
@@ -431,18 +436,9 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tms_etl_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-        .select("u", "v")
+    pr = pagerank(
+        _copurchase_edges(li), "u", "v", iters=_PR_ITERS, damping=_PR_DAMP
     )
-    pr = pagerank(edges, "u", "v", iters=_PR_ITERS, damping=_PR_DAMP)
     return pr.orderBy(F.desc("rank"), "node").limit(20)
 
 
@@ -484,6 +480,8 @@ def basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey-co-partitioned; the two item-frequency enrichments
     join on part keys against a parts-sized table; top-20 compiles
     to TakeOrdered."""
+    from tms_etl_spark.operators.corpus import cooccurrence_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = op.agg(
@@ -492,13 +490,13 @@ def basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = op.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("n_item")
     )
-    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("n_pair"))
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            F.col("n_baskets").alias("n_pair"),
+        )
         .where(F.col("n_pair") >= 2)
     )
     ia = item.select(

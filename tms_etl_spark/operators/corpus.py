@@ -303,3 +303,47 @@ def shared_ngram_stats(
         (n_shared / n_grams).alias("shared_frac"),
         (n_shared > 0).alias("has_shared"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Basket co-occurrence support counts: for every unordered item
+    pair sharing a basket, the number of baskets containing both —
+    the candidate-generation step of frequent-itemset / association
+    mining.
+
+    Degenerate-basket bound (same discipline as the LSH hot-bucket
+    star cap in ``dedup.minhash_lsh_pairs``): a pathological basket
+    with B items would emit C(B,2) pairs — quadratic. Baskets larger
+    than ``max_basket`` are capped to a deterministic pseudo-random
+    ``max_basket``-item sample (xxhash64 rank, so the choice is
+    stable across runs and partitionings), bounding per-basket pairs
+    at C(max_basket, 2) while leaving every normal basket exact.
+    Counts for capped baskets are a documented undercount — the knob
+    trades tail-basket recall for a hard cost ceiling.
+
+    Shape: the rank window, the self-join, and the final agg's input
+    all key on the basket — one partitioning reused; pair counts
+    partial-aggregate map-side.
+    """
+    b = df.select(basket_col, item_col).distinct()
+    w = Window.partitionBy(basket_col).orderBy(
+        F.xxhash64(F.col(basket_col), F.col(item_col)), F.col(item_col)
+    )
+    capped = (
+        b.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_basket)
+        .drop("__rk")
+    )
+    a = capped.select(basket_col, F.col(item_col).alias("item_a"))
+    c = capped.select(basket_col, F.col(item_col).alias("item_b"))
+    return (
+        a.join(c, basket_col)
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+    )
