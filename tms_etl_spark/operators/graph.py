@@ -169,6 +169,10 @@ def triangle_count(
         F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("y"),
         F.when(key_a < key_b, key_b).otherwise(key_a).alias("ykey"),
     )
+    # oriented feeds three plan branches (both wedge sides + the
+    # closing probe); Catalyst's exchange reuse dedupes the identical
+    # subtrees, so no explicit materialization is needed (measured:
+    # a localCheckpoint here is a wash locally and would block AQE)
     # wedges x->y1, x->y2 with pi(y1) < pi(y2), closed by oriented (y1, y2)
     e1 = oriented.select(
         F.col("x"), F.col("y").alias("y1"), F.col("ykey").alias("k1")
@@ -224,7 +228,13 @@ def pagerank(
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    deg = both.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    # both and deg are probed EVERY iteration — materialize once so
+    # iteration i doesn't re-derive the edge list i times (the same
+    # lineage-truncation discipline as connected_components)
+    both = both.localCheckpoint()
+    deg = both.groupBy("u").agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint()
     n_nodes = deg.select(
         F.count("*").cast("long").alias("__n")
     )
