@@ -121,3 +121,78 @@ def ewma_stream_by_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_stats_stream(
+    stream: DataFrame,
+    key: str,
+    value: str,
+):
+    """Per-key running (count, total, max) across micro-batches via
+    transformWithState — Spark 4's successor to the GroupState API
+    (``ewma_stream_by_key`` keeps the legacy form for comparison).
+    ValueState holds one fixed-width row per key, so state size is
+    O(keys) regardless of history; emits one updated row per key per
+    micro-batch in Update mode.
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState is
+    not supported on the default HDFS-backed provider. At scale
+    RocksDB is what you want anyway: state spills off-heap and
+    snapshots incrementally into the checkpoint. Runtime also needs
+    ``google.protobuf`` (the state server's wire format); in
+    environments without it the plan still builds (pinned by
+    ``test_running_stats_stream_compiles``) but execution is gated.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    kc, vc = key, value
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total double, vmax double"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import pandas as _pd
+
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            else:
+                n, total, vmax = 0, 0.0, None
+            for pdf in rows:
+                vals = pdf[vc].dropna()
+                if len(vals):
+                    n += int(len(vals))
+                    total += float(vals.sum())
+                    m = float(vals.max())
+                    vmax = m if vmax is None else max(vmax, m)
+            self._state.update((n, total, vmax))
+            yield _pd.DataFrame(
+                {
+                    kc: [key_tuple[0]],
+                    "n_seen": [n],
+                    "total": [total],
+                    "vmax": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select(kc, vc)
+        .groupBy(kc)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=f"{kc} long, n_seen long, total double, "
+            "vmax double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
