@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
     "basket_pairs_topk", "basket_lift_topk", "graph_triangle_count",
     "graph_pagerank_topk", "text_rarity_score", "layout_zonemap_stats",
-    "drift_chi_square", "ivm_join_delta",
+    "drift_chi_square", "ivm_join_delta", "ivm_retract_delta",
     # (1) never driver-sampled: round-5 additions ...
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
@@ -87,7 +87,7 @@ _DRIVER_PRIORITY = [
     "case_when_bucket", "date_functions", "dedup_jaccard_dfcut",
     "distinct_pairs", "filter_null_coerce_json", "join_asof_forward",
     "month_normalize", "q1_pricing_summary", "scan_project_filter",
-    "set_except", "set_except_all",
+    "set_except",
 ]
 
 

@@ -777,3 +777,36 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "ivm_retract_delta",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS avg
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY o_custkey
+    """,
+)
+def ivm_retract_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE side of view maintenance
+    (operators.ivm.retract_states): the per-customer rollup over ALL
+    orders absorbs a retraction batch (every 7th orderkey) as
+    negated states, and must equal the oracle's from-scratch rollup
+    over the surviving rows — including dropping customers whose
+    count hits zero. Cost is O(base keys + delete keys), the raw
+    history is never rescanned; decimal-exact sums make the
+    retraction bit-lossless (a double sum would accumulate cancel
+    error)."""
+    from tms_etl_spark.operators.ivm import aggregate_states, retract_states
+
+    o = load_table(spark, sf_dir, "orders")
+    base = aggregate_states(o, ["o_custkey"], "o_totalprice")
+    deleted = aggregate_states(
+        o.where(F.col("o_orderkey") % 7 == 0), ["o_custkey"], "o_totalprice"
+    )
+    return retract_states(base, deleted, ["o_custkey"])

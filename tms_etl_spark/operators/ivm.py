@@ -94,3 +94,34 @@ def join_view_delta(
     """
     r_new = r_old.unionByName(r_delta)
     return r_delta.join(s_old, on).unionByName(r_new.join(s_delta, on))
+
+
+def retract_states(
+    base: DataFrame, deleted: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Apply a DELETE batch to a rollup by merging NEGATED delta
+    states (cnt = -n, sum = -s) — the classic retractable-monoid
+    encoding. Only the invertible states survive retraction (count,
+    sum — and everything derived from them at read time: avg);
+    min/max are NOT invertible under deletes and need a recompute or
+    an auxiliary structure, which is why this path carries only the
+    retractable columns. Keys whose count reaches zero disappear
+    from the view, exactly as a recompute would drop them."""
+    b = base.select(*keys, "cnt", "sum")
+    neg = deleted.select(
+        *keys,
+        (-F.col("cnt")).alias("cnt"),
+        (-F.col("sum")).alias("sum"),
+    )
+    merged = (
+        b.unionByName(neg)
+        .groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum").alias("sum"))
+        .where(F.col("cnt") > 0)
+    )
+    return merged.select(
+        *keys,
+        F.col("cnt").cast("long").alias("n"),
+        F.col("sum").cast("double").alias("total"),
+        (F.col("sum").cast("double") / F.col("cnt")).alias("avg"),
+    )
