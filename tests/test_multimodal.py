@@ -168,3 +168,42 @@ def test_codec_seam_resize(spark, sf_dir):
     for r in rows:
         assert (r["new_width"], r["new_height"]) == (256, 128)
         assert r["resized_digest"] == expect
+
+
+def test_perceptual_hash_locality_and_separation(spark):
+    """aHash semantics: identical payloads → hamming 0; a 3-byte
+    in-place edit stays within the near-dup radius; unrelated
+    payloads do not pair."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_neardup_pairs,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    edited = bytearray(base)
+    for pos in (10, 500, 2000):
+        edited[pos] ^= 0xFF
+    unrelated = bytes(rng.randrange(256) for _ in range(4096))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, bytes(base)),       # exact duplicate
+            (3, bytes(edited)),     # 3-byte in-place edit
+            (4, unrelated),
+        ],
+        ["doc_id", "payload"],
+    )
+    sigs = {r["doc_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_neardup_pairs(perceptual_hash(df)).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p for p in pairs)

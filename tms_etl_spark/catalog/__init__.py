@@ -50,9 +50,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Dict order IS the order the driver walks ``queries()`` — its
 # evidence file records exactly the FIRST ~50 entries. Current
-# window, ranked by evidence need: (0) the ten round-6 additions
+# window, ranked by evidence need: (0) the thirteen round-6 additions
 # (behavioral analytics, graph census/PageRank, basket association,
-# drift gate, rarity score, zone maps);
+# drift gate, rarity score, zone maps, IVM join/retract deltas,
+# perceptual-hash near-dup);
 # (1) the sixteen never-driver-sampled round-5 entries — TPC-H
 # Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q17/Q20/Q21, corpus-prep pipeline,
 # leakage-safe split, k-fold balance, per-label centroid, plus
@@ -68,6 +69,7 @@ _DRIVER_PRIORITY = [
     "basket_pairs_topk", "basket_lift_topk", "graph_triangle_count",
     "graph_pagerank_topk", "text_rarity_score", "layout_zonemap_stats",
     "drift_chi_square", "ivm_join_delta", "ivm_retract_delta",
+    "multimodal_phash_neardup",
     # (1) never driver-sampled: round-5 additions ...
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
@@ -87,7 +89,6 @@ _DRIVER_PRIORITY = [
     "case_when_bucket", "date_functions", "dedup_jaccard_dfcut",
     "distinct_pairs", "filter_null_coerce_json", "join_asof_forward",
     "month_normalize", "q1_pricing_summary", "scan_project_filter",
-    "set_except",
 ]
 
 

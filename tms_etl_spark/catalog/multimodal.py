@@ -191,3 +191,82 @@ def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio_plan(
         attach_binary_payload(docs, modality="audio"), chunk_s=10.0, overlap_s=1.0
     )
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT SUM(c * (c - 1) / 2) FROM (
+                    SELECT COUNT(*) AS c FROM documents GROUP BY text
+                )) AS BIGINT) AS n_exact_pairs,
+           TRUE AS planted_recall_ok,
+           TRUE AS exact_dup_complete
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection across the binary
+    modality (operators.multimodal.perceptual_hash +
+    phash_neardup_pairs): every payload gets a planted 3-byte
+    in-place edit twin, and the banded hamming join must (a) recover
+    >=90% of the planted twins (structural for <=3 flipped bits —
+    pigeonhole over 4 bands — with slack for threshold cells the
+    mean shift flips) and (b) find EVERY exact-duplicate payload
+    pair (identical bytes => identical signature => shared bands,
+    zero loss allowed). The oracle recomputes n_docs and the exact-
+    duplicate pair count from the text column and pins the two
+    booleans."""
+    from tms_etl_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_neardup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    orig = d.select("doc_id", payload.alias("payload"))
+    variant = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.overlay(payload, F.lit(b"zzz"), F.lit(11)).alias("payload"),
+    )
+    sigs = perceptual_hash(orig.unionByName(variant))
+    pairs = phash_neardup_pairs(sigs, bands=4, max_hamming=6)
+
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    planted = pairs.where(
+        F.col("doc_b") == F.col("doc_a") + 1000000
+    ).agg(F.count("*").cast("long").alias("planted_found"))
+    dg = d.select("doc_id", F.md5("text").alias("dig"))
+    expected_exact = (
+        dg.groupBy("dig")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("n_exact_pairs")
+        )
+    )
+    found_exact = (
+        pairs.where(
+            (F.col("doc_a") < 1000000) & (F.col("doc_b") < 1000000)
+        )
+        .join(dg.select(F.col("doc_id").alias("doc_a"), F.col("dig").alias("dig_a")), "doc_a")
+        .join(dg.select(F.col("doc_id").alias("doc_b"), F.col("dig").alias("dig_b")), "doc_b")
+        .where(F.col("dig_a") == F.col("dig_b"))
+        .agg(F.count("*").cast("long").alias("found_exact"))
+    )
+    return (
+        n_docs.crossJoin(planted)
+        .crossJoin(expected_exact)
+        .crossJoin(found_exact)
+        .select(
+            "n_docs",
+            "n_exact_pairs",
+            (
+                F.col("planted_found")
+                >= F.round(F.col("n_docs") * 0.9).cast("long")
+            ).alias("planted_recall_ok"),
+            (F.col("found_exact") == F.col("n_exact_pairs")).alias(
+                "exact_dup_complete"
+            ),
+        )
+    )

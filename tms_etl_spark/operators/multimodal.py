@@ -260,3 +260,108 @@ def chunk_audio_plan(
         start.alias("chunk_start_s"),
         F.least(start + chunk_s, dur).alias("chunk_end_s"),
     )
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def perceptual_hash(
+    df: DataFrame, batch_hint: int = 256, decode_fn=None
+) -> DataFrame:
+    """Average-hash (aHash) perceptual signature over binary
+    payloads: decode to a 64-cell luma grid, threshold each cell
+    against the grid mean, pack the 64 bits into one long. Nearby
+    images (few changed pixels/bytes) land within a small hamming
+    distance — the property `phash_neardup_pairs` exploits.
+
+    ``decode_fn(payload: bytes) -> list[float]`` (64 luma cells) is
+    the codec seam — pass a real thumbnail-luma decoder in
+    deployment. The stub "decodes" by summing payload bytes with
+    stride 64 (cell i sums bytes i, i+64, i+128, …), so an in-place
+    edit of k bytes perturbs at most k cells — a faithful locality
+    model with zero codec dependencies.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def decode_stub(payload: bytes) -> list[float]:
+            cells = [0.0] * 64
+            for i, b in enumerate(payload):
+                cells[i % 64] += b
+            return cells
+
+        decode = decode_fn if decode_fn is not None else decode_stub
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cells = decode(bytes(payload))
+                mean = sum(cells) / len(cells)
+                sig = 0
+                for b, c in enumerate(cells):
+                    if c > mean:
+                        sig |= 1 << b
+                # pack as signed 64-bit for the LongType column
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                out_ids.append(doc_id)
+                out_sigs.append(sig)
+            yield _pd.DataFrame({"doc_id": out_ids, "phash": out_sigs})
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    sigs: DataFrame, bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate pairs from 64-bit perceptual hashes via banded
+    candidate generation: split each signature into ``bands`` equal
+    bit-bands; any pair agreeing on AT LEAST ONE band is a
+    candidate (pigeonhole: a pair within hamming distance
+    ``bands - 1`` ALWAYS shares a band — with 4 bands, recall is
+    structural up to 3 flipped bits and high well beyond); then the
+    exact hamming distance (JVM bit_count(xor)) filters candidates
+    to ``<= max_hamming``. Shuffle key is (band_idx, band_bits) —
+    never an all-pairs join, same discipline as MinHash-LSH.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.bits")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "bits",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "bits",
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
