@@ -171,6 +171,24 @@ AUDIT = [
         "one corpus scan -> bin counts; totals via window over the "
         "bins table, chi-square terms DECIMAL-summed",
     ),
+    (
+        "ivm_join_delta",
+        ["BroadcastHashJoin"],
+        "delta rule: both maintenance joins carry the small delta "
+        "side and broadcast — history never re-joins history",
+    ),
+    (
+        "ivm_retract_delta",
+        ["HashAggregate", "Exchange"],
+        "delete batch as negated states; merge is one key-grouped "
+        "re-aggregation over state tables, O(keys)",
+    ),
+    (
+        "multimodal_phash_neardup",
+        ["HashAggregate", "Exchange"],
+        "banded hamming join on (band, bits) keys — candidate "
+        "generation is a digest-keyed shuffle, never all-pairs",
+    ),
 ]
 
 
