@@ -186,3 +186,23 @@ def test_pagerank_matches_power_iteration(spark):
     assert set(got) == set(nodes)
     for x in nodes:
         assert abs(got[x] - r[x]) < 1e-9, x
+
+
+def test_bfs_levels_known_graph(spark):
+    from tms_etl_spark.operators.graph import bfs_levels
+
+    # path 1-2-3-4-5 plus chord 1-4; min node = 1 is the source
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["level"] for r in bfs_levels(df).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_levels_radius_bound(spark):
+    from tms_etl_spark.operators.graph import bfs_levels
+
+    # chain 0-1-...-9: radius 6 must label nodes 0..6 only
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["level"] for r in bfs_levels(df, max_depth=6).collect()}
+    assert got == {i: i for i in range(7)}

@@ -604,3 +604,39 @@ def drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - 1).cast("long").alias("dof"),
         F.sum("term").cast("double").alias("chi_square"),
     ).select("dof", "n_ref", "n_obs", "chi_square")
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    walk(node, level) AS (
+        SELECT (SELECT MIN(u) FROM bi), 0
+        UNION
+        SELECT b.v, walk.level + 1
+        FROM walk JOIN bi b ON b.u = walk.node
+        WHERE walk.level < 6
+    )
+    SELECT node, CAST(MIN(level) AS INTEGER) AS level
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS levels from the minimum-id node of the co-purchase graph,
+    radius 6 (operators.graph.bfs_levels) — the iterative
+    reachability shape (SSSP/ego-network) checked against DuckDB's
+    RECURSIVE CTE evaluating the same bounded walk. Six rounds of
+    (node-keyed join + min-agg), frontier never collected; exact
+    integer levels, so the match is bit-trivial."""
+    from tms_etl_spark.operators.graph import bfs_levels
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bfs_levels(_copurchase_edges(li), "u", "v", max_depth=6)

@@ -270,3 +270,49 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    source_node: DataFrame | None = None,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS levels) over the
+    undirected graph, by ``max_depth`` rounds of min-level
+    relaxation: after round k every node at distance <= k carries
+    its exact BFS distance (labels only shrink), so bounding the
+    rounds bounds the explored radius — the standard
+    Bellman-Ford-on-a-cluster shape, one node-keyed join + min-agg
+    per round, frontier never collected. ``source_node`` is a 1-row
+    (node) DataFrame (default: the minimum node id — deterministic
+    cross-engine); unreachable-within-depth nodes are absent.
+    """
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .localCheckpoint()
+    )
+    if source_node is None:
+        source_node = both.agg(F.min("u").alias("node"))
+    levels = source_node.select(
+        F.col("node"), F.lit(0).cast("int").alias("level")
+    )
+    for _ in range(max_depth):
+        cand = (
+            levels.join(both, levels["node"] == both["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("level") + 1).cast("int").alias("level"),
+            )
+        )
+        levels = (
+            levels.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("level").alias("level"))
+            .localCheckpoint()
+        )
+    return levels
