@@ -520,3 +520,149 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(xs), 8).cast("double") / F.count("*")).alias("centroid"),
         F.count("*").cast("long").alias("n_vectors"),
     )
+
+
+@query(
+    "embedding_label_outliers",
+    oracle="""
+    WITH comp2 AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS cand_label, pos,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(28,14))), 8) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM comp2 GROUP BY label, pos
+    ), cnorm AS (
+        SELECT cand_label,
+               CAST(ROUND(SUM(CAST(c * c AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS nc
+        FROM cent GROUP BY cand_label
+    ), vnorm AS (
+        SELECT vec_id,
+               CAST(ROUND(SUM(CAST(x * x AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS nv
+        FROM comp2 GROUP BY vec_id
+    ), dots AS (
+        SELECT comp2.vec_id, comp2.label, cent.cand_label,
+               CAST(ROUND(SUM(CAST(comp2.x * cent.c AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS dot
+        FROM comp2 JOIN cent ON cent.pos = comp2.pos
+        GROUP BY comp2.vec_id, comp2.label, cent.cand_label
+    ), cosed AS (
+        SELECT d.vec_id, d.label, d.cand_label,
+               d.dot / (sqrt(v.nv) * sqrt(c.nc)) AS cos,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY d.dot / (sqrt(v.nv) * sqrt(c.nc)) DESC,
+                            d.cand_label
+               ) AS rk
+        FROM dots d
+        JOIN vnorm v USING (vec_id)
+        JOIN cnorm c USING (cand_label)
+    )
+    SELECT b.vec_id, b.label,
+           b.cand_label AS predicted_label,
+           o.cos AS own_cos,
+           b.cos AS best_cos,
+           (b.cand_label <> b.label) AS is_suspect
+    FROM cosed b JOIN cosed o
+      ON o.vec_id = b.vec_id AND o.cand_label = o.label
+    WHERE b.rk = 1
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by nearest-centroid disagreement
+    (confident-learning-lite): every vector is scored against all
+    per-label centroids; a vector whose best-cosine centroid is not
+    its own label is a suspected mislabel — the triage list a
+    training pipeline reviews before the data ships. All dot
+    products and norms ride DECIMAL(28,12) exact sums and the final
+    cosine is a fixed-parse-tree double expression, so the argmax
+    (with a label tie-break) is bit-deterministic cross-engine.
+    Shape: centroids are a (labels x dims) table joined on pos
+    (broadcast-sized at any corpus scale); the only corpus-sized
+    shuffles are the (vec, cand_label) dot aggregation and the
+    per-vec norm — both partial-aggregate map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = comp.groupBy(
+        F.col("label").alias("cand_label"), "pos"
+    ).agg(
+        (
+            F.round(F.sum(F.col("x").cast("decimal(28,14)")), 8).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("c")
+    )
+    cnorm = cent.groupBy("cand_label").agg(
+        F.round(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(28,12)")), 8
+        )
+        .cast("double")
+        .alias("nc")
+    )
+    vnorm = comp.groupBy("vec_id").agg(
+        F.round(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")), 8
+        )
+        .cast("double")
+        .alias("nv")
+    )
+    dots = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "cand_label")
+        .agg(
+            F.round(
+                F.sum((F.col("x") * F.col("c")).cast("decimal(28,12)")),
+                8,
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    cos = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
+    cosed = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "cand_label")
+        .select(
+            "vec_id",
+            "label",
+            "cand_label",
+            cos.alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos"), F.col("cand_label")
+                )
+            ),
+        )
+    )
+    best = cosed.where(F.col("rk") == 1).select(
+        "vec_id",
+        "label",
+        F.col("cand_label").alias("predicted_label"),
+        F.col("cos").alias("best_cos"),
+    )
+    own = cosed.where(F.col("cand_label") == F.col("label")).select(
+        "vec_id", F.col("cos").alias("own_cos")
+    )
+    return best.join(own, "vec_id").select(
+        "vec_id",
+        "label",
+        "predicted_label",
+        "own_cos",
+        "best_cos",
+        (F.col("predicted_label") != F.col("label")).alias("is_suspect"),
+    )
