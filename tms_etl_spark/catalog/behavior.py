@@ -640,3 +640,104 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return bfs_levels(_copurchase_edges(li), "u", "v", max_depth=6)
+
+
+@query(
+    "funnel_conversion_by_first_touch",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_signup,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_signup
+                           THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                           THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    ), ft AS (
+        SELECT user_id, event_type AS first_touch
+        FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ), per_user AS (
+        SELECT s3.user_id,
+               min(ft.first_touch) AS first_touch,
+               min(t_signup) AS t_signup,
+               min(t_click) AS t_click,
+               min(t_purchase) AS t_purchase
+        FROM s3 JOIN ft ON ft.user_id = s3.user_id
+        GROUP BY s3.user_id
+    )
+    SELECT first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase,
+           CASE WHEN COUNT(t_signup) > 0
+                THEN CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_signup)
+           END AS click_rate,
+           CASE WHEN COUNT(t_click) > 0
+                THEN CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click)
+           END AS purchase_rate
+    FROM per_user GROUP BY first_touch
+    """,
+)
+def funnel_conversion_by_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates segmented by first-touch event type
+    (first-touch attribution) — the composite a growth dashboard
+    actually renders: per acquisition segment, how many users
+    reached each ordered step (operators.funnel.funnel) and the
+    step-to-step conversion ratios (bigint/bigint divisions —
+    deterministic doubles, zero-denominator guarded identically on
+    both engines). The funnel windows, the first-touch rank, and
+    the per-user collapse all share ONE user-key exchange; the
+    segment rollup is |event types|-sized."""
+    from pyspark.sql.window import Window
+
+    from tms_etl_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    fn = funnel(ev, ["signup", "click", "purchase"])
+    ft = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    j = fn.join(ft, "user_id")
+    g = j.groupBy("first_touch").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t_signup").cast("long").alias("n_signup"),
+        F.count("t_click").cast("long").alias("n_click"),
+        F.count("t_purchase").cast("long").alias("n_purchase"),
+    )
+    return g.select(
+        "first_touch",
+        "n_users",
+        "n_signup",
+        "n_click",
+        "n_purchase",
+        F.when(
+            F.col("n_signup") > 0,
+            F.col("n_click").cast("double") / F.col("n_signup"),
+        ).alias("click_rate"),
+        F.when(
+            F.col("n_click") > 0,
+            F.col("n_purchase").cast("double") / F.col("n_click"),
+        ).alias("purchase_rate"),
+    )
