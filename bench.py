@@ -61,11 +61,27 @@ def _production_overrides():
         pairs = minhash_lsh_pairs(d).where(F.col("est_jaccard") > 0.5)
         return dedup_clusters(pairs)
 
+    def phash(spark, sf_dir):
+        # production form: signatures + banded hamming pairs over the
+        # corpus itself (the catalog entry adds planted twins + an
+        # agreement harness for the oracle)
+        from tms_etl_spark.operators.multimodal import (
+            perceptual_hash,
+            phash_neardup_pairs,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        sigs = perceptual_hash(
+            d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        )
+        return phash_neardup_pairs(sigs)
+
     return {
         "sim_neardup_pairs_lsh": neardup_lsh,
         "sim_ivf_topk": ivf,
         "dedup_clusters": clusters,
         "sim_cosine_topk": cosine,
+        "multimodal_phash_neardup": phash,
     }
 
 
@@ -106,6 +122,8 @@ HEADLINE = [
     # bigram-rarity quality score
     "cohort_retention",
     "graph_triangle_count",
+    "graph_pagerank_topk",
+    "multimodal_phash_neardup",
     "text_rarity_score",
 ]
 

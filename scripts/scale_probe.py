@@ -57,6 +57,8 @@ DEFAULT_QUERIES = [
     "rolling_active_users",
     "basket_pairs_topk",
     "graph_triangle_count",
+    "graph_pagerank_topk",
+    "multimodal_phash_neardup",
     "text_rarity_score",
 ]
 

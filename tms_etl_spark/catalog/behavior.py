@@ -1,6 +1,8 @@
 """Behavioral / product-analytics catalog entries over the events
 and fact tables: cohort retention, rolling active users, A/B test
-statistics, market-basket co-occurrence, and graph triangle census.
+statistics, market-basket co-occurrence, graph analytics (triangle
+census, PageRank, BFS levels), per-document bigram rarity,
+chi-square drift gates, and first-touch funnel conversion.
 
 These are the query shapes a product-analytics workload runs beside
 the training-data pipeline — each one exact (integer counts, decimal
