@@ -743,3 +743,86 @@ def funnel_conversion_by_first_touch(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("n_purchase").cast("double") / F.col("n_click"),
         ).alias("purchase_rate"),
     )
+
+
+@query(
+    "interval_islands",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey,
+               o_orderdate AS s,
+               o_orderdate + INTERVAL 7 DAY AS e
+        FROM orders
+    ), flagged AS (
+        SELECT o_custkey, s, e,
+               CASE WHEN s > max(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     OR max(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT o_custkey, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY o_custkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island_id
+        FROM flagged
+    ), merged AS (
+        SELECT o_custkey, island_id,
+               MIN(s) AS island_start, MAX(e) AS island_end
+        FROM islands GROUP BY o_custkey, island_id
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('day', island_start, island_end))
+                AS BIGINT) AS covered_days
+    FROM merged GROUP BY o_custkey
+    """,
+)
+def interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per key (gaps-and-islands MERGING, the step
+    past row-level sessionization): each order opens a 7-day
+    activity window; overlapping/touching windows merge into
+    islands via the running-max-of-ends trick, and the output is
+    per-customer island count + total covered days — the
+    utilization/coverage metric billing and SLA pipelines compute.
+    All three windows (running max, island cumsum, island collapse)
+    share ONE customer-key exchange; integers throughout, so the
+    match is exact."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("o_custkey", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.datediff(F.col("island_end"), F.col("island_start")))
+        .cast("long")
+        .alias("covered_days"),
+    )
