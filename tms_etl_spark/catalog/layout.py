@@ -134,3 +134,52 @@ def layout_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survives_1994"),
         )
     )
+
+
+@query(
+    "audit_partition_checksums",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+             AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(concat('0x',
+                    substr(md5(concat_ws('|',
+                        CAST(l_orderkey AS VARCHAR),
+                        CAST(l_partkey AS VARCHAR),
+                        CAST(l_suppkey AS VARCHAR),
+                        CAST(l_linenumber AS VARCHAR))), 1, 12))
+                AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+             AS content_checksum
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def audit_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-integrity audit: per ship-month partition, the row
+    count and an order-INDEPENDENT content checksum (sum of
+    per-row md5-prefix values through DECIMAL(38,0), so the total
+    is exact and identical no matter how rows are partitioned or
+    ordered) — the artifact two clusters compare after a
+    replication/migration to prove a 100 TB table transferred
+    bit-faithfully without ever co-locating the data. One map-side-
+    combined aggregation; the audit table is |partitions|-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(row_hash)
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("content_checksum"),
+    )
