@@ -30,3 +30,29 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = catalog.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    """Property: the bucketed sweep equals the quadratic definition
+    on random points with duplicates and ties."""
+    import itertools
+    import random
+
+    from tms_etl_spark.operators.windows import skyline_2d
+
+    rng = random.Random(5)
+    pts = [
+        (i, float(rng.randrange(0, 50)), rng.randrange(0, 30))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {r["id"] for r in skyline_2d(df, "x", "y", band_width=7.0).collect()}
+    expect = {
+        i
+        for i, x, y in pts
+        if not any(
+            (qx <= x and qy >= y and (qx < x or qy > y))
+            for _, qx, qy in pts
+        )
+    }
+    assert got == expect

@@ -826,3 +826,34 @@ def interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covered_days"),
     )
+
+
+@query(
+    "skyline_pareto_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: cheapest-for-their-size
+    parts no other part strictly dominates on (retailprice down,
+    size up) — the multi-criteria shortlist query optimizers and
+    recommendation pipelines run. The engine form is a bucketed
+    monotone sweep (operators.windows.skyline_2d): x-grain collapse,
+    per-band cummax, bands-sized prefix broadcast — no self-join and
+    no global single-reducer window, against the oracle's
+    quadratic NOT EXISTS formulation."""
+    from tms_etl_spark.operators.windows import skyline_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(p, "p_retailprice", "p_size")
