@@ -857,3 +857,134 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size"
     )
     return skyline_2d(p, "p_retailprice", "p_size")
+
+
+@query(
+    "pattern_double_dip",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               lag(o_totalprice, 4) OVER w AS p4,
+               lag(o_totalprice, 3) OVER w AS p3,
+               lag(o_totalprice, 2) OVER w AS p2,
+               lag(o_totalprice, 1) OVER w AS p1
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns
+    FROM seq
+    WHERE p4 > p3 AND p3 > p2
+      AND p2 < p1 AND p1 < o_totalprice
+    GROUP BY o_custkey
+    """,
+)
+def pattern_double_dip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern over ordered rows:
+    per customer, count the V-shaped order-value patterns
+    (two consecutive drops followed by two consecutive rises across
+    five consecutive orders) — the contiguous-pattern complement of
+    the funnel's ordered-min semantics. Four lags share ONE
+    customer-key exchange; the comparisons are exact doubles read
+    straight from storage (no arithmetic), so the match is
+    bit-trivial."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 4).over(w).alias("p4"),
+        F.lag("o_totalprice", 3).over(w).alias("p3"),
+        F.lag("o_totalprice", 2).over(w).alias("p2"),
+        F.lag("o_totalprice", 1).over(w).alias("p1"),
+    )
+    hit = seq.where(
+        (F.col("p4") > F.col("p3"))
+        & (F.col("p3") > F.col("p2"))
+        & (F.col("p2") < F.col("p1"))
+        & (F.col("p1") < F.col("o_totalprice"))
+    )
+    return hit.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_patterns")
+    )
+
+
+@query(
+    "drift_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), ref AS (
+        SELECT event_type,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS ref_mean
+        FROM daily WHERE day < DATE '2024-01-08'
+        GROUP BY event_type
+    ), scored AS (
+        SELECT d.event_type, d.day, d.n, r.ref_mean,
+               CAST(SUM(CAST(d.n - r.ref_mean AS DECIMAL(18,6))) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS cusum
+        FROM daily d JOIN ref r USING (event_type)
+        WHERE d.day >= DATE '2024-01-08'
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n, ref_mean,
+           cusum,
+           (abs(cusum) > 5 * ref_mean) AS alarm
+    FROM scored
+    """,
+)
+def drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential drift detection (CUSUM): per event type, the
+    running sum of (daily count - reference-week mean) over the
+    observation days, alarming when the cumulative deviation exceeds
+    5x the reference mean — the page-break monitor that catches slow
+    drifts the per-window chi-square gate (`drift_chi_square`)
+    misses. The cumsum terms ride DECIMAL(18,6), so the running
+    statistic is exact at every step; windows partition by event
+    type over a days-sized grain (bounded at any corpus scale — the
+    corpus-sized work is only the daily count aggregation)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    cut = F.lit("2024-01-08").cast("date")
+    ref = (
+        daily.where(F.col("day") < cut)
+        .groupBy("event_type")
+        .agg(
+            (F.sum("n").cast("double") / F.count("*")).alias("ref_mean")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        daily.where(F.col("day") >= cut)
+        .join(ref, "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                (F.col("n") - F.col("ref_mean")).cast("decimal(18,6)")
+            )
+            .over(w)
+            .cast("double"),
+        )
+    )
+    return scored.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        "n",
+        "ref_mean",
+        "cusum",
+        (F.abs(F.col("cusum")) > 5 * F.col("ref_mean")).alias("alarm"),
+    )
