@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Dict order IS the order the driver walks ``queries()`` — its
 # evidence file records exactly the FIRST ~50 entries. Current
-# window, ranked by evidence need: (0) the twenty-one round-6 additions
+# window, ranked by evidence need: (0) the twenty-two round-6 additions
 # (behavioral analytics, graph census/PageRank, basket association,
 # drift gate, rarity score, zone maps, IVM join/retract deltas,
 # perceptual-hash near-dup);
@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "embedding_label_outliers", "funnel_conversion_by_first_touch",
     "interval_islands", "audit_partition_checksums",
     "skyline_pareto_parts", "pattern_double_dip", "drift_cusum",
+    "sketch_hll_sliding",
     # (1) never driver-sampled: round-5 additions ...
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
@@ -89,7 +90,6 @@ _DRIVER_PRIORITY = [
     "explode_outer_tokens", "explode_tokens", "math_functions",
     "null_handling", "regex_extract", "text_token_count",
     # (3) oldest r02 evidence (alphabetical)
-    "case_when_bucket",
 ]
 
 

@@ -336,3 +336,63 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r50") - 0.5) <= _KLL_TOL).alias("ok_q50"),
         (F.abs(F.col("r75") - 0.75) <= _KLL_TOL).alias("ok_q75"),
     )
+
+
+@query(
+    "sketch_hll_sliding",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), d AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau_exact,
+           TRUE AS est_within_5pct
+    FROM d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct via MERGEABLE sketches: one HLL
+    sketch per day, unioned over a trailing 7-day window frame —
+    the form that replaces `rolling_active_users`' explode+exact
+    count when per-window exact distinct stops paying its shuffle
+    bill (each day's kilobyte sketch is built once and reused by
+    all 7 windows it participates in; window state is
+    O(days x sketch), independent of user cardinality). The gate
+    value-checks the EXACT trailing count and pins in-query that
+    the sketch estimate lands within 5% of it at every day."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    est = daily.select(
+        "day",
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk) OVER ("
+            "ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING "
+            "AND CURRENT ROW))"
+        ).alias("wau_est"),
+    )
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    exact = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    return exact.join(est, "day").select(
+        F.col("day").cast("timestamp").alias("day"),
+        "wau_exact",
+        (
+            F.abs(F.col("wau_est") - F.col("wau_exact"))
+            <= 0.05 * F.col("wau_exact")
+        ).alias("est_within_5pct"),
+    )
