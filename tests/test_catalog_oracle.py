@@ -56,3 +56,59 @@ def test_skyline_matches_bruteforce_random(spark):
         )
     }
     assert got == expect
+
+
+def test_interval_islands_matches_python_merge(spark):
+    """Property: window-based island merging equals a plain python
+    interval-union on random interval sets (overlaps, touches,
+    nesting, duplicates)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(13)
+    rows = []
+    for key in range(20):
+        for _ in range(rng.randrange(1, 15)):
+            s = rng.randrange(0, 60)
+            rows.append((key, s, s + rng.randrange(1, 10)))
+
+    def py_merge(iv):
+        iv = sorted(iv)
+        out = []
+        for s, e in iv:
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return out
+
+    expect = {}
+    for k in {r[0] for r in rows}:
+        merged = py_merge([(s, e) for kk, s, e in rows if kk == k])
+        expect[k] = (len(merged), sum(e - s for s, e in merged))
+
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    w = Window.partitionBy("k").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "ni",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "iid", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = islands.groupBy("k", "iid").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    got = {
+        r["k"]: (r["n"], r["cov"])
+        for r in merged.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("me") - F.col("ms")).alias("cov"),
+        )
+        .collect()
+    }
+    assert got == expect
