@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Dict order IS the order the driver walks ``queries()`` — its
 # evidence file records exactly the FIRST ~50 entries. Current
-# window, ranked by evidence need: (0) the twenty-three round-6 additions
+# window, ranked by evidence need: (0) the twenty-four round-6 additions
 # (behavioral analytics, graph census/PageRank, basket association,
 # drift gate, rarity score, zone maps, IVM join/retract deltas,
 # perceptual-hash near-dup);
@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "interval_islands", "audit_partition_checksums",
     "skyline_pareto_parts", "pattern_double_dip", "drift_cusum",
     "sketch_hll_sliding", "dedup_containment_pairs",
+    "eval_classifier_metrics",
     # (1) never driver-sampled: round-5 additions ...
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
@@ -88,7 +89,7 @@ _DRIVER_PRIORITY = [
     "agg_boolean", "agg_conditional_counts", "agg_filtered_count",
     "agg_min_max_by", "agg_string_concat", "agg_success_ratio",
     "explode_outer_tokens", "explode_tokens", "math_functions",
-    "null_handling", "regex_extract",
+    "null_handling",
     # (3) oldest r02 evidence (alphabetical)
 ]
 

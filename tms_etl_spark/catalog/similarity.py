@@ -666,3 +666,130 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_cos",
         (F.col("predicted_label") != F.col("label")).alias("is_suspect"),
     )
+
+
+@query(
+    "eval_classifier_metrics",
+    oracle="""
+    WITH comp2 AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS cand_label, pos,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(28,14))), 8) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM comp2 GROUP BY label, pos
+    ), cnorm AS (
+        SELECT cand_label,
+               CAST(ROUND(SUM(CAST(c * c AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS nc
+        FROM cent GROUP BY cand_label
+    ), vnorm AS (
+        SELECT vec_id,
+               CAST(ROUND(SUM(CAST(x * x AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS nv
+        FROM comp2 GROUP BY vec_id
+    ), dots AS (
+        SELECT comp2.vec_id, comp2.label, cent.cand_label,
+               CAST(ROUND(SUM(CAST(comp2.x * cent.c AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS dot
+        FROM comp2 JOIN cent ON cent.pos = comp2.pos
+        GROUP BY comp2.vec_id, comp2.label, cent.cand_label
+    ), cosed AS (
+        SELECT d.vec_id, d.label, d.cand_label,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY d.dot / (sqrt(v.nv) * sqrt(c.nc)) DESC,
+                            d.cand_label
+               ) AS rk
+        FROM dots d
+        JOIN vnorm v USING (vec_id)
+        JOIN cnorm c USING (cand_label)
+    ), pred AS (
+        SELECT vec_id, label, cand_label AS predicted
+        FROM cosed WHERE rk = 1
+    ), classes AS (
+        SELECT DISTINCT label AS cls FROM embeddings
+    ), m AS (
+        SELECT cls,
+               CAST((SELECT COUNT(*) FROM pred
+                     WHERE label = cls AND predicted = cls) AS BIGINT)
+                 AS tp,
+               CAST((SELECT COUNT(*) FROM pred
+                     WHERE predicted = cls AND label <> cls) AS BIGINT)
+                 AS fp,
+               CAST((SELECT COUNT(*) FROM pred
+                     WHERE label = cls AND predicted <> cls) AS BIGINT)
+                 AS fn
+        FROM classes
+    )
+    SELECT cls, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+           END AS f1
+    FROM m
+    """,
+)
+def eval_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval metrics at engine scale: per-class TP/FP/FN and
+    precision/recall/F1 of the nearest-centroid classifier
+    (reusing `embedding_label_outliers`' bit-deterministic
+    predictions). F1 uses the 2tp/(2tp+fp+fn) form — one exact
+    integer expression per cell, so every metric double
+    hash-matches. Shape: predictions reduce to a
+    (classes x classes) confusion grain map-side; metric arithmetic
+    runs on |classes| rows."""
+    pred = embedding_label_outliers(spark, sf_dir).select(
+        "label", "predicted_label"
+    )
+    grid = pred.groupBy("label", "predicted_label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    classes = grid.select(F.col("label").alias("cls")).distinct()
+    tp = grid.where(F.col("label") == F.col("predicted_label")).select(
+        F.col("label").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = (
+        grid.where(F.col("label") != F.col("predicted_label"))
+        .groupBy(F.col("predicted_label").alias("cls"))
+        .agg(F.sum("n").cast("long").alias("fp"))
+    )
+    fn = (
+        grid.where(F.col("label") != F.col("predicted_label"))
+        .groupBy(F.col("label").alias("cls"))
+        .agg(F.sum("n").cast("long").alias("fn"))
+    )
+    m = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    tp_, fp_, fn_ = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp_ + fp_ > 0, tp_.cast("double") / (tp_ + fp_)).alias(
+            "precision"
+        ),
+        F.when(tp_ + fn_ > 0, tp_.cast("double") / (tp_ + fn_)).alias(
+            "recall"
+        ),
+        F.when(
+            2 * tp_ + fp_ + fn_ > 0,
+            (2 * tp_).cast("double") / (2 * tp_ + fp_ + fn_),
+        ).alias("f1"),
+    )
