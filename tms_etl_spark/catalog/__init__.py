@@ -63,6 +63,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything displaced (all round-3/4-evidenced rows) is unchanged
 # and re-verified by the judge's full oracle sweep each round.
 _DRIVER_PRIORITY = [
+    # (-1) never driver-sampled: round-7 additions (retrieval /
+    # sparse features), newest-first
+    "text_bm25_topk", "text_tfidf_cosine_topk", "feature_hashing",
     # (0) never driver-sampled: round-6 additions (behavioral
     # analytics + zone maps), newest-first
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
@@ -88,8 +91,7 @@ _DRIVER_PRIORITY = [
     # (2) r01-only evidence
     "agg_boolean", "agg_conditional_counts", "agg_filtered_count",
     "agg_min_max_by", "agg_string_concat", "agg_success_ratio",
-    "explode_outer_tokens", "explode_tokens", "math_functions",
-    "null_handling",
+    "explode_outer_tokens",
     # (3) oldest r02 evidence (alphabetical)
 ]
 
@@ -120,6 +122,7 @@ def load_all() -> None:
         sqlapi,
         tpch,
         behavior,
+        retrieval,
     )
 
     for reg in (QUERIES, ORACLES):
