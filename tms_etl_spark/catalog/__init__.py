@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     # (-1) never driver-sampled: round-7 additions (retrieval /
     # sparse features), newest-first
     "text_bm25_topk", "text_tfidf_cosine_topk", "feature_hashing",
+    "recs_item_cf_topk", "graph_link_prediction",
     # (0) never driver-sampled: round-6 additions (behavioral
     # analytics + zone maps), newest-first
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
@@ -90,8 +91,7 @@ _DRIVER_PRIORITY = [
     "dedup_jaccard_prefix",
     # (2) r01-only evidence
     "agg_boolean", "agg_conditional_counts", "agg_filtered_count",
-    "agg_min_max_by", "agg_string_concat", "agg_success_ratio",
-    "explode_outer_tokens",
+    "agg_min_max_by", "agg_string_concat",
     # (3) oldest r02 evidence (alphabetical)
 ]
 
@@ -123,6 +123,7 @@ def load_all() -> None:
         tpch,
         behavior,
         retrieval,
+        recsys,
     )
 
     for reg in (QUERIES, ORACLES):

@@ -55,11 +55,17 @@ _QTERMS = ("spark", "vector", "merge")
     ),
     dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
     SELECT tf.doc_id,
+           -- every literal CAST to DOUBLE: a bare 1.2 is DECIMAL in
+           -- DuckDB and decimal×bigint is computed exactly, which
+           -- drifts an ulp from Spark's double multiply
            CAST(ROUND(SUM(CAST(
-               ((s.n_docs + 1.0) / dft.df)
-               * (tf.tf * (1.2 + 1.0))
-               / (tf.tf + 1.2 * ((1.0 - 0.75)
-                                 + 0.75 * tf.doc_len / s.avgdl))
+               ((CAST(s.n_docs AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / dft.df)
+               * (tf.tf * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE)
+                               * tf.doc_len / s.avgdl))
              AS DECIMAL(28,8))), 6) AS DOUBLE) AS score,
            CAST(COUNT(*) AS BIGINT) AS terms_hit
     FROM tf JOIN dft USING (term) CROSS JOIN stats s

@@ -316,3 +316,56 @@ def bfs_levels(
             .localCheckpoint()
         )
     return levels
+
+
+def link_prediction_topk(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 20,
+    max_hub_deg: int = 64,
+) -> DataFrame:
+    """Top-``k`` predicted links by common-neighbor count, tie-broken
+    by the resource-allocation index Σ_z 1/deg(z) (Zhou-Lü-Zhang
+    2009) — the standard local-similarity link predictors.
+
+    Candidate generation enumerates, per shared neighbor ``z``, the
+    pairs of z's neighbors — inherently C(deg(z), 2), so hubs are the
+    scale hazard. Mitigation: wedge centers with deg > ``max_hub_deg``
+    are excluded (their RA contribution is ≤ 1/max_hub_deg each and a
+    hub's neighborhood carries almost no signal — the textbook RA/AA
+    practice); the same deterministic rule runs in the oracle, so the
+    comparison stays exact. Remaining shape: two node-keyed
+    aggregations, one z-keyed wedge self-join bounded per center by
+    C(max_hub_deg, 2), one anti-join against existing edges, and a
+    TakeOrdered(k) — nothing driver-side, no unbounded fan-out.
+
+    Exactness: cn is a long; RA sums 1.0/deg doubles (IEEE division,
+    deterministic) through DECIMAL(28,8) — with deg capped at
+    ``max_hub_deg`` ≤ 256, every dyadic 1/deg is exact at scale 8, so
+    the decimal coercion never rounds a midpoint.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").cast("long").alias("deg"))
+    small = adj.join(deg.where(F.col("deg") <= max_hub_deg), "z")
+    s1 = small.select("z", F.col("n").alias("u"), "deg")
+    s2 = small.select("z", F.col("n").alias("w"))
+    wedges = s1.join(s2, "z").where(F.col("u") < F.col("w"))
+    cand = wedges.groupBy("u", "w").agg(
+        F.count("*").cast("long").alias("cn"),
+        F.round(
+            F.sum((F.lit(1.0) / F.col("deg")).cast("decimal(28,8)")), 6
+        )
+        .cast("double")
+        .alias("ra"),
+    )
+    existing = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("w")
+    )
+    pred = cand.join(existing, ["u", "w"], "left_anti")
+    return pred.orderBy(
+        F.desc("cn"), F.desc("ra"), F.asc("u"), F.asc("w")
+    ).limit(k)
