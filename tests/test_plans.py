@@ -265,3 +265,35 @@ def test_drift_chi_square_single_scan(spark, sf_dir):
     # ref + obs bin counts come from ONE conditional-agg pass
     assert p.count("Scan parquet") == 2  # formatted mode: tree + details
     assert p.count("HashAggregate") >= 2
+
+
+def test_attribution_window_reuses_join_partitioning(spark, sf_dir):
+    """attribution_linear: at scale the purchases x touches join
+    shuffles both sides on user_id, and the per-conversion window
+    (partitioned by user_id, p_id) must REUSE that partitioning -
+    hash(user_id) clusters every (user, purchase) group, so Catalyst
+    may not insert a second corpus-sized exchange. (At tiny SF the
+    join broadcasts instead; disable broadcast to pin the scale
+    path.)"""
+    import re
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(spark, sf_dir, "attribution_linear")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    # the window's required (user_id, p_id) clustering is satisfied
+    # by the join's user_id partitioning: no exchange keyed on p_id
+    # below the window
+    assert not re.search(r"hashpartitioning\(user_id[^)]*p_id", p)
+    assert "Window" in p
+
+
+def test_retrieval_broadcasts_stats_and_bounds_topk(spark, sf_dir):
+    """text_bm25_topk: df/avgdl stats join as broadcasts; the final
+    ranking is TakeOrdered, never a global sort."""
+    p = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = [
     # sparse features), newest-first
     "text_bm25_topk", "text_tfidf_cosine_topk", "feature_hashing",
     "recs_item_cf_topk", "graph_link_prediction",
+    "attribution_linear", "ts_time_weighted_avg", "ts_anomaly_mad",
+    "ts_seasonal_naive_error",
     # (0) never driver-sampled: round-6 additions (behavioral
     # analytics + zone maps), newest-first
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
@@ -90,8 +92,7 @@ _DRIVER_PRIORITY = [
     # ... and the late round-4 addition that missed its rotation
     "dedup_jaccard_prefix",
     # (2) r01-only evidence
-    "agg_boolean", "agg_conditional_counts", "agg_filtered_count",
-    "agg_min_max_by", "agg_string_concat",
+    "agg_boolean",
     # (3) oldest r02 evidence (alphabetical)
 ]
 
@@ -124,6 +125,7 @@ def load_all() -> None:
         behavior,
         retrieval,
         recsys,
+        temporal,
     )
 
     for reg in (QUERIES, ORACLES):

@@ -1,0 +1,285 @@
+"""Attribution and robust time-series catalog entries over the
+events stream: linear multi-touch attribution, trapezoidal
+time-weighted averages, median/MAD anomaly flags, and seasonal-naive
+forecast error — the monitoring/credit-assignment shapes a product
+pipeline runs beside the behavioral family (``catalog/behavior.py``).
+
+Exactness: epochs and counts are longs; doubles only flow through
+IEEE add/multiply/divide on deterministic inputs; every aggregate of
+doubles rides DECIMAL (``catalog/exact.py`` discipline); medians are
+exact interpolations of integers (halves/quarters — dyadic, so both
+engines agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.sources.tables import load_table
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, ts AS t_ts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+        SELECT p.p_id, p.value, t.channel,
+               CAST(COUNT(*) OVER (PARTITION BY p.p_id) AS BIGINT)
+                 AS n_touch
+        FROM p JOIN t ON t.user_id = p.user_id AND t.t_ts < p.p_ts
+    )
+    SELECT channel,
+           CAST(ROUND(SUM(CAST(value / n_touch AS DECIMAL(28,8))), 4)
+                AS DOUBLE) AS total_credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches_credited,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions
+    FROM j GROUP BY channel
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click before a
+    purchase by the same user shares that purchase's value equally;
+    per-channel totals. Conversions with no prior touch attribute
+    nothing (classic linear model).
+
+    Plan: ONE user-keyed equi-join (time predicate as residual);
+    the per-conversion touch count is a window on (user, purchase) —
+    hash(user_id) already clusters those rows, so Catalyst inserts
+    no second corpus exchange on the scale (shuffled-join) path
+    (pinned in test_plans); the channel rollup is
+    channels-sized. Per-user fan-out is purchases×touches of one
+    user — the same bounded-activity shape as the funnel family.
+    Credit = value / n (one IEEE division); totals ride
+    DECIMAL(28,8) rounded to the money scale."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("channel")
+    )
+    j = p.join(t, "user_id").where(F.col("t_ts") < F.col("p_ts"))
+    w = Window.partitionBy("user_id", "p_id")
+    j = j.withColumn("n_touch", F.count("*").over(w).cast("long"))
+    return j.groupBy("channel").agg(
+        F.round(
+            F.sum((F.col("value") / F.col("n_touch")).cast("decimal(28,8)")), 4
+        )
+        .cast("double")
+        .alias("total_credit"),
+        F.count("*").cast("long").alias("n_touches_credited"),
+        F.countDistinct("p_id").cast("long").alias("n_conversions"),
+    )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ts, value
+        FROM events WHERE event_type = 'view'
+    ), seg AS (
+        SELECT user_id, value,
+               lead(value) OVER w AS v2,
+               epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER w AS us2
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), terms AS (
+        SELECT user_id,
+               ((value + v2) / CAST(2.0 AS DOUBLE))
+                 * ((us2 - us) / CAST(1000000.0 AS DOUBLE)) AS wv,
+               (us2 - us) / CAST(1000000.0 AS DOUBLE) AS dt
+        FROM seg WHERE us2 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(ROUND(SUM(CAST(wv AS DECIMAL(28,8))), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(dt AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS twa,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM terms
+    GROUP BY user_id
+    HAVING CAST(ROUND(SUM(CAST(dt AS DECIMAL(28,8))), 2) AS DOUBLE) > 0
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average of each user's 'view'
+    values over irregular sample times — the correct mean for
+    unevenly sampled series (a plain AVG over-weights bursts).
+
+    Plan: ONE user-key exchange shared by the ordering window and
+    the final per-user aggregation. Exactness: segment weight =
+    (v_i + v_{i+1})/2 · Δt_seconds, all IEEE ops on exact inputs
+    (Δt from integer epoch-micros); numerator/denominator sums ride
+    DECIMAL(28,8) rounded at scale 2 (segment weights reach ~1e9, so
+    scale 2 keeps sum×10^scale inside the 2^53 cast invariant);
+    the final quotient is one double division."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = v.select(
+        "user_id",
+        "value",
+        F.lead("value").over(w).alias("v2"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("us2"),
+    ).where(F.col("us2").isNotNull())
+    terms = seg.select(
+        "user_id",
+        (
+            ((F.col("value") + F.col("v2")) / F.lit(2.0))
+            * ((F.col("us2") - F.col("us")) / F.lit(1000000.0))
+        ).alias("wv"),
+        ((F.col("us2") - F.col("us")) / F.lit(1000000.0)).alias("dt"),
+    )
+    dtsum = F.round(F.sum(F.col("dt").cast("decimal(28,8)")), 2).cast("double")
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            (
+                F.round(F.sum(F.col("wv").cast("decimal(28,8)")), 2).cast(
+                    "double"
+                )
+                / dtsum
+            ).alias("twa"),
+            F.count("*").cast("long").alias("n_segments"),
+            dtsum.alias("__dt"),
+        )
+        .where(F.col("__dt") > 0)
+        .drop("__dt")
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, quantile_cont(cnt, 0.5) AS med
+        FROM daily GROUP BY event_type
+    ), mad AS (
+        SELECT d.event_type,
+               quantile_cont(ABS(d.cnt - m.med), 0.5) AS mad
+        FROM daily d JOIN med m USING (event_type)
+        GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, d.cnt, m.med, a.mad
+    FROM daily d
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    WHERE ABS(d.cnt - m.med) > CAST(3.0 AS DOUBLE) * a.mad
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags: a day is anomalous for an
+    event type when its count deviates from the type's median by
+    more than 3× the median absolute deviation — the
+    outlier-resistant alternative to mean/stddev gates (one bad day
+    cannot shift its own threshold much).
+
+    Plan: the only corpus-sized work is the (type, day) count —
+    map-side combinable onto a day-grain key; medians/MAD run on the
+    tiny daily table. Exactness: exact interpolated medians of
+    integers land on halves, MAD on quarters — dyadic values both
+    engines represent exactly; comparisons are pure IEEE."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("cnt"), F.lit(0.5)).alias("med")
+    )
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("cnt") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        daily.join(med, "event_type")
+        .join(mad, "event_type")
+        .where(
+            F.abs(F.col("cnt") - F.col("med")) > F.lit(3.0) * F.col("mad")
+        )
+        .select("event_type", "day", "cnt", "med", "mad")
+    )
+
+
+@query(
+    "ts_seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), j AS (
+        SELECT a.event_type, a.cnt, f.cnt AS fc
+        FROM daily a
+        JOIN daily f ON f.event_type = a.event_type
+                    AND f.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(cnt - fc)) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(ROUND(SUM(CAST(
+               ABS(cnt - fc) / ((cnt + fc) / CAST(2.0 AS DOUBLE))
+             AS DECIMAL(28,8))), 6) AS DOUBLE) / COUNT(*) AS smape
+    FROM j GROUP BY event_type
+    """,
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7-days) forecast error per event type —
+    the baseline every real forecaster must beat, and the drift
+    primitive behind week-over-week alerting. Day-exact join (a
+    calendar self-join on day−7, NOT a lag over rows, so missing
+    days can't silently shift the season). MAE is integer-exact;
+    sMAPE terms are one IEEE division each, summed through decimal.
+    All work after the map-side-combined daily count runs on the
+    day-grain table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    f = daily.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAY")).alias("day"),
+        F.col("cnt").alias("fc"),
+    )
+    j = daily.join(f, ["event_type", "day"])
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        (
+            F.sum(F.abs(F.col("cnt") - F.col("fc"))).cast("double")
+            / F.count("*")
+        ).alias("mae"),
+        (
+            F.round(
+                F.sum(
+                    (
+                        F.abs(F.col("cnt") - F.col("fc"))
+                        / ((F.col("cnt") + F.col("fc")) / F.lit(2.0))
+                    ).cast("decimal(28,8)")
+                ),
+                6,
+            ).cast("double")
+            / F.count("*")
+        ).alias("smape"),
+    )
