@@ -68,7 +68,8 @@ _DRIVER_PRIORITY = [
     "text_bm25_topk", "text_tfidf_cosine_topk", "feature_hashing",
     "recs_item_cf_topk", "graph_link_prediction",
     "attribution_linear", "ts_time_weighted_avg", "ts_anomaly_mad",
-    "ts_seasonal_naive_error",
+    "ts_seasonal_naive_error", "feature_target_encode",
+    "embedding_covariance",
     # (0) never driver-sampled: round-6 additions (behavioral
     # analytics + zone maps), newest-first
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
@@ -86,13 +87,14 @@ _DRIVER_PRIORITY = [
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q21_waiting_suppliers",
     "q2_min_cost_supplier", "q11_important_parts",
-    "q12_shipmode_priority", "q20_promotable_suppliers",
+    "q12_shipmode_priority",
     "corpus_prep_pipeline", "split_leakage_safe",
     "sample_kfold_balance", "embedding_centroid_per_label",
     # ... and the late round-4 addition that missed its rotation
     "dedup_jaccard_prefix",
-    # (2) r01-only evidence
-    "agg_boolean",
+    # (2) r01-only evidence — remaining names rotate back in as
+    # round-7 additions consume the window; the judge's full oracle
+    # sweep re-verifies every displaced row each round
     # (3) oldest r02 evidence (alphabetical)
 ]
 
@@ -126,6 +128,7 @@ def load_all() -> None:
         retrieval,
         recsys,
         temporal,
+        features,
     )
 
     for reg in (QUERIES, ORACLES):

@@ -1,0 +1,215 @@
+"""Feature-engineering catalog entries: smoothed / leave-one-out
+target encoding of a categorical column, and the distributed
+covariance–correlation matrix of the embedding column (XᵀX by
+map-side pair fan-out).
+
+Target encoding is the classic high-cardinality categorical
+treatment for tabular training data (the smoothing form of the
+CatBoost/Micci-Barreca estimator); the leave-one-out column is the
+leakage-aware variant a training pipeline actually joins onto rows.
+The covariance matrix is the sufficient statistic for PCA/whitening
+— computed as a single map-side dim²/2 fan-out with partial
+aggregation onto (i, j) keys, the standard scale shape for tall-
+skinny XᵀX (shuffle volume is dim²-bounded, independent of rows).
+
+Exactness: all sums ride DECIMAL (catalog/exact.py discipline);
+float×float products are computed after exact float→double casts (a
+24-bit × 24-bit significand product is exact in double); means,
+covariances and correlations are fixed-parse-tree IEEE arithmetic,
+with sqrt the only non-rational op (correctly rounded per IEEE-754).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.sources.tables import load_table
+
+_SMOOTH_M = 20
+
+
+@query(
+    "feature_target_encode",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority AS cat,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ), p AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*) AS prior
+        FROM orders
+    )
+    SELECT o.o_orderkey, g.cat,
+           (g.s + CAST({_SMOOTH_M}.0 AS DOUBLE) * p.prior)
+             / (g.c + {_SMOOTH_M}) AS enc_smooth,
+           CASE WHEN g.c > 1
+                THEN (g.s - o.o_totalprice) / (g.c - 1) END AS enc_loo
+    FROM orders o
+    JOIN g ON g.cat = o.o_orderpriority
+    CROSS JOIN p
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-encode o_orderpriority against o_totalprice: the
+    smoothed estimator (cat_sum + m·prior)/(cat_cnt + m), m=20, plus
+    the per-row leave-one-out column (cat_sum − y)/(cat_cnt − 1) that
+    excludes the row's own target (the leakage-safe join column).
+
+    Plan: one corpus scan for the category stats (5 rows,
+    map-side-combined), one for the global prior (1 row); both join
+    back as broadcasts, so encoding the corpus is map-side — zero
+    corpus-sized shuffles, the same shape at any scale. Category
+    sums ride DECIMAL(18,4) (2-decimal money: midpoint-free)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    prior = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("prior")
+    )
+    return (
+        o.join(
+            F.broadcast(g), o["o_orderpriority"] == g["cat"]
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "o_orderkey",
+            "cat",
+            (
+                (F.col("s") + F.lit(float(_SMOOTH_M)) * F.col("prior"))
+                / (F.col("c") + F.lit(_SMOOTH_M))
+            ).alias("enc_smooth"),
+            F.when(
+                F.col("c") > 1,
+                (F.col("s") - F.col("o_totalprice")) / (F.col("c") - 1),
+            ).alias("enc_loo"),
+        )
+    )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(ROUND(SUM(CAST(a.x * b.x AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS sxy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ), means AS (
+        SELECT i,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(28,14))), 8) AS DOUBLE)
+                 / COUNT(*) AS m
+        FROM comp GROUP BY i
+    ), cov AS (
+        SELECT p.i, p.j, p.n,
+               p.sxy / p.n - mi.m * mj.m AS cov
+        FROM pairs p
+        JOIN means mi ON mi.i = p.i
+        JOIN means mj ON mj.i = p.j
+    ), diag AS (
+        SELECT i, cov AS var FROM cov WHERE i = j
+    )
+    SELECT c.i, c.j, c.n, c.cov,
+           CASE WHEN di.var > 0 AND dj.var > 0
+                THEN c.cov / (sqrt(di.var) * sqrt(dj.var)) END AS corr
+    FROM cov c
+    JOIN diag di ON di.i = c.i
+    JOIN diag dj ON dj.i = c.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance + correlation matrix of the embedding
+    column (upper triangle, long form): the PCA/whitening sufficient
+    statistic, computed the tall-skinny way — each row fans out its
+    dim·(dim+1)/2 component products MAP-SIDE (a nested-transform
+    expression, no self-join of the exploded table), then ONE
+    partial-aggregating exchange onto the (i, j) key space (2080
+    keys at dim 64). Shuffle volume is dim²-bounded — independent of
+    row count — which is what makes XᵀX feasible at 100 TB; the
+    oracle spells the same quantity as an exploded self-join, which
+    is fine at sf0.01 and would be the wrong plan at scale.
+
+    cov = E[xy] − E[x]E[y] from decimal-exact sums; corr divides by
+    IEEE-sqrt'd diagonal variances (guarded for zero variance)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pair_expr = F.expr(
+        "flatten(transform(embedding, (x, i) -> "
+        "transform(slice(embedding, i + 1, size(embedding) - i), (y, j) -> "
+        "struct(i AS i, i + j AS j, "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))"
+    )
+    pairs = (
+        emb.select(F.explode(pair_expr).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(
+            F.round(F.sum(F.col("p").cast("decimal(28,12)")), 8)
+            .cast("double")
+            .alias("sxy"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    comp = emb.select(F.posexplode("embedding").alias("i", "x")).select(
+        "i", F.col("x").cast("double").alias("x")
+    )
+    means = comp.groupBy("i").agg(
+        (
+            F.round(F.sum(F.col("x").cast("decimal(28,14)")), 8).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("m")
+    )
+    mi = means.select(F.col("i").alias("_mi"), F.col("m").alias("m_i"))
+    mj = means.select(F.col("i").alias("_mj"), F.col("m").alias("m_j"))
+    cov = (
+        pairs.join(F.broadcast(mi), pairs["i"] == mi["_mi"])
+        .join(F.broadcast(mj), pairs["j"] == mj["_mj"])
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("sxy") / F.col("n") - F.col("m_i") * F.col("m_j")
+            ).alias("cov"),
+        )
+    )
+    diag_i = cov.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_di"), F.col("cov").alias("var_i")
+    )
+    diag_j = cov.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_dj"), F.col("cov").alias("var_j")
+    )
+    return (
+        cov.join(F.broadcast(diag_i), cov["i"] == diag_i["_di"])
+        .join(F.broadcast(diag_j), cov["j"] == diag_j["_dj"])
+        .select(
+            "i",
+            "j",
+            "n",
+            "cov",
+            F.when(
+                (F.col("var_i") > 0) & (F.col("var_j") > 0),
+                F.col("cov")
+                / (F.sqrt(F.col("var_i")) * F.sqrt(F.col("var_j"))),
+            ).alias("corr"),
+        )
+    )
