@@ -88,3 +88,35 @@ def test_embedding_covariance_matches_numpy(spark, sf_dir):
             assert math.isclose(r["corr"], 1.0, abs_tol=1e-9)
         else:
             assert math.isclose(r["corr"], R[i, j], rel_tol=0, abs_tol=1e-6)
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Planted groups: canonical = longest doc, tie -> smallest id;
+    provenance consolidated sorted-distinct; singletons pass through."""
+    from pyspark.sql import Row
+    import tms_etl_spark.catalog.entity  # noqa: F401 (registers query)
+    from tms_etl_spark.catalog import QUERIES
+    import tempfile, os
+
+    rows = [
+        # same token SET (order/repetition differ), different lengths
+        Row(doc_id=1, text="b a a", lang="en", source="s2", n_chars=5),
+        Row(doc_id=2, text="a b", lang="de", source="s1", n_chars=3),
+        Row(doc_id=3, text="b a b a", lang="en", source="s1", n_chars=7),
+        # tie on n_chars -> min doc_id wins
+        Row(doc_id=10, text="x y", lang="en", source="s3", n_chars=3),
+        Row(doc_id=11, text="y x", lang="en", source="s3", n_chars=3),
+        # singleton
+        Row(doc_id=20, text="unique words here", lang="fr", source="s4", n_chars=17),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["canonical_doc_id"]: r for r in QUERIES["er_golden_record"](spark, d).collect()}
+    assert set(got) == {3, 10, 20}
+    g = got[3]
+    assert g["n_members"] == 3
+    assert g["sources"] == "s1,s2"
+    assert g["langs"] == "de,en"
+    assert g["max_chars"] == 7 and g["total_chars"] == 15
+    assert got[10]["n_members"] == 2
+    assert got[20]["n_members"] == 1

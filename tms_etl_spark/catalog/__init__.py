@@ -69,7 +69,7 @@ _DRIVER_PRIORITY = [
     "recs_item_cf_topk", "graph_link_prediction",
     "attribution_linear", "ts_time_weighted_avg", "ts_anomaly_mad",
     "ts_seasonal_naive_error", "feature_target_encode",
-    "embedding_covariance",
+    "embedding_covariance", "er_golden_record",
     # (0) never driver-sampled: round-6 additions (behavioral
     # analytics + zone maps), newest-first
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
@@ -89,7 +89,7 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier", "q11_important_parts",
     "q12_shipmode_priority",
     "corpus_prep_pipeline", "split_leakage_safe",
-    "sample_kfold_balance", "embedding_centroid_per_label",
+    "sample_kfold_balance",
     # ... and the late round-4 addition that missed its rotation
     "dedup_jaccard_prefix",
     # (2) r01-only evidence — remaining names rotate back in as
@@ -129,6 +129,7 @@ def load_all() -> None:
         recsys,
         temporal,
         features,
+        entity,
     )
 
     for reg in (QUERIES, ORACLES):

@@ -1,0 +1,97 @@
+"""Entity-resolution survivorship: collapse blocking groups to one
+golden record per entity with deterministic precedence rules — the
+"merge" step that follows the candidate/cluster stages of the dedup
+ladder (``operators/dedup.py``, ``operators/graph.py``).
+
+Blocking key here: md5 of the document's sorted distinct token set
+(bag-of-words identity) — catches re-orderings and repetition
+variants of the same template that exact-hash dedup misses, while
+staying a pure deterministic function both engines compute
+identically. Survivorship: canonical = longest document (most
+information), ties to the smallest id; provenance (sources, langs)
+is consolidated as sorted distinct lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.sources.tables import load_table
+
+
+@query(
+    "er_golden_record",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, n_chars, lang, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'))),
+                   ' ')) AS entity_key
+        FROM documents
+    ), c AS (
+        SELECT entity_key, doc_id AS canonical_doc_id,
+               row_number() OVER (
+                   PARTITION BY entity_key
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM k
+    ), agg AS (
+        SELECT entity_key,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               array_to_string(list_sort(list(DISTINCT source)), ',')
+                 AS sources,
+               array_to_string(list_sort(list(DISTINCT lang)), ',')
+                 AS langs,
+               MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM k GROUP BY entity_key
+    )
+    SELECT a.entity_key, c.canonical_doc_id, a.n_members, a.sources,
+           a.langs, a.max_chars, a.total_chars
+    FROM agg a
+    JOIN c ON c.entity_key = a.entity_key AND c.rn = 1
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One golden record per bag-of-words entity: canonical member
+    chosen by (n_chars DESC, doc_id ASC) precedence, provenance
+    consolidated. Plan: the rank window and the group aggregation
+    both key on entity_key — ONE corpus exchange, reused (the
+    canonical-pick join is key-aligned on the already-partitioned
+    data). At 100 TB this is the same single-shuffle shape as
+    latest-per-key (W1); collect_set is bounded by the source/lang
+    dimension cardinalities, not by group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                )
+            ),
+            " ",
+        )
+    )
+    k = docs.select(
+        "doc_id", "n_chars", "lang", "source", key.alias("entity_key")
+    )
+    w = Window.partitionBy("entity_key").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        k.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("entity_key", F.col("doc_id").alias("canonical_doc_id"))
+    )
+    agg = k.groupBy("entity_key").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return agg.join(canon, "entity_key")
