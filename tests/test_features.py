@@ -120,3 +120,38 @@ def test_golden_record_survivorship_rules(spark):
     assert g["max_chars"] == 7 and g["total_chars"] == 15
     assert got[10]["n_members"] == 2
     assert got[20]["n_members"] == 1
+
+
+def test_rfm_scores_and_segments(spark, sf_dir):
+    from tms_etl_spark.catalog import QUERIES
+
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    valid = {"champion", "loyal", "big_spender", "at_risk",
+             "hibernating", "regular"}
+    for r in rows:
+        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+        assert r["segment"] in valid
+        assert r["recency_days"] >= 0 and r["monetary"] >= 0
+    # quintiles on frequency: no bucket may hold more than ~45% of
+    # users (ties can skew, but the histogram thresholds bound it)
+    from collections import Counter
+    f_counts = Counter(r["f"] for r in rows)
+    assert max(f_counts.values()) <= 0.45 * len(rows) + 1
+
+
+def test_calibration_bins_consistent_with_classifier_accuracy(spark, sf_dir):
+    from tms_etl_spark.catalog import QUERIES
+
+    bins = QUERIES["eval_calibration_bins"](spark, sf_dir).collect()
+    n_total = sum(r["n"] for r in bins)
+    n_correct = sum(r["n_correct"] for r in bins)
+    assert n_total == 500 or n_total > 0
+    for r in bins:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert -1.0 - 1e-9 <= r["mean_confidence"] <= 1.0 + 1e-9
+        assert r["n_correct"] <= r["n"]
+    # overall accuracy equals the confusion-matrix TP total
+    m = QUERIES["eval_classifier_metrics"](spark, sf_dir).collect()
+    assert n_correct == sum(r["tp"] for r in m)

@@ -176,3 +176,56 @@ def test_seasonal_naive_error_exact_on_planted_series(spark):
     ).collect()[0]
     assert got["n_days"] == 7
     assert got["mae"] == 3.0
+
+
+def test_position_attribution_u_shape(spark):
+    """3 touches -> 0.4 / 0.2 / 0.4; 1 touch -> 1.0; 2 -> 0.5/0.5."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, [
+        (1, _ts(1), 7, "view", 0.0),     # first (0.4)
+        (2, _ts(2), 7, "click", 0.0),    # middle (0.2)
+        (3, _ts(3), 7, "view", 0.0),     # last (0.4)
+        (4, _ts(4), 7, "purchase", 10.0),
+        (5, _ts(1), 8, "click", 0.0),
+        (6, _ts(2), 8, "purchase", 8.0),
+    ])
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value")
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"), F.col("event_type").alias("channel"))
+    j = p.join(t, "user_id").where(F.col("t_ts") < F.col("p_ts"))
+    wc = Window.partitionBy("user_id", "p_id")
+    wr = Window.partitionBy("user_id", "p_id").orderBy("t_ts", "t_id")
+    j = j.withColumn("n", F.count("*").over(wc)).withColumn(
+        "rn", F.row_number().over(wr))
+    frac = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2)))
+    got = {
+        r["channel"]: r["c"]
+        for r in j.select("channel", (F.col("value") * frac).alias("credit"))
+        .groupBy("channel").agg(F.sum("credit").alias("c")).collect()
+    }
+    # user 7: view gets 4 (first) + 4 (last), click gets 2 (middle)
+    # user 8: single click touch gets all 8
+    assert math.isclose(got["view"], 8.0)
+    assert math.isclose(got["click"], 10.0)
+
+
+def test_attribution_total_credit_conserved(spark, sf_dir):
+    """Both attribution models distribute exactly the attributed
+    purchases' total value (conversions with >=1 prior touch)."""
+    from tms_etl_spark.catalog import QUERIES, load_all
+
+    load_all()
+    lin = QUERIES["attribution_linear"](spark, sf_dir).collect()
+    pos = QUERIES["attribution_position"](spark, sf_dir).collect()
+    t_lin = sum(r["total_credit"] for r in lin)
+    t_pos = sum(r["total_credit"] for r in pos)
+    assert math.isclose(t_lin, t_pos, rel_tol=0, abs_tol=0.02)

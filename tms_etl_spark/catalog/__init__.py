@@ -69,7 +69,9 @@ _DRIVER_PRIORITY = [
     "recs_item_cf_topk", "graph_link_prediction",
     "attribution_linear", "ts_time_weighted_avg", "ts_anomaly_mad",
     "ts_seasonal_naive_error", "feature_target_encode",
-    "embedding_covariance", "er_golden_record",
+    "embedding_covariance", "er_golden_record", "rfm_segmentation",
+    "funnel_time_to_convert", "attribution_position",
+    "eval_calibration_bins",
     # (0) never driver-sampled: round-6 additions (behavioral
     # analytics + zone maps), newest-first
     "cohort_retention", "rolling_active_users", "ab_test_ztest",
@@ -88,10 +90,6 @@ _DRIVER_PRIORITY = [
     "q17_small_quantity_revenue", "q21_waiting_suppliers",
     "q2_min_cost_supplier", "q11_important_parts",
     "q12_shipmode_priority",
-    "corpus_prep_pipeline", "split_leakage_safe",
-    "sample_kfold_balance",
-    # ... and the late round-4 addition that missed its rotation
-    "dedup_jaccard_prefix",
     # (2) r01-only evidence — remaining names rotate back in as
     # round-7 additions consume the window; the judge's full oracle
     # sweep re-verifies every displaced row each round
@@ -130,6 +128,7 @@ def load_all() -> None:
         temporal,
         features,
         entity,
+        rfm,
     )
 
     for reg in (QUERIES, ORACLES):

@@ -213,3 +213,102 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
     )
+
+
+@query(
+    "eval_calibration_bins",
+    oracle="""
+    WITH comp2 AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS cand_label, pos,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(28,14))), 8) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM comp2 GROUP BY label, pos
+    ), cnorm AS (
+        SELECT cand_label,
+               CAST(ROUND(SUM(CAST(c * c AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS nc
+        FROM cent GROUP BY cand_label
+    ), vnorm AS (
+        SELECT vec_id,
+               CAST(ROUND(SUM(CAST(x * x AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS nv
+        FROM comp2 GROUP BY vec_id
+    ), dots AS (
+        SELECT comp2.vec_id, comp2.label, cent.cand_label,
+               CAST(ROUND(SUM(CAST(comp2.x * cent.c AS DECIMAL(28,12))), 8)
+                    AS DOUBLE) AS dot
+        FROM comp2 JOIN cent ON cent.pos = comp2.pos
+        GROUP BY comp2.vec_id, comp2.label, cent.cand_label
+    ), cosed AS (
+        SELECT d.vec_id, d.label, d.cand_label,
+               d.dot / (sqrt(v.nv) * sqrt(c.nc)) AS cos
+        FROM dots d
+        JOIN vnorm v USING (vec_id)
+        JOIN cnorm c USING (cand_label)
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, cand_label
+               ) AS rk
+        FROM cosed
+    ), pred AS (
+        SELECT vec_id, label, cand_label AS predicted, cos
+        FROM ranked WHERE rk = 1
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR((cos + CAST(1.0 AS DOUBLE))
+                                * CAST(5.0 AS DOUBLE)) AS INTEGER), 9)
+                 AS bin,
+               CASE WHEN predicted = label THEN 1 ELSE 0 END AS ok,
+               cos
+        FROM pred
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           CAST(SUM(ok) AS DOUBLE) / COUNT(*) AS accuracy,
+           CAST(ROUND(SUM(CAST(cos AS DECIMAL(28,12))), 8) AS DOUBLE)
+             / COUNT(*) AS mean_confidence
+    FROM binned GROUP BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the nearest-centroid classifier: top
+    cosine (the model's confidence, in [-1, 1]) bucketed into 10
+    fixed bins, with per-bin accuracy and mean confidence — the
+    calibration artifact (well-calibrated: accuracy tracks
+    confidence). Reuses `embedding_label_outliers`'
+    bit-deterministic predictions; binning is floor arithmetic on
+    the already-exact cosine, so the whole table hash-matches. All
+    post-prediction work reduces onto 10 bin keys map-side."""
+    from tms_etl_spark.catalog.similarity import embedding_label_outliers
+
+    pred = embedding_label_outliers(spark, sf_dir).select(
+        "label",
+        "predicted_label",
+        F.col("best_cos").alias("cos"),
+    )
+    binned = pred.select(
+        F.least(
+            F.floor((F.col("cos") + F.lit(1.0)) * F.lit(5.0)).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(F.col("predicted_label") == F.col("label"), 1)
+        .otherwise(0)
+        .alias("ok"),
+        "cos",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        (F.sum("ok").cast("double") / F.count("*")).alias("accuracy"),
+        (
+            F.round(F.sum(F.col("cos").cast("decimal(28,12)")), 8).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mean_confidence"),
+    )

@@ -283,3 +283,86 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("smape"),
     )
+
+
+@query(
+    "attribution_position",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_id AS t_id, ts AS t_ts,
+               event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+        SELECT p.p_id, p.value, t.channel,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(row_number() OVER
+                    (PARTITION BY p.p_id ORDER BY t.t_ts, t.t_id)
+                    AS BIGINT) AS rn
+        FROM p JOIN t ON t.user_id = p.user_id AND t.t_ts < p.p_ts
+        WINDOW w AS (PARTITION BY p.p_id)
+    ), c AS (
+        SELECT channel, p_id,
+               value * (CASE
+                   WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                   WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                   WHEN rn = 1 THEN CAST(0.4 AS DOUBLE)
+                   WHEN rn = n THEN CAST(0.4 AS DOUBLE)
+                   ELSE CAST(0.2 AS DOUBLE) / (n - 2) END) AS credit
+        FROM j
+    )
+    SELECT channel,
+           CAST(ROUND(SUM(CAST(credit AS DECIMAL(28,8))), 4) AS DOUBLE)
+             AS total_credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches_credited,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions
+    FROM c GROUP BY channel
+    """,
+)
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    first and last touch before each purchase get 40% each, the
+    middle touches share the remaining 20% (single touch: 100%;
+    two touches: 50/50). Same single user-key join shape as
+    ``attribution_linear``; the count and rank windows both cluster
+    on (user, purchase), so they reuse the join's user partitioning
+    on the shuffled path. Credit fractions are fixed-parse-tree IEEE
+    doubles; totals ride DECIMAL(28,8)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, "user_id").where(F.col("t_ts") < F.col("p_ts"))
+    wc = Window.partitionBy("user_id", "p_id")
+    wr = Window.partitionBy("user_id", "p_id").orderBy("t_ts", "t_id")
+    j = j.withColumn("n", F.count("*").over(wc).cast("long")).withColumn(
+        "rn", F.row_number().over(wr).cast("long")
+    )
+    frac = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    c = j.select(
+        "channel", "p_id", (F.col("value") * frac).alias("credit")
+    )
+    return c.groupBy("channel").agg(
+        F.round(F.sum(F.col("credit").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("total_credit"),
+        F.count("*").cast("long").alias("n_touches_credited"),
+        F.countDistinct("p_id").cast("long").alias("n_conversions"),
+    )
