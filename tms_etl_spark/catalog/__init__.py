@@ -63,6 +63,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything displaced (all round-3/4-evidenced rows) is unchanged
 # and re-verified by the judge's full oracle sweep each round.
 _DRIVER_PRIORITY = [
+    # (-2) never driver-sampled: round-8 additions (sequence /
+    # profiling / scale-pattern joins), newest-first
+    "path_markov_transitions", "path_topk_journeys",
+    "session_bounce_rate", "ts_ewma_decay",
+    "profile_categorical_gini", "dataset_card_stats",
+    "join_skew_salted", "join_bloom_prefilter",
+    "dedup_incremental_bloom",
     # (-1) never driver-sampled: round-7 additions (retrieval /
     # sparse features), newest-first
     "text_bm25_topk", "text_tfidf_cosine_topk", "feature_hashing",
@@ -84,12 +91,11 @@ _DRIVER_PRIORITY = [
     "skyline_pareto_parts", "pattern_double_dip", "drift_cusum",
     "sketch_hll_sliding", "dedup_containment_pairs",
     "eval_classifier_metrics",
-    # (1) never driver-sampled: round-5 additions ...
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q21_waiting_suppliers",
-    "q2_min_cost_supplier", "q11_important_parts",
-    "q12_shipmode_priority",
+    # (1) never driver-sampled: round-5 additions (the window is
+    # exactly 50 names — the rest of this tier waits for round-9's
+    # rotation; the judge's full oracle sweep re-verifies them
+    # meanwhile)
+    "q7_volume_shipping",
     # (2) r01-only evidence — remaining names rotate back in as
     # round-7 additions consume the window; the judge's full oracle
     # sweep re-verifies every displaced row each round
@@ -129,6 +135,9 @@ def load_all() -> None:
         features,
         entity,
         rfm,
+        sequence,
+        profiling,
+        scalejoins,
     )
 
     for reg in (QUERIES, ORACLES):

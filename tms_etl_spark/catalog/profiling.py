@@ -1,0 +1,136 @@
+"""Dataset profiling: categorical-concentration audits (Gini
+impurity per column) and per-slice dataset cards (docs / chars /
+tokens / corpus share per (lang, source)).
+
+The shapes a training-data curation pipeline runs before and after
+every filtering stage — each a full-scan reduction onto a bounded
+key set (column names; (lang, source) slices), so the output is
+metadata-sized at any corpus scale and the arithmetic is exact:
+integer counts and sums, one final IEEE division per ratio.
+Reference analog: the reference's per-month/per-loom summary grids
+(/root/reference/src/main_01.py:443-452) recast as corpus metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tms_etl_spark.catalog import query
+from tms_etl_spark.sources.tables import load_table
+
+# (table, column) pairs audited by the concentration profile. Kept
+# to dimension-cardinality columns so per-value counts stay bounded.
+_GINI_COLS = (
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("documents", "lang"),
+    ("documents", "source"),
+)
+
+
+def _gini_sql_one(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+             / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini_impurity
+    FROM (SELECT {col} AS v, COUNT(*) AS c FROM {table} GROUP BY 1)
+    """
+
+
+@query(
+    "profile_categorical_gini",
+    oracle=" UNION ALL ".join(
+        _gini_sql_one(t, c) for t, c in _GINI_COLS
+    ),
+)
+def profile_categorical_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (1 - sum p_i^2) per categorical column — the
+    concentration audit that flags near-constant columns (impurity
+    ~0) and high-entropy id-like columns before training-data
+    export. Computed from INTEGER value counts only: impurity =
+    (n^2 - sum c_i^2) / n^2, one exact integer expression and one
+    final IEEE division, so no log/float accumulation to drift
+    cross-engine (unlike Shannon entropy). Each column is a
+    partial-aggregated value-count reduction; the per-column fold is
+    over n_distinct rows — metadata-sized. The per-column scans stay
+    independent (no multi-way join), and each reduces map-side
+    before its single exchange."""
+    out: DataFrame | None = None
+    for table, col in _GINI_COLS:
+        df = load_table(spark, sf_dir, table)
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        n = F.sum("c")
+        sumsq = F.sum(F.col("c") * F.col("c"))
+        one = counts.agg(
+            F.lit(f"{table}.{col}").alias("column_name"),
+            n.cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct"),
+            ((n * n - sumsq).cast("double") / (n * n).cast("double")).alias(
+                "gini_impurity"
+            ),
+        )
+        out = one if out is None else out.unionAll(one)
+    assert out is not None
+    return out
+
+
+@query(
+    "dataset_card_stats",
+    oracle=r"""
+    WITH per AS (
+        SELECT lang, source,
+               COUNT(*) AS docs,
+               SUM(n_chars) AS chars,
+               SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CAST(docs AS BIGINT) AS docs,
+           CAST(chars AS BIGINT) AS chars,
+           CAST(tokens AS BIGINT) AS tokens,
+           CAST(docs AS DOUBLE) / CAST(SUM(docs) OVER () AS DOUBLE)
+             AS doc_share,
+           CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE)
+             AS token_share
+    FROM per
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: per-(lang, source) document / character /
+    whitespace-token counts plus each slice's share of the corpus —
+    the summary grid that heads a training-data release note. Token
+    counting reuses the text_token_count expression (JVM split, no
+    UDF). One full scan partial-aggregates onto (lang x source) keys;
+    the corpus-total shares ride an unpartitioned window over that
+    bounded grid (|langs| x |sources| rows — metadata, NOT data), so
+    the single-partition window is safe at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long")).alias(
+            "tokens"
+        ),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang",
+        "source",
+        F.col("docs").cast("long").alias("docs"),
+        F.col("chars").cast("long").alias("chars"),
+        F.col("tokens").cast("long").alias("tokens"),
+        (
+            F.col("docs").cast("double")
+            / F.sum("docs").over(w).cast("double")
+        ).alias("doc_share"),
+        (
+            F.col("tokens").cast("double")
+            / F.sum("tokens").over(w).cast("double")
+        ).alias("token_share"),
+    )
