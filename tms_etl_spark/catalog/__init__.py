@@ -65,6 +65,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _DRIVER_PRIORITY = [
     # (-2) never driver-sampled: round-8 additions (sequence /
     # profiling / scale-pattern joins), newest-first
+    "dedup_semantic",
     "path_markov_transitions", "path_topk_journeys",
     "session_bounce_rate", "ts_ewma_decay",
     "profile_categorical_gini", "dataset_card_stats",
@@ -91,11 +92,9 @@ _DRIVER_PRIORITY = [
     "skyline_pareto_parts", "pattern_double_dip", "drift_cusum",
     "sketch_hll_sliding", "dedup_containment_pairs",
     "eval_classifier_metrics",
-    # (1) never driver-sampled: round-5 additions (the window is
-    # exactly 50 names — the rest of this tier waits for round-9's
-    # rotation; the judge's full oracle sweep re-verifies them
-    # meanwhile)
-    "q7_volume_shipping",
+    # (the window is exactly 50 names — the round-5 TPC-H tier waits
+    # for round-9's rotation; the judge's full oracle sweep
+    # re-verifies every displaced row each round)
     # (2) r01-only evidence — remaining names rotate back in as
     # round-7 additions consume the window; the judge's full oracle
     # sweep re-verifies every displaced row each round
@@ -138,6 +137,7 @@ def load_all() -> None:
         sequence,
         profiling,
         scalejoins,
+        semdedup,
     )
 
     for reg in (QUERIES, ORACLES):
