@@ -76,12 +76,23 @@ def _production_overrides():
         )
         return phash_neardup_pairs(sigs)
 
+    def semantic(spark, sf_dir):
+        # production form: flags only — the catalog entry adds the
+        # decimal-exact per-cell twin for the oracle
+        from tms_etl_spark.operators.ivf import sample_centroids
+        from tms_etl_spark.operators.semdedup import semdedup_flags
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = sample_centroids(emb, 8)
+        return semdedup_flags(emb, cents, tau=0.85)
+
     return {
         "sim_neardup_pairs_lsh": neardup_lsh,
         "sim_ivf_topk": ivf,
         "dedup_clusters": clusters,
         "sim_cosine_topk": cosine,
         "multimodal_phash_neardup": phash,
+        "dedup_semantic": semantic,
     }
 
 
@@ -125,6 +136,13 @@ HEADLINE = [
     "graph_pagerank_topk",
     "multimodal_phash_neardup",
     "text_rarity_score",
+    # round-8 additions: salted skew join, semantic dedup, 16-lag
+    # decayed average, LM-coverage scoring, bloom-routed dedup
+    "join_skew_salted",
+    "dedup_semantic",
+    "ts_ewma_decay",
+    "text_lm_coverage",
+    "dedup_incremental_bloom",
 ]
 
 

@@ -60,6 +60,15 @@ DEFAULT_QUERIES = [
     "graph_pagerank_topk",
     "multimodal_phash_neardup",
     "text_rarity_score",
+    # round-8 additions: salted skew join (8x build replication must
+    # scale with the probe side), bloom-routed dedup, per-cell
+    # semantic dedup, 16-lag EWMA window, LM-coverage bigram join
+    "join_skew_salted",
+    "dedup_incremental_bloom",
+    "dedup_semantic",
+    "ts_ewma_decay",
+    "text_lm_coverage",
+    "path_markov_transitions",
 ]
 
 KEY_OFFSETS = {

@@ -653,3 +653,73 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_common") / F.col("n_sub")).alias("containment"),
     )
     return out.where(F.col("containment") >= 0.8)
+
+
+@query(
+    "text_lm_coverage",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               t[CAST(i AS INTEGER)] AS context,
+               t[CAST(i AS INTEGER) + 1] AS word
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), freq AS (
+        SELECT context, word
+        FROM (SELECT context, word, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        WHERE c >= 5
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN f.context IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+           CAST(SUM(CASE WHEN f.context IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+    FROM g LEFT JOIN freq f
+      ON g.context = f.context AND g.word = f.word
+    GROUP BY g.doc_id
+    """,
+)
+def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-coverage quality score: the share of a document's bigrams
+    that are FREQUENT in the corpus (count >= 5) — the
+    integer-arithmetic stand-in for LM-perplexity filtering (a doc
+    whose bigrams the corpus LM has barely seen scores low; CCNet
+    uses a real LM, this uses the count table the engine already
+    builds). Two passes over the bigram grain: one shuffle to the
+    (context, word) type table for the frequent set, then the
+    doc-gram stream joins that BOUNDED set once — at 100 TB the
+    frequent set is vocabulary-sized (df-cut), so the join's build
+    side stays compact while docs stream through. Counts exact,
+    one final division per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    gram_struct = (
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS context, "
+        "element_at(__toks, i + 1) AS word))"
+    )
+    grams = (
+        d.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select("doc_id", F.explode(F.expr(gram_struct)).alias("g"))
+        .select("doc_id", "g.context", "g.word")
+    )
+    freq = (
+        grams.groupBy("context", "word")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 5)
+        .select("context", F.col("word").alias("word"), F.lit(1).alias("__hit"))
+    )
+    joined = grams.join(freq, ["context", "word"], "left")
+    covered = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        covered.cast("long").alias("covered"),
+        (covered.cast("double") / F.count("*").cast("double")).alias(
+            "coverage"
+        ),
+    )
