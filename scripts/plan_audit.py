@@ -189,6 +189,37 @@ AUDIT = [
         "banded hamming join on (band, bits) keys — candidate "
         "generation is a digest-keyed shuffle, never all-pairs",
     ),
+    (
+        "join_skew_salted",
+        ["__salt", "Generate"],
+        "probe-side salt + exploded build-side replication: the join "
+        "runs on (orderkey, salt), spreading a hot key over 8 "
+        "reducers; proven result-identical to the unsalted join",
+    ),
+    (
+        "ts_ewma_decay",
+        ["Window", "hashpartitioning(user_id"],
+        "16 lag expressions fused into one Window node over one "
+        "user-key exchange — no self-join, no row expansion",
+    ),
+    (
+        "path_markov_transitions",
+        ["Window", "HashAggregate"],
+        "LEAD pairs on the single user-key exchange; row "
+        "normalization windows over the (types x types) grid only",
+    ),
+    (
+        "dedup_semantic",
+        ["MapInPandas", "FlatMapGroupsInPandas"],
+        "cell assignment is a map pass (MapInPandas, no shuffle); "
+        "the drop decision is one cell-keyed applyInPandas",
+    ),
+    (
+        "text_lm_coverage",
+        ["HashAggregate", "Exchange"],
+        "frequent-bigram set is df-cut and vocabulary-bounded; the "
+        "doc-gram stream joins it once",
+    ),
 ]
 
 

@@ -297,3 +297,29 @@ def test_retrieval_broadcasts_stats_and_bounds_topk(spark, sf_dir):
     p = _plan(spark, sf_dir, "text_bm25_topk")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ewma_lags_share_one_window_exchange(spark, sf_dir):
+    """All 16 lag expressions must compile into ONE Window node over
+    ONE user-key exchange — the no-self-join guarantee."""
+    p = _plan(spark, sf_dir, "ts_ewma_decay")
+    assert p.count("hashpartitioning(user_id") == 1
+    # one Window operator in the formatted plan's operator list
+    assert sum(1 for ln in p.splitlines() if ln.strip().startswith("(") and "Window" in ln and "WindowGroupLimit" not in ln) == 1
+
+
+def test_salted_join_runs_on_salt_key(spark, sf_dir):
+    """The salted join must actually join on (orderkey, salt) with an
+    exploded build side — the hot-key spread is in the plan, not just
+    the docstring."""
+    p = _plan(spark, sf_dir, "join_skew_salted")
+    assert "__salt" in p
+    assert "Generate explode" in p or "Generate" in p
+
+
+def test_markov_user_exchange_once(spark, sf_dir):
+    """The corpus-sized shuffle is the user-key window exchange; the
+    transition rollup and row-normalization run on the (types x
+    types) grid."""
+    p = _plan(spark, sf_dir, "path_markov_transitions")
+    assert p.count("hashpartitioning(user_id") == 1
