@@ -65,7 +65,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _DRIVER_PRIORITY = [
     # (-2) never driver-sampled: round-8 additions (sequence /
     # profiling / scale-pattern joins), newest-first
-    "dedup_semantic", "text_lm_coverage",
+    "dedup_semantic", "text_lm_coverage", "graph_degree_histogram",
     "path_markov_transitions", "path_topk_journeys",
     "session_bounce_rate", "ts_ewma_decay",
     "profile_categorical_gini", "dataset_card_stats",
@@ -90,7 +90,7 @@ _DRIVER_PRIORITY = [
     "embedding_label_outliers", "funnel_conversion_by_first_touch",
     "interval_islands", "audit_partition_checksums",
     "skyline_pareto_parts", "pattern_double_dip", "drift_cusum",
-    "sketch_hll_sliding", "dedup_containment_pairs",
+    "sketch_hll_sliding",
     # (the window is exactly 50 names — the round-5 TPC-H tier waits
     # for round-9's rotation; the judge's full oracle sweep
     # re-verifies every displaced row each round)

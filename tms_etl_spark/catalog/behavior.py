@@ -988,3 +988,43 @@ def drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.abs(F.col("cusum")) > 5 * F.col("ref_mean")).alias("alarm"),
     )
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), deg AS (
+        SELECT n, COUNT(*) AS deg FROM (
+            SELECT u AS n FROM edges
+            UNION ALL SELECT v AS n FROM edges
+        ) GROUP BY n
+    )
+    SELECT CAST(deg AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY deg
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the
+    power-law audit that decides whether the degree-ordered shapes
+    (triangle orientation, hub-safe wedge joins) are load-bearing on
+    a given corpus. Edges ride the same capped co-occurrence
+    generator as the census entries; the two reductions (node degree,
+    then nodes-per-degree) each partial-aggregate map-side and end on
+    grids no bigger than the degree range."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li)
+    nodes = edges.select(F.col("u").alias("n")).unionAll(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count("*").alias("deg"))
+    return deg.groupBy(F.col("deg").cast("long").alias("degree")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
