@@ -9,7 +9,7 @@ trade at 100 TB versus re-scanning per grouping level.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
@@ -411,3 +411,45 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("long").alias("bucket"),
         (bucket * 5000.0).alias("bucket_lo"),
     ).agg(F.count("*").alias("n"), dsum("l_extendedprice", "total"))
+
+
+@query(
+    "agg_mode_per_key",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY cnt DESC, event_type
+               ) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode (most frequent event type per
+    user, ties broken lexicographically) — built as count + rank
+    rather than Spark's `mode()` aggregate, whose tie behavior is
+    engine-internal; the explicit (cnt DESC, value ASC) order makes
+    the answer well-defined on any engine and any partitioning. The
+    count partial-aggregates map-side onto the (user, type) grain;
+    the rank window runs on that already-reduced grain, reusing its
+    user-key partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )

@@ -106,3 +106,42 @@ def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(o_orderstatus, 'F') AS k, o_orderkey
+        FROM orders WHERE o_orderkey % 100 < 2
+    ), b AS (
+        SELECT NULLIF(o_orderstatus, 'F') AS k, o_orderkey
+        FROM orders WHERE o_orderkey % 100 >= 98
+    )
+    SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the
+    semantics a late-arriving-dimension or optional-attribute join
+    needs. The nullable key is derived (NULLIF on the status column)
+    so the null group is non-vacuous: a plain equi-join would lose
+    those rows, and the oracle's null-keyed output row proves the
+    engine kept them. eqNullSafe keys still hash-partition normally,
+    so the join shape (and its scale behavior) is identical to the
+    plain equi-join — nulls land in one bucket like any other key
+    value."""
+    od = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k")
+    a = od.where(F.col("o_orderkey") % 100 < 2).select(k, "o_orderkey")
+    b = od.where(F.col("o_orderkey") % 100 >= 98).select(
+        k.alias("kb"), F.col("o_orderkey").alias("ob")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
