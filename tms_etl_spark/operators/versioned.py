@@ -1,0 +1,165 @@
+"""Versioned-table layer ("table format lite"): manifest-committed
+parquet versions with time travel, append, and non-destructive
+rollback.
+
+The reference guards its lake with a backup-rename swap
+(/root/reference/src/main_01.py 30-day retention + rename-replace
+convention, see `sources/fs.py:replace_dir`); this generalizes that
+idea the way modern lakehouse formats do — a table is a sequence of
+MANIFESTS, each listing the data directories that compose one
+version:
+
+    table_dir/
+      data/v000001/part-*.parquet     (immutable once committed)
+      data/v000002/part-*.parquet
+      _manifests/v000001.json         {"dirs": ["data/v000001"]}
+      _manifests/v000002.json         {"dirs": ["data/v000001",
+                                                "data/v000002"]}
+
+Commit protocol (same atomicity move as `fs.py:replace_dir`): data
+files land first under a version-private directory nobody references
+yet, then the manifest is written to a temp name and RENAMED into
+place — the rename is the commit point, so a reader either sees the
+complete new version or the previous one, never a torn state.
+
+Scale properties: every operation except the data write itself is
+METADATA-ONLY — `read_version` is a multi-path parquet scan (Spark
+parallelizes listing; partition pruning and pushdown still apply
+per-file), `rollback` writes one small JSON re-pointing at old data
+dirs (zero data movement, O(1) regardless of table size), and
+`history` reads only manifests. Old data dirs stay until an explicit
+`expire_versions`, which is the same listing-metadata retention job
+as `fs.py:expire_files`.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tms_etl_spark.sources.fs import _fs, list_files, path_exists
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return f"{table_dir}/{_MANIFESTS}/v{version:06d}.json"
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    fs, jvm_path, jvm = _fs(spark, path)
+    stream = fs.open(jvm_path)
+    try:
+        # JVM-side full read: py4j passes Python bytearrays BY VALUE,
+        # so a stream.read(buf) loop would never see the bytes —
+        # commons-io (a Spark dependency) hands back the whole byte[]
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
+    """Write to `<path>.tmp` then rename — the commit point."""
+    fs, hpath, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"manifest commit rename failed for {path}")
+
+
+def current_version(spark: SparkSession, table_dir: str) -> int:
+    """Highest COMMITTED version (0 if the table doesn't exist yet).
+    Reads only the manifest listing — metadata-sized."""
+    root = f"{table_dir}/{_MANIFESTS}"
+    if not path_exists(spark, root):
+        return 0
+    best = 0
+    for fi in list_files(spark, root):
+        name = fi.path.rsplit("/", 1)[-1]
+        if name.startswith("v") and name.endswith(".json"):
+            best = max(best, int(name[1:-5]))
+    return best
+
+
+@dataclass(frozen=True)
+class VersionInfo:
+    version: int
+    n_dirs: int
+    op: str
+
+
+def write_version(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as the next table version.
+
+    ``mode="append"``: the new manifest references every dir of the
+    current version PLUS the new data dir (no rewrite of history —
+    append cost is O(batch)). ``mode="overwrite"``: the new manifest
+    references only the new dir (old data stays on disk for time
+    travel until expired). Returns the committed version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = df.sparkSession
+    v = current_version(spark, table_dir) + 1
+    new_dir = f"{_DATA}/v{v:06d}"
+    df.write.mode("overwrite").parquet(f"{table_dir}/{new_dir}")
+    dirs = [new_dir]
+    if mode == "append" and v > 1:
+        prev = _read_json(spark, _manifest_path(table_dir, v - 1))
+        dirs = list(prev["dirs"]) + dirs
+    _write_json_atomic(
+        spark,
+        _manifest_path(table_dir, v),
+        {"version": v, "dirs": dirs, "op": mode},
+    )
+    return v
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: the table as of ``version`` (default: latest).
+    A multi-path parquet scan — pushdown/pruning apply per file."""
+    v = version if version is not None else current_version(spark, table_dir)
+    if v <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    paths = [f"{table_dir}/{d}" for d in man["dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
+    """Non-destructive rollback: commit a NEW version whose manifest
+    points at ``to_version``'s data dirs. Zero data movement; the
+    rolled-back-over versions remain readable via time travel."""
+    cur = current_version(spark, table_dir)
+    if not (1 <= to_version <= cur):
+        raise ValueError(f"cannot roll back to v{to_version} (current {cur})")
+    man = _read_json(spark, _manifest_path(table_dir, to_version))
+    v = cur + 1
+    _write_json_atomic(
+        spark,
+        _manifest_path(table_dir, v),
+        {"version": v, "dirs": man["dirs"], "op": f"rollback:{to_version}"},
+    )
+    return v
+
+
+def history(spark: SparkSession, table_dir: str) -> list[VersionInfo]:
+    """Commit log, oldest first — manifests only, no data access."""
+    out = []
+    for v in range(1, current_version(spark, table_dir) + 1):
+        man = _read_json(spark, _manifest_path(table_dir, v))
+        out.append(VersionInfo(v, len(man["dirs"]), man.get("op", "?")))
+    return out
