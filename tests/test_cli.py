@@ -1,0 +1,86 @@
+"""CLI front door: subcommand routing, exit codes, and the
+streaming-commit integration with the versioned-table layer."""
+
+from __future__ import annotations
+
+import pytest
+
+from tms_etl_spark.__main__ import main
+
+
+def test_list_filters(capsys):
+    assert main(["list", "dedup_"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_exact\toracle" in out
+    assert "q1_pricing_summary" not in out
+
+
+def test_unknown_query_exit_code(spark):
+    assert main(["run", "no_such_query"]) == 2
+
+
+def test_run_and_explain(spark, sf_dir, capsys):
+    assert main(["run", "agg_mode_per_key", "--sf-dir", sf_dir, "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "modal_type" in out
+    assert main(["explain", "sort_limit_topk", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "TakeOrderedAndProject" in out
+
+
+def test_sql_subcommand(spark, sf_dir, capsys):
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT COUNT(*) AS n FROM region",
+                "--sf-dir",
+                sf_dir,
+            ]
+        )
+        == 0
+    )
+    assert "n" in capsys.readouterr().out
+
+
+def test_stream_commits_versions(spark, tmp_path):
+    """foreachBatch + write_version: every micro-batch becomes one
+    atomic table version — streaming ingestion gets time travel and
+    rollback for free."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        history,
+        read_version,
+        write_version,
+    )
+
+    src = str(tmp_path / "in")
+    tdir = str(tmp_path / "vtable")
+    ck = str(tmp_path / "ck")
+    spark.range(0, 4).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.json(f"{src}/batch1")
+
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .json(f"{src}/*")
+        .writeStream.foreachBatch(
+            lambda bdf, bid: write_version(bdf, tdir, "append")
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    assert read_version(spark, tdir).count() == 4
+
+    spark.range(10, 13).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.json(f"{src}/batch2")
+    q = stream.start()
+    q.awaitTermination(120)
+    assert read_version(spark, tdir).count() == 7
+    assert [h.op for h in history(spark, tdir)] == ["append", "append"]
+    # time travel to the first micro-batch commit
+    assert read_version(spark, tdir, 1).count() == 4
