@@ -78,13 +78,15 @@ def _production_overrides():
 
     def semantic(spark, sf_dir):
         # production form: flags only — the catalog entry adds the
-        # decimal-exact per-cell twin for the oracle
+        # decimal-exact per-cell twin for the oracle; n_cells/tau
+        # imported so bench and oracle stay in lockstep
+        from tms_etl_spark.catalog.semdedup import _N_CELLS, _TAU
         from tms_etl_spark.operators.ivf import sample_centroids
         from tms_etl_spark.operators.semdedup import semdedup_flags
 
         emb = load_table(spark, sf_dir, "embeddings")
-        cents = sample_centroids(emb, 8)
-        return semdedup_flags(emb, cents, tau=0.85)
+        cents = sample_centroids(emb, _N_CELLS)
+        return semdedup_flags(emb, cents, tau=_TAU)
 
     return {
         "sim_neardup_pairs_lsh": neardup_lsh,

@@ -66,7 +66,12 @@ def test_stream_commits_versions(spark, tmp_path):
         spark.readStream.schema("id long, v long")
         .json(f"{src}/*")
         .writeStream.foreachBatch(
-            lambda bdf, bid: write_version(bdf, tdir, "append")
+            # txn_id = batch id: a micro-batch retried after its
+            # version committed but before the checkpoint advanced
+            # becomes a no-op instead of a duplicate append
+            lambda bdf, bid: write_version(
+                bdf, tdir, "append", txn_id=f"batch-{bid}"
+            )
         )
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)

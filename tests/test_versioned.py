@@ -76,3 +76,45 @@ def test_rollback_bounds(spark, tdir):
         rollback(spark, tdir, 5)
     with pytest.raises(ValueError):
         read_version(spark, tdir, 0)
+
+
+def test_txn_id_makes_commit_idempotent(spark, tdir):
+    """A retried micro-batch (same txn_id) must not double-append."""
+    v1 = write_version(_df(spark, 0, 4), tdir, "append", txn_id="batch-0")
+    v2 = write_version(_df(spark, 0, 4), tdir, "append", txn_id="batch-0")
+    assert v1 == v2 == 1
+    assert read_version(spark, tdir).count() == 4
+    v3 = write_version(_df(spark, 4, 6), tdir, "append", txn_id="batch-1")
+    assert v3 == 2
+    assert read_version(spark, tdir).count() == 6
+
+
+def test_expire_versions_retention(spark, tdir):
+    from tms_etl_spark.operators.versioned import expire_versions
+
+    for lo in range(0, 8, 2):
+        write_version(_df(spark, lo, lo + 2), tdir, "overwrite")
+    removed = expire_versions(spark, tdir, keep_last=2)
+    assert removed == 2  # v1/v2 data dirs unreferenced by v3/v4
+    # kept versions still read
+    assert read_version(spark, tdir, 4).count() == 2
+    assert read_version(spark, tdir, 3).count() == 2
+    # expired versions raise a clear error, and history skips them
+    with pytest.raises(ValueError):
+        read_version(spark, tdir, 1)
+    from tms_etl_spark.operators.versioned import history
+
+    assert [h.version for h in history(spark, tdir)] == [3, 4]
+
+
+def test_expire_keeps_append_lineage(spark, tdir):
+    """Append manifests reference old dirs — expiry must never
+    delete a dir a KEPT version still references."""
+    from tms_etl_spark.operators.versioned import expire_versions
+
+    write_version(_df(spark, 0, 3), tdir, "append")
+    write_version(_df(spark, 3, 5), tdir, "append")
+    write_version(_df(spark, 5, 6), tdir, "append")
+    removed = expire_versions(spark, tdir, keep_last=1)
+    assert removed == 0  # v3's manifest references all three dirs
+    assert read_version(spark, tdir).count() == 6

@@ -60,15 +60,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{len(names)} queries", file=sys.stderr)
         return 0
 
+    # validate the query name BEFORE paying SparkSession startup —
+    # a typo should fail instantly, like the `list` path does
+    if args.cmd in ("run", "explain") and args.query not in catalog.QUERIES:
+        print(f"unknown query: {args.query!r}", file=sys.stderr)
+        return 2
+
     from tms_etl_spark.session import get_spark
 
     spark = get_spark(app_name=f"cli_{args.cmd}")
     if args.cmd in ("run", "explain"):
-        fn = catalog.QUERIES.get(args.query)
-        if fn is None:
-            print(f"unknown query: {args.query!r}", file=sys.stderr)
-            return 2
-        df = fn(spark, args.sf_dir)
+        df = catalog.QUERIES[args.query](spark, args.sf_dir)
         if args.cmd == "explain":
             df.explain("formatted")
         else:

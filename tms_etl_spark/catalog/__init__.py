@@ -49,19 +49,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Dict order IS the order the driver walks ``queries()`` — its
-# evidence file records exactly the FIRST ~50 entries. Current
-# window, ranked by evidence need: (0) the twenty-four round-6 additions
-# (behavioral analytics, graph census/PageRank, basket association,
-# drift gate, rarity score, zone maps, IVM join/retract deltas,
-# perceptual-hash near-dup);
-# (1) the sixteen never-driver-sampled round-5 entries — TPC-H
-# Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q17/Q20/Q21, corpus-prep pipeline,
-# leakage-safe split, k-fold balance, per-label centroid, plus
-# dedup_jaccard_prefix which missed round 4's rotation; (2) the
-# twelve entries whose only driver evidence is round 1; (3) the
-# stalest round-2 rows (alphabetical within the tier).
-# Everything displaced (all round-3/4-evidenced rows) is unchanged
-# and re-verified by the judge's full oracle sweep each round.
+# evidence file records exactly the FIRST ~50 entries; keep the list
+# at EXACTLY 50 names (swap one out when adding one). Current window,
+# ranked by evidence need, newest tier first: (-2) the round-8
+# additions (sequence analytics, profiling, scale-pattern joins,
+# semantic dedup, null-safe join, per-key mode); (-1) the round-7
+# additions (retrieval, recsys, temporal, feature engineering,
+# entity resolution, RFM); (0) the round-6 behavioral-analytics /
+# graph / drift tier. Displaced tiers (round-5 TPC-H and everything
+# with r01-r03 driver evidence) rotate back in as newer tiers gain
+# driver rows; the judge's full oracle sweep re-verifies every
+# displaced row each round regardless.
 _DRIVER_PRIORITY = [
     # (-2) never driver-sampled: round-8 additions (sequence /
     # profiling / scale-pattern joins), newest-first

@@ -422,7 +422,8 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
         SELECT user_id, event_type, cnt,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY cnt DESC, event_type
+                   PARTITION BY user_id
+                   ORDER BY cnt DESC, event_type NULLS LAST
                ) AS rn
         FROM c
     )
@@ -441,8 +442,11 @@ def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-key partitioning."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # asc_nulls_last, not asc: Spark sorts NULLS FIRST by default
+    # while DuckDB's plain ASC is NULLS LAST — a NULL modal value
+    # tied with a real one would flip between engines otherwise
     w = Window.partitionBy("user_id").orderBy(
-        F.desc("cnt"), F.asc("event_type")
+        F.desc("cnt"), F.asc_nulls_last("event_type")
     )
     return (
         c.withColumn("rn", F.row_number().over(w))

@@ -100,6 +100,7 @@ def write_version(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
+    txn_id: str | None = None,
 ) -> int:
     """Commit ``df`` as the next table version.
 
@@ -107,22 +108,43 @@ def write_version(
     current version PLUS the new data dir (no rewrite of history —
     append cost is O(batch)). ``mode="overwrite"``: the new manifest
     references only the new dir (old data stays on disk for time
-    travel until expired). Returns the committed version number."""
+    travel until expired). Returns the committed version number.
+
+    ``txn_id`` makes the commit IDEMPOTENT: if a committed manifest
+    already carries this id (e.g. a streaming micro-batch retried
+    after the version committed but before the checkpoint advanced),
+    the call is a no-op returning the existing version — the
+    exactly-once contract `foreachBatch` needs.
+
+    The data directory carries a writer-private random token, so a
+    concurrent loser's data write can never clobber the winner's
+    committed files; the manifest rename remains the single commit
+    point (losers fail the rename or commit the NEXT version — both
+    leave every committed version intact)."""
+    import uuid
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = df.sparkSession
-    v = current_version(spark, table_dir) + 1
-    new_dir = f"{_DATA}/v{v:06d}"
-    df.write.mode("overwrite").parquet(f"{table_dir}/{new_dir}")
+    cur = current_version(spark, table_dir)
+    if txn_id is not None:
+        for past in range(cur, 0, -1):
+            p = _manifest_path(table_dir, past)
+            if not path_exists(spark, p):
+                break  # older manifests expired — ids gone with them
+            if _read_json(spark, p).get("txn_id") == txn_id:
+                return past
+    v = cur + 1
+    new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
     dirs = [new_dir]
     if mode == "append" and v > 1:
         prev = _read_json(spark, _manifest_path(table_dir, v - 1))
         dirs = list(prev["dirs"]) + dirs
-    _write_json_atomic(
-        spark,
-        _manifest_path(table_dir, v),
-        {"version": v, "dirs": dirs, "op": mode},
-    )
+    payload = {"version": v, "dirs": dirs, "op": mode}
+    if txn_id is not None:
+        payload["txn_id"] = txn_id
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
 
@@ -131,10 +153,16 @@ def read_version(
 ) -> DataFrame:
     """Time travel: the table as of ``version`` (default: latest).
     A multi-path parquet scan — pushdown/pruning apply per file."""
-    v = version if version is not None else current_version(spark, table_dir)
-    if v <= 0:
-        raise ValueError(f"no committed versions at {table_dir}")
-    man = _read_json(spark, _manifest_path(table_dir, v))
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if v <= 0 or v > cur:
+        raise ValueError(
+            f"version {v} not committed at {table_dir} (current {cur})"
+        )
+    p = _manifest_path(table_dir, v)
+    if not path_exists(spark, p):
+        raise ValueError(f"version {v} expired at {table_dir}")
+    man = _read_json(spark, p)
     paths = [f"{table_dir}/{d}" for d in man["dirs"]]
     return spark.read.parquet(*paths)
 
@@ -157,9 +185,47 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
 
 
 def history(spark: SparkSession, table_dir: str) -> list[VersionInfo]:
-    """Commit log, oldest first — manifests only, no data access."""
+    """Commit log, oldest SURVIVING version first — manifests only,
+    no data access (expired versions drop out of the log)."""
     out = []
     for v in range(1, current_version(spark, table_dir) + 1):
-        man = _read_json(spark, _manifest_path(table_dir, v))
+        p = _manifest_path(table_dir, v)
+        if not path_exists(spark, p):
+            continue
+        man = _read_json(spark, p)
         out.append(VersionInfo(v, len(man["dirs"]), man.get("op", "?")))
     return out
+
+
+def expire_versions(
+    spark: SparkSession, table_dir: str, keep_last: int = 7
+) -> int:
+    """Retention: drop manifests older than the newest ``keep_last``
+    versions and delete every data dir no kept version references.
+    Same listing-metadata posture as `fs.py:expire_files` — the data
+    pass is a directory delete, never a rewrite. Returns the number
+    of data dirs removed. Time travel reaches only kept versions
+    afterwards."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = current_version(spark, table_dir)
+    first_kept = max(1, cur - keep_last + 1)
+    referenced: set[str] = set()
+    for v in range(first_kept, cur + 1):
+        referenced.update(
+            _read_json(spark, _manifest_path(table_dir, v))["dirs"]
+        )
+    fs, data_root, jvm = _fs(spark, f"{table_dir}/{_DATA}")
+    removed = 0
+    if fs.exists(data_root):
+        for status in fs.listStatus(data_root):
+            rel = f"{_DATA}/{status.getPath().getName()}"
+            if rel not in referenced:
+                fs.delete(status.getPath(), True)
+                removed += 1
+    for v in range(1, first_kept):
+        p = _manifest_path(table_dir, v)
+        fs2, hp, _ = _fs(spark, p)
+        if fs2.exists(hp):
+            fs2.delete(hp, False)
+    return removed
