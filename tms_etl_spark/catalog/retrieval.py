@@ -14,6 +14,7 @@ literal-parsing differences can never surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
 from tms_etl_spark.operators.retrieval import (
@@ -158,3 +159,244 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/retrieval.py:hash_features``."""
     docs = load_table(spark, sf_dir, "documents")
     return hash_features(docs, n_buckets=64)
+
+
+_FUSE_N = 20  # candidate depth per ranker
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@query(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    dl AS (
+        SELECT doc_id, any_value(doc_len) AS doc_len
+        FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(doc_len AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+               any_value(doc_len) AS doc_len
+        FROM toks WHERE term IN {_QTERMS!r}
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bm AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(SUM(CAST(
+                   ((CAST(s.n_docs AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                    / dft.df)
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                              * (CAST(0.25 AS DOUBLE)
+                                 + CAST(0.75 AS DOUBLE)
+                                   * tf.doc_len / s.avgdl))
+                 AS DECIMAL(28,8))), 6) AS DOUBLE) AS score
+        FROM tf JOIN dft USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    bmr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM bm QUALIFY r <= {_FUSE_N}
+    ),
+    q AS (
+        SELECT generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    v AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS vv
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    sums AS (
+        SELECT v.vec_id,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS dot,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(v.vv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nv,
+               CAST(ROUND(SUM(CAST(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nq
+        FROM v JOIN q USING (i) GROUP BY v.vec_id
+    ),
+    cosr AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (
+                   ORDER BY dot / (sqrt(nq) * sqrt(nv)) DESC, vec_id
+               ) AS BIGINT) AS r
+        FROM sums QUALIFY r <= {_FUSE_N}
+    )
+    SELECT COALESCE(bmr.doc_id, cosr.vec_id) AS doc_id,
+           COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + bmr.r),
+                    CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + cosr.r),
+                      CAST(0.0 AS DOUBLE)) AS rrf_score,
+           bmr.r AS bm25_rank,
+           cosr.r AS cosine_rank
+    FROM bmr FULL JOIN cosr ON bmr.doc_id = cosr.vec_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the BM25 keyword ranking and the exact embedding-cosine
+    ranking for the paired query (terms + vector of doc/vec 0) —
+    rrf = sum over rankers of 1/(60 + rank) on the candidate union.
+
+    Exactness: RRF consumes only the RANKS (integers, both rankings
+    deterministically tie-broken), so the fused score is a fixed
+    two-term expression of exact integer divisions — engine-portable
+    where score-level fusion of floats would not be. Scale: each
+    ranker already bounds its own cost (query-term-filtered exchange
+    for BM25; per-query scoring for cosine, bucketed at scale via
+    the LSH/IVF paths); fusion joins two k-row lists — driver-scale
+    metadata, whatever the corpus size."""
+    from pyspark.sql import Window
+
+    from tms_etl_spark.catalog.similarity import _exact_rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm = bm25_topk(docs, list(_QTERMS), k=_FUSE_N)
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm")
+    )
+
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    exact = _exact_rerank(emb.where(F.col("vec_id") != 0), qv, _FUSE_N)
+    wc = Window.orderBy(F.desc("cos_exact"), F.asc("vec_id"))
+    cosr = exact.select(
+        "vec_id", F.row_number().over(wc).cast("long").alias("r_cos")
+    )
+
+    fused = bmr.join(cosr, bmr["doc_id"] == cosr["vec_id"], "full_outer")
+    one = F.lit(1.0)
+    rrf = F.coalesce(one / (_RRF_K + F.col("r_bm")), F.lit(0.0)) + F.coalesce(
+        one / (_RRF_K + F.col("r_cos")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            rrf.alias("rrf_score"),
+            F.col("r_bm").alias("bm25_rank"),
+            F.col("r_cos").alias("cosine_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+
+
+_MRR_QUERIES = 5  # evaluation query set: vec_ids 0..4
+
+
+@query(
+    "eval_retrieval_rank",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id < {_MRR_QUERIES}
+    ),
+    v AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS vv
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT q.qid, q.qlabel, v.vec_id, any_value(v.label) AS label,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS dot,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(v.vv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nv,
+               CAST(ROUND(SUM(CAST(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nq
+        FROM v JOIN q USING (i)
+        WHERE v.vec_id <> q.qid
+        GROUP BY q.qid, q.qlabel, v.vec_id
+    ),
+    ranked AS (
+        SELECT qid, qlabel, vec_id, label,
+               CAST(row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY dot / (sqrt(nq) * sqrt(nv)) DESC, vec_id
+               ) AS BIGINT) AS r
+        FROM sums
+    )
+    SELECT qid AS query_id,
+           CAST(MIN(CASE WHEN label = qlabel THEN r END) AS BIGINT)
+             AS first_relevant_rank,
+           CAST(1.0 AS DOUBLE)
+             / MIN(CASE WHEN label = qlabel THEN r END)
+             AS reciprocal_rank
+    FROM ranked GROUP BY qid
+    """,
+)
+def eval_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-based retrieval evaluation: for each of the 5 query
+    vectors, the rank of the first SAME-LABEL neighbor in the exact
+    cosine ranking (excluding self) and its reciprocal — the
+    per-query rows of MRR. Ranks are integers from a
+    deterministically tie-broken window, so the reciprocal is one
+    exact integer division per query — no float accumulation to
+    drift. Scale: the query set is bounded (evaluation batches are),
+    the per-query scoring reuses the decimal-exact dot/norm
+    reduction, and the rank window partitions by query."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < _MRR_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.posexplode("embedding").alias("i", "qv"),
+        )
+    )
+    v = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "vv")
+    )
+    dd = lambda a, b: (
+        a.cast("double") * b.cast("double")
+    ).cast("decimal(28,14)")
+    sums = (
+        v.join(F.broadcast(q), "i")
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qlabel", "vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.round(F.sum(dd(F.col("vv"), F.col("qv"))), 8)
+            .cast("double")
+            .alias("dot"),
+            F.round(F.sum(dd(F.col("vv"), F.col("vv"))), 8)
+            .cast("double")
+            .alias("nv"),
+            F.round(F.sum(dd(F.col("qv"), F.col("qv"))), 8)
+            .cast("double")
+            .alias("nq"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("nv") * F.sqrt("nq"))
+    w = Window.partitionBy("qid").orderBy(cos.desc(), F.asc("vec_id"))
+    ranked = sums.select(
+        "qid",
+        "qlabel",
+        "label",
+        F.row_number().over(w).cast("long").alias("r"),
+    )
+    first_rel = F.min(F.when(F.col("label") == F.col("qlabel"), F.col("r")))
+    return ranked.groupBy(F.col("qid").alias("query_id")).agg(
+        first_rel.cast("long").alias("first_relevant_rank"),
+        (F.lit(1.0) / first_rel).alias("reciprocal_rank"),
+    )
