@@ -337,11 +337,11 @@ def test_winnow_shared_substring_guarantee(spark):
             assert (i, j) not in pairs
 
 
-def test_winnow_digest_single_shuffle(spark):
-    """The digest aggregation must REUSE the window's per-document
-    hash partitioning — exactly one exchange in the whole plan (the
-    distinct-then-groupBy chain costs three; at 4x data that was
-    super-linear)."""
+def test_winnow_digest_map_only(spark):
+    """The digest is a pure array expression per document — ZERO
+    exchanges in the whole plan (the minima arrays are computed
+    in-row; earlier explode+window forms paid 1-3 exchanges and went
+    super-linear at 4x data)."""
     from tms_etl_spark.operators.dedup import winnow_digest
 
     df = spark.createDataFrame(
@@ -352,7 +352,7 @@ def test_winnow_digest_single_shuffle(spark):
     plan = (
         winnow_digest(df)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") == 0, plan
 
 
 def test_embedding_neardup_hot_bucket_bounded(spark):

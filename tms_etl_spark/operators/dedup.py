@@ -278,9 +278,11 @@ def winnow_fingerprints(
     pinned by a property test. ``prefix`` bounds the explode per doc
     (None = whole text).
 
-    Scale shape: explode is O(chars), the window min partitions by
-    document (no cross-doc shuffle), the distinct is one exchange on
-    (id, fingerprint). Matching docs then join on the fingerprint —
+    Scale shape: the k-gram hashes and their window minima are both
+    computed ARRAY-SIDE inside the row (transform + slice +
+    array_min) — ZERO exchanges until the final distinct on
+    (id, fingerprint); there is no per-gram shuffle and no per-doc
+    sort at all. Matching docs then join on the fingerprint —
     candidate generation on a digest key, the same discipline as
     MinHash banding.
     """
@@ -300,25 +302,47 @@ def _winnow_selected(
     prefix: int | None,
 ) -> DataFrame:
     """Window-selected (id, fingerprint) rows, WITH duplicates (one
-    row per k-gram window). Callers either ``distinct()`` (pair API)
-    or aggregate per doc (``winnow_digest`` — which reuses the window
-    shuffle's doc partitioning and so adds no exchange)."""
+    row per k-gram window), built from the per-row minima arrays
+    (``_winnow_min_array``) — map-only up to the caller's dedup."""
+    return _winnow_min_array(df, text_col, id_col, k, w, prefix).select(
+        "__id", F.explode("__mins").alias("fingerprint")
+    )
+
+
+def _winnow_min_array(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    w: int,
+    prefix: int | None,
+) -> DataFrame:
+    """(__id, __mins) where __mins[j] = min md5 of k-grams j..j+w-1
+    (truncated tail windows included, matching the windowed form).
+    Everything happens inside the row: a transform builds the k-gram
+    hash array, a second transform takes slice minima — no explode,
+    no window, NO exchange. Replaces an explode + window-min plan
+    that shuffled and sorted one row PER K-GRAM (~1000x the corpus
+    row count). Local wall time is md5-bound either way (~4 s at
+    sf0.1 on 32 cores both forms); what this buys is the cluster
+    bill — the per-gram exchange moved ~60 GB/TB of corpus over the
+    network, this form moves zero until the caller's dedup."""
     t = F.col(text_col)
     src = df.select(
         F.col(id_col).alias("__id"),
         (F.substring(t, 1, prefix) if prefix else t).alias("__t"),
     ).where(F.length("__t") >= k)
-    grams = src.select(
-        "__id",
-        "__t",
-        F.explode(F.sequence(F.lit(1), F.length("__t") - k + 1)).alias("i"),
-    ).select(
-        "__id", "i", F.md5(F.expr(f"substring(__t, i, {k})")).alias("h")
+    hashes = F.expr(
+        f"transform(sequence(1, length(__t) - {k} + 1),"
+        f" i -> md5(substring(__t, i, {k})))"
     )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("__id").orderBy("i").rowsBetween(0, w - 1)
-    return grams.select("__id", F.min("h").over(win).alias("fingerprint"))
+    mins = F.expr(
+        f"transform(sequence(1, size(__h)),"
+        f" j -> array_min(slice(__h, j, {w})))"
+    )
+    return src.select("__id", hashes.alias("__h")).select(
+        "__id", mins.alias("__mins")
+    )
 
 
 def winnow_digest(
@@ -332,19 +356,19 @@ def winnow_digest(
     """Per-doc winnowing summary: (id, n_fp, fp_digest) where
     ``fp_digest`` = md5 of the sorted distinct fingerprints.
 
-    One aggregation instead of distinct-then-groupBy: ``collect_set``
-    dedups map-side AND groups in the same pass, and because the
-    window above already hash-partitioned by document, Spark reuses
-    that exchange — the whole digest costs ONE shuffle total where
-    the naive chain (window → distinct → groupBy) pays three. At 4×
-    data this was the difference between linear and super-linear
-    wall time (probe: 17 s → ~6 s)."""
-    sel = _winnow_selected(df, text_col, id_col, k, w, prefix)
-    fps = F.array_sort(F.collect_set("fingerprint"))
-    return sel.groupBy("__id").agg(
+    ZERO shuffles: the minima arrays are computed in-row
+    (``_winnow_min_array``), so the distinct-sort-digest is a pure
+    array expression per document — array_distinct + array_sort +
+    md5(concat) — and the whole digest is a map-only pass over the
+    corpus. (Earlier forms paid one to three exchanges; at 4× data
+    the three-exchange chain was super-linear.)"""
+    sel = _winnow_min_array(df, text_col, id_col, k, w, prefix)
+    fps = F.array_sort(F.array_distinct("__mins"))
+    return sel.select(
+        F.col("__id").alias(id_col),
         F.size(fps).cast("long").alias("n_fp"),
         F.md5(F.concat_ws("", fps)).alias("fp_digest"),
-    ).select(F.col("__id").alias(id_col), "n_fp", "fp_digest")
+    )
 
 
 def sorted_neighborhood_pairs(
