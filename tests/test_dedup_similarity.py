@@ -337,11 +337,11 @@ def test_winnow_shared_substring_guarantee(spark):
             assert (i, j) not in pairs
 
 
-def test_winnow_digest_map_only(spark):
-    """The digest is a pure array expression per document — ZERO
-    exchanges in the whole plan (the minima arrays are computed
-    in-row; earlier explode+window forms paid 1-3 exchanges and went
-    super-linear at 4x data)."""
+def test_winnow_digest_single_light_shuffle(spark):
+    """Exactly one exchange, and it moves per-row DISTINCT
+    fingerprint arrays (deduped in-row before the merge), never one
+    row per k-gram — the original explode+window plan's per-gram
+    shuffle+sort is gone."""
     from tms_etl_spark.operators.dedup import winnow_digest
 
     df = spark.createDataFrame(
@@ -352,7 +352,26 @@ def test_winnow_digest_map_only(spark):
     plan = (
         winnow_digest(df)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange") == 0, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
+
+
+def test_winnow_digest_merges_duplicate_ids(spark):
+    """Duplicate ids union their fingerprint sets (the oracle's
+    GROUP BY semantics) — one output row per id."""
+    from tms_etl_spark.operators.dedup import winnow_digest
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"),
+         (1, "a completely different piece of text here"),
+         (2, "the quick brown fox jumps over it")],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in winnow_digest(df).collect()}
+    assert len(rows) == 2
+    # id 1's merged set strictly contains id 2's (same first doc +
+    # extra fingerprints from the second)
+    assert rows[1]["n_fp"] > rows[2]["n_fp"]
 
 
 def test_embedding_neardup_hot_bucket_bounded(spark):

@@ -108,3 +108,13 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def decimal_dot(a: Column, b: Column) -> Column:
+    """The embedding-arithmetic exactness contract: per-component
+    products cast float→double→DECIMAL(28,14) so their SUM is
+    order-independent (the same move as ``dec``/``dec8`` for money
+    columns, at the scale float32 components need). Every cosine /
+    dot-product catalog query routes through THIS function — one
+    place to change precision without the queries drifting apart."""
+    return (a.cast("double") * b.cast("double")).cast("decimal(28,14)")

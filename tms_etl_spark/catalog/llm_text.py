@@ -382,11 +382,15 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plagiarism/near-dup primitive that whole-doc digests can't give.
 
     Cross-engine exactness: the "rolling hash" is md5 HEX compared
-    LEXICOGRAPHICALLY (identical in Spark and DuckDB), windows are
-    ROWS BETWEEN CURRENT AND w-1 FOLLOWING on both sides (trailing
-    short windows included in both), digest = md5 of the sorted
-    concatenation. All JVM built-ins: posexplode(sequence) for gram
-    positions, one window min, one groupBy."""
+    LEXICOGRAPHICALLY (identical in Spark and DuckDB), and both
+    sides include the trailing short windows — the oracle as ROWS
+    BETWEEN CURRENT AND w-1 FOLLOWING, the Spark side as
+    slice(hashes, j, w) minima computed ARRAY-SIDE in the row
+    (transform + array_min, no window, no per-gram shuffle — see
+    operators/dedup.py:_winnow_min_array); slice past the end
+    truncates exactly like the window frame does. Digest = md5 of
+    the sorted distinct concatenation on both sides. All JVM
+    built-ins."""
     from tms_etl_spark.operators.dedup import winnow_digest
 
     d = load_table(spark, sf_dir, "documents")

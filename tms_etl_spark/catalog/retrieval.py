@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import decimal_dot
 from tms_etl_spark.operators.retrieval import (
     bm25_topk,
     hash_features,
@@ -367,9 +368,7 @@ def eval_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("i", "vv")
     )
-    dd = lambda a, b: (
-        a.cast("double") * b.cast("double")
-    ).cast("decimal(28,14)")
+    dd = decimal_dot
     sums = (
         v.join(F.broadcast(q), "i")
         .where(F.col("vec_id") != F.col("qid"))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import decimal_dot
 from tms_etl_spark.sources.tables import load_table
 
 _N_CELLS = 8
@@ -56,9 +57,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = withcell.select(
         F.col("vec_id").alias("vec_b"), "cell", "i", F.col("x").alias("xb")
     )
-    dd = lambda p, q: (
-        p.cast("double") * q.cast("double")
-    ).cast("decimal(28,14)")
+    dd = decimal_dot
     pairs = (
         a.join(b, ["cell", "i"])
         .where(F.col("vec_a") < F.col("vec_b"))

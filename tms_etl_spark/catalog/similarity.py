@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
+from tms_etl_spark.catalog.exact import decimal_dot
 from tms_etl_spark.operators.similarity import cosine_topk, lsh_topk
 from tms_etl_spark.sources.tables import load_table
 
@@ -69,7 +70,7 @@ def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.where(F.col("vec_id") != _QUERY_VEC_ID).select(
         "vec_id", F.posexplode("embedding").alias("i", "vv")
     )
-    dd = lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(28,14)")
+    dd = decimal_dot
     sums = (
         v.join(F.broadcast(q), "i")
         .groupBy("vec_id")
@@ -144,7 +145,7 @@ def _exact_rerank(sub: DataFrame, query_vec: list[float], k: int) -> DataFrame:
         [(i, float(x)) for i, x in enumerate(query_vec)], "i int, qv double"
     )
     v = sub.select("vec_id", F.posexplode("embedding").alias("i", "vv"))
-    dd = lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(28,14)")
+    dd = decimal_dot
     sums = (
         v.join(F.broadcast(q), "i")
         .groupBy("vec_id")
@@ -265,7 +266,7 @@ def _exact_pairs(emb_slice: DataFrame, min_cos: float) -> DataFrame:
     v = emb_slice.select("vec_id", F.posexplode("embedding").alias("i", "x"))
     a = v.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
     b = v.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
-    dd = lambda p, q: (p.cast("double") * q.cast("double")).cast("decimal(28,14)")
+    dd = decimal_dot
     # broadcast the probe side: the join key (position i) has only
     # `dim` distinct values, so a shuffle join degenerates to dim-way
     # parallelism with ~n²/dim rows per key; broadcasting keeps the

@@ -121,23 +121,36 @@ def apply_bpe(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Tokenize documents with a learned merge list: per word, apply
-    every merge in training order (the standard greedy application),
-    then count resulting tokens per document. The merge list rides
-    the plan as literals (index metadata, broadcast-sized); the fold
-    chain is JVM expression code — no Python, no shuffle beyond the
-    final per-doc count."""
+    """Tokenize documents with a learned merge list and count BPE
+    tokens per document.
+
+    The merges are applied in training order (standard greedy
+    application) to the WORD-TYPE table, not to the corpus: each
+    distinct word is segmented once, then documents join the
+    (word -> n_syms) vocabulary — broadcast-sized — to sum their
+    token counts. This matters twice at scale: the k chained merge
+    folds run over the vocabulary-bounded type table (periodically
+    localCheckpoint'ed so a realistic 8k-50k merge list can't stack
+    into one unanalyzable expression tree — checkpointing the TYPE
+    table is cheap; checkpointing the corpus per chunk would not
+    be), and the corpus itself is touched by exactly one tokenize +
+    broadcast-join pass."""
+    vocab = word_type_table(df, text_col).select(
+        "word",
+        F.expr("filter(split(word, ''), s -> s != '')").alias("syms"),
+    )
+    for i, (a, b, _) in enumerate(merges):
+        vocab = vocab.select("word", _merge_expr(a, b).alias("syms"))
+        if (i + 1) % 8 == 0:
+            vocab = vocab.localCheckpoint()
+    seg = vocab.select("word", F.size("syms").alias("__n_syms"))
+
     toks = F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)
     words = df.select(
         F.col(id_col), F.explode(toks).alias("word")
     ).where(F.col("word") != "")
-    syms = words.select(
-        id_col,
-        F.expr("filter(split(word, ''), s -> s != '')").alias("syms"),
-    )
-    for a, b, _ in merges:
-        syms = syms.select(id_col, _merge_expr(a, b).alias("syms"))
-    return syms.groupBy(id_col).agg(
-        F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+    joined = words.join(F.broadcast(seg), "word")
+    return joined.groupBy(id_col).agg(
+        F.sum("__n_syms").cast("long").alias("n_bpe_tokens"),
         F.count("*").cast("long").alias("n_words"),
     )

@@ -356,19 +356,23 @@ def winnow_digest(
     """Per-doc winnowing summary: (id, n_fp, fp_digest) where
     ``fp_digest`` = md5 of the sorted distinct fingerprints.
 
-    ZERO shuffles: the minima arrays are computed in-row
-    (``_winnow_min_array``), so the distinct-sort-digest is a pure
-    array expression per document — array_distinct + array_sort +
-    md5(concat) — and the whole digest is a map-only pass over the
-    corpus. (Earlier forms paid one to three exchanges; at 4× data
-    the three-exchange chain was super-linear.)"""
-    sel = _winnow_min_array(df, text_col, id_col, k, w, prefix)
-    fps = F.array_sort(F.array_distinct("__mins"))
-    return sel.select(
-        F.col("__id").alias(id_col),
-        F.size(fps).cast("long").alias("n_fp"),
-        F.md5(F.concat_ws("", fps)).alias("fp_digest"),
+    One LIGHT shuffle: the minima arrays are computed in-row
+    (``_winnow_min_array``) and deduped/sorted IN-ROW first, so the
+    per-id merge exchange (which preserves the contract that
+    duplicate ids union their fingerprint sets, matching the
+    oracle's GROUP BY) moves only each row's DISTINCT-fingerprint
+    array — typically ~1/w of the gram count — instead of one row
+    per k-gram with a per-doc sort as the original plan did."""
+    sel = _winnow_min_array(df, text_col, id_col, k, w, prefix).select(
+        "__id", F.array_sort(F.array_distinct("__mins")).alias("__fps")
     )
+    merged = F.array_sort(
+        F.array_distinct(F.flatten(F.collect_list("__fps")))
+    )
+    return sel.groupBy("__id").agg(
+        F.size(merged).cast("long").alias("n_fp"),
+        F.md5(F.concat_ws("", merged)).alias("fp_digest"),
+    ).select(F.col("__id").alias(id_col), "n_fp", "fp_digest")
 
 
 def sorted_neighborhood_pairs(
