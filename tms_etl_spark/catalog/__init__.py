@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "dedup_semantic", "text_lm_coverage", "graph_degree_histogram",
     "join_null_safe", "agg_mode_per_key",
     "retrieval_rrf_fusion", "eval_retrieval_rank",
+    "funnel_time_bounded",
     "path_markov_transitions", "path_topk_journeys",
     "session_bounce_rate", "ts_ewma_decay",
     "profile_categorical_gini", "dataset_card_stats",
@@ -88,7 +89,7 @@ _DRIVER_PRIORITY = [
     "drift_chi_square", "ivm_join_delta", "ivm_retract_delta",
     "multimodal_phash_neardup", "graph_bfs_levels",
     "embedding_label_outliers", "funnel_conversion_by_first_touch",
-    "interval_islands", "audit_partition_checksums",
+    "interval_islands",
     # (the window is exactly 50 names — the round-5 TPC-H tier waits
     # for round-9's rotation; the judge's full oracle sweep
     # re-verifies every displaced row each round)

@@ -244,3 +244,95 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "ts", total.cast("double").alias("ewma16")
     )
+
+
+@query(
+    "funnel_time_bounded",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts > s.t_signup
+          AND e.ts <= s.t_signup + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(s.t_signup) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_24h,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_7d,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / CAST(COUNT(s.t_signup) AS DOUBLE) AS signup_to_purchase
+    FROM s
+    """,
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: signup -> first click WITHIN 24 HOURS ->
+    first purchase WITHIN 7 DAYS of that click — the
+    step-deadline variant of the unbounded ordered funnel
+    (events_funnel). Product analytics needs both: the unbounded
+    form measures eventual conversion, this one measures conversion
+    INSIDE the engagement windows that campaigns are judged on.
+
+    Plan: three user-keyed aggregations, each consuming the previous
+    stage's (user, deadline) table — every join and GROUP BY is on
+    user_id, so the corpus pays one partitioning reused down the
+    chain; stage tables only shrink. Counts are integers; the
+    conversion share is one final IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        )
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    totals = s.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t_signup").cast("long").alias("n_signup"),
+    )
+    nc = c.agg(F.count("*").cast("long").alias("n_click_24h"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_purchase_7d"))
+    return (
+        totals.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_users",
+            "n_signup",
+            "n_click_24h",
+            "n_purchase_7d",
+            (
+                F.col("n_purchase_7d").cast("double")
+                / F.col("n_signup").cast("double")
+            ).alias("signup_to_purchase"),
+        )
+    )
