@@ -118,3 +118,27 @@ def test_expire_keeps_append_lineage(spark, tdir):
     removed = expire_versions(spark, tdir, keep_last=1)
     assert removed == 0  # v3's manifest references all three dirs
     assert read_version(spark, tdir).count() == 6
+
+
+def test_optimize_compacts_to_one_dir(spark, tdir):
+    from tms_etl_spark.operators.versioned import (
+        history,
+        optimize_version,
+    )
+
+    for lo in (0, 5, 9):
+        write_version(_df(spark, lo, lo + 3), tdir, "append")
+    before = read_version(spark, tdir)
+    assert before.count() == 9
+    v = optimize_version(spark, tdir)
+    assert v == 4
+    after = read_version(spark, tdir)
+    assert after.count() == 9
+    assert {r["id"] for r in after.collect()} == {
+        r["id"] for r in before.collect()
+    }
+    h = {x.version: x for x in history(spark, tdir)}
+    assert h[4].n_dirs == 1 and h[4].op.startswith("optimize:")
+    assert h[3].n_dirs == 3
+    # pre-optimize versions still time-travelable
+    assert read_version(spark, tdir, 2).count() == 6

@@ -229,3 +229,46 @@ def expire_versions(
         if fs2.exists(hp):
             fs2.delete(hp, False)
     return removed
+
+
+def optimize_version(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compaction commit: rewrite the CURRENT version's rows into one
+    fresh data dir with file sizes targeted from LISTING METADATA
+    (total bytes / target — no data pass to size), and commit it as
+    the next version referencing only that dir. The append pattern
+    accumulates one dir per batch; after optimize, readers scan one
+    compacted dir while every pre-optimize version stays
+    time-travelable until expired. Same single-writer caveat as
+    write_version; data safety holds regardless (private dirs,
+    manifest rename commit)."""
+    from math import ceil
+
+    from tms_etl_spark.sources.fs import total_size
+
+    cur = current_version(spark, table_dir)
+    if cur <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, cur))
+    nbytes = sum(
+        total_size(spark, f"{table_dir}/{d}") for d in man["dirs"]
+    )
+    n_files = max(1, ceil(nbytes / max(1, target_file_bytes)))
+    df = spark.read.parquet(*[f"{table_dir}/{d}" for d in man["dirs"]])
+
+    import uuid
+
+    v = cur + 1
+    new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("errorifexists").parquet(
+        f"{table_dir}/{new_dir}"
+    )
+    _write_json_atomic(
+        spark,
+        _manifest_path(table_dir, v),
+        {"version": v, "dirs": [new_dir], "op": f"optimize:{n_files}"},
+    )
+    return v
