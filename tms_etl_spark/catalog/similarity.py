@@ -11,7 +11,7 @@ tests/test_similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
@@ -84,10 +84,13 @@ def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("dot") / (F.sqrt("nq") * F.sqrt("nv"))).alias("cos_sim"),
     )
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    # Distributed top-k: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition heap + driver merge of k
+    # rows), never an Exchange SinglePartition over the whole scored
+    # corpus. Tiebreak on vec_id keeps the cut deterministic.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _K)
+        scored.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_K)
         .select("vec_id", "cos_sim")
     )
 
@@ -159,10 +162,12 @@ def _exact_rerank(sub: DataFrame, query_vec: list[float], k: int) -> DataFrame:
         "vec_id",
         (F.col("dot") / (F.sqrt("nq") * F.sqrt("nv"))).alias("cos_exact"),
     )
-    w = Window.orderBy(F.desc("cos_exact"), F.asc("vec_id"))
+    # TakeOrdered, not a single-partition row_number window — this
+    # helper feeds retrieval_rrf_fusion and the ANN agreement gates,
+    # so its plan shape matters at corpus scale.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        scored.orderBy(F.desc("cos_exact"), F.asc("vec_id"))
+        .limit(k)
         .select("vec_id", "cos_exact")
     )
 

@@ -62,17 +62,47 @@ def _read_json(spark: SparkSession, path: str) -> dict:
         stream.close()
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed (or is committing) this version."""
+
+
 def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
-    """Write to `<path>.tmp` then rename — the commit point."""
+    """Write to a writer-private tmp then rename — the commit point.
+
+    Hadoop's local rename is POSIX rename(2), which silently REPLACES
+    an existing destination, so a bare rename cannot arbitrate two
+    writers racing to the same version. The commit is therefore made
+    CONDITIONAL with a per-version lock marker taken via
+    ``fs.createNewFile`` (atomic O_CREAT|O_EXCL on local and HDFS):
+    the loser raises ConcurrentWriteError and must retry at the next
+    version number; the winner's manifest is never clobbered. On
+    object stores without atomic create-exclusive this degrades to
+    best-effort — single-writer per table is the supported deployment
+    there (the same caveat Delta documents for S3 without a
+    coordination service). A writer that dies between lock and commit
+    leaves a stale ``.lock`` beside an absent manifest; remove it
+    manually after confirming no writer is live."""
+    import uuid
+
     fs, hpath, jvm = _fs(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-    out = fs.create(tmp, True)
+    lock = jvm.org.apache.hadoop.fs.Path(path + ".lock")
+    if not fs.createNewFile(lock):
+        raise ConcurrentWriteError(f"{path} is being committed by another writer")
     try:
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        if fs.exists(hpath):
+            raise ConcurrentWriteError(f"{path} already committed")
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        if not fs.rename(tmp, hpath):
+            raise IOError(f"manifest commit rename failed for {path}")
     finally:
-        out.close()
-    if not fs.rename(tmp, hpath):
-        raise IOError(f"manifest commit rename failed for {path}")
+        fs.delete(lock, False)
 
 
 def current_version(spark: SparkSession, table_dir: str) -> int:
@@ -96,6 +126,59 @@ class VersionInfo:
     op: str
 
 
+# txn ids carried forward per manifest — a retried micro-batch's id is
+# always among the most recent commits, so idempotence checks read ONE
+# manifest, not the whole history (O(1) per commit, not O(versions))
+_RECENT_TXNS = 64
+
+# per-file zonemap stats cover JSON-native orderable types only
+# (dates/timestamps/decimals would need lossy or stringly encodings)
+_STATS_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double", "string"}
+)
+
+
+def _dir_file_stats(spark: SparkSession, table_dir: str, rel_dir: str) -> dict:
+    """Per-FILE min/max zonemap for the orderable columns of one data
+    dir: a single groupBy-input-file aggregation over the just-written
+    batch. The collected result is n_files × n_cols — listing-sized
+    metadata, same posture as `layout_zonemap_stats`."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{table_dir}/{rel_dir}")
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in _STATS_TYPES
+    ]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    stats: dict[str, dict] = {}
+    for r in rows:
+        rel = f"{rel_dir}/{r['__f'].rsplit('/', 1)[-1]}"
+        entry = {}
+        for c in cols:
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            if mn is not None:
+                entry[c] = [mn, mx]
+        stats[rel] = entry
+    return stats
+
+
+def _carry_txns(prev: dict | None, txn_id: str | None, v: int) -> list:
+    recent = list(prev.get("recent_txns", [])) if prev else []
+    if txn_id is not None:
+        recent = [[txn_id, v]] + recent
+    return recent[:_RECENT_TXNS]
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
@@ -110,38 +193,60 @@ def write_version(
     references only the new dir (old data stays on disk for time
     travel until expired). Returns the committed version number.
 
-    ``txn_id`` makes the commit IDEMPOTENT: if a committed manifest
-    already carries this id (e.g. a streaming micro-batch retried
-    after the version committed but before the checkpoint advanced),
-    the call is a no-op returning the existing version — the
-    exactly-once contract `foreachBatch` needs.
+    ``txn_id`` makes the commit IDEMPOTENT: every manifest carries
+    forward the last ``_RECENT_TXNS`` (txn_id, version) pairs, so the
+    check reads only the LATEST manifest — O(1) per commit even for a
+    long-lived stream that never expires versions. A retried
+    micro-batch (committed but checkpoint not yet advanced) is by
+    construction within the recent window; ids older than the window
+    age out, matching the exactly-once contract `foreachBatch` needs.
+    Manifests written before this scheme (no ``recent_txns`` key) fall
+    back to the bounded downward scan.
 
-    The data directory carries a writer-private random token, so a
-    concurrent loser's data write can never clobber the winner's
-    committed files; the manifest rename remains the single commit
-    point (losers fail the rename or commit the NEXT version — both
-    leave every committed version intact)."""
+    Concurrency: the data directory carries a writer-private random
+    token, so a loser's data write can never clobber the winner's
+    committed files, and the manifest commit is CONDITIONAL (lock
+    marker + exists-check in `_write_json_atomic`) — a racing loser
+    gets ConcurrentWriteError and should re-invoke, landing on the
+    next version number. On object stores without atomic
+    create-exclusive, run a single writer per table."""
     import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = df.sparkSession
     cur = current_version(spark, table_dir)
-    if txn_id is not None:
-        for past in range(cur, 0, -1):
-            p = _manifest_path(table_dir, past)
-            if not path_exists(spark, p):
-                break  # older manifests expired — ids gone with them
-            if _read_json(spark, p).get("txn_id") == txn_id:
-                return past
+    prev = (
+        _read_json(spark, _manifest_path(table_dir, cur)) if cur >= 1 else None
+    )
+    if txn_id is not None and prev is not None:
+        if "recent_txns" in prev:
+            for t, ver in prev["recent_txns"]:
+                if t == txn_id:
+                    return ver
+        else:  # legacy manifests: per-version txn_id field, scan down
+            for past in range(cur, 0, -1):
+                p = _manifest_path(table_dir, past)
+                if not path_exists(spark, p):
+                    break  # older manifests expired — ids gone too
+                if _read_json(spark, p).get("txn_id") == txn_id:
+                    return past
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
+    stats = _dir_file_stats(spark, table_dir, new_dir)
     dirs = [new_dir]
-    if mode == "append" and v > 1:
-        prev = _read_json(spark, _manifest_path(table_dir, v - 1))
+    if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
-    payload = {"version": v, "dirs": dirs, "op": mode}
+        # keep only stats for dirs still referenced (overwrite drops)
+        stats = {**prev.get("stats", {}), **stats}
+    payload = {
+        "version": v,
+        "dirs": dirs,
+        "op": mode,
+        "stats": stats,
+        "recent_txns": _carry_txns(prev, txn_id, v),
+    }
     if txn_id is not None:
         payload["txn_id"] = txn_id
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
@@ -167,6 +272,85 @@ def read_version(
     return spark.read.parquet(*paths)
 
 
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_prunable(entry: dict | None, col: str, op: str, value) -> bool:
+    """True iff the zonemap PROVES no row of the file can satisfy
+    ``col op value``. Missing stats → not prunable (conservative).
+    String bounds compare with Python's ordering, which matches
+    Spark's binary UTF-8 ordering on the code-point level."""
+    if not entry or col not in entry:
+        return False
+    mn, mx = entry[col]
+    if op == "=":
+        return value < mn or value > mx
+    if op == "<":
+        return not (mn < value)
+    if op == "<=":
+        return not (mn <= value)
+    if op == ">":
+        return not (mx > value)
+    if op == ">=":
+        return not (mx >= value)
+    raise ValueError(f"unknown op {op!r} (use one of {_PRUNE_OPS})")
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    op: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Zonemap-pruned time travel: the table as of ``version``
+    filtered by ``col op value``, scanning ONLY the files whose
+    per-file min/max (recorded in the manifest at commit time) can
+    satisfy the predicate. Exact — the residual filter still applies
+    to every surviving row; pruning only skips files the stats PROVE
+    empty for the predicate. At scale this is the manifest-level
+    file skipping a lakehouse format does before Spark ever lists the
+    data: a point/range read over a long append history touches the
+    few files whose ranges overlap instead of every file of the
+    version. Files without stats (legacy manifests, non-orderable
+    columns) are always scanned."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if v <= 0 or v > cur:
+        raise ValueError(
+            f"version {v} not committed at {table_dir} (current {cur})"
+        )
+    p = _manifest_path(table_dir, v)
+    if not path_exists(spark, p):
+        raise ValueError(f"version {v} expired at {table_dir}")
+    man = _read_json(spark, p)
+    stats = man.get("stats", {})
+    pred = {
+        "=": F.col(col) == F.lit(value),
+        "<": F.col(col) < F.lit(value),
+        "<=": F.col(col) <= F.lit(value),
+        ">": F.col(col) > F.lit(value),
+        ">=": F.col(col) >= F.lit(value),
+    }[op]
+    keep: list[str] = []
+    for d in man["dirs"]:
+        for fi in list_files(spark, f"{table_dir}/{d}"):
+            name = fi.path.rsplit("/", 1)[-1]
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{d}/{name}"
+            if _file_prunable(stats.get(rel), col, op, value):
+                continue
+            keep.append(f"{table_dir}/{rel}")
+    if not keep:
+        full = spark.read.parquet(*[f"{table_dir}/{d}" for d in man["dirs"]])
+        return spark.createDataFrame([], full.schema)
+    return spark.read.parquet(*keep).where(pred)
+
+
 def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
     """Non-destructive rollback: commit a NEW version whose manifest
     points at ``to_version``'s data dirs. Zero data movement; the
@@ -175,11 +359,20 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
     if not (1 <= to_version <= cur):
         raise ValueError(f"cannot roll back to v{to_version} (current {cur})")
     man = _read_json(spark, _manifest_path(table_dir, to_version))
+    head = _read_json(spark, _manifest_path(table_dir, cur))
     v = cur + 1
     _write_json_atomic(
         spark,
         _manifest_path(table_dir, v),
-        {"version": v, "dirs": man["dirs"], "op": f"rollback:{to_version}"},
+        {
+            "version": v,
+            "dirs": man["dirs"],
+            "op": f"rollback:{to_version}",
+            "stats": man.get("stats", {}),
+            # txn window follows the HEAD, not the rollback target —
+            # a retried micro-batch must still be recognized
+            "recent_txns": _carry_txns(head, None, v),
+        },
     )
     return v
 
@@ -269,6 +462,12 @@ def optimize_version(
     _write_json_atomic(
         spark,
         _manifest_path(table_dir, v),
-        {"version": v, "dirs": [new_dir], "op": f"optimize:{n_files}"},
+        {
+            "version": v,
+            "dirs": [new_dir],
+            "op": f"optimize:{n_files}",
+            "stats": _dir_file_stats(spark, table_dir, new_dir),
+            "recent_txns": _carry_txns(man, None, v),
+        },
     )
     return v
