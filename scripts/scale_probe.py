@@ -71,8 +71,21 @@ DEFAULT_QUERIES = [
     "path_markov_transitions",
 ]
 
+# SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH
+# scales as disjoint copies. Without it the part-key space is fixed
+# and the graph DENSIFIES discontinuously at 2× (every once-co-
+# occurring pair crosses the ≥2 edge threshold) — a probe-harness
+# data artifact, not a plan property; see SCALE.md graph section.
+# Only valid for queries that never join the part dim (the graph
+# family) — part-FK joins would lose matches under the shift.
+_GRAPH_KEYS = os.environ.get("SCALE_GRAPH_KEYS") == "1"
+
 KEY_OFFSETS = {
-    "lineitem": {"l_orderkey": 10_000_000},
+    "lineitem": (
+        {"l_orderkey": 10_000_000, "l_partkey": 10_000_000}
+        if _GRAPH_KEYS
+        else {"l_orderkey": 10_000_000}
+    ),
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "customer": {"c_custkey": 1_000_000},
     "events": {"event_id": 10_000_000, "user_id": 10_000},

@@ -364,3 +364,19 @@ def test_eval_retrieval_rank_no_corpus_window(spark, sf_dir):
     p = _plan(spark, sf_dir, "eval_retrieval_rank")
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_quantile_thresholds_shared_engine_bucketed(spark, sf_dir):
+    """feature_quantile_bin (q=10, shared operators/quantiles.py
+    engine) must show the bucketed cumulative shape: local windows
+    partitioned by the range bucket, threshold row broadcast back."""
+    p = _plan(spark, sf_dir, "feature_quantile_bin")
+    assert "hashpartitioning(__b" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_eval_auc_bucketed_cumulative(spark, sf_dir):
+    """AUC's cumulative negative counts must run bucketed — the only
+    unpartitioned sorts allowed are over the ≤256-row bucket table."""
+    p = _plan(spark, sf_dir, "eval_auc")
+    assert "hashpartitioning(__b" in p

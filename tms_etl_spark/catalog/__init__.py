@@ -129,6 +129,8 @@ def load_all() -> None:
         profiling,
         scalejoins,
         semdedup,
+        privacy,
+        evaluation,
     )
 
     for reg in (QUERIES, ORACLES):

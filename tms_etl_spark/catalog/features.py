@@ -312,3 +312,53 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_confidence"),
     )
+
+
+from tms_etl_spark.operators.quantiles import (  # noqa: E402
+    sql_histogram_thresholds,
+    sql_score,
+)
+
+
+@query(
+    "feature_quantile_bin",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT)
+                 AS price_unit
+        FROM orders
+    ),
+    t AS ({sql_histogram_thresholds("base", "price_unit", 10)})
+    SELECT b.o_orderkey, b.price_unit,
+           {sql_score("b.price_unit", "t.t", 10)} AS decile
+    FROM base b CROSS JOIN t
+    """,
+)
+def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order totals — the standard
+    numeric-feature discretization for tabular training data, exact
+    and engine-identical (no `ntile` one-reducer sort, no float
+    percentile interpolation). Thresholds come from the shared
+    bucketed value-grain histogram (`operators/quantiles.py`); the
+    1-row threshold table broadcasts and every row scores map-side
+    with integer comparisons — the same pattern `rfm_segmentation`
+    rides, generalized to q=10."""
+    from tms_etl_spark.operators.quantiles import (
+        histogram_quantile_thresholds,
+        score_against_thresholds,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("long")
+        .alias("price_unit"),
+    )
+    th = histogram_quantile_thresholds(base, "price_unit", 10, prefix="t")
+    return base.crossJoin(F.broadcast(th)).select(
+        "o_orderkey",
+        "price_unit",
+        score_against_thresholds("price_unit", "t", 10).alias("decile"),
+    )

@@ -134,3 +134,43 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("tokens").over(w).cast("double")
         ).alias("token_share"),
     )
+
+
+@query(
+    "profile_partition_skew",
+    oracle="""
+    WITH p AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS part,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n) AS skew_ratio
+    FROM p
+    """,
+)
+def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostic: row counts per candidate
+    partition (order month) reduced to min/max/total and the skew
+    ratio max/mean — the number that predicts straggler tasks if this
+    key becomes the table's partitioning at scale (ratio ≈ 1 is
+    uniform; ≫ 1 means the hottest partition dominates wall-clock).
+    One partial-aggregating shuffle onto the month grain, then a
+    scalar reduction; the ratio is one IEEE division of exact
+    integers (max·count and total ≤ 2^53)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part")
+    ).agg(F.count("*").alias("n"))
+    return p.agg(
+        F.count("*").cast("long").alias("n_partitions"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.sum("n").cast("long").alias("total_rows"),
+        (
+            (F.max("n") * F.count("*")).cast("double") / F.sum("n")
+        ).alias("skew_ratio"),
+    )

