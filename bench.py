@@ -145,6 +145,12 @@ HEADLINE = [
     "ts_ewma_decay",
     "text_lm_coverage",
     "dedup_incremental_bloom",
+    # round-9 additions: bucketed decile binning (shared quantile
+    # engine) and rank-free exact AUC — the two new cumulative-
+    # histogram shapes. The 39 pre-round-9 names above are PINNED for
+    # round-over-round comparability; only append here.
+    "feature_quantile_bin",
+    "eval_auc",
 ]
 
 

@@ -380,3 +380,14 @@ def test_eval_auc_bucketed_cumulative(spark, sf_dir):
     unpartitioned sorts allowed are over the ≤256-row bucket table."""
     p = _plan(spark, sf_dir, "eval_auc")
     assert "hashpartitioning(__b" in p
+
+
+def test_hashorder_sample_is_takeordered(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sample_uniform_hashorder")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_median_bucketed_no_global_value_window(spark, sf_dir):
+    p = _plan(spark, sf_dir, "agg_median_bucketed")
+    assert "hashpartitioning(__b" in p

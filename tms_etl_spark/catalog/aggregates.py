@@ -457,3 +457,49 @@ def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+
+
+from tms_etl_spark.operators.quantiles import (  # noqa: E402
+    sql_histogram_thresholds as _sql_hist,
+)
+
+
+@query(
+    "agg_median_bucketed",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(19,4)) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    t AS ({_sql_hist('base', 'cents', 2)})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_rows,
+           t.t1 AS median_cents
+    FROM t
+    """,
+)
+def agg_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus median WITHOUT a global sort or a per-partition
+    value buffer: the lower median is the smallest value whose
+    cumulative count reaches n/2 (integer logic 2·cum ≥ n), read off
+    the shared bucketed value-grain histogram
+    (`operators/quantiles.py`). Contrast with `percentile()`: exact
+    but buffers every value per partition; and `percentile_approx`:
+    bounded-memory but approximate. This is exact AND
+    histogram-bounded — the right shape when the value grain (price
+    cents) is much smaller than the row count."""
+    from tms_etl_spark.operators.quantiles import (
+        histogram_quantile_thresholds,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_extendedprice").cast("decimal(19,4)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    th = histogram_quantile_thresholds(base, "cents", 2, prefix="t")
+    n = base.agg(F.count("*").cast("long").alias("n_rows"))
+    return n.crossJoin(F.broadcast(th)).select(
+        "n_rows", F.col("t1").alias("median_cents")
+    )

@@ -508,3 +508,31 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(kept, "doc_id").select(
         "doc_id", "lang", "n_tokens", "split"
     )
+
+
+@query(
+    "sample_uniform_hashorder",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT 100
+    """,
+)
+def sample_uniform_hashorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample: order by md5(id) and take the
+    first k. The hash order is a fixed pseudo-random permutation of
+    the corpus, so the prefix is a uniform sample that is REPRODUCIBLE
+    across engines, partitionings and reruns — unlike rand()-based
+    sampling — and compiles to TakeOrderedAndProject (per-partition
+    heap of k, no global sort). The standard trick for carving a
+    stable eval holdout out of a moving corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )

@@ -471,3 +471,31 @@ def optimize_version(
         },
     )
     return v
+
+
+def stream_write_versioned(
+    sdf,
+    table_dir: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink into a versioned table: each
+    micro-batch commits as one table version with ``txn_id =
+    "batch-<id>"``. Spark guarantees batch ids are stable across
+    restarts, and `write_version` recognizes a replayed id from the
+    recent-txn window of the LATEST manifest (O(1) per commit), so
+    the restart-after-commit-before-checkpoint race never
+    double-appends — the foreachBatch exactly-once recipe with the
+    idempotence ledger living in the table itself. Returns the
+    started StreamingQuery."""
+
+    def _sink(batch_df, batch_id: int) -> None:
+        write_version(batch_df, table_dir, mode, txn_id=f"batch-{batch_id}")
+
+    w = sdf.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
