@@ -220,6 +220,56 @@ AUDIT = [
         "frequent-bigram set is df-cut and vocabulary-bounded; the "
         "doc-gram stream joins it once",
     ),
+    # round-9: the r4 verdict's single-partition top-k seams, fixed
+    (
+        "sim_cosine_topk_exact",
+        ["TakeOrderedAndProject"],
+        "exact-cosine ranking is a distributed top-k heap, NOT a "
+        "row_number over an unpartitioned window (r4 scale-killer, "
+        "fixed; absence of Exchange SinglePartition pinned in tests)",
+    ),
+    (
+        "retrieval_rrf_fusion",
+        ["TakeOrderedAndProject"],
+        "the _exact_rerank feeding RRF now ranks via TakeOrdered; "
+        "the RRF rank windows run over k-row candidate lists only",
+    ),
+    (
+        "eval_retrieval_rank",
+        ["BroadcastHashJoin"],
+        "rank-free MRR: best relevant doc per query via max-by "
+        "aggregation broadcast back; no Window node in the plan",
+    ),
+    (
+        "rfm_segmentation",
+        ["hashpartitioning(__b"],
+        "quintile thresholds from the shared bucketed histogram "
+        "(local windows per range bucket + broadcast offsets); no "
+        "global window over the value-grain histogram",
+    ),
+    (
+        "feature_quantile_bin",
+        ["hashpartitioning(__b"],
+        "decile thresholds ride the same bucketed engine; 1-row "
+        "threshold table broadcasts, rows score map-side",
+    ),
+    (
+        "eval_auc",
+        ["hashpartitioning(__b"],
+        "AUC numerator is integer arithmetic over the score value "
+        "grain with bucketed cumulative negative counts",
+    ),
+    (
+        "sample_uniform_hashorder",
+        ["TakeOrderedAndProject"],
+        "deterministic md5-order sample is a distributed top-k",
+    ),
+    (
+        "agg_median_bucketed",
+        ["hashpartitioning(__b"],
+        "exact median read off the bucketed cumulative histogram — "
+        "no global sort, no per-partition value buffering",
+    ),
 ]
 
 
