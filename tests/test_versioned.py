@@ -264,3 +264,48 @@ def test_stream_to_versioned_table_exactly_once(spark, tdir, tmp_path):
     replay = spark.createDataFrame([(9, 9)], "k long, v long")
     assert write_version(replay, tdir, "append", txn_id="batch-0") == v
     assert read_version(spark, tdir).count() == 5
+
+
+def test_read_version_changes_scans_only_new_files(spark, tdir):
+    """Incremental tailing: the (v1, v3] delta reads only the files
+    appended after v1 — file-level CDC with zero data comparison."""
+    from tms_etl_spark.operators.versioned import read_version_changes
+
+    write_version(_df(spark, 0, 100), tdir, "append")
+    write_version(_df(spark, 100, 150), tdir, "append")
+    write_version(_df(spark, 150, 170), tdir, "append")
+    delta = read_version_changes(spark, tdir, 1)
+    assert delta.count() == 70
+    assert {r["id"] for r in delta.select("id").collect()} == set(range(100, 170))
+    # scans strictly fewer files than the full snapshot
+    full = read_version(spark, tdir)
+    assert len(delta.inputFiles()) < len(full.inputFiles())
+    # empty range yields an empty frame with the table schema
+    none = read_version_changes(spark, tdir, 3, 3)
+    assert none.count() == 0 and none.schema == full.schema
+    # rewritten history: no silent cross-snapshot scan
+    rb_v = rollback(spark, tdir, 1)
+    with pytest.raises(ValueError, match="append chain"):
+        read_version_changes(spark, tdir, 2, rb_v)
+
+
+def test_versioned_schema_evolution_merge(spark, tdir):
+    """Appending a batch with an extra column must stay readable:
+    per-version dirs are independent parquet footers, so a
+    mergeSchema read unions them (missing values null)."""
+    from tms_etl_spark.operators.versioned import read_version_changes
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    evolved = _df(spark, 5, 8).withColumn("extra", F.col("id") + 100)
+    write_version(evolved, tdir, "append")
+    man = read_version(spark, tdir)  # plain read: base schema only
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*man.inputFiles())
+    )
+    assert "extra" in merged.columns
+    assert merged.count() == 8
+    assert merged.where(F.col("extra").isNull()).count() == 5
+    # the delta alone carries the evolved schema natively
+    delta = read_version_changes(spark, tdir, 1)
+    assert "extra" in delta.columns and delta.count() == 3
