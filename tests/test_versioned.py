@@ -309,3 +309,31 @@ def test_versioned_schema_evolution_merge(spark, tdir):
     # the delta alone carries the evolved schema natively
     delta = read_version_changes(spark, tdir, 1)
     assert "extra" in delta.columns and delta.count() == 3
+
+
+def test_optimize_cluster_by_keeps_pruning_effective(spark, tdir):
+    """A random compaction smears every file across the full value
+    range (zonemaps prune nothing); cluster_by range-partitions the
+    rewrite so a post-compaction point read touches ~1 file."""
+    from tms_etl_spark.operators.versioned import (
+        optimize_version,
+        read_version_pruned,
+    )
+
+    for lo in range(0, 1000, 250):
+        write_version(
+            _df(spark, lo, lo + 250).repartition(2), tdir, "append"
+        )
+    optimize_version(
+        spark, tdir, target_file_bytes=4 * 1024, cluster_by="id"
+    )
+    full = read_version(spark, tdir)
+    assert full.count() == 1000
+    n_files = len(full.inputFiles())
+    assert n_files >= 3  # compaction produced multiple range files
+    point = read_version_pruned(spark, tdir, "id", "=", 777)
+    assert point.count() == 1
+    assert len(point.inputFiles()) < n_files  # pruning still bites
+    rng = read_version_pruned(spark, tdir, "id", ">=", 900)
+    assert rng.count() == 100
+    assert len(rng.inputFiles()) < n_files

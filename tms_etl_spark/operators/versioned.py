@@ -428,6 +428,7 @@ def optimize_version(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: str | None = None,
 ) -> int:
     """Compaction commit: rewrite the CURRENT version's rows into one
     fresh data dir with file sizes targeted from LISTING METADATA
@@ -437,7 +438,17 @@ def optimize_version(
     compacted dir while every pre-optimize version stays
     time-travelable until expired. Same single-writer caveat as
     write_version; data safety holds regardless (private dirs,
-    manifest rename commit)."""
+    manifest rename commit).
+
+    ``cluster_by``: layout the compacted files by range on a column
+    (repartitionByRange + sortWithinPartitions) instead of a random
+    repartition. A random compaction gives every file the FULL value
+    range — per-file zonemaps then prune nothing; range clustering
+    makes each file's [min,max] tight, so `read_version_pruned`
+    point/range reads touch ~1 file after compaction. This is the
+    OPTIMIZE ... ZORDER/CLUSTER BY move of lakehouse formats, with
+    range partitioning as the single-column case (compose with
+    `operators/layout.py` hilbert/z-order keys for multi-column)."""
     from math import ceil
 
     from tms_etl_spark.sources.fs import total_size
@@ -456,16 +467,23 @@ def optimize_version(
 
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
-    df.repartition(n_files).write.mode("errorifexists").parquet(
-        f"{table_dir}/{new_dir}"
-    )
+    if cluster_by is not None:
+        df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
     _write_json_atomic(
         spark,
         _manifest_path(table_dir, v),
         {
             "version": v,
             "dirs": [new_dir],
-            "op": f"optimize:{n_files}",
+            "op": (
+                f"optimize:{n_files}"
+                + (f":cluster_by={cluster_by}" if cluster_by else "")
+            ),
             "stats": _dir_file_stats(spark, table_dir, new_dir),
             "recent_txns": _carry_txns(man, None, v),
         },
