@@ -157,3 +157,53 @@ def test_asof_forward_and_tolerance_semantics(spark):
     with pytest.raises(ValueError):
         asof_join(left, right, on=["key"], ts="ts", right_cols=["v"],
                   direction="sideways")
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Nearest-direction parity with pandas merge_asof on a crafted
+    frame exercising: forward-closer, backward-closer, exact tie
+    (→ backward), no-backward-exists, no-forward-exists, empty key."""
+    import pandas as pd
+
+    from tms_etl_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "c"],
+            "t": [10, 55, 100, 5, 7],
+            "lid": [1, 2, 3, 4, 5],
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "t": [0, 60, 90, 5],
+            "rv": [100, 600, 900, 500],
+        }
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values("t"),
+        right_pd.sort_values("t"),
+        on="t",
+        by="k",
+        direction="nearest",
+    ).sort_values("lid")
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = (
+        asof_join(
+            left,
+            right,
+            on=["k"],
+            ts="t",
+            right_cols=["rv"],
+            suffix="",
+            direction="nearest",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    exp = [None if pd.isna(x) else int(x) for x in expected["rv"]]
+    act = [None if pd.isna(x) else int(x) for x in got["rv"]]
+    assert act == exp, (act, exp)

@@ -313,3 +313,63 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", F.col("purchase_ts").alias("next_purchase_ts")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, 1 AS side FROM events
+        WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS side
+        FROM events WHERE event_type = 'click'
+    ), carried AS (
+        SELECT user_id, ts, event_id, side,
+               last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS b_ts,
+               first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, side
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS f_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN b_ts IS NOT NULL
+                 AND (f_ts IS NULL OR ts - b_ts <= f_ts - ts)
+                THEN b_ts ELSE f_ts END AS nearest_click_ts
+    FROM carried WHERE side = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (nearest): for each purchase, the temporally CLOSEST click
+    per user — backward on ties, pandas merge_asof
+    (direction='nearest') parity. Both directional candidates come
+    out of ONE key-partitioned sort (backward = last-ignorenulls over
+    the preceding frame, forward = first-ignorenulls over the
+    following frame of the same ascending order), so nearest costs
+    the same single shuffle as a one-direction as-of."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        right_cols=["click_ts"],
+        suffix="",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_ts").alias("nearest_click_ts"),
+    )
