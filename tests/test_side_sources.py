@@ -82,3 +82,41 @@ def test_forecast_coverage(spark, side_lake):
     assert rows["ART-1"]["compra_necessaria"] is False
     assert rows["ART-2"]["compra_necessaria"] is True
     assert abs(rows["ART-2"]["cobertura"] - 0.25) < 1e-12
+
+
+def test_python_datasource_status_logs(spark, tmp_path):
+    """Spark-4 Python Data Source front door: one partition per log
+    file, executor-side parsing, latin-1 fallback, unknown lines
+    skipped."""
+    from tms_etl_spark.sources.pyds import StatusLogDataSource
+
+    d = tmp_path / "logs" / "2024-01"
+    d.mkdir(parents=True)
+    (d / "a.log").write_text(
+        "Tear 001 ---> Com Sucesso\nnoise line\nTear 002 ---> Desligada\n"
+    )
+    (d / "b.txt").write_bytes(
+        "Tear Ã§ ---> Com Sucesso\n".encode("latin-1")
+    )
+    (d / "ignored.csv").write_text("Tear 009 ---> Com Sucesso\n")
+
+    spark.dataSource.register(StatusLogDataSource)
+    df = (
+        spark.read.format("tms_status")
+        .option("path", str(tmp_path / "logs"))
+        .load()
+    )
+    rows = {(r["loom"], r["status"]) for r in df.collect()}
+    assert ("Tear 001", "Com Sucesso") in rows
+    assert ("Tear 002", "Desligada") in rows
+    assert len(rows) == 3  # csv ignored, noise skipped, latin-1 read
+    assert df.rdd.getNumPartitions() == 2  # one per log file
+    # empty dir: zero rows, schema intact
+    empty = tmp_path / "none"
+    empty.mkdir()
+    e = (
+        spark.read.format("tms_status")
+        .option("path", str(empty))
+        .load()
+    )
+    assert e.count() == 0 and e.columns == ["loom", "status", "src_file"]
