@@ -727,3 +727,104 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+_CHUNK_W = 12  # words per dedup unit ("line" stand-in for the corpus)
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+               array_to_string(
+                   list_slice(w, t.i * {_CHUNK_W} + 1,
+                              t.i * {_CHUNK_W} + {_CHUNK_W}), ' ') AS chunk
+        FROM docs,
+             UNNEST(range(CAST(ceil(len(w) / {_CHUNK_W}.0) AS BIGINT)))
+               AS t(i)
+    ),
+    keep AS (
+        SELECT doc_id, chunk_idx, chunk FROM (
+            SELECT doc_id, chunk_idx, chunk,
+                   row_number() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        ) WHERE rn = 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(k.chunk) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(k.chunk, ' ' ORDER BY c.chunk_idx), '')
+             AS cleaned_text
+    FROM chunks c
+    LEFT JOIN keep k
+      ON c.doc_id = k.doc_id AND c.chunk_idx = k.chunk_idx
+     AND c.chunk = k.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact line deduplication across the WHOLE corpus
+    (Raffel et al. 2020 kept each 3-sentence span once corpus-wide;
+    the corpus here has no newlines, so fixed 12-word chunks stand in
+    for lines): every duplicated chunk survives only at its first
+    occurrence (smallest doc_id, then chunk_idx), all other docs lose
+    it, and docs are reassembled from their kept chunks.
+
+    Scale shape: chunking is ARRAY-SIDE in the row (slice of the
+    split — no per-word explode); the only corpus-sized exchanges are
+    the chunk-keyed first-occurrence window (value-keyed — groups are
+    duplicate multiplicities, never one reducer) and the doc-keyed
+    reassembly. String-only arithmetic — exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(_CHUNK_W)).cast("int")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(words, i * _CHUNK_W + 1, _CHUNK_W),
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("chunk_idx", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("cleaned_text"),
+        )
+    )

@@ -86,3 +86,45 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"violates_l{_L}"
         ),
     )
+
+
+@query(
+    "privacy_k_anonymize",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_custkey,
+           CAST(c.c_nationkey AS BIGINT) AS qi_nation,
+           CASE WHEN s.n < {_K} THEN '*' ELSE c.c_mktsegment END
+             AS qi_segment
+    FROM customer c
+    JOIN sizes s
+      ON c.c_nationkey = s.c_nationkey
+     AND c.c_mktsegment = s.c_mktsegment
+    """,
+)
+def privacy_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforcement counterpart of `privacy_k_anonymity`: the RELEASED
+    table after cell suppression — rows in QI classes smaller than
+    k=5 have their segment generalized to '*' (suppressed cells merge
+    into one per-nation class, the standard single-pass local
+    suppression). Plan: the class-size table is QI-grid-sized →
+    broadcast join back onto the rows, so anonymization is map-side
+    after one partial-aggregating shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    sizes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("__n")
+    )
+    return (
+        c.join(
+            F.broadcast(sizes), ["c_nationkey", "c_mktsegment"]
+        ).select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("qi_nation"),
+            F.when(F.col("__n") < _K, "*")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("qi_segment"),
+        )
+    )
