@@ -337,3 +337,27 @@ def test_optimize_cluster_by_keeps_pruning_effective(spark, tdir):
     rng = read_version_pruned(spark, tdir, "id", ">=", 900)
     assert rng.count() == 100
     assert len(rng.inputFiles()) < n_files
+
+
+def test_pruned_read_random_property(spark, tdir):
+    """Randomized pruning property: for a table of several appended
+    batches, every (op, value) pruned read equals the unpruned
+    filtered read — pruning may only skip, never change results."""
+    import random
+
+    rng = random.Random(42)
+    lo = 0
+    for _ in range(4):
+        hi = lo + rng.randint(20, 120)
+        write_version(_df(spark, lo, hi).repartition(2), tdir, "append")
+        lo = hi
+    from tms_etl_spark.operators.versioned import read_version_pruned
+
+    full = read_version(spark, tdir)
+    for op in ("=", "<", "<=", ">", ">="):
+        for _ in range(4):
+            v = rng.randint(-10, lo + 10)
+            pruned = read_version_pruned(spark, tdir, "id", op, v)
+            expr = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
+            expect = full.where(F.expr(f"id {expr if op != '=' else '='} {v}"))
+            assert pruned.count() == expect.count(), (op, v)
