@@ -391,3 +391,14 @@ def test_hashorder_sample_is_takeordered(spark, sf_dir):
 def test_median_bucketed_no_global_value_window(spark, sf_dir):
     p = _plan(spark, sf_dir, "agg_median_bucketed")
     assert "hashpartitioning(__b" in p
+
+
+def test_line_dedup_no_chunk_window(spark, sf_dir):
+    """First-occurrence must be a partial-aggregating min(struct) +
+    doc-keyed join, never a row_number window partitioned by the
+    chunk value (boilerplate corpora make chunk a hot key a window
+    cannot map-side combine)."""
+    p = _plan(spark, sf_dir, "text_line_dedup")
+    assert "row_number" not in p
+    assert "hashpartitioning(chunk" in p  # the agg exchange, combined map-side
+    assert "partial_min" in p or p.count("HashAggregate") >= 2

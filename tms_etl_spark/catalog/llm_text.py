@@ -776,10 +776,15 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, and docs are reassembled from their kept chunks.
 
     Scale shape: chunking is ARRAY-SIDE in the row (slice of the
-    split — no per-word explode); the only corpus-sized exchanges are
-    the chunk-keyed first-occurrence window (value-keyed — groups are
-    duplicate multiplicities, never one reducer) and the doc-keyed
-    reassembly. String-only arithmetic — exact cross-engine."""
+    split — no per-word explode). First occurrence per chunk is a
+    ``min(struct(doc_id, chunk_idx))`` AGGREGATION, deliberately not
+    a ``row_number() over (partition by chunk)`` window: boilerplate
+    corpora concentrate millions of copies on one chunk value, and a
+    window cannot map-side combine a hot key while the aggregation
+    collapses each partition's copies to one candidate before the
+    exchange. The winner set then joins back on (doc_id, chunk_idx)
+    — DOC-keyed, so the hot chunk value never becomes a join key.
+    String-only arithmetic — exact cross-engine."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(_CHUNK_W)).cast("int")
@@ -798,10 +803,18 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-    marked = chunks.withColumn("rn", F.row_number().over(w))
+    winners = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("__w"))
+        .select(
+            F.col("__w.doc_id").alias("doc_id"),
+            F.col("__w.chunk_idx").alias("chunk_idx"),
+            F.lit(1).alias("__kept"),
+        )
+    )
+    marked = chunks.join(
+        winners, ["doc_id", "chunk_idx"], "left"
+    ).withColumn("rn", F.when(F.col("__kept") == 1, 1).otherwise(2))
     return (
         marked.groupBy("doc_id")
         .agg(
