@@ -483,27 +483,31 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation in ONE composed plan — the
     flagship composition test: length gate (pushed to the scan) →
     token-count gate → exact dedup keeping the min-id representative
-    (one window over the content digest) → deterministic train/
-    validation/test split (a pure projection, via
-    `operators/storage.py:hash_split` on the already-deduped ids).
-    Catalyst fuses the gates into the scan filter and the pipeline
-    costs exactly one shuffle (the dedup window) at any scale; the
-    split-after-dedup ordering means a duplicate can never straddle
-    the boundary, making this the single-query equivalent of the
-    filter→dedup→split ladder a 100 TB pretraining run executes."""
-    from pyspark.sql import Window
-
+    (a ``min(struct)`` AGGREGATION over the content digest — not a
+    digest-partitioned window, which could not map-side combine the
+    hot digest of a boilerplate document duplicated millions of
+    times) → deterministic train/validation/test split (a pure
+    projection, via `operators/storage.py:hash_split` on the
+    already-deduped ids). Catalyst fuses the gates into the scan
+    filter and the pipeline costs exactly one combined shuffle (the
+    dedup aggregation) at any scale; the split-after-dedup ordering
+    means a duplicate can never straddle the boundary, making this
+    the single-query equivalent of the filter→dedup→split ladder a
+    100 TB pretraining run executes."""
     from tms_etl_spark.operators.storage import hash_split
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("n_chars").between(20, 20000)
     )
     gated = d.withColumn("n_tokens", _n_tokens()).where(F.col("n_tokens") >= 5)
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     kept = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_tokens")
+        gated.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("__w"))
+        .select(
+            F.col("__w.doc_id").alias("doc_id"),
+            F.col("__w.lang").alias("lang"),
+            F.col("__w.n_tokens").alias("n_tokens"),
+        )
     )
     return hash_split(kept, "doc_id").select(
         "doc_id", "lang", "n_tokens", "split"
