@@ -19,7 +19,7 @@ lake actually needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -127,13 +127,19 @@ def leakage_safe_split(
     whose cluster id can be fed back through ``group_key_col``-style
     splitting the same way.
 
-    One shuffle (the window over the content digest); the split
-    itself stays a pure projection.
+    The representative is a ``groupBy(digest).agg(min(id))``
+    AGGREGATION joined back on the digest — not a ``min() over
+    (partition by digest)`` window: a boilerplate document duplicated
+    millions of times makes the digest a hot key, which the window
+    would buffer in ONE task while the aggregation map-side combines
+    and the join-back is AQE-skew-splittable. The split itself stays
+    a pure projection.
     """
-    grp_key = F.min(F.col(id_col)).over(
-        Window.partitionBy(F.md5(F.col(content_col).cast("string")))
+    with_h = df.withColumn(
+        "__h", F.md5(F.col(content_col).cast("string"))
     )
-    with_grp = df.withColumn("__grp_key", grp_key)
+    reps = with_h.groupBy("__h").agg(F.min(F.col(id_col)).alias("__grp_key"))
+    with_grp = with_h.join(reps, "__h").drop("__h")
     split = hash_split(
         with_grp.withColumnRenamed("__grp_key", "__sid"),
         "__sid",
