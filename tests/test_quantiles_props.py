@@ -72,3 +72,19 @@ def test_quintile_scores_are_balanced_and_monotone(spark, values):
     seen = {}
     for v, s in by_v:
         assert seen.setdefault(v, s) == s
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=vals)
+def test_histogram_median_matches_statistics_median(spark, values):
+    import statistics
+
+    from tms_etl_spark.operators.quantiles import histogram_median
+
+    df = spark.createDataFrame([(v,) for v in values], "v long").repartition(3)
+    got = histogram_median(df, "v").head()["median"]
+    assert got == float(statistics.median(values))

@@ -185,8 +185,12 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase conversion-lag distribution: count, min/max,
     exact median (interpolated halves of integer micros — dyadic,
     engine-exact) and decimal-exact mean. ONE user-key aggregation
-    computes both step times; everything after runs on the converted-
-    users scalar row."""
+    computes both step times. The median comes from the bucketed
+    histogram engine (`operators/quantiles.py:histogram_median`),
+    not ``percentile()``: the converted-user population is
+    corpus-sized and percentile buffers every value in one
+    aggregation buffer — worth the second pass over the lag column
+    at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(
         F.min(
@@ -205,13 +209,22 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("t_purchase") - F.unix_micros("t_signup")
         ).alias("us")
     )
-    return d.agg(
+    from tms_etl_spark.operators.quantiles import histogram_median
+
+    stats = d.agg(
         F.count("*").cast("long").alias("n_converted"),
         F.min("us").cast("long").alias("min_us"),
         F.max("us").cast("long").alias("max_us"),
-        F.percentile(F.col("us"), F.lit(0.5)).alias("median_us"),
         (
             F.sum(F.col("us").cast("decimal(28,0)")).cast("double")
             / F.count("*")
         ).alias("mean_us"),
+    )
+    med = histogram_median(d, "us")
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_converted",
+        "min_us",
+        "max_us",
+        F.col("median").alias("median_us"),
+        "mean_us",
     )

@@ -21,22 +21,17 @@ over anything bigger than the bucket-count table.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def histogram_quantile_thresholds(
-    df: DataFrame,
-    col: str,
-    q: int,
-    prefix: str = "t",
-    n_buckets: int = 256,
+def _cumulative_histogram(
+    df: DataFrame, col: str, n_buckets: int
 ) -> DataFrame:
-    """1-row DataFrame with ``{prefix}1 .. {prefix}{q-1}``: the
-    smallest value v of ``df[col]`` (an integer-typed column) with
-    ``q * count(rows ≤ v) >= k * count(*)`` for k = 1..q-1."""
-    if q < 2:
-        raise ValueError("q must be >= 2")
+    """(col, cnt, __cum, __n) value-grain rows with exact cumulative
+    counts, computed bucketed (see module docstring)."""
     hist = df.groupBy(col).agg(F.count("*").alias("cnt"))
     span = hist.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
     num = (
@@ -64,11 +59,26 @@ def histogram_quantile_thresholds(
     w_local = Window.partitionBy("__b").orderBy(col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    h = (
+    return (
         bucketed.join(F.broadcast(offsets), "__b")
         .withColumn("__cum", F.sum("cnt").over(w_local) + F.col("__off"))
         .crossJoin(F.broadcast(n_tot))
     )
+
+
+def histogram_quantile_thresholds(
+    df: DataFrame,
+    col: str,
+    q: int,
+    prefix: str = "t",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """1-row DataFrame with ``{prefix}1 .. {prefix}{q-1}``: the
+    smallest value v of ``df[col]`` (an integer-typed column) with
+    ``q * count(rows ≤ v) >= k * count(*)`` for k = 1..q-1."""
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    h = _cumulative_histogram(df, col, n_buckets)
     return h.agg(
         *[
             F.min(
@@ -119,3 +129,56 @@ def sql_score(x: str, prefix: str, q: int) -> str:
         for k in range(1, q)
     )
     return f"CAST(1 + {parts} AS INTEGER)"
+
+
+def histogram_rank_values(
+    df: DataFrame,
+    col: str,
+    ranks: Sequence[int],
+    prefix: str = "r",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """1-row DataFrame with ``{prefix}1.. ``: the value at each
+    1-based RANK of the sorted multiset (``min v with count(≤v) ≥
+    rank``) — the order-statistic reader over the same bucketed
+    cumulative histogram as `histogram_quantile_thresholds`. With
+    ranks ((n-1)//2 + 1, n//2 + 1) this yields both middle elements,
+    i.e. an exact interpolated median WITHOUT ``percentile()``'s
+    per-group value buffer (which holds every value of the group in
+    one aggregation buffer — O(n) memory on a single reducer at
+    corpus scale)."""
+    h = _cumulative_histogram(df, col, n_buckets)
+    return h.agg(
+        *[
+            F.min(
+                F.when(F.col("__cum") >= int(r), F.col(col))
+            ).alias(f"{prefix}{i + 1}")
+            for i, r in enumerate(ranks)
+        ]
+    )
+
+
+def histogram_median(
+    df: DataFrame, col: str, n_buckets: int = 256
+) -> DataFrame:
+    """1-row (median double) — the exact interpolated median
+    (``quantile_cont(0.5)`` semantics: mean of the two middle order
+    statistics, dyadic and engine-exact for integer inputs ≤ 2^52)
+    from the bucketed cumulative histogram. Replaces ``percentile()``
+    where the group is corpus-sized: Spark's exact percentile buffers
+    EVERY value of the group in one aggregation buffer, this keeps
+    per-task state at histogram-partition size."""
+    h = _cumulative_histogram(df, col, n_buckets)
+    low = F.min(
+        F.when(F.col("__cum") * 2 >= F.col("__n"), F.col(col))
+    )
+    # upper middle rank = floor(n/2)+1 ⟺ 2·cum ≥ n+2−(n%2)
+    up = F.min(
+        F.when(
+            F.col("__cum") * 2 >= F.col("__n") + 2 - F.col("__n") % 2,
+            F.col(col),
+        )
+    )
+    return h.agg(
+        ((low + up).cast("double") / 2.0).alias("median")
+    )
