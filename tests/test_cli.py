@@ -89,3 +89,33 @@ def test_stream_commits_versions(spark, tmp_path):
     assert [h.op for h in history(spark, tdir)] == ["append", "append"]
     # time travel to the first micro-batch commit
     assert read_version(spark, tdir, 1).count() == 4
+
+
+def test_cli_table_subcommands(spark, tmp_path, capsys):
+    """table history/show/rollback/optimize/expire/changes drive the
+    versioned layer end-to-end from the CLI."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "t")
+    for lo in (0, 5):
+        write_version(
+            spark.range(lo, lo + 5).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ),
+            tdir,
+            "append",
+        )
+    assert main(["table", "history", tdir]) == 0
+    out = capsys.readouterr().out
+    assert "v000001" in out and "v000002" in out
+    assert main(["table", "show", tdir, "--version", "1", "--limit", "3"]) == 0
+    assert main(["table", "changes", tdir, "--from", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "5" in out  # delta rows shown
+    assert main(["table", "rollback", tdir, "--to", "1"]) == 0
+    assert "committed v3" in capsys.readouterr().out
+    assert main(["table", "optimize", tdir, "--cluster-by", "id"]) == 0
+    assert main(["table", "expire", tdir, "--keep-last", "1"]) == 0

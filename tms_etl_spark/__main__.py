@@ -8,6 +8,7 @@ over the registered tables, and plan inspection from one command:
     python -m tms_etl_spark run <query> [--sf-dir DIR] [--limit N]
     python -m tms_etl_spark explain <query> [--sf-dir DIR]
     python -m tms_etl_spark sql "SELECT ... FROM lineitem ..." [--sf-dir DIR]
+    python -m tms_etl_spark table history|show|rollback|optimize|expire|changes DIR ...
 
 Output goes to stdout (`run` prints `show()`-style tables capped at
 --limit rows; `sql` the same). Exit code 0 on success, 2 on unknown
@@ -42,6 +43,31 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("statement")
     sp.add_argument("--sf-dir", default=_DEFAULT_SF)
     sp.add_argument("--limit", type=int, default=20)
+
+    tp = sub.add_parser(
+        "table", help="versioned-table maintenance (operators/versioned.py)"
+    )
+    tsub = tp.add_subparsers(dest="table_cmd", required=True)
+    th = tsub.add_parser("history")
+    th.add_argument("dir")
+    ts = tsub.add_parser("show")
+    ts.add_argument("dir")
+    ts.add_argument("--version", type=int, default=None)
+    ts.add_argument("--limit", type=int, default=20)
+    tr = tsub.add_parser("rollback")
+    tr.add_argument("dir")
+    tr.add_argument("--to", type=int, required=True)
+    to = tsub.add_parser("optimize")
+    to.add_argument("dir")
+    to.add_argument("--cluster-by", default=None)
+    te = tsub.add_parser("expire")
+    te.add_argument("dir")
+    te.add_argument("--keep-last", type=int, default=7)
+    tc = tsub.add_parser("changes")
+    tc.add_argument("dir")
+    tc.add_argument("--from", dest="from_v", type=int, required=True)
+    tc.add_argument("--to", dest="to_v", type=int, default=None)
+    tc.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -83,6 +109,37 @@ def main(argv: list[str] | None = None) -> int:
         register_views(spark, args.sf_dir)
         spark.sql(args.statement).show(args.limit, truncate=False)
         return 0
+
+    if args.cmd == "table":
+        from tms_etl_spark.operators import versioned as vt
+
+        if args.table_cmd == "history":
+            for h in vt.history(spark, args.dir):
+                print(f"v{h.version:06d}\t{h.n_dirs} dirs\t{h.op}")
+            return 0
+        if args.table_cmd == "show":
+            vt.read_version(spark, args.dir, args.version).show(
+                args.limit, truncate=False
+            )
+            return 0
+        if args.table_cmd == "rollback":
+            print(f"committed v{vt.rollback(spark, args.dir, args.to)}")
+            return 0
+        if args.table_cmd == "optimize":
+            v = vt.optimize_version(
+                spark, args.dir, cluster_by=args.cluster_by
+            )
+            print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "expire":
+            n = vt.expire_versions(spark, args.dir, keep_last=args.keep_last)
+            print(f"removed {n} data dirs")
+            return 0
+        if args.table_cmd == "changes":
+            vt.read_version_changes(
+                spark, args.dir, args.from_v, args.to_v
+            ).show(args.limit, truncate=False)
+            return 0
 
     return 2
 
