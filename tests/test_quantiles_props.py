@@ -88,3 +88,35 @@ def test_histogram_median_matches_statistics_median(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v long").repartition(3)
     got = histogram_median(df, "v").head()["median"]
     assert got == float(statistics.median(values))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-(2**40), max_value=2**40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_grouped_median_matches_statistics(spark, data):
+    import statistics
+    from collections import defaultdict
+
+    from tms_etl_spark.operators.quantiles import histogram_median_per_group
+
+    df = spark.createDataFrame(data, "g string, v long").repartition(3)
+    got = {
+        r["g"]: r["median"]
+        for r in histogram_median_per_group(df, "g", "v").collect()
+    }
+    byg = defaultdict(list)
+    for g, v in data:
+        byg[g].append(v)
+    assert got == {g: float(statistics.median(vs)) for g, vs in byg.items()}

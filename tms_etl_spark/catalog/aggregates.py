@@ -503,3 +503,53 @@ def agg_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(F.broadcast(th)).select(
         "n_rows", F.col("t1").alias("median_cents")
     )
+
+
+@query(
+    "agg_median_per_group",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(19,4)) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    h AS (
+        SELECT l_returnflag, cents, COUNT(*) AS cnt
+        FROM base GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, cents,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM h
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cum * 2 >= n THEN cents END)
+              + MIN(CASE WHEN cum * 2 >= n + 2 - (n % 2) THEN cents END)
+                AS DOUBLE) / 2 AS median_cents
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group medians (price cents by return flag) from
+    group-local bucketed histograms — the grouped generalization of
+    `agg_median_bucketed`. `percentile()` would buffer every group
+    member in one aggregation buffer (corpus-sized groups → OOM);
+    here per-task state is bounded by the (group, bucket) partition
+    and every side table is output-sized."""
+    from tms_etl_spark.operators.quantiles import (
+        histogram_median_per_group,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice").cast("decimal(19,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return histogram_median_per_group(base, "l_returnflag", "cents").select(
+        "l_returnflag", F.col("median").alias("median_cents")
+    )

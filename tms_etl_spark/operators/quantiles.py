@@ -182,3 +182,64 @@ def histogram_median(
     return h.agg(
         ((low + up).cast("double") / 2.0).alias("median")
     )
+
+
+def histogram_median_per_group(
+    df: DataFrame, group_col: str, col: str, n_buckets: int = 256
+) -> DataFrame:
+    """(group, median double) — exact interpolated median PER GROUP
+    from group-local bucketed histograms. No ``percentile()`` value
+    buffers, no corpus-sized unpartitioned window: the (group,
+    bucket) grain carries the local cumulative windows, the per-group
+    offsets window runs over ≤ n_buckets rows per group, and every
+    side table (spans, offsets, totals) is output-sized — the same
+    bound as the result itself — so it broadcasts."""
+    g = group_col
+    hist = df.groupBy(g, col).agg(F.count("*").alias("cnt"))
+    span = hist.groupBy(g).agg(
+        F.min(col).alias("__lo"), F.max(col).alias("__hi")
+    )
+    num = (
+        F.col(col).cast("decimal(38,0)") - F.col("__lo").cast("decimal(38,0)")
+    ) * F.lit(n_buckets)
+    den = (
+        F.col("__hi").cast("decimal(38,0)")
+        - F.col("__lo").cast("decimal(38,0)")
+        + F.lit(1)
+    )
+    bucketed = hist.join(F.broadcast(span), g).withColumn(
+        "__b",
+        F.least(F.lit(n_buckets - 1).cast("long"), F.floor(num / den)).cast(
+            "int"
+        ),
+    )
+    totals = bucketed.groupBy(g, "__b").agg(F.sum("cnt").alias("__bn"))
+    w_off = (
+        Window.partitionBy(g)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        g,
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    n_tot = totals.groupBy(g).agg(F.sum("__bn").alias("__n"))
+    w_local = Window.partitionBy(g, "__b").orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = (
+        bucketed.join(F.broadcast(offsets), [g, "__b"])
+        .withColumn("__cum", F.sum("cnt").over(w_local) + F.col("__off"))
+        .join(F.broadcast(n_tot), g)
+    )
+    low = F.min(F.when(F.col("__cum") * 2 >= F.col("__n"), F.col(col)))
+    up = F.min(
+        F.when(
+            F.col("__cum") * 2 >= F.col("__n") + 2 - F.col("__n") % 2,
+            F.col(col),
+        )
+    )
+    return h.groupBy(g).agg(
+        ((low + up).cast("double") / 2.0).alias("median")
+    )
