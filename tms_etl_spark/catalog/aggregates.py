@@ -553,3 +553,56 @@ def agg_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_median_per_group(base, "l_returnflag", "cents").select(
         "l_returnflag", F.col("median").alias("median_cents")
     )
+
+
+@query(
+    "agg_percentiles_per_group",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(19,4)) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    h AS (
+        SELECT l_returnflag, cents, COUNT(*) AS cnt
+        FROM base GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, cents,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM h
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cum * 2 >= 1 * n THEN cents END) AS p50_cents,
+           MIN(CASE WHEN cum * 10 >= 9 * n THEN cents END) AS p90_cents,
+           MIN(CASE WHEN cum * 100 >= 99 * n THEN cents END) AS p99_cents
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-rank p50/p90/p99 per group (price cents by return
+    flag) — the latency-dashboard shape, computed from group-local
+    bucketed histograms with pure integer rank logic (``cum·den ≥
+    num·n``): exact, interpolation-free, engine-identical, and no
+    per-group value buffering."""
+    from tms_etl_spark.operators.quantiles import (
+        histogram_fraction_values_per_group,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice").cast("decimal(19,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return histogram_fraction_values_per_group(
+        base,
+        "l_returnflag",
+        "cents",
+        fractions=[(1, 2), (9, 10), (99, 100)],
+        names=["p50_cents", "p90_cents", "p99_cents"],
+    )

@@ -184,17 +184,14 @@ def histogram_median(
     )
 
 
-def histogram_median_per_group(
-    df: DataFrame, group_col: str, col: str, n_buckets: int = 256
+def _cumulative_histogram_grouped(
+    df: DataFrame, g: str, col: str, n_buckets: int
 ) -> DataFrame:
-    """(group, median double) — exact interpolated median PER GROUP
-    from group-local bucketed histograms. No ``percentile()`` value
-    buffers, no corpus-sized unpartitioned window: the (group,
-    bucket) grain carries the local cumulative windows, the per-group
-    offsets window runs over ≤ n_buckets rows per group, and every
-    side table (spans, offsets, totals) is output-sized — the same
-    bound as the result itself — so it broadcasts."""
-    g = group_col
+    """(g, col, cnt, __cum, __n): group-local value-grain rows with
+    exact within-group cumulative counts, bucketed — the per-group
+    offsets window runs over ≤ n_buckets rows per group and every
+    side table (spans, offsets, totals) is output-sized (one row per
+    group ×≤ n_buckets), so it broadcasts."""
     hist = df.groupBy(g, col).agg(F.count("*").alias("cnt"))
     span = hist.groupBy(g).agg(
         F.min(col).alias("__lo"), F.max(col).alias("__hi")
@@ -228,11 +225,22 @@ def histogram_median_per_group(
     w_local = Window.partitionBy(g, "__b").orderBy(col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    h = (
+    return (
         bucketed.join(F.broadcast(offsets), [g, "__b"])
         .withColumn("__cum", F.sum("cnt").over(w_local) + F.col("__off"))
         .join(F.broadcast(n_tot), g)
     )
+
+
+def histogram_median_per_group(
+    df: DataFrame, group_col: str, col: str, n_buckets: int = 256
+) -> DataFrame:
+    """(group, median double) — exact interpolated median PER GROUP
+    from group-local bucketed histograms. No ``percentile()`` value
+    buffers, no corpus-sized unpartitioned window: per-task state is
+    bounded by the (group, bucket) partition."""
+    g = group_col
+    h = _cumulative_histogram_grouped(df, g, col, n_buckets)
     low = F.min(F.when(F.col("__cum") * 2 >= F.col("__n"), F.col(col)))
     up = F.min(
         F.when(
@@ -242,4 +250,32 @@ def histogram_median_per_group(
     )
     return h.groupBy(g).agg(
         ((low + up).cast("double") / 2.0).alias("median")
+    )
+
+
+def histogram_fraction_values_per_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    fractions: Sequence[tuple[int, int]],
+    names: Sequence[str],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(group, <names...>) — nearest-rank percentiles per group: for
+    fraction num/den, the smallest value v with ``count(≤v)·den ≥
+    num·n`` (ceil(p·n) rank — pure integer arithmetic, engine-exact,
+    no interpolation). The p50/p90/p99 latency-dashboard shape
+    WITHOUT percentile()'s per-group buffers."""
+    g = group_col
+    h = _cumulative_histogram_grouped(df, g, col, n_buckets)
+    return h.groupBy(g).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * int(den) >= int(num) * F.col("__n"),
+                    F.col(col),
+                )
+            ).alias(name)
+            for (num, den), name in zip(fractions, names)
+        ]
     )
