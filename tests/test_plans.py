@@ -402,3 +402,14 @@ def test_line_dedup_no_chunk_window(spark, sf_dir):
     assert "row_number" not in p
     assert "hashpartitioning(chunk" in p  # the agg exchange, combined map-side
     assert "partial_min" in p or p.count("HashAggregate") >= 2
+
+
+def test_grouped_median_bucketed_partitions(spark, sf_dir):
+    """Grouped medians/percentiles must window on (group, bucket) —
+    never on the group alone (a corpus-sized group would put all its
+    values through one task)."""
+    for name in ("agg_median_per_group", "agg_percentiles_per_group"):
+        p = _plan(spark, sf_dir, name)
+        assert "hashpartitioning(l_returnflag" in p, name
+        assert "__b" in p, name
+        assert "Exchange SinglePartition" not in p, name
