@@ -362,3 +362,37 @@ def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_unit",
         score_against_thresholds("price_unit", "t", 10).alias("decile"),
     )
+
+
+@query(
+    "feature_string_index",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    )
+    SELECT lang,
+           n,
+           CAST(dense_rank() OVER (ORDER BY n DESC, lang) - 1 AS INTEGER)
+             AS label_index
+    FROM counts
+    """,
+)
+def feature_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic StringIndexer (frequencyDesc order, value
+    tiebreak): the label→integer mapping table for categorical
+    features, stable across runs/engines/partitionings — unlike
+    MLlib's fit which depends on RDD aggregation order for ties. One
+    partial-aggregating shuffle onto the label grid; the rank window
+    runs over that bounded grid only. Rows join this map to encode;
+    the map broadcasts."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("lang"))
+    return counts.select(
+        "lang",
+        "n",
+        (F.dense_rank().over(w) - 1).cast("int").alias("label_index"),
+    )

@@ -366,3 +366,52 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_touches_credited"),
         F.countDistinct("p_id").cast("long").alias("n_conversions"),
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+               ts, event_id, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bar
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bar
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type, bar,
+           MIN(CASE WHEN rn_a = 1 THEN v END) AS open,
+           MAX(v) AS high,
+           MIN(v) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN v END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, bar
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the canonical time-series
+    downsample (finance candles, telemetry rollups). open/close are
+    ``min_by``/``max_by`` over a (ts, event_id) precedence struct —
+    single-value picks (exact doubles, no accumulation) computed as
+    partial-combining AGGREGATES on one (type, hour) exchange; the
+    oracle expresses the same tie-broken picks with windows (it is
+    not graded for scale)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+    ).agg(
+        F.min_by(F.col("value").cast("double"), key).alias("open"),
+        F.max(F.col("value").cast("double")).alias("high"),
+        F.min(F.col("value").cast("double")).alias("low"),
+        F.max_by(F.col("value").cast("double"), key).alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+    )
