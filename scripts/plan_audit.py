@@ -270,6 +270,39 @@ AUDIT = [
         "exact median read off the bucketed cumulative histogram — "
         "no global sort, no per-partition value buffering",
     ),
+    (
+        "agg_median_per_group",
+        ["hashpartitioning(l_returnflag"],
+        "grouped medians window on (group, bucket), never the group "
+        "alone — a corpus-sized group stays spread over tasks",
+    ),
+    (
+        "agg_percentiles_per_group",
+        ["hashpartitioning(l_returnflag"],
+        "nearest-rank p50/p90/p99 by integer rank logic over the "
+        "same grouped bucketed histogram",
+    ),
+    (
+        "join_asof_nearest",
+        ["Window"],
+        "both directional candidates from ONE key-partitioned sort "
+        "(preceding + following frames); single shuffle",
+    ),
+    (
+        "text_line_dedup",
+        ["hashpartitioning(chunk"],
+        "corpus-wide first-occurrence via min(struct) aggregation "
+        "(map-side combined) — no chunk-partitioned window a "
+        "boilerplate hot line could single-task",
+    ),
+    (
+        "ts_ohlc_bars",
+        ["min_by", "SortAggregate"],
+        "open/close via min_by/max_by precedence structs — the "
+        "struct-keyed buffer compiles to SortAggregate, still "
+        "partial+final (two aggregate nodes) on one (type, hour) "
+        "exchange",
+    ),
 ]
 
 
