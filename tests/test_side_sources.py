@@ -120,3 +120,24 @@ def test_python_datasource_status_logs(spark, tmp_path):
         .load()
     )
     assert e.count() == 0 and e.columns == ["loom", "status", "src_file"]
+
+
+def test_corrupt_parquet_file_tolerance(spark, tmp_path):
+    """Operational posture: a fleet-scale lake always contains a few
+    torn/corrupt files (killed writers, partial uploads). With
+    ignoreCorruptFiles the scan yields every healthy row instead of
+    failing the job; default strict mode still raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "lake"
+    spark.range(10).select(F.col("id")).write.parquet(str(d))
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    with pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()
+    ok = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(str(d))
+        .count()
+    )
+    assert ok == 10

@@ -94,7 +94,7 @@ def test_expire_versions_retention(spark, tdir):
 
     for lo in range(0, 8, 2):
         write_version(_df(spark, lo, lo + 2), tdir, "overwrite")
-    removed = expire_versions(spark, tdir, keep_last=2)
+    removed = expire_versions(spark, tdir, keep_last=2, orphan_grace_hours=0)
     assert removed == 2  # v1/v2 data dirs unreferenced by v3/v4
     # kept versions still read
     assert read_version(spark, tdir, 4).count() == 2
@@ -115,7 +115,7 @@ def test_expire_keeps_append_lineage(spark, tdir):
     write_version(_df(spark, 0, 3), tdir, "append")
     write_version(_df(spark, 3, 5), tdir, "append")
     write_version(_df(spark, 5, 6), tdir, "append")
-    removed = expire_versions(spark, tdir, keep_last=1)
+    removed = expire_versions(spark, tdir, keep_last=1, orphan_grace_hours=0)
     assert removed == 0  # v3's manifest references all three dirs
     assert read_version(spark, tdir).count() == 6
 
@@ -361,3 +361,28 @@ def test_pruned_read_random_property(spark, tdir):
             expr = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
             expect = full.where(F.expr(f"id {expr if op != '=' else '='} {v}"))
             assert pruned.count() == expect.count(), (op, v)
+
+
+def test_expire_grace_protects_inflight_writer_dirs(spark, tdir):
+    """The VACUUM race: a data dir written seconds ago by an
+    in-flight (not yet committed) writer must survive a default-grace
+    expiry — deleting it would corrupt the commit about to reference
+    it. Old expired dirs still go when grace is waived."""
+    import pathlib
+
+    from tms_etl_spark.operators.versioned import expire_versions
+
+    write_version(_df(spark, 0, 3), tdir, "overwrite")
+    write_version(_df(spark, 3, 6), tdir, "overwrite")
+    # simulate an in-flight writer: data landed, no manifest yet
+    inflight = pathlib.Path(tdir) / "data" / "v000003-deadbeef"
+    _df(spark, 6, 9).write.parquet(str(inflight))
+    removed = expire_versions(spark, tdir, keep_last=1)  # default grace
+    assert removed == 0  # v1's dir AND the in-flight dir both young
+    assert inflight.exists()
+    # waiving grace (maintenance window, no live writers) removes the
+    # expired v1 dir and the orphan
+    removed = expire_versions(spark, tdir, keep_last=1, orphan_grace_hours=0)
+    assert removed == 2
+    assert not inflight.exists()
+    assert read_version(spark, tdir).count() == 3

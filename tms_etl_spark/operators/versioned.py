@@ -391,16 +391,31 @@ def history(spark: SparkSession, table_dir: str) -> list[VersionInfo]:
 
 
 def expire_versions(
-    spark: SparkSession, table_dir: str, keep_last: int = 7
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 7,
+    orphan_grace_hours: float = 24.0,
 ) -> int:
     """Retention: drop manifests older than the newest ``keep_last``
     versions and delete every data dir no kept version references.
     Same listing-metadata posture as `fs.py:expire_files` — the data
     pass is a directory delete, never a rewrite. Returns the number
     of data dirs removed. Time travel reaches only kept versions
-    afterwards."""
+    afterwards.
+
+    ``orphan_grace_hours``: an unreferenced dir younger than this is
+    SKIPPED. "Unreferenced" has two causes: expired history (safe to
+    delete at any age) and an IN-FLIGHT writer whose data landed but
+    whose manifest hasn't committed yet — deleting that one would
+    corrupt the commit that is about to reference it (the VACUUM
+    race every lakehouse format guards with a retention floor, e.g.
+    Delta's 7-day default). Age distinguishes them: committed-then-
+    expired dirs are old, in-flight dirs are seconds old. Set 0 only
+    when no writer can be live."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    import time
+
     cur = current_version(spark, table_dir)
     first_kept = max(1, cur - keep_last + 1)
     referenced: set[str] = set()
@@ -410,12 +425,16 @@ def expire_versions(
         )
     fs, data_root, jvm = _fs(spark, f"{table_dir}/{_DATA}")
     removed = 0
+    floor_ms = (time.time() - orphan_grace_hours * 3600.0) * 1000.0
     if fs.exists(data_root):
         for status in fs.listStatus(data_root):
             rel = f"{_DATA}/{status.getPath().getName()}"
-            if rel not in referenced:
-                fs.delete(status.getPath(), True)
-                removed += 1
+            if rel in referenced:
+                continue
+            if status.getModificationTime() > floor_ms:
+                continue  # possibly an in-flight writer's dir
+            fs.delete(status.getPath(), True)
+            removed += 1
     for v in range(1, first_kept):
         p = _manifest_path(table_dir, v)
         fs2, hp, _ = _fs(spark, p)
