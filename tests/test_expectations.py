@@ -80,3 +80,30 @@ def test_custom_metric(spark):
         ).collect()
     }
     assert m["max_v"] == 200.0 and m["n_tags"] == 4.0
+
+
+def test_schema_drift_report(spark):
+    from tms_etl_spark.operators.expectations import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double")
+    new = spark.createDataFrame([(1, "a", 2, "x")], "id long, s string, v int, extra string")
+    drift = schema_drift(old, new)
+    by = {(d["column"], d["change"]) for d in drift}
+    assert ("extra", "added") in by
+    assert ("v", "type_changed") in by
+    assert len(drift) == 2
+    assert schema_drift(old, old) == []
+
+
+def test_quarantine_split_covers_all_rows(spark):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.expectations import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    clean, bad = quarantine_split(df, F.col("v") >= 0)
+    assert {r["id"] for r in clean.collect()} == {1}
+    assert {r["id"] for r in bad.collect()} == {2, 3}  # null v quarantined
+    assert clean.count() + bad.count() == df.count()

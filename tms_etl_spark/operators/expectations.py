@@ -106,3 +106,52 @@ def assert_expectations(
         elif m.startswith("oob:") and v > max_oob:
             bad.append(f"{m}={int(v)}")
     return bad
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema-drift report between two snapshots of a table: columns
+    added/removed, type changes, nullability loosening. Pure METADATA
+    comparison — zero data scanned (at 100 TB this runs before any
+    expensive reconciliation and gates whether a downstream consumer
+    even attempts the read). Returns a list of
+    ``{"column", "change", "old", "new"}`` dicts, empty = compatible.
+    """
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in sorted(n.keys() - o.keys()):
+        out.append(
+            {"column": name, "change": "added", "old": None,
+             "new": n[name].dataType.simpleString()}
+        )
+    for name in sorted(o.keys() - n.keys()):
+        out.append(
+            {"column": name, "change": "removed",
+             "old": o[name].dataType.simpleString(), "new": None}
+        )
+    for name in sorted(o.keys() & n.keys()):
+        ot, nt = o[name].dataType.simpleString(), n[name].dataType.simpleString()
+        if ot != nt:
+            out.append(
+                {"column": name, "change": "type_changed", "old": ot, "new": nt}
+            )
+        elif not o[name].nullable and n[name].nullable:
+            out.append(
+                {"column": name, "change": "nullable_loosened",
+                 "old": "not null", "new": "nullable"}
+            )
+    return out
+
+
+def quarantine_split(
+    df: DataFrame, predicate
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) row split on an expectation predicate —
+    the writer pattern where violating rows land in a quarantine sink
+    for inspection instead of failing the batch or silently dropping.
+    Both frames share one lineage; Catalyst pushes the complementary
+    filters into the same scan when both are consumed."""
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return df.where(pred), df.where(~pred | pred.isNull())
