@@ -333,10 +333,15 @@ def test_exact_cosine_topk_is_takeordered(spark, sf_dir):
     heap), never a `row_number()` over an unpartitioned window, which
     compiles to Exchange SinglePartition + full sort of every scored
     corpus vector on one reducer."""
-    for name in ("sim_cosine_topk_exact", "retrieval_rrf_fusion"):
-        p = _plan(spark, sf_dir, name)
-        assert "TakeOrderedAndProject" in p, name
-        assert "Exchange SinglePartition" not in p, name
+    p = _plan(spark, sf_dir, "sim_cosine_topk_exact")
+    assert "TakeOrderedAndProject" in p
+    assert "SinglePartition" not in p
+    # RRF: the corpus-sized ranking is TakeOrdered; the only
+    # unpartitioned windows permitted are the rank attachments over
+    # the already-k-row candidate lists (bounded by construction)
+    p = _plan(spark, sf_dir, "retrieval_rrf_fusion")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("SinglePartition") <= 2
 
 
 def test_rfm_thresholds_bucketed_not_global_window(spark, sf_dir):
@@ -385,7 +390,7 @@ def test_eval_auc_bucketed_cumulative(spark, sf_dir):
 def test_hashorder_sample_is_takeordered(spark, sf_dir):
     p = _plan(spark, sf_dir, "sample_uniform_hashorder")
     assert "TakeOrderedAndProject" in p
-    assert "Exchange SinglePartition" not in p
+    assert "SinglePartition" not in p
 
 
 def test_median_bucketed_no_global_value_window(spark, sf_dir):
@@ -412,4 +417,4 @@ def test_grouped_median_bucketed_partitions(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert "hashpartitioning(l_returnflag" in p, name
         assert "__b" in p, name
-        assert "Exchange SinglePartition" not in p, name
+        assert "SinglePartition" not in p, name
