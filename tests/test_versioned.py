@@ -386,3 +386,31 @@ def test_expire_grace_protects_inflight_writer_dirs(spark, tdir):
     assert removed == 2
     assert not inflight.exists()
     assert read_version(spark, tdir).count() == 3
+
+
+def test_nan_bounds_get_no_zonemap(spark, tdir):
+    """A column whose file extremes include NaN must simply lack a
+    zonemap entry (conservative: never pruned) — NaN would serialize
+    as non-standard JSON and poison bound comparisons."""
+    import math
+
+    from tms_etl_spark.operators.versioned import read_version_pruned
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 7.0)], "id long, v double"
+    )
+    write_version(df, tdir, "append")
+    # pruning on v is a no-op (no stats) but stays exact — note
+    # Spark's NaN ordering: NaN sorts ABOVE every double, so
+    # `v >= 6.0` keeps the NaN row too; had the NaN file kept a
+    # [min,max] zonemap it would have been wrongly PRUNED here,
+    # which is exactly why NaN extremes suppress the entry
+    got = read_version_pruned(spark, tdir, "v", ">=", 6.0).collect()
+    assert {r["id"] for r in got} == {1, 3}
+    # id still has stats and prunes fine
+    assert read_version_pruned(spark, tdir, "id", "=", 2).count() == 1
+    full = read_version(spark, tdir)
+    assert full.where(F.isnan("v")).count() == 1
+    assert math.isnan(
+        full.where(F.col("id") == 1).head()["v"]
+    )

@@ -166,8 +166,15 @@ def _dir_file_stats(spark: SparkSession, table_dir: str, rel_dir: str) -> dict:
         entry = {}
         for c in cols:
             mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
-            if mn is not None:
-                entry[c] = [mn, mx]
+            if mn is None:
+                continue
+            # NaN bounds (Spark sorts NaN above +inf) would serialize
+            # as non-standard JSON and poison comparisons — a column
+            # with NaN extremes simply gets no zonemap (conservative:
+            # its files are never pruned)
+            if isinstance(mn, float) and (mn != mn or mx != mx):
+                continue
+            entry[c] = [mn, mx]
         stats[rel] = entry
     return stats
 
