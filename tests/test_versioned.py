@@ -414,3 +414,35 @@ def test_nan_bounds_get_no_zonemap(spark, tdir):
     assert math.isnan(
         full.where(F.col("id") == 1).head()["v"]
     )
+
+
+def test_resumable_iterate_survives_restart(spark, tdir):
+    """Kill-and-resume: 2 iterations committed, 'crash', resume to 5
+    — the result equals an uninterrupted 5-iteration run, and resume
+    does not recompute committed iterations."""
+    from tms_etl_spark.operators.versioned import resumable_iterate
+
+    calls = []
+
+    def step(df, i):
+        calls.append(i)
+        return df.select((F.col("v") * 2 + i).alias("v"))
+
+    init = spark.createDataFrame([(1,), (10,)], "v long")
+    partial = resumable_iterate(spark, tdir, init, step, 2)
+    # iter0: v*2+0 -> {2,20}; iter1: v*2+1 -> {5,41}
+    assert {r["v"] for r in partial.collect()} == {5, 41}
+    assert calls == [0, 1]
+    # "restart": resume from the committed state
+    calls.clear()
+    final = resumable_iterate(spark, tdir, init, step, 5)
+    assert calls == [2, 3, 4]  # committed iterations not recomputed
+    # uninterrupted twin
+    v = [1, 10]
+    for i in range(5):
+        v = [x * 2 + i for x in v]
+    assert {r["v"] for r in final.collect()} == set(v)
+    # re-running the finished job is a no-op
+    calls.clear()
+    again = resumable_iterate(spark, tdir, init, step, 5)
+    assert calls == [] and {r["v"] for r in again.collect()} == set(v)
