@@ -174,3 +174,32 @@ def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n") * F.count("*")).cast("double") / F.sum("n")
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "profile_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+             / COUNT(*) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def profile_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate scoreboard per source — the first number a
+    corpus triage looks at (which feeds are boilerplate mills).
+    COUNT(DISTINCT digest) expands to a two-level aggregation
+    (partial on (source, digest), final on source) — both exchanges
+    map-side combined; the digest keeps the distinct state at 32
+    bytes/row instead of document-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("long").alias("n_distinct"),
+        (
+            (F.count("*") - F.count_distinct(F.md5("text"))).cast("double")
+            / F.count("*")
+        ).alias("dup_rate"),
+    )
