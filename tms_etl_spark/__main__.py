@@ -63,6 +63,11 @@ def _parser() -> argparse.ArgumentParser:
     te = tsub.add_parser("expire")
     te.add_argument("dir")
     te.add_argument("--keep-last", type=int, default=7)
+    te.add_argument(
+        "--orphan-grace-hours", type=float, default=24.0,
+        help="skip unreferenced dirs younger than this (in-flight "
+        "writer protection); 0 only in a maintenance window",
+    )
     tc = tsub.add_parser("changes")
     tc.add_argument("dir")
     tc.add_argument("--from", dest="from_v", type=int, required=True)
@@ -132,7 +137,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "expire":
-            n = vt.expire_versions(spark, args.dir, keep_last=args.keep_last)
+            n = vt.expire_versions(
+                spark, args.dir, keep_last=args.keep_last,
+                orphan_grace_hours=args.orphan_grace_hours,
+            )
             print(f"removed {n} data dirs")
             return 0
         if args.table_cmd == "changes":

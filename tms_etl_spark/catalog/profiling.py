@@ -203,3 +203,25 @@ def profile_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "profile_dup_cluster_sizes",
+    oracle="""
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+        SELECT COUNT(*) AS sz FROM documents GROUP BY md5(text)
+    ) GROUP BY sz
+    """,
+)
+def profile_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution — the boilerplate
+    fingerprint of a corpus (a fat tail here predicts hot keys for
+    every content-keyed operator downstream). Two map-side-combined
+    reductions: digest grain, then size grain."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy(F.md5("text")).agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
