@@ -174,3 +174,23 @@ def test_running_stats_stream_compiles(spark, sf_dir, tmp_path):
         "vmax",
     ]
     assert "TransformWithStateInPySpark" in out._jdf.queryExecution().logical().toString()
+
+
+def test_status_line_udtf_lateral_join(spark):
+    """Python UDTF: blob -> rows, composed via SQL LATERAL."""
+    from tms_etl_spark.operators.udfs import make_status_line_udtf
+
+    spark.udtf.register("parse_status", make_status_line_udtf())
+    spark.createDataFrame(
+        [(1, "Tear 001 ---> Com Sucesso\nnoise\nTear 002 ---> Desligada"),
+         (2, None)],
+        "batch_id long, log_text string",
+    ).createOrReplaceTempView("logs_udtf")
+    rows = spark.sql(
+        "SELECT l.batch_id, s.loom, s.status "
+        "FROM logs_udtf l, LATERAL parse_status(l.log_text) s"
+    ).collect()
+    assert {(r["batch_id"], r["loom"], r["status"]) for r in rows} == {
+        (1, "Tear 001", "Com Sucesso"),
+        (1, "Tear 002", "Desligada"),
+    }

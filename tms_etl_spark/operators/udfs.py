@@ -196,3 +196,34 @@ def running_stats_stream(
             timeMode="None",
         )
     )
+
+
+def make_status_line_udtf():
+    """Python UDTF (Spark 4 table-function surface, completing the
+    UDF trifecta next to the expression UDAF and the pandas
+    GROUPED_AGG): one collection-log BLOB in, one row per parsed
+    ``<loom> ---> <status>`` line out — so log parsing runs
+    row-parallel on executors and composes in SQL via LATERAL:
+
+        spark.udtf.register("parse_status", make_status_line_udtf())
+        spark.sql("SELECT l.batch_id, s.loom, s.status "
+                  "FROM logs l, LATERAL parse_status(l.log_text) s")
+
+    Same status-marker contract as `sources/adapters.py` (reference
+    tms_colector.py:209-219); unknown lines are skipped, not errors.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    pattern = re.compile(r"^(?P<loom>.+?)\s*--->\s*(?P<status>.+)$")
+
+    @udtf(returnType="loom string, status string")
+    class ParseStatusLines:
+        def eval(self, log_text: str):
+            for line in (log_text or "").splitlines():
+                m = pattern.match(line.strip())
+                if m:
+                    yield m.group("loom").strip(), m.group("status").strip()
+
+    return ParseStatusLines
