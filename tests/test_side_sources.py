@@ -141,3 +141,40 @@ def test_corrupt_parquet_file_tolerance(spark, tmp_path):
         .count()
     )
     assert ok == 10
+
+
+def test_python_datasource_streaming_tail(spark, tmp_path):
+    """spark.readStream.format('tms_status'): the directory tails as
+    an append-only stream; a second batch picks up only NEW files."""
+    from tms_etl_spark.sources.pyds import StatusLogDataSource
+
+    d = tmp_path / "slogs"
+    d.mkdir()
+    (d / "2024-01-01.log").write_text("Tear 001 ---> Com Sucesso\n")
+    spark.dataSource.register(StatusLogDataSource)
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("tms_status")
+            .option("path", str(d))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+    (d / "2024-01-02.log").write_text(
+        "Tear 002 ---> Desligada\nTear 003 ---> Com Sucesso\n"
+    )
+    run_once()
+    t = spark.read.parquet(out)
+    assert t.count() == 3  # old file NOT re-read, new file's 2 rows added
+    assert {r["loom"] for r in t.collect()} == {
+        "Tear 001", "Tear 002", "Tear 003"
+    }

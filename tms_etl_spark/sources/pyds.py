@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _STATUS_RE = re.compile(r"^(?P<loom>.+?)\s*--->\s*(?P<status>.+)$")
@@ -99,3 +100,46 @@ class StatusLogDataSource(DataSource):
 
     def reader(self, schema) -> StatusLogReader:
         return StatusLogReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return StatusLogStreamReader(self.options)
+
+
+class StatusLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: tail the log directory as an append-only file
+    stream. The offset is the count of files processed in sorted-name
+    order (collector logs are timestamped, so names sort in arrival
+    order); `readBetweenOffsets` replays any committed range
+    deterministically from the same listing, which is what gives the
+    source exactly-once semantics under micro-batch retries."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tms_status requires .option('path', ...)")
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def _rows(self, files: list[str]):
+        for f in files:
+            for line in _read_text(f).splitlines():
+                m = _STATUS_RE.match(line.strip())
+                if m:
+                    yield (
+                        m.group("loom").strip(),
+                        m.group("status").strip(),
+                        f,
+                    )
+
+    def read(self, start: dict):
+        files = _list_log_files(self._path)
+        new = files[start["n_files"]:]
+        # materialize: the harness pickles the batch to the executors,
+        # and generators don't pickle
+        return list(self._rows(new)), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_log_files(self._path)
+        return list(self._rows(files[start["n_files"]:end["n_files"]]))
