@@ -178,3 +178,40 @@ def test_python_datasource_streaming_tail(spark, tmp_path):
     assert {r["loom"] for r in t.collect()} == {
         "Tear 001", "Tear 002", "Tear 003"
     }
+
+
+def test_python_datasource_versioned_writer(spark, tmp_path):
+    """df.write.format('tms_versioned'): pyarrow per-partition files
+    committed as a table version; appends accumulate; the committed
+    table reads back through the versioned layer (time travel etc.)."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        read_version,
+    )
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = str(tmp_path / "vt")
+    df = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(3)
+    df.write.format("tms_versioned").option("path", t).mode("append").save()
+    assert current_version(spark, t) == 1
+    got = read_version(spark, t)
+    assert got.count() == 10
+    assert {r["v"] for r in got.collect()} == {i * 2 for i in range(10)}
+    # second append becomes v2 and accumulates
+    spark.range(10, 12).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.format("tms_versioned").option("path", t).mode("append").save()
+    assert current_version(spark, t) == 2
+    assert read_version(spark, t).count() == 12
+    assert read_version(spark, t, 1).count() == 10  # time travel intact
+    # the pyarrow-metadata zonemaps feed the same pruned-read path
+    from tms_etl_spark.operators.versioned import read_version_pruned
+
+    point = read_version_pruned(spark, t, "id", "=", 11)
+    assert point.count() == 1
+    assert len(point.inputFiles()) < len(read_version(spark, t).inputFiles())

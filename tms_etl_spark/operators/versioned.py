@@ -624,3 +624,45 @@ def resumable_iterate(
         # — the same reason connected_components localCheckpoints)
         state = read_version(spark, table_dir)
     return state
+
+
+def commit_existing_dir(
+    spark: SparkSession,
+    table_dir: str,
+    rel_dir: str,
+    mode: str = "append",
+    txn_id: str | None = None,
+) -> int:
+    """Commit data files that ALREADY landed under ``table_dir/
+    rel_dir`` as the next version — the manifest half of
+    `write_version`, for writers that produce the files themselves
+    (the Python Data Source writer, external bulk loaders). Same
+    recent-txn idempotence, zonemap stats, and conditional-rename
+    commit; the caller guarantees the dir is complete and private."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cur = current_version(spark, table_dir)
+    prev = (
+        _read_json(spark, _manifest_path(table_dir, cur)) if cur >= 1 else None
+    )
+    if txn_id is not None and prev is not None and "recent_txns" in prev:
+        for t, ver in prev["recent_txns"]:
+            if t == txn_id:
+                return ver
+    v = cur + 1
+    stats = _dir_file_stats(spark, table_dir, rel_dir)
+    dirs = [rel_dir]
+    if mode == "append" and prev is not None:
+        dirs = list(prev["dirs"]) + dirs
+        stats = {**prev.get("stats", {}), **stats}
+    payload = {
+        "version": v,
+        "dirs": dirs,
+        "op": mode,
+        "stats": stats,
+        "recent_txns": _carry_txns(prev, txn_id, v),
+    }
+    if txn_id is not None:
+        payload["txn_id"] = txn_id
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    return v
