@@ -446,3 +446,30 @@ def test_resumable_iterate_survives_restart(spark, tdir):
     calls.clear()
     again = resumable_iterate(spark, tdir, init, step, 5)
     assert calls == [] and {r["v"] for r in again.collect()} == set(v)
+
+
+def test_commit_existing_dir_external_loader(spark, tdir):
+    """External bulk-loader path: files land first (any writer), then
+    commit_existing_dir turns the dir into the next version with the
+    full protocol (stats, txn idempotence, conditional rename)."""
+    import pathlib
+
+    from tms_etl_spark.operators.versioned import (
+        commit_existing_dir,
+        read_version_pruned,
+    )
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    ext = pathlib.Path(tdir) / "data" / "bulk-0001"
+    _df(spark, 100, 110).write.parquet(str(ext))
+    v = commit_existing_dir(spark, tdir, "data/bulk-0001", "append",
+                            txn_id="bulk-1")
+    assert v == 2
+    assert read_version(spark, tdir).count() == 15
+    # idempotent retry
+    assert commit_existing_dir(
+        spark, tdir, "data/bulk-0001", "append", txn_id="bulk-1"
+    ) == 2
+    assert read_version(spark, tdir).count() == 15
+    # stats were recorded: pruned point read skips the old batch
+    assert read_version_pruned(spark, tdir, "id", ">=", 100).count() == 10
