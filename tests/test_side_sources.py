@@ -215,3 +215,24 @@ def test_python_datasource_versioned_writer(spark, tmp_path):
     point = read_version_pruned(spark, t, "id", "=", 11)
     assert point.count() == 1
     assert len(point.inputFiles()) < len(read_version(spark, t).inputFiles())
+
+
+def test_python_datasource_writer_overwrite_mode(spark, tmp_path):
+    """mode('overwrite') commits a version referencing only the new
+    dir; history stays time-travelable."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import read_version
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = str(tmp_path / "vt2")
+    spark.range(5).select(F.col("id")).write.format(
+        "tms_versioned"
+    ).option("path", t).mode("append").save()
+    spark.range(100, 103).select(F.col("id")).write.format(
+        "tms_versioned"
+    ).option("path", t).mode("overwrite").save()
+    assert read_version(spark, t).count() == 3
+    assert {r["id"] for r in read_version(spark, t).collect()} == {100, 101, 102}
+    assert read_version(spark, t, 1).count() == 5
