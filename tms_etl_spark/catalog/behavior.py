@@ -1036,3 +1036,113 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("deg").cast("long").alias("degree")).agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+@query(
+    "drift_ks",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               (ts < TIMESTAMP '2024-01-08') AS in_a
+        FROM events WHERE value IS NOT NULL
+    ), tot AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE in_a) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE NOT in_a) AS BIGINT) AS n_b
+        FROM pts
+    ), hist AS (
+        SELECT v,
+               COUNT(*) FILTER (WHERE in_a) AS ca,
+               COUNT(*) FILTER (WHERE NOT in_a) AS cb
+        FROM pts GROUP BY v
+    ), ecdf AS (
+        SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+               SUM(cb) OVER (ORDER BY v) AS cumb
+        FROM hist
+    )
+    SELECT t.n_a, t.n_b,
+           MAX(abs(CAST(e.cuma AS DOUBLE) / t.n_a
+                   - CAST(e.cumb AS DOUBLE) / t.n_b)) AS ks_stat,
+           1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE)
+                        / (CAST(t.n_a AS DOUBLE) * t.n_b))
+               AS critical_005,
+           (MAX(abs(CAST(e.cuma AS DOUBLE) / t.n_a
+                    - CAST(e.cumb AS DOUBLE) / t.n_b))
+            > 1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE)
+                           / (CAST(t.n_a AS DOUBLE) * t.n_b)))
+               AS drift_detected
+    FROM ecdf e, tot t
+    GROUP BY t.n_a, t.n_b
+    """,
+)
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on the event value
+    distribution, reference week vs the rest — the nonparametric
+    companion to the categorical chi-square gate
+    (`drift_chi_square`) and the sequential CUSUM monitor
+    (`drift_cusum`): it catches any change in SHAPE (scale, skew,
+    modality), not just mean shifts or category mix.
+
+    Exact distributed ECDF, no single-reducer sort: per-value
+    counts bucket by floor(v/16); the cumulative offset of each
+    bucket comes from one window over the BUCKET-COUNT table
+    (bounded by the value range, metadata-sized), broadcast back;
+    within-bucket cumulative sums partition by bucket (the
+    `sorted_neighborhood_pairs` / epoch_shuffle rank discipline).
+    D = max |F_a - F_b| over the pooled jump points and the 5%%
+    asymptotic critical value are single IEEE expressions per row —
+    bit-stable cross-engine."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cut = F.lit("2024-01-08").cast("timestamp")
+    pts = ev.select(
+        F.col("value").cast("double").alias("v"),
+        (F.col("ts") < cut).alias("in_a"),
+    )
+    hist = pts.groupBy(F.floor(F.col("v") / 16).alias("bkt"), "v").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("ca"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("cb"),
+    )
+    btot = hist.groupBy("bkt").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # global window over the bucket-count table only (metadata-sized)
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("ba").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("bb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    w_loc = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = hist.join(F.broadcast(offs), "bkt").select(
+        (F.col("oa") + F.sum("ca").over(w_loc)).alias("cuma"),
+        (F.col("ob") + F.sum("cb").over(w_loc)).alias("cumb"),
+    )
+    tot = pts.agg(
+        F.count(F.when(F.col("in_a"), 1)).cast("long").alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).cast("long").alias("n_b"),
+    )
+    diff = F.abs(
+        F.col("cuma").cast("double") / F.col("n_a")
+        - F.col("cumb").cast("double") / F.col("n_b")
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(diff).alias("ks_stat"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_stat",
+            crit.alias("critical_005"),
+            (F.col("ks_stat") > crit).alias("drift_detected"),
+        )
+    )

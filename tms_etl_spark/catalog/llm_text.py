@@ -841,3 +841,136 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+_SPAN_K = 5  # anchor gram length (tokens)
+_SPAN_MIN = 12  # minimum reported span (tokens)
+_SPAN_DF = 16  # df-cut: grams in more docs than this are dropped
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, i, array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(
+                 1, len(t) - {_SPAN_K - 1})) AS i) s(i)
+        WHERE len(t) >= {_SPAN_K}
+    ), keep AS (
+        SELECT g FROM (
+            SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
+        ) WHERE df BETWEEN 2 AND {_SPAN_DF}
+    ), pg AS (
+        SELECT doc_id, i, g FROM grams JOIN keep USING (g)
+    ), anchors AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia,
+               a.i - b.i AS diag
+        FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), isl AS (
+        SELECT da, db, diag, ia,
+               ia - row_number() OVER (
+                   PARTITION BY da, db, diag ORDER BY ia) AS grp
+        FROM anchors
+    ), spans AS (
+        SELECT da, db, COUNT(*) + {_SPAN_K - 1} AS span
+        FROM isl GROUP BY da, db, diag, grp
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(MAX(span) AS BIGINT) AS max_span_tokens,
+           CAST(COUNT(*) FILTER (WHERE span >= {_SPAN_MIN}) AS BIGINT)
+               AS n_spans
+    FROM spans GROUP BY 1, 2
+    HAVING MAX(span) >= {_SPAN_MIN}
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al., ACL 2022, the
+    suffix-array family) re-expressed relationally: shared-token-
+    k-gram anchors + gaps-and-islands on (pair, diagonal) recover
+    every maximal shared token run >= {_SPAN_MIN} tokens. The sixth
+    candidate-generation family in the dedup ladder (exact hash,
+    Jaccard, MinHash/LSH, SimHash, winnowing, sorted-neighborhood —
+    and now substring spans), and the one that catches partial
+    copies the document-level sketches dilute. df-cut anchors bound
+    the join; islands windows are per-(pair, diagonal), never
+    corpus-wide."""
+    from tms_etl_spark.operators.dedup import repeated_span_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_span_pairs(
+        d, k=_SPAN_K, min_span=_SPAN_MIN, max_df=_SPAN_DF
+    )
+
+
+@query(
+    "text_bpe_encode",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            w -> w <> '')) AS word
+        FROM documents
+    ), per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(word)) AS BIGINT) AS n_word_chars
+        FROM words GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_word_chars) AS BIGINT) AS total_word_chars,
+           TRUE AS tokens_within_bounds,
+           TRUE AS merges_reduce
+    FROM per
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-apply BPE over the corpus: learn merges on the
+    vocabulary-bounded word-type table (operators.bpe), then encode
+    every document through the broadcast (word -> n_syms) vocabulary
+    — the tokenizer-application pass a training pipeline runs to
+    price a corpus in real tokens rather than the regex estimate
+    (`text_bpe_token_estimate`).
+
+    Oracle strategy (the in-query-invariant pattern of the ANN
+    entries): merge application is iterative and engine-specific
+    (no DuckDB twin), so the oracle recomputes what IS
+    SQL-expressible — doc/word/char totals under the identical
+    tokenization — and pins two invariants the Spark side computes
+    in-query: every document's BPE token count lies in
+    [n_words, n_word_chars] (each merge only ever fuses two
+    adjacent symbols), and the trained merges strictly reduce the
+    corpus total vs character-level segmentation."""
+    from tms_etl_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=8)
+    enc = apply_bpe(d, merges)
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    chars = words.groupBy("doc_id").agg(
+        F.sum(F.length("word")).cast("long").alias("n_word_chars")
+    )
+    per = enc.join(chars, "doc_id")
+    return per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_word_chars").cast("long").alias("total_word_chars"),
+        F.min(
+            (F.col("n_bpe_tokens") >= F.col("n_words"))
+            & (F.col("n_bpe_tokens") <= F.col("n_word_chars"))
+        ).alias("tokens_within_bounds"),
+        (
+            (F.sum("n_bpe_tokens") < F.sum("n_word_chars"))
+            | (F.lit(len(merges)) == 0)
+        ).alias("merges_reduce"),
+    )

@@ -505,3 +505,83 @@ def jaccard_prefix_join(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    k: int = 5,
+    min_span: int = 12,
+    max_df: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring detection between document pairs —
+    the token-level form of suffix-array training-data dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): find every maximal run of >= ``min_span`` consecutive
+    shared tokens between two documents, without materializing
+    suffix arrays.
+
+    Shape: shared token ``k``-grams anchor candidate positions; a
+    run of shared tokens of length L produces L-k+1 consecutive
+    anchors on the same DIAGONAL (pos_a - pos_b constant), so maximal
+    spans fall out of a gaps-and-islands pass per (pair, diagonal):
+    span_tokens = island_size + k - 1. Output: one row per pair with
+    max_span_tokens >= min_span, plus the count of distinct maximal
+    spans of at least that length.
+
+    Scale: the anchor join is df-cut (grams in > ``max_df`` docs are
+    dropped, the `jaccard_pairs` discipline) so boilerplate grams
+    never fan out quadratically; islands windows partition by
+    (pair, diagonal) — bounded by document length, never corpus-
+    sized. A df-cut hole inside a true run splits it into two
+    reported spans; the cut is part of the operator's contract (and
+    mirrored by its oracle), trading bounded work for split spans on
+    ultra-common text."""
+    t = F.split(F.col(text_col), " ")
+    docs = df.select(F.col(id_col).alias("__id"), t.alias("__t")).where(
+        F.size("__t") >= k
+    )
+    # array-side gram construction: one projection, no per-gram joins
+    grams = docs.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+                lambda i: F.array_join(F.slice("__t", i, k), " "),
+            )
+        ).alias("__i0", "__g"),
+    ).select("__id", (F.col("__i0") + 1).alias("__i"), "__g")
+    df_counts = grams.groupBy("__g").agg(
+        F.countDistinct("__id").alias("__df")
+    )
+    keep = df_counts.where(
+        (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+    ).select("__g")
+    pg = grams.join(keep, "__g")
+    a = pg.select(F.col("__id").alias("doc_a"), F.col("__i").alias("__ia"), "__g")
+    b = pg.select(F.col("__id").alias("doc_b"), F.col("__i").alias("__ib"), "__g")
+    anchors = (
+        a.join(b, "__g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "__ia", (F.col("__ia") - F.col("__ib")).alias("__diag"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("__ia")
+    islands = anchors.withColumn(
+        "__grp", F.col("__ia") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_a", "doc_b", "__diag", "__grp").agg(
+        (F.count("*") + (k - 1)).alias("__span")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("__span").cast("long").alias("max_span_tokens"),
+            F.count(F.when(F.col("__span") >= min_span, 1))
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .where(F.col("max_span_tokens") >= min_span)
+    )
