@@ -473,3 +473,120 @@ def test_commit_existing_dir_external_loader(spark, tdir):
     assert read_version(spark, tdir).count() == 15
     # stats were recorded: pruned point read skips the old batch
     assert read_version_pruned(spark, tdir, "id", ">=", 100).count() == 10
+
+
+def test_delete_rows_logical_then_physical(spark, tdir):
+    """delete_rows hides keys immediately without touching data
+    files; optimize purges them physically and drops the vectors."""
+    from tms_etl_spark.operators.versioned import (
+        _manifest_path,
+        _read_json,
+        delete_rows,
+        optimize_version,
+    )
+
+    write_version(_df(spark, 0, 10), tdir, "append")
+    keys = spark.createDataFrame([(2,), (5,), (7,)], "id long")
+    v = delete_rows(spark, tdir, keys)
+    assert v == 2
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {
+        0, 1, 3, 4, 6, 8, 9,
+    }
+    # pre-delete version still shows everything (time travel)
+    assert read_version(spark, tdir, 1).count() == 10
+    # physical purge at compaction
+    v3 = optimize_version(spark, tdir)
+    man = _read_json(spark, _manifest_path(tdir, v3))
+    assert "deletes" not in man or man["deletes"] == []
+    assert read_version(spark, tdir).count() == 7
+    # compacted files physically lack the keys
+    raw = spark.read.parquet(f"{tdir}/{man['dirs'][0]}")
+    assert {r["id"] for r in raw.collect()} == {0, 1, 3, 4, 6, 8, 9}
+
+
+def test_delete_scoped_append_reinserts_key(spark, tdir):
+    """A tombstone covers only the dirs that existed at delete time —
+    a later append legitimately re-inserts the key."""
+    from tms_etl_spark.operators.versioned import delete_rows
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    delete_rows(spark, tdir, spark.createDataFrame([(3,)], "id long"))
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {
+        0, 1, 2, 4,
+    }
+    write_version(_df(spark, 3, 4), tdir, "append")  # re-insert id=3
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {
+        0, 1, 2, 3, 4,
+    }
+
+
+def test_delete_rows_idempotent_txn(spark, tdir):
+    from tms_etl_spark.operators.versioned import delete_rows
+
+    write_version(_df(spark, 0, 6), tdir, "append")
+    keys = spark.createDataFrame([(1,)], "id long")
+    v1 = delete_rows(spark, tdir, keys, txn_id="gdpr-42")
+    v2 = delete_rows(spark, tdir, keys, txn_id="gdpr-42")
+    assert v1 == v2 == 2
+    assert read_version(spark, tdir).count() == 5
+
+
+def test_delete_applies_to_pruned_reads(spark, tdir):
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        read_version_pruned,
+    )
+
+    write_version(_df(spark, 0, 10).repartition(4), tdir, "append")
+    delete_rows(spark, tdir, spark.createDataFrame([(4,)], "id long"))
+    got = {
+        r["id"]
+        for r in read_version_pruned(spark, tdir, "id", ">=", 3).collect()
+    }
+    assert got == {3, 5, 6, 7, 8, 9}
+
+
+def test_expire_keeps_referenced_delete_vectors(spark, tdir):
+    """Retention never removes a tombstone file a kept version still
+    references."""
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        expire_versions,
+    )
+
+    write_version(_df(spark, 0, 8), tdir, "append")
+    delete_rows(spark, tdir, spark.createDataFrame([(0,)], "id long"))
+    write_version(_df(spark, 8, 9), tdir, "append")
+    expire_versions(spark, tdir, keep_last=2, orphan_grace_hours=0.0)
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {
+        1, 2, 3, 4, 5, 6, 7, 8,
+    }
+
+
+def test_cdc_raises_across_delete(spark, tdir):
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        read_version_changes,
+    )
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    delete_rows(spark, tdir, spark.createDataFrame([(1,)], "id long"))
+    write_version(_df(spark, 5, 7), tdir, "append")
+    with pytest.raises(ValueError, match="row-level delete"):
+        read_version_changes(spark, tdir, 1, 3)
+    # but a post-delete append chain still has a clean file-level delta
+    got = {r["id"] for r in read_version_changes(spark, tdir, 2, 3).collect()}
+    assert got == {5, 6}
+
+
+def test_rollback_restores_delete_state(spark, tdir):
+    from tms_etl_spark.operators.versioned import delete_rows
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    delete_rows(spark, tdir, spark.createDataFrame([(2,)], "id long"))
+    write_version(_df(spark, 2, 3), tdir, "append")  # re-insert
+    v = rollback(spark, tdir, 2)  # back to the deleted state
+    assert v == 4
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {
+        0, 1, 3, 4,
+    }

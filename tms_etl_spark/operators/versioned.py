@@ -243,10 +243,15 @@ def write_version(
     df.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
     stats = _dir_file_stats(spark, table_dir, new_dir)
     dirs = [new_dir]
+    deletes: list = []
     if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
         # keep only stats for dirs still referenced (overwrite drops)
         stats = {**prev.get("stats", {}), **stats}
+        # tombstones carry forward with their original covers, so the
+        # NEW dir is outside them — an append can re-insert a deleted
+        # key (overwrite starts a fresh snapshot: deletes drop)
+        deletes = list(prev.get("deletes", []))
     payload = {
         "version": v,
         "dirs": dirs,
@@ -254,17 +259,85 @@ def write_version(
         "stats": stats,
         "recent_txns": _carry_txns(prev, txn_id, v),
     }
+    if deletes:
+        payload["deletes"] = deletes
     if txn_id is not None:
         payload["txn_id"] = txn_id
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
 
+def _scan_with_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    dirs: list[str] | None = None,
+    paths_by_dir: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Scan a version's data dirs with its deletion vectors applied.
+
+    Tombstones are SCOPED: each delete commit records the data dirs it
+    covers (the dirs that existed when the delete ran), so a key
+    re-inserted by a LATER append is visible again — the key-based
+    approximation of file-scoped deletion vectors. The scan groups
+    data dirs by their covering delete-set (in practice 2 groups: old
+    dirs under tombstones, new dirs clean), anti-joins each group
+    against the union of its covering tombstone files, and unions the
+    groups. The tombstone side is metadata-sized relative to the
+    table (AQE broadcasts it when it fits), so a logical delete costs
+    a map-side-ish filter at read time until `optimize_version`
+    purges it physically.
+
+    ``dirs``: subset of the manifest's dirs to scan (pruned reads).
+    ``paths_by_dir``: per-dir explicit file lists (file-level
+    pruning); dirs absent from the dict scan whole."""
+    scan_dirs = man["dirs"] if dirs is None else dirs
+    deletes = man.get("deletes", [])
+
+    def _read(dlist: list[str]) -> DataFrame:
+        paths: list[str] = []
+        for d in dlist:
+            if paths_by_dir is not None and d in paths_by_dir:
+                paths.extend(paths_by_dir[d])
+            else:
+                paths.append(f"{table_dir}/{d}")
+        return spark.read.parquet(*paths)
+
+    if not deletes:
+        return _read(scan_dirs)
+    groups: dict[tuple, list[str]] = {}
+    for d in scan_dirs:
+        sig = tuple(
+            i for i, de in enumerate(deletes) if d in de["covers"]
+        )
+        groups.setdefault(sig, []).append(d)
+    parts: list[DataFrame] = []
+    for sig, dlist in groups.items():
+        part = _read(dlist)
+        if sig:
+            key = deletes[sig[0]]["key"]
+            tomb = (
+                spark.read.parquet(
+                    *[f"{table_dir}/{deletes[i]['dir']}" for i in sig]
+                )
+                .select(key)
+                .distinct()
+            )
+            part = part.join(tomb, key, "left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Time travel: the table as of ``version`` (default: latest).
-    A multi-path parquet scan — pushdown/pruning apply per file."""
+    A multi-path parquet scan — pushdown/pruning apply per file;
+    logically-deleted rows (see `delete_rows`) are subtracted by an
+    anti-join against the scoped tombstone set."""
     cur = current_version(spark, table_dir)
     v = version if version is not None else cur
     if v <= 0 or v > cur:
@@ -275,8 +348,66 @@ def read_version(
     if not path_exists(spark, p):
         raise ValueError(f"version {v} expired at {table_dir}")
     man = _read_json(spark, p)
-    paths = [f"{table_dir}/{d}" for d in man["dirs"]]
-    return spark.read.parquet(*paths)
+    return _scan_with_deletes(spark, table_dir, man)
+
+
+def delete_rows(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    txn_id: str | None = None,
+) -> int:
+    """Row-level delete WITHOUT rewriting data (GDPR / right-to-be-
+    forgotten at 100 TB): commit a deletion vector — a small parquet
+    of key values — as the next table version. Readers subtract it
+    with one anti-join; the data files are untouched (cost O(keys),
+    not O(table)). The vector is SCOPED to the data dirs of the
+    current version, so appends that land later can re-insert a key.
+    Physical purge happens at the next `optimize_version`, which
+    rewrites the surviving rows and drops the vectors — the two-step
+    (logical now, physical at compaction) every lakehouse format
+    uses. ``keys_df`` must be a single key column; its name is the
+    join key. Time travel to pre-delete versions still shows the
+    rows until those versions expire — run expire + optimize to
+    complete a hard GDPR erasure."""
+    import uuid
+
+    if len(keys_df.columns) != 1:
+        raise ValueError("keys_df must have exactly one (key) column")
+    key = keys_df.columns[0]
+    cur = current_version(spark, table_dir)
+    if cur <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    prev = _read_json(spark, _manifest_path(table_dir, cur))
+    if txn_id is not None and "recent_txns" in prev:
+        for t, ver in prev["recent_txns"]:
+            if t == txn_id:
+                return ver
+    deletes = list(prev.get("deletes", []))
+    if any(de["key"] != key for de in deletes):
+        raise ValueError(
+            "mixed delete keys on one table are not supported"
+        )
+    v = cur + 1
+    del_dir = f"{_DATA}/v{v:06d}-del-{uuid.uuid4().hex[:8]}"
+    keys_df.distinct().write.mode("errorifexists").parquet(
+        f"{table_dir}/{del_dir}"
+    )
+    deletes.append(
+        {"dir": del_dir, "key": key, "covers": list(prev["dirs"])}
+    )
+    payload = {
+        "version": v,
+        "dirs": list(prev["dirs"]),
+        "op": "delete",
+        "stats": prev.get("stats", {}),
+        "deletes": deletes,
+        "recent_txns": _carry_txns(prev, txn_id, v),
+    }
+    if txn_id is not None:
+        payload["txn_id"] = txn_id
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    return v
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
@@ -342,8 +473,10 @@ def read_version_pruned(
         ">": F.col(col) > F.lit(value),
         ">=": F.col(col) >= F.lit(value),
     }[op]
-    keep: list[str] = []
+    keep_dirs: list[str] = []
+    paths_by_dir: dict[str, list[str]] = {}
     for d in man["dirs"]:
+        files: list[str] = []
         for fi in list_files(spark, f"{table_dir}/{d}"):
             name = fi.path.rsplit("/", 1)[-1]
             if not name.endswith(".parquet"):
@@ -351,11 +484,16 @@ def read_version_pruned(
             rel = f"{d}/{name}"
             if _file_prunable(stats.get(rel), col, op, value):
                 continue
-            keep.append(f"{table_dir}/{rel}")
-    if not keep:
+            files.append(f"{table_dir}/{rel}")
+        if files:
+            keep_dirs.append(d)
+            paths_by_dir[d] = files
+    if not keep_dirs:
         full = spark.read.parquet(*[f"{table_dir}/{d}" for d in man["dirs"]])
         return spark.createDataFrame([], full.schema)
-    return spark.read.parquet(*keep).where(pred)
+    return _scan_with_deletes(
+        spark, table_dir, man, dirs=keep_dirs, paths_by_dir=paths_by_dir
+    ).where(pred)
 
 
 def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
@@ -376,6 +514,8 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
             "dirs": man["dirs"],
             "op": f"rollback:{to_version}",
             "stats": man.get("stats", {}),
+            # deletion vectors are part of the snapshot being restored
+            **({"deletes": man["deletes"]} if man.get("deletes") else {}),
             # txn window follows the HEAD, not the rollback target —
             # a retried micro-batch must still be recognized
             "recent_txns": _carry_txns(head, None, v),
@@ -427,9 +567,9 @@ def expire_versions(
     first_kept = max(1, cur - keep_last + 1)
     referenced: set[str] = set()
     for v in range(first_kept, cur + 1):
-        referenced.update(
-            _read_json(spark, _manifest_path(table_dir, v))["dirs"]
-        )
+        man = _read_json(spark, _manifest_path(table_dir, v))
+        referenced.update(man["dirs"])
+        referenced.update(de["dir"] for de in man.get("deletes", []))
     fs, data_root, jvm = _fs(spark, f"{table_dir}/{_DATA}")
     removed = 0
     floor_ms = (time.time() - orphan_grace_hours * 3600.0) * 1000.0
@@ -487,7 +627,9 @@ def optimize_version(
         total_size(spark, f"{table_dir}/{d}") for d in man["dirs"]
     )
     n_files = max(1, ceil(nbytes / max(1, target_file_bytes)))
-    df = spark.read.parquet(*[f"{table_dir}/{d}" for d in man["dirs"]])
+    # scan WITH deletion vectors applied: compaction is the physical
+    # purge — the rewritten version carries no tombstones
+    df = _scan_with_deletes(spark, table_dir, man)
 
     import uuid
 
@@ -573,6 +715,12 @@ def read_version_changes(
         )
     man_from = _read_json(spark, _manifest_path(table_dir, from_version))
     man_to = _read_json(spark, _manifest_path(table_dir, to_v))
+    if man_from.get("deletes", []) != man_to.get("deletes", []):
+        raise ValueError(
+            f"versions {from_version}..{to_v} include a row-level "
+            "delete — removed rows have no file-level delta; diff "
+            "snapshots explicitly if needed"
+        )
     from_dirs = set(man_from["dirs"])
     if not from_dirs.issubset(man_to["dirs"]):
         raise ValueError(
@@ -652,9 +800,11 @@ def commit_existing_dir(
     v = cur + 1
     stats = _dir_file_stats(spark, table_dir, rel_dir)
     dirs = [rel_dir]
+    deletes: list = []
     if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
         stats = {**prev.get("stats", {}), **stats}
+        deletes = list(prev.get("deletes", []))
     payload = {
         "version": v,
         "dirs": dirs,
@@ -662,6 +812,8 @@ def commit_existing_dir(
         "stats": stats,
         "recent_txns": _carry_txns(prev, txn_id, v),
     }
+    if deletes:
+        payload["deletes"] = deletes
     if txn_id is not None:
         payload["txn_id"] = txn_id
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
