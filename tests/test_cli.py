@@ -119,3 +119,25 @@ def test_cli_table_subcommands(spark, tmp_path, capsys):
     assert "committed v3" in capsys.readouterr().out
     assert main(["table", "optimize", tdir, "--cluster-by", "id"]) == 0
     assert main(["table", "expire", tdir, "--keep-last", "1"]) == 0
+
+
+def test_cli_table_delete(spark, tmp_path):
+    """`table delete` commits a deletion vector from the CLI."""
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "clidel")
+    write_version(
+        spark.range(0, 6).select("id", (F.col("id") * 2).alias("v")),
+        tdir,
+        "append",
+    )
+    rc = main(["table", "delete", tdir, "--key", "id", "--values", "1,4"])
+    assert rc == 0
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {
+        0, 2, 3, 5,
+    }

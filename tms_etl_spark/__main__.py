@@ -73,6 +73,16 @@ def _parser() -> argparse.ArgumentParser:
     tc.add_argument("--from", dest="from_v", type=int, required=True)
     tc.add_argument("--to", dest="to_v", type=int, default=None)
     tc.add_argument("--limit", type=int, default=20)
+    td = tsub.add_parser(
+        "delete", help="row-level delete by key (deletion vector)"
+    )
+    td.add_argument("dir")
+    td.add_argument("--key", required=True, help="key column name")
+    td.add_argument(
+        "--values", required=True,
+        help="comma-separated key values (cast to the column's type)",
+    )
+    td.add_argument("--txn-id", default=None)
     return p
 
 
@@ -147,6 +157,20 @@ def main(argv: list[str] | None = None) -> int:
             vt.read_version_changes(
                 spark, args.dir, args.from_v, args.to_v
             ).show(args.limit, truncate=False)
+            return 0
+        if args.table_cmd == "delete":
+            from pyspark.sql import functions as F
+
+            cur = vt.read_version(spark, args.dir)
+            if args.key not in cur.columns:
+                print(f"unknown key column: {args.key!r}", file=sys.stderr)
+                return 2
+            ktype = dict(cur.dtypes)[args.key]
+            keys = spark.createDataFrame(
+                [(v,) for v in args.values.split(",")], f"{args.key} string"
+            ).select(F.col(args.key).cast(ktype))
+            v = vt.delete_rows(spark, args.dir, keys, txn_id=args.txn_id)
+            print(f"committed v{v}")
             return 0
 
     return 2
