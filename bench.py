@@ -88,6 +88,25 @@ def _production_overrides():
         cents = sample_centroids(emb, _N_CELLS)
         return semdedup_flags(emb, cents, tau=_TAU)
 
+    def pq(spark, sf_dir):
+        # production form: train + encode + ADC top-k (the catalog
+        # entry adds the decimal-exact reconstruction twin for the
+        # oracle gate)
+        from tms_etl_spark.operators.pq import pq_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+        qv = [float(x) for x in row["embedding"]]
+        return pq_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
+
+    def bpe(spark, sf_dir):
+        # production form: train merges + encode the corpus (the
+        # catalog entry wraps this in the bounds-invariant harness)
+        from tms_etl_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+        d = load_table(spark, sf_dir, "documents")
+        return apply_bpe(d, learn_bpe_merges(d, n_merges=8))
+
     return {
         "sim_neardup_pairs_lsh": neardup_lsh,
         "sim_ivf_topk": ivf,
@@ -95,6 +114,8 @@ def _production_overrides():
         "sim_cosine_topk": cosine,
         "multimodal_phash_neardup": phash,
         "dedup_semantic": semantic,
+        "sim_pq_adc": pq,
+        "text_bpe_encode": bpe,
     }
 
 
@@ -151,6 +172,11 @@ HEADLINE = [
     # round-over-round comparability; only append here.
     "feature_quantile_bin",
     "eval_auc",
+    # round-10 additions: substring-span dedup (suffix-array family),
+    # bucketed-ECDF KS drift gate, product-quantization ANN
+    "dedup_substring_spans",
+    "drift_ks",
+    "sim_pq_adc",
 ]
 
 

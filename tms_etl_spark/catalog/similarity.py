@@ -799,3 +799,104 @@ def eval_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * tp_).cast("double") / (2 * tp_ + fp_ + fn_),
         ).alias("f1"),
     )
+
+
+_PQ_M = 8
+_PQ_KSUB = 16
+
+
+@query(
+    "sim_pq_adc",
+    oracle=f"""
+    SELECT {_K} AS k,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id <> {_QUERY_VEC_ID}) AS BIGINT) AS n_corpus,
+           {_PQ_M} AS m_codes_per_vector,
+           TRUE AS adc_ids_ok,
+           TRUE AS adc_cos_ok
+    """,
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators.pq — Jégou et al., TPAMI
+    2011): per-subspace codebooks, vectors encoded to m={_PQ_M} bytes
+    (32x compression for d=64 float32), queries scored by asymmetric
+    distance — a pure-JVM lookup-table expression over the code
+    arrays, no decode, TakeOrdered finish. The third ANN family next
+    to hyperplane LSH (`sim_lsh_bucketed`) and IVF (`sim_ivf_topk`);
+    at 100 TB this is the one whose index fits in RAM.
+
+    Oracle strategy (the ANN agreement pattern): codebooks are
+    data-derived (no DuckDB twin), but ADC cosine over the subspace
+    decomposition is EXACTLY the cosine between the query and the
+    quantized reconstruction. The in-query gate recomputes that
+    cosine through the decimal-exact explode/join path (the
+    `sim_cosine_topk_exact` arithmetic) over the reconstructions and
+    pins: the ADC top-k equals the decimal top-k, ids and scores
+    within 1e-6; the oracle re-derives the corpus size and constants."""
+    from tms_etl_spark.operators.pq import pq_encode, pq_topk, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    rest = emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+    books = train_pq_codebooks(rest, m=_PQ_M, ksub=_PQ_KSUB, lloyd_iters=1)
+    ann = pq_topk(rest, qv, k=_K, codebooks=books).withColumnRenamed(
+        "cos_sim", "cos_ann"
+    )
+
+    # decimal-exact twin: reconstruction components from the codebook
+    # (m·ksub·ds rows — index metadata) joined to each vector's codes,
+    # then the order-independent decimal dot against the query
+    ds = len(books[0][0])
+    comp_rows = [
+        (j, c, dim, float(books[j][c][dim]))
+        for j in range(_PQ_M)
+        for c in range(_PQ_KSUB)
+        for dim in range(ds)
+    ]
+    cdf = spark.createDataFrame(
+        comp_rows, "j int, code int, dim int, cx double"
+    )
+    qdf = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(qv)], "i int, qv double"
+    )
+    codes = pq_encode(rest, books).select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    )
+    recon = codes.join(F.broadcast(cdf), ["j", "code"]).select(
+        "vec_id",
+        (F.col("j") * ds + F.col("dim")).alias("i"),
+        "cx",
+    )
+    dd = decimal_dot
+    sums = (
+        recon.join(F.broadcast(qdf), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(dd(F.col("cx"), F.col("qv"))), 8).cast("double").alias("dot"),
+            F.round(F.sum(dd(F.col("cx"), F.col("cx"))), 8).cast("double").alias("nv"),
+            F.round(F.sum(dd(F.col("qv"), F.col("qv"))), 8).cast("double").alias("nq"),
+        )
+    )
+    exact = (
+        sums.select(
+            "vec_id",
+            (F.col("dot") / (F.sqrt("nq") * F.sqrt("nv"))).alias("cos_exact"),
+        )
+        .orderBy(F.desc("cos_exact"), F.asc("vec_id"))
+        .limit(_K)
+    )
+    cmp = exact.join(ann, "vec_id", "full")
+    summary = cmp.agg(
+        F.count(
+            F.when(F.col("cos_ann").isNull() | F.col("cos_exact").isNull(), 1)
+        ).alias("miss"),
+        F.max(F.abs(F.col("cos_ann") - F.col("cos_exact"))).alias("maxdiff"),
+    )
+    n_corpus = rest.agg(F.count("*").alias("n_corpus"))
+    return n_corpus.crossJoin(summary).select(
+        F.lit(_K).alias("k"),
+        "n_corpus",
+        F.lit(_PQ_M).alias("m_codes_per_vector"),
+        (F.col("miss") == 0).alias("adc_ids_ok"),
+        (F.coalesce(F.col("maxdiff"), F.lit(0.0)) <= 1e-6).alias("adc_cos_ok"),
+    )
