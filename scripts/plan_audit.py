@@ -303,6 +303,21 @@ AUDIT = [
         "partial+final (two aggregate nodes) on one (type, hour) "
         "exchange",
     ),
+    (
+        "dedup_substring_spans",
+        ["hashpartitioning(doc_a", "HashAggregate"],
+        "islands windows partition by (pair, diagonal) — bounded by "
+        "doc length, never corpus-wide; df-cut anchor join bounds "
+        "the gram fan-out; partial aggregation everywhere",
+    ),
+    (
+        "drift_ks",
+        ["hashpartitioning(bkt", "HashAggregate"],
+        "pooled-ECDF cumulative windows partition by value-range "
+        "bucket; the only unpartitioned window runs over the "
+        "metadata-sized bucket-count table (offsets, broadcast "
+        "back); per-value counts partially aggregate map-side",
+    ),
 ]
 
 

@@ -69,6 +69,11 @@ DEFAULT_QUERIES = [
     "ts_ewma_decay",
     "text_lm_coverage",
     "path_markov_transitions",
+    # round-10 additions: diagonal-islands substring dedup, bucketed-
+    # ECDF KS statistic, PQ encode+ADC (train cost included)
+    "dedup_substring_spans",
+    "drift_ks",
+    "sim_pq_adc",
 ]
 
 # SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH

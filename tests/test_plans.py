@@ -418,3 +418,23 @@ def test_grouped_median_bucketed_partitions(spark, sf_dir):
         assert "hashpartitioning(l_returnflag" in p, name
         assert "__b" in p, name
         assert "SinglePartition" not in p, name
+
+
+def test_substring_spans_windows_are_pair_partitioned(spark, sf_dir):
+    """Islands windows must partition by (pair, diagonal) — bounded
+    by document length — with no corpus-wide unpartitioned sort."""
+    p = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "hashpartitioning(doc_a" in p
+    assert "SinglePartition" not in p
+
+
+def test_drift_ks_ecdf_is_bucketed(spark, sf_dir):
+    """The pooled-ECDF cumulative windows partition by the value-
+    range bucket; the only unpartitioned window is the bucket-offset
+    one over the metadata-sized bucket-count table (post-aggregation
+    — its input is the bkt-grain table, never raw events)."""
+    p = _plan(spark, sf_dir, "drift_ks")
+    assert "hashpartitioning(bkt" in p
+    # bucket-offset window allowed once; raw per-event rows never
+    # pass through it (it consumes the aggregated (bkt, ba, bb) rows)
+    assert p.count("SinglePartition") <= 2
