@@ -590,3 +590,201 @@ def test_rollback_restores_delete_state(spark, tdir):
     assert {r["id"] for r in read_version(spark, tdir).collect()} == {
         0, 1, 3, 4,
     }
+
+
+# ---------------------------------------------------------------- MERGE
+
+
+def _manifest(tdir, v):
+    import json
+    import pathlib
+
+    return json.loads(
+        (pathlib.Path(tdir) / "_manifests" / f"v{v:06d}.json").read_text()
+    )
+
+
+def test_merge_update_and_insert(spark, tdir):
+    from tms_etl_spark.operators.versioned import merge_version
+
+    write_version(_df(spark, 0, 10), tdir, "append")
+    src = spark.createDataFrame(
+        [(3, 999), (7, 777), (20, 200)], "id long, val long"
+    )
+    v = merge_version(spark, tdir, src, "id", "update")
+    assert v == 2
+    rows = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
+    assert rows[3] == 999 and rows[7] == 777  # matched → updated
+    assert rows[20] == 200  # not matched → inserted
+    assert rows[0] == 0 and rows[9] == 90  # untouched rows intact
+    assert len(rows) == 11
+    # pre-merge version still time-travels to the old values
+    old = {r["id"]: r["val"] for r in read_version(spark, tdir, 1).collect()}
+    assert old[3] == 30 and 20 not in old
+
+
+def test_merge_delete(spark, tdir):
+    from tms_etl_spark.operators.versioned import merge_version
+
+    write_version(_df(spark, 0, 10), tdir, "append")
+    src = spark.createDataFrame([(2,), (5,), (99,)], "id long")
+    merge_version(spark, tdir, src, "id", "delete")
+    ids = {r["id"] for r in read_version(spark, tdir).collect()}
+    assert ids == set(range(10)) - {2, 5}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tdir):
+    from tms_etl_spark.operators.versioned import merge_version
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    dup = spark.createDataFrame([(1, 10), (1, 11)], "id long, val long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_version(spark, tdir, dup, "id", "update")
+
+
+def test_merge_rewrites_only_touched_files(spark, tdir):
+    """Copy-on-write discipline: a merge touching one dir's key range
+    must leave the other dirs' files alive and byte-identical, and
+    mark only the overlapping files dead."""
+    from tms_etl_spark.operators.versioned import merge_version
+
+    # three appended batches with disjoint key ranges
+    write_version(_df(spark, 0, 100).repartition(1), tdir, "append")
+    write_version(_df(spark, 100, 200).repartition(1), tdir, "append")
+    write_version(_df(spark, 200, 300).repartition(1), tdir, "append")
+    src = spark.createDataFrame([(150, 1), (160, 2)], "id long, val long")
+    v = merge_version(spark, tdir, src, "id", "update")
+    man = _manifest(tdir, v)
+    dead = man.get("dead_files", [])
+    # exactly the one file of the middle batch is dead; the middle
+    # dir itself dropped (all its files died), batches 1/3 untouched
+    assert len(dead) <= 1
+    surviving_batches = [d for d in man["dirs"] if "-merge-" not in d]
+    assert len(surviving_batches) == 2
+    rows = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
+    assert rows[150] == 1 and rows[160] == 2 and rows[155] == 1550
+    assert len(rows) == 300
+
+
+def test_merge_zonemap_skips_disjoint_files(spark, tdir):
+    """Files whose key zonemap is disjoint from the source range are
+    not even candidates (no read). Verified via the manifest: they
+    stay live and keep their stats."""
+    from tms_etl_spark.operators.versioned import merge_version
+
+    write_version(_df(spark, 0, 50).repartition(1), tdir, "append")
+    write_version(_df(spark, 1000, 1050).repartition(1), tdir, "append")
+    src = spark.createDataFrame([(1010, 7)], "id long, val long")
+    v = merge_version(spark, tdir, src, "id", "update")
+    man = _manifest(tdir, v)
+    # first dir survives with stats; only second batch rewritten
+    assert any(s["id"] == [0, 49] for s in man["stats"].values())
+    assert read_version(spark, tdir).count() == 100
+
+
+def test_merge_txn_idempotent(spark, tdir):
+    from tms_etl_spark.operators.versioned import merge_version
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    src = spark.createDataFrame([(1, 111)], "id long, val long")
+    v1 = merge_version(spark, tdir, src, "id", "update", txn_id="m1")
+    v2 = merge_version(spark, tdir, src, "id", "update", txn_id="m1")
+    assert v1 == v2 == 2
+    assert read_version(spark, tdir).count() == 5
+
+
+def test_merge_then_append_then_read(spark, tdir):
+    """dead_files carry across later appends; CDC across the merge
+    refuses (no pure-append delta)."""
+    from tms_etl_spark.operators.versioned import (
+        merge_version,
+        read_version_changes,
+    )
+
+    write_version(_df(spark, 0, 10), tdir, "append")
+    src = spark.createDataFrame([(1, 111)], "id long, val long")
+    vm = merge_version(spark, tdir, src, "id", "update")
+    va = write_version(_df(spark, 50, 55), tdir, "append")
+    rows = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
+    assert rows[1] == 111 and len(rows) == 15
+    # append after the merge has a clean file-level delta
+    assert read_version_changes(spark, tdir, vm, va).count() == 5
+    # but crossing the merge boundary must refuse
+    with pytest.raises(ValueError, match="MERGE"):
+        read_version_changes(spark, tdir, 1, vm)
+
+
+def test_merge_pruned_read_skips_dead(spark, tdir):
+    from tms_etl_spark.operators.versioned import (
+        merge_version,
+        read_version_pruned,
+    )
+
+    write_version(_df(spark, 0, 100).repartition(4, "id"), tdir, "append")
+    src = spark.createDataFrame([(10, -1)], "id long, val long")
+    merge_version(spark, tdir, src, "id", "update")
+    got = read_version_pruned(spark, tdir, "id", "=", 10).collect()
+    assert len(got) == 1 and got[0]["val"] == -1
+
+
+# ------------------------------------------------- incremental compaction
+
+
+def test_optimize_incremental_packs_only_small_dirs(spark, tdir):
+    from tms_etl_spark.operators.versioned import optimize_incremental
+
+    # one "healthy" dir (pretend big by using a tiny min_file_bytes
+    # threshold later) and several fragment dirs
+    write_version(_df(spark, 0, 10000).repartition(1), tdir, "append")
+    for i in range(4):
+        write_version(
+            _df(spark, 10000 + i * 10, 10010 + i * 10).repartition(2),
+            tdir,
+            "append",
+        )
+    import pathlib
+
+    big_file = max(
+        pathlib.Path(tdir).glob("data/*/*.parquet"),
+        key=lambda p: p.stat().st_size,
+    )
+    floor = big_file.stat().st_size  # healthy = at least the big file
+    v = optimize_incremental(spark, tdir, min_file_bytes=floor)
+    man = _manifest(tdir, v)
+    assert man["op"].startswith("compact:4dirs")
+    # the healthy dir is still referenced AS-IS (same dir name as v1)
+    assert _manifest(tdir, 1)["dirs"][0] in man["dirs"]
+    assert read_version(spark, tdir).count() == 10040
+    # fragments now live in exactly one compacted dir
+    assert len(man["dirs"]) == 2
+
+
+def test_optimize_incremental_noop_when_healthy(spark, tdir):
+    from tms_etl_spark.operators.versioned import optimize_incremental
+
+    write_version(_df(spark, 0, 100).repartition(1), tdir, "append")
+    v = optimize_incremental(spark, tdir, min_file_bytes=1)
+    assert v == 1  # no new version burned
+
+
+def test_optimize_incremental_purges_dead_and_tombstones(spark, tdir):
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        merge_version,
+        optimize_incremental,
+    )
+
+    write_version(_df(spark, 0, 100).repartition(1), tdir, "append")
+    merge_version(
+        spark,
+        tdir,
+        spark.createDataFrame([(5, -5)], "id long, val long"),
+        "id",
+        "update",
+    )
+    delete_rows(spark, tdir, spark.createDataFrame([(7,)], "id long"))
+    v = optimize_incremental(spark, tdir, min_file_bytes=1)
+    man = _manifest(tdir, v)
+    assert "dead_files" not in man and "deletes" not in man
+    rows = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
+    assert rows[5] == -5 and 7 not in rows and len(rows) == 99
