@@ -141,3 +141,32 @@ def test_cli_table_delete(spark, tmp_path):
     assert {r["id"] for r in read_version(spark, tdir).collect()} == {
         0, 2, 3, 5,
     }
+
+
+def test_cli_table_merge_and_compact(spark, tmp_path, capsys):
+    """`table merge` upserts a parquet source; `table compact` packs
+    the debt and purges the dead files."""
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "climerge")
+    write_version(
+        spark.range(0, 6).select("id", (F.col("id") * 2).alias("v")),
+        tdir,
+        "append",
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(2, 99), (10, 100)], "id long, v long").write.parquet(src)
+    rc = main(["table", "merge", tdir, "--source", src, "--key", "id"])
+    assert rc == 0
+    assert "committed v2" in capsys.readouterr().out
+    rows = {r["id"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert rows[2] == 99 and rows[10] == 100 and len(rows) == 7
+    rc = main(["table", "compact", tdir, "--min-file-mb", "64"])
+    assert rc == 0
+    assert "committed v3" in capsys.readouterr().out
+    assert read_version(spark, tdir).count() == 7

@@ -83,6 +83,27 @@ def _parser() -> argparse.ArgumentParser:
         help="comma-separated key values (cast to the column's type)",
     )
     td.add_argument("--txn-id", default=None)
+    tk = tsub.add_parser(
+        "compact",
+        help="incremental compaction: rewrite only small/dead dirs",
+    )
+    tk.add_argument("dir")
+    tk.add_argument(
+        "--min-file-mb", type=float, default=32.0,
+        help="dirs averaging less than this per live file get packed",
+    )
+    tk.add_argument("--target-file-mb", type=float, default=128.0)
+    tm = tsub.add_parser(
+        "merge",
+        help="copy-on-write MERGE of a parquet source by key",
+    )
+    tm.add_argument("dir")
+    tm.add_argument("--source", required=True, help="source parquet path")
+    tm.add_argument("--key", required=True)
+    tm.add_argument(
+        "--when-matched", choices=("update", "delete"), default="update"
+    )
+    tm.add_argument("--txn-id", default=None)
     return p
 
 
@@ -170,6 +191,27 @@ def main(argv: list[str] | None = None) -> int:
                 [(v,) for v in args.values.split(",")], f"{args.key} string"
             ).select(F.col(args.key).cast(ktype))
             v = vt.delete_rows(spark, args.dir, keys, txn_id=args.txn_id)
+            print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "compact":
+            v = vt.optimize_incremental(
+                spark,
+                args.dir,
+                target_file_bytes=int(args.target_file_mb * 1024 * 1024),
+                min_file_bytes=int(args.min_file_mb * 1024 * 1024),
+            )
+            print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "merge":
+            src = spark.read.parquet(args.source)
+            v = vt.merge_version(
+                spark,
+                args.dir,
+                src,
+                args.key,
+                when_matched=args.when_matched,
+                txn_id=args.txn_id,
+            )
             print(f"committed v{v}")
             return 0
 
