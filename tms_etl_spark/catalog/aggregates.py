@@ -606,3 +606,101 @@ def agg_percentiles_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions=[(1, 2), (9, 10), (99, 100)],
         names=["p50_cents", "p90_cents", "p99_cents"],
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        FROM lineitem GROUP BY 1
+    ), m AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM s
+    ), c AS (
+        SELECT l_returnflag, n, m1,
+               r2 - m1 * m1 AS m2,
+               r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+               r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                  - 3 * m1 * m1 * m1 * m1 AS m4
+        FROM m
+    )
+    SELECT l_returnflag, n, m1 AS mean,
+           m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+    FROM c
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group population skewness and excess kurtosis of the
+    quantity distribution — the 3rd/4th-moment companions of
+    `agg_variance_exact`, the tails/asymmetry profile a feature-
+    drift monitor tracks. NOT Spark's builtin `skewness`/`kurtosis`
+    (float-accumulating, order-dependent): raw power sums are EXACT
+    BIGINTs (quantity is integer-valued; sum of x^4 stays < 2^63
+    through sf100), central moments come from the power sums in IEEE
+    double with identical parse trees on both engines, so the result
+    is bit-identical and partition-layout-independent. One map-side-
+    combined exchange on the group key; everything after is
+    groups-sized arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+        F.sum(q * q * q).cast("long").alias("s3"),
+        F.sum(q * q * q * q).cast("long").alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m = s.select(
+        "l_returnflag",
+        "n",
+        m1.alias("m1"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        r4.alias("r4"),
+    )
+    m1c, r2c, r3c, r4c = (F.col(x) for x in ("m1", "r2", "r3", "r4"))
+    c = m.select(
+        "l_returnflag",
+        "n",
+        "m1",
+        (r2c - m1c * m1c).alias("m2"),
+        (r3c - F.lit(3) * m1c * r2c + F.lit(2) * m1c * m1c * m1c).alias(
+            "m3"
+        ),
+        (
+            r4c
+            - F.lit(4) * m1c * r3c
+            + F.lit(6) * m1c * m1c * r2c
+            - F.lit(3) * m1c * m1c * m1c * m1c
+        ).alias("m4"),
+    )
+    m2, m3_, m4_ = F.col("m2"), F.col("m3"), F.col("m4")
+    return c.select(
+        "l_returnflag",
+        "n",
+        F.col("m1").alias("mean"),
+        (m3_ / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))).alias("skewness"),
+        (m4_ / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+    )

@@ -95,3 +95,64 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
     return agg.join(canon, "entity_key")
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH t AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM part GROUP BY 1
+    ), p AS (
+        SELECT p_name, cnt, split_part(p_name, ' ', -1) AS noun FROM t
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM p a JOIN p b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate name pairs — blocked Levenshtein
+    join on the VALUE GRAIN: the corpus first collapses to distinct
+    name types with their duplicate counts (one partial-combining
+    exchange; the type table is vocabulary-bounded, the same move as
+    the BPE trainer's word-type table), then a blocking equi-join
+    (trailing word) pairs only same-block types and `F.levenshtein`
+    (JVM codegen, no Python) keeps pairs within 4 edits. Joining on
+    the raw rows instead would be quadratic in the duplicate-group
+    sizes — at a fixed name vocabulary, pair count would grow as
+    corpus^2 while the type-grain form stays CONSTANT. cnt_a/cnt_b
+    carry how many rows each side represents (the merge impact an
+    entity-resolution pass needs). The string-metric cousin of
+    `dedup_sorted_neighborhood` / `dedup_fuzzy_pairs`; DuckDB
+    `levenshtein` agrees with Spark's on ASCII."""
+    t = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    p = t.select(
+        "p_name",
+        "cnt",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("dist"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+    )

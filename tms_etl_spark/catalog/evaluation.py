@@ -127,3 +127,112 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+@query(
+    "eval_regression_metrics",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sy,
+               CAST(ROUND(SUM(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(28,8))), 2) AS DOUBLE) AS sxy,
+               CAST(ROUND(SUM(CAST(l_quantity * l_quantity
+                             AS DECIMAL(28,8))), 0) AS DOUBLE) AS sxx,
+               CAST(ROUND(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(28,8))), 1) AS DOUBLE) AS syy
+        FROM lineitem
+    ), fit AS (
+        SELECT n, sx, sy, syy,
+               ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope
+        FROM s
+    ), f2 AS (
+        SELECT n, sy, syy, slope,
+               (sy - slope * sx) / n AS intercept
+        FROM fit
+    ), res AS (
+        SELECT f2.n, f2.sy, f2.syy, f2.slope, f2.intercept,
+               CAST(ROUND(SUM(CAST(ABS(l.l_extendedprice
+                   - (f2.intercept + f2.slope * l.l_quantity))
+                   AS DECIMAL(38,8))), 4) AS DOUBLE) AS sae,
+               CAST(ROUND(SUM(CAST(
+                   (l.l_extendedprice
+                    - (f2.intercept + f2.slope * l.l_quantity))
+                   * (l.l_extendedprice
+                      - (f2.intercept + f2.slope * l.l_quantity))
+                   AS DECIMAL(38,8))), 0) AS DOUBLE) AS ssr
+        FROM lineitem l JOIN f2 ON TRUE
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT n, slope, intercept,
+           sae / n AS mae,
+           sqrt(ssr / n) AS rmse,
+           1.0 - ssr / (syy - (sy * sy) / n) AS r2
+    FROM res
+    """,
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression evaluation: global OLS fit (price ~ quantity, the
+    closed form — one sufficient-statistics aggregate) followed by a
+    residual pass for MAE / RMSE / R-squared. The model-quality twin
+    of `eval_classifier_metrics` / `eval_auc`.
+
+    Scale shape: pass 1 is a single map-side-combined aggregate to
+    ONE row of sufficient statistics; the fitted (slope, intercept)
+    row is broadcast back (crossJoin of a 1-row side) so pass 2 is a
+    map-only residual scan + one partial-combining aggregate — no
+    per-row model lookup shuffle, no driver-side data. Exactness:
+    sums ride DECIMAL at scales keeping every decimal->double cast
+    inside 2^53 (`exact.py` discipline); slope/intercept/residuals
+    are IEEE expressions with identical parse trees on both engines,
+    and residual accumulations ride DECIMAL(38,8) (|resid| rounds at
+    the money scale, squared residuals at integer scale)."""
+    from tms_etl_spark.catalog.exact import dsum, dsum8r
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum8r(x * y, "sxy", 2),
+        dsum8r(x * x, "sxx", 0),
+        dsum8r(y * y, "syy", 1),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    fit = s.select(n, sx, sy, syy, slope.alias("slope")).select(
+        "n",
+        "sy",
+        "syy",
+        "slope",
+        ((sy - F.col("slope") * sx) / n).alias("intercept"),
+    )
+    resid = y - (F.col("intercept") + F.col("slope") * x)
+    res = (
+        li.crossJoin(F.broadcast(fit))
+        .groupBy("n", "sy", "syy", "slope", "intercept")
+        .agg(
+            F.round(F.sum(F.abs(resid).cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("sae"),
+            F.round(F.sum((resid * resid).cast("decimal(38,8)")), 0)
+            .cast("double")
+            .alias("ssr"),
+        )
+    )
+    return res.select(
+        "n",
+        "slope",
+        "intercept",
+        (F.col("sae") / F.col("n")).alias("mae"),
+        F.sqrt(F.col("ssr") / F.col("n")).alias("rmse"),
+        (
+            F.lit(1.0)
+            - F.col("ssr") / (syy - (F.col("sy") * F.col("sy")) / F.col("n"))
+        ).alias("r2"),
+    )

@@ -145,3 +145,69 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderpriority AS p,
+               epoch_us(o_orderdate) // 86400000000 AS d
+        FROM orders
+    )
+    SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM o a JOIN o b
+      ON a.k < b.k AND b.d BETWEEN a.d - 6 AND a.d + 6
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via TIME TILES: each order carries a
+    7-day activity interval [d, d+6]; the result counts overlapping
+    order pairs per priority pair. The naive form is an O(n^2)
+    inequality join; the scale form tiles time into interval-length
+    windows, assigns each interval to the (<=2) tiles it spans
+    (array-side `sequence` + explode — no shuffle), and equi-joins ON
+    THE TILE, so candidates are only same-tile pairs: work is
+    sum(tile_size^2) ~ density x output size, never corpus^2. A pair
+    overlapping in two tiles is counted ONCE — only the tile holding
+    the later interval's start reports it (both intervals provably
+    cover that day, and it lives in exactly one tile) — no
+    distinct-pairs shuffle needed. Same bucketize-don't-nest-loop
+    move as `join_range_bands` / `operators/rangejoin.py`, for the
+    temporal-overlap special case (tile width >= max interval length
+    guarantees every overlapping pair shares a tile). The oracle is
+    the naive inequality join (DuckDB IEJoin handles it at test
+    scale)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        # o_orderdate may read as TIMESTAMP_NTZ; session tz is pinned
+        # UTC so the cast is deterministic
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("d"),
+    )
+    iv = o.withColumn(
+        "tile",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("d") / 7), F.floor((F.col("d") + 6) / 7)
+            )
+        ),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tile") == F.col("b.tile"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.abs(F.col("a.d") - F.col("b.d")) <= 6)
+        # dedup across tiles: report only where the later start lives
+        & (
+            F.col("a.tile")
+            == F.floor(F.greatest(F.col("a.d"), F.col("b.d")) / 7)
+        ),
+    )
+    return pairs.groupBy(
+        F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))

@@ -415,3 +415,112 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("value").cast("double"), key).alias("close"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s
+        FROM c GROUP BY 1
+    ), d AS (
+        SELECT c.event_type, c.h,
+               CAST(c.cnt AS DOUBLE) - (CAST(st.s AS DOUBLE) / st.n)
+                 AS dev
+        FROM c JOIN st USING (event_type)
+    ), den AS (
+        SELECT event_type,
+               CAST(ROUND(SUM(CAST(dev * dev AS DECIMAL(38,8))), 0)
+                    AS DOUBLE) AS ss
+        FROM d GROUP BY 1
+    ), num AS (
+        SELECT a.event_type, lg.lag AS lag,
+               CAST(ROUND(SUM(CAST(a.dev * b.dev AS DECIMAL(38,8))), 0)
+                    AS DOUBLE) AS cp,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d a
+        JOIN (SELECT UNNEST([1, 2, 3]) AS lag) lg ON TRUE
+        JOIN d b ON b.event_type = a.event_type AND b.h = a.h + lg.lag
+        GROUP BY 1, 2
+    )
+    SELECT num.event_type, CAST(lag AS INTEGER) AS lag,
+           cp / ss AS acf, n_pairs
+    FROM num JOIN den USING (event_type)
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1-3
+    hours, per event type — the seasonality probe behind lag-feature
+    selection and anomaly baselines. ACF(k) = sum(dev_t * dev_{t+k})
+    / sum(dev_t^2) over the observed hour grid (pairs exactly k hours
+    apart; missing hours contribute no pair).
+
+    Scale shape: the raw stream collapses to the (type, hour) grid in
+    ONE partial-combining exchange; everything after runs on the
+    grid (hours x types — calendar-bounded metadata, ~9k rows/year
+    per type), so lag self-joins and per-type stats are free at any
+    corpus size. Exactness: counts are exact BIGINTs, the mean is one
+    IEEE division, deviations/products are IEEE on identical operand
+    bits; cross-product sums ride DECIMAL(38,8) rounded to scale 0
+    (integer-magnitude values stay within the 2^53 double-cast bound
+    through sf1+)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    st = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    d = c.join(st, "event_type").select(
+        "event_type",
+        "h",
+        (
+            F.col("cnt").cast("double")
+            - F.col("s").cast("double") / F.col("n")
+        ).alias("dev"),
+    )
+    den = d.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("dev") * F.col("dev")).cast("decimal(38,8)")), 0
+        )
+        .cast("double")
+        .alias("ss")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag"))
+    a = d.alias("a")
+    b = d.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.h") == F.col("a.h") + F.col("lag")),
+        )
+        .groupBy("a.event_type", "lag")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("a.dev") * F.col("b.dev")).cast("decimal(38,8)")
+                ),
+                0,
+            )
+            .cast("double")
+            .alias("cp"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return num.join(den, "event_type").select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        (F.col("cp") / F.col("ss")).alias("acf"),
+        "n_pairs",
+    )
