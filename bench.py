@@ -177,6 +177,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "drift_ks",
     "sim_pq_adc",
+    # round-11 additions: time-tiled interval-overlap self-join and
+    # the residual-pass regression metrics (two-scan OLS)
+    "join_interval_overlap",
+    "eval_regression_metrics",
 ]
 
 

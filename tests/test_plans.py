@@ -438,3 +438,33 @@ def test_drift_ks_ecdf_is_bucketed(spark, sf_dir):
     # bucket-offset window allowed once; raw per-event rows never
     # pass through it (it consumes the aggregated (bkt, ba, bb) rows)
     assert p.count("SinglePartition") <= 2
+
+
+def test_interval_overlap_is_tile_equijoin(spark, sf_dir):
+    """The overlap self-join must be an EQUI-join on the time tile
+    (hash-joinable, bucketable), never a nested-loop over the
+    inequality predicate."""
+    p = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # tile is the hash key; the overlap test rides along as residual
+    assert "tile" in p
+
+
+def test_skew_kurtosis_partial_aggregates(spark, sf_dir):
+    """Power sums must map-side combine: one exchange on the group
+    key, partial_sum before it."""
+    p = _plan(spark, sf_dir, "agg_skew_kurtosis")
+    assert "partial_sum" in p
+    assert p.count("Exchange") <= 2  # tree + details listing of ONE
+
+
+def test_edit_distance_blocks_before_levenshtein(spark, sf_dir):
+    """Candidate generation must be the blocking equi-join (plus the
+    type-grain collapse aggregate); levenshtein must appear only as a
+    post-join filter, never as a join condition driving a nested
+    loop."""
+    p = _plan(spark, sf_dir, "dedup_edit_distance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p

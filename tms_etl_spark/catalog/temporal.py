@@ -476,6 +476,10 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("unix_micros(ts) div 3600000000").alias("h"),
     ).agg(F.count("*").cast("long").alias("cnt"))
+    # the grid feeds four consumers (stats, deviations, lag pairs,
+    # denominator); checkpointing the calendar-bounded table keeps the
+    # corpus scan at ONE instead of Catalyst re-deriving the subtree
+    c = c.localCheckpoint(eager=False)
     st = c.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cnt").cast("long").alias("s"),
