@@ -236,3 +236,123 @@ def test_python_datasource_writer_overwrite_mode(spark, tmp_path):
     assert read_version(spark, t).count() == 3
     assert {r["id"] for r in read_version(spark, t).collect()} == {100, 101, 102}
     assert read_version(spark, t, 1).count() == 5
+
+
+def test_versioned_stream_source_tails_versions(spark, tmp_path):
+    """readStream over a versioned table: offset = version number;
+    each restart consumes exactly the versions committed since the
+    checkpoint (exactly-once file-level tail)."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "vtab")
+    cp = str(tmp_path / "cp")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        "id", (F.col("id") * 2).alias("v")
+    )
+    write_version(mk(0, 5), tdir, "append")
+    spark.dataSource.register(VersionedTableDataSource)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("tms_versioned")
+            .option("path", tdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["id"], r["v"]) for r in spark.read.parquet(out).collect()
+        }
+
+    assert drain() == {(i, 2 * i) for i in range(5)}
+    # two more commits; the restarted stream appends ONLY the delta
+    write_version(mk(5, 8), tdir, "append")
+    write_version(mk(8, 10), tdir, "append")
+    assert drain() == {(i, 2 * i) for i in range(10)}
+    # idempotent restart with nothing new: no duplicates
+    assert drain() == {(i, 2 * i) for i in range(10)}
+
+
+def test_versioned_stream_source_refuses_merge_delta(spark, tmp_path):
+    """A MERGE between offsets has no file-level delta — the stream
+    must fail loud, not emit wrong rows."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+    from tms_etl_spark.operators.versioned import (
+        merge_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "vtabm")
+    cp = str(tmp_path / "cpm")
+    write_version(
+        spark.range(0, 5).select("id", (F.col("id") * 2).alias("v")),
+        tdir,
+        "append",
+    )
+    spark.dataSource.register(VersionedTableDataSource)
+
+    out = str(tmp_path / "outm")
+
+    def drain():
+        q = (
+            spark.readStream.format("tms_versioned")
+            .option("path", tdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    merge_version(
+        spark,
+        tdir,
+        spark.createDataFrame([(1, 99)], "id long, v long"),
+        "id",
+        "update",
+    )
+    with pytest.raises(StreamingQueryException, match="MERGE|delta"):
+        drain()
+
+
+def test_python_writer_append_keeps_tombstones(spark, tmp_path):
+    """The pure-python manifest commit must carry deletes/dead_files
+    forward on append — dropping them would resurrect deleted rows."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "vkeep")
+    write_version(
+        spark.range(0, 6).select("id", (F.col("id") * 2).alias("v")),
+        tdir,
+        "append",
+    )
+    delete_rows(spark, tdir, spark.createDataFrame([(2,)], "id long"))
+    spark.dataSource.register(VersionedTableDataSource)
+    spark.createDataFrame([(100, 200)], "id long, v long").write.format(
+        "tms_versioned"
+    ).option("path", tdir).mode("append").save()
+    ids = {r["id"] for r in read_version(spark, tdir).collect()}
+    assert ids == {0, 1, 3, 4, 5, 100}  # 2 stays deleted

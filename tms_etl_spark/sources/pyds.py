@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -216,14 +217,38 @@ class VersionedTableWriter(DataSourceWriter):
 
 
 class VersionedTableDataSource(DataSource):
-    """`df.write.format("tms_versioned")` — see VersionedTableWriter."""
+    """`df.write.format("tms_versioned")` (VersionedTableWriter) and
+    `spark.readStream.format("tms_versioned")`
+    (VersionedTableStreamReader)."""
 
     @classmethod
     def name(cls) -> str:
         return "tms_versioned"
 
+    def schema(self):
+        """Table schema from the latest version's first live file —
+        one parquet FOOTER read, no data access."""
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tms_versioned requires .option('path', ...)")
+        table = path.removeprefix("file:")
+        cur = _current_version_py(table)
+        if cur <= 0:
+            raise ValueError(f"no committed versions at {table}")
+        files = _live_files_py(table, _read_manifest_py(table, cur))
+        if not files:
+            raise ValueError(f"version {cur} at {table} has no live files")
+        return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+
     def writer(self, schema, overwrite: bool) -> VersionedTableWriter:
         return VersionedTableWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema) -> "VersionedTableStreamReader":
+        return VersionedTableStreamReader(self.options)
 
 
 def _commit_pending_pure_python(
@@ -288,9 +313,15 @@ def _commit_pending_pure_python(
 
     dirs = [pending_rel]
     recent = list(prev.get("recent_txns", [])) if prev else []
+    deletes: list = []
+    dead_files: list = []
     if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
         stats = {**prev.get("stats", {}), **stats}
+        # tombstones and merge-dead files survive an append — dropping
+        # them here would resurrect deleted/updated rows
+        deletes = list(prev.get("deletes", []))
+        dead_files = list(prev.get("dead_files", []))
     payload = {
         "version": v,
         "dirs": dirs,
@@ -298,6 +329,10 @@ def _commit_pending_pure_python(
         "stats": stats,
         "recent_txns": recent[:64],
     }
+    if deletes:
+        payload["deletes"] = deletes
+    if dead_files:
+        payload["dead_files"] = dead_files
     target = os.path.join(man_dir, f"v{v:06d}.json")
     lock = target + ".lock"
     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -312,3 +347,132 @@ def _commit_pending_pure_python(
     finally:
         os.unlink(lock)
     return v
+
+
+def _read_manifest_py(table_dir: str, version: int) -> dict:
+    import json as _json
+    import os
+
+    with open(
+        os.path.join(table_dir, "_manifests", f"v{version:06d}.json")
+    ) as fh:
+        return _json.load(fh)
+
+
+def _current_version_py(table_dir: str) -> int:
+    import os
+
+    man_dir = os.path.join(table_dir, "_manifests")
+    if not os.path.isdir(man_dir):
+        return 0
+    cur = 0
+    for f in os.listdir(man_dir):
+        if f.startswith("v") and f.endswith(".json"):
+            cur = max(cur, int(f[1:-5]))
+    return cur
+
+
+def _live_files_py(table_dir: str, man: dict) -> list[str]:
+    """Abs paths of a manifest's live parquet files (dead subtracted)."""
+    import glob
+    import os
+
+    dead = set(man.get("dead_files", []))
+    out: list[str] = []
+    for d in man["dirs"]:
+        for fp in sorted(glob.glob(os.path.join(table_dir, d, "*.parquet"))):
+            if f"{d}/{os.path.basename(fp)}" not in dead:
+                out.append(fp)
+    return out
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over a versioned table — the "table as a
+    stream" half of the lakehouse contract (the sink half is
+    `stream_write_versioned`):
+
+        spark.readStream.format("tms_versioned")
+             .option("path", DIR).load()
+
+    The OFFSET is the committed version number: `latestOffset` reads
+    one directory listing, `partitions(start, end)` diffs the two
+    manifests file-level (the `read_version_changes` append-chain
+    rule — the delta is exactly the files new in `end`, zero data
+    comparison) and emits ONE partition per new file, and
+    `read(partition)` streams that file as Arrow record batches ON
+    THE EXECUTOR — the driver never touches data, so a micro-batch
+    over a 100 TB table costs only the new files. Offset-range replay
+    is deterministic (manifests are immutable), giving exactly-once
+    under micro-batch retries.
+
+    Refusals (fail loud, never silently wrong): history rewritten
+    between the offsets (overwrite/rollback/compaction changed the
+    dir set non-monotonically) or row-level deletes / MERGEs in the
+    range — removed rows have no file-level delta. Streams should
+    tail append-only tables; run maintenance in windows between
+    streaming jobs (the same caveat Delta's streaming source
+    documents for non-append commits)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tms_versioned requires .option('path', ...)")
+        self._table = path.removeprefix("file:")
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": _current_version_py(self._table)}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = start["version"], end["version"]
+        if ev <= sv:
+            return [_FilePartition("")]
+        man_end = _read_manifest_py(self._table, ev)
+        if sv == 0:
+            if man_end.get("deletes"):
+                raise ValueError(
+                    "initial snapshot has row-level deletes; a per-file "
+                    "stream cannot subtract tombstones — optimize the "
+                    "table first"
+                )
+            new = _live_files_py(self._table, man_end)
+        else:
+            man_start = _read_manifest_py(self._table, sv)
+            if man_start.get("deletes", []) != man_end.get("deletes", []):
+                raise ValueError(
+                    f"versions {sv}..{ev} include a row-level delete — "
+                    "no file-level delta; stream append-only tables"
+                )
+            if man_start.get("dead_files", []) != man_end.get(
+                "dead_files", []
+            ):
+                raise ValueError(
+                    f"versions {sv}..{ev} include a MERGE rewrite — "
+                    "no pure-append file delta; stream append-only tables"
+                )
+            if not set(man_start["dirs"]).issubset(man_end["dirs"]):
+                raise ValueError(
+                    f"versions {sv}..{ev} are not an append chain "
+                    "(overwrite/rollback/compact in between)"
+                )
+            old = set(_live_files_py(self._table, man_start))
+            new = [
+                f
+                for f in _live_files_py(self._table, man_end)
+                if f not in old
+            ]
+        return [_FilePartition(p) for p in new] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        # Arrow batches straight to the executor's stream — no
+        # per-row Python objects
+        return pq.ParquetFile(partition.path).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable; nothing to clean up
