@@ -194,3 +194,64 @@ def test_status_line_udtf_lateral_join(spark):
         (1, "Tear 001", "Com Sucesso"),
         (1, "Tear 002", "Desligada"),
     }
+
+
+def test_anomaly_stream_compiles(spark, sf_dir, tmp_path):
+    """Plan-level pin for the Welford anomaly processor (protobuf
+    runtime absent here; logic covered by the replay test below)."""
+    from tms_etl_spark.operators.udfs import anomaly_stream_by_key
+
+    src_dir = str(tmp_path / "ev")
+    load_table(spark, sf_dir, "events").limit(100).write.parquet(src_dir)
+    batch = spark.read.parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out = anomaly_stream_by_key(stream, key="user_id", ts="ts", value="value")
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "ts",
+        "value",
+        "zscore",
+    ]
+    assert (
+        "TransformWithStateInPySpark"
+        in out._jdf.queryExecution().logical().toString()
+    )
+
+
+def test_anomaly_processor_welford_replay():
+    """The processor's scoring logic, replayed in pure Python against
+    a naive two-pass reference: an event is flagged iff it deviates
+    more than z sigmas from the statistics of the PRIOR prefix."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    xs = [rng.gauss(10, 1) for _ in range(200)] + [50.0] + [
+        rng.gauss(10, 1) for _ in range(50)
+    ]
+
+    # processor logic (mirror of _AnomalyProcessor.handleInputRows)
+    n, mean, m2 = 0, 0.0, 0.0
+    flagged = []
+    for i, v in enumerate(xs):
+        if n >= 10:
+            sd = math.sqrt(m2 / n)
+            if sd > 0 and abs(v - mean) / sd > 3.0:
+                flagged.append(i)
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+
+    # naive reference: prefix mean/population-sd per position
+    expect = []
+    for i, v in enumerate(xs):
+        if i >= 10:
+            pre = xs[:i]
+            mu = sum(pre) / i
+            sd = math.sqrt(sum((p - mu) ** 2 for p in pre) / i)
+            if sd > 0 and abs(v - mu) / sd > 3.0:
+                expect.append(i)
+    assert flagged == expect
+    assert 200 in flagged  # the planted outlier

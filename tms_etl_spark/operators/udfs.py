@@ -227,3 +227,98 @@ def make_status_line_udtf():
                     yield m.group("loom").strip(), m.group("status").strip()
 
     return ParseStatusLines
+
+
+def anomaly_stream_by_key(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    z_threshold: float = 3.0,
+    min_obs: int = 10,
+):
+    """T6 on the MODERN state API (Spark 4 `transformWithStateInPandas`
+    / StatefulProcessor, the successor to `applyInPandasWithState`):
+    streaming per-key anomaly detection with Welford running moments.
+
+    Each key carries (n, mean, M2) in a typed ValueState — O(1) state
+    per key, no window buffer — and every event is z-scored against
+    the statistics accumulated BEFORE it arrived (so an outlier can't
+    mask itself); the state then folds the event in. Emits only the
+    flagged rows (alert stream), which keeps the sink's volume
+    independent of the input rate. The per-key state lives in the
+    state store (RocksDB at scale) keyed by the shuffle key, so
+    parallelism and fault tolerance follow the usual exactly-once
+    micro-batch contract. Welford's update is used instead of naive
+    sum/sumsq precisely because a long-lived stream would lose the
+    variance to cancellation.
+
+    Scale: one shuffle per micro-batch on the key (same as any
+    stateful op); state size = keys x 3 doubles. `min_obs` suppresses
+    alerts until the baseline has enough mass."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    kc, tc, vc = key, ts, value
+    zt, mo = float(z_threshold), int(min_obs)
+
+    class _AnomalyProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n long, mean double, m2 double"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            import math as _math
+
+            import pandas as _pd
+
+            if self._stats.exists():
+                n, mean, m2 = self._stats.get()
+            else:
+                n, mean, m2 = 0, 0.0, 0.0
+            out_ts, out_v, out_z = [], [], []
+            for pdf in rows:
+                pdf = pdf.sort_values(tc)
+                for t, v in zip(pdf[tc], pdf[vc]):
+                    if v is None or v != v:
+                        continue
+                    v = float(v)
+                    if n >= mo:
+                        sd = _math.sqrt(m2 / n)
+                        if sd > 0.0 and abs(v - mean) / sd > zt:
+                            out_ts.append(t)
+                            out_v.append(v)
+                            out_z.append((v - mean) / sd)
+                    # Welford fold AFTER scoring
+                    n += 1
+                    d = v - mean
+                    mean += d / n
+                    m2 += d * (v - mean)
+            self._stats.update((n, mean, m2))
+            if out_ts:
+                yield _pd.DataFrame(
+                    {
+                        kc: [key_tuple[0]] * len(out_ts),
+                        tc: out_ts,
+                        vc: out_v,
+                        "zscore": out_z,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = f"{kc} long, {tc} timestamp, {vc} double, zscore double"
+    return (
+        stream.select(kc, tc, vc)
+        .groupBy(kc)
+        .transformWithStateInPandas(
+            _AnomalyProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
