@@ -318,6 +318,45 @@ AUDIT = [
         "metadata-sized bucket-count table (offsets, broadcast "
         "back); per-value counts partially aggregate map-side",
     ),
+    (
+        "join_interval_overlap",
+        ["HashJoin", "partial_count"],
+        "overlap self-join is an EQUI-join on the 7-day time tile "
+        "(never CartesianProduct/nested-loop over the inequality); "
+        "intervals explode to <=2 tiles array-side; cross-tile "
+        "pairs deduped by the later-start tile rule, no distinct "
+        "shuffle; priority rollup partial-aggregates",
+    ),
+    (
+        "agg_skew_kurtosis",
+        ["partial_sum", "HashAggregate"],
+        "BIGINT power sums map-side combine on ONE group-key "
+        "exchange; central moments are groups-sized IEEE arithmetic "
+        "after the aggregate — bit-identical cross-engine, unlike "
+        "the builtin float-accumulating skewness/kurtosis",
+    ),
+    (
+        "eval_regression_metrics",
+        ["BroadcastNestedLoopJoin", "partial_sum"],
+        "the 1-row fitted model broadcasts back (BNLJ of a 1-row "
+        "side = the broadcast-scalar pattern); both passes are "
+        "map-side-combined aggregates; no per-row model shuffle",
+    ),
+    (
+        "dedup_edit_distance",
+        ["levenshtein", "HashAggregate"],
+        "value-grain collapse (name types + counts) BEFORE the "
+        "blocking equi-join; levenshtein is a post-join filter in "
+        "codegen, never a join condition driving a nested loop",
+    ),
+    (
+        "ts_autocorrelation",
+        ["HashAggregate", "partial_count"],
+        "corpus collapses to the (type, hour) grid in one "
+        "partial-combining exchange and the grid is checkpointed "
+        "(ONE corpus scan for four consumers); lag joins and "
+        "per-type stats run on the calendar-bounded grid",
+    ),
 ]
 
 
