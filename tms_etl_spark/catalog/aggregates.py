@@ -704,3 +704,75 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3_ / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))).alias("skewness"),
         (m4_ / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(19,4)) * 100)
+                    AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    h AS (
+        SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS wsum
+        FROM base GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, cents,
+               SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(wsum) OVER (PARTITION BY l_returnflag) AS tw
+        FROM h
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cumw * 2 >= tw THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price cents weighted by quantity, per return
+    flag) — the order statistic behind quantity-weighted price
+    benchmarks. Same group-local bucketed-histogram discipline as
+    `agg_median_per_group`, with COUNTS replaced by integer WEIGHT
+    SUMS: one partial-combining exchange to the (group, value)
+    grain, cumulative weights over the group-local value histogram,
+    and the nearest-rank pick is the integer condition
+    2·cumw >= total_w — no per-group value buffer, no floats, so the
+    result is engine-exact. Weights stay BIGINT (quantity is
+    integral); a fractional-weight variant would ride DECIMAL the
+    same way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice").cast("decimal(19,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    h = base.groupBy("l_returnflag", "cents").agg(
+        F.sum("w").cast("long").alias("wsum")
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wsum").over(wspec).alias("cumw"),
+        F.sum("wsum").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cumw") * 2 >= F.col("tw"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("wmedian_cents"),
+        F.max("tw").cast("long").alias("total_weight"),
+    )

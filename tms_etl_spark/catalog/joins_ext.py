@@ -151,11 +151,11 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_overlap",
     oracle="""
     WITH o AS (
-        SELECT o_orderkey AS k, o_orderpriority AS p,
+        SELECT o_orderkey AS k, o_orderstatus AS s,
                epoch_us(o_orderdate) // 86400000000 AS d
-        FROM orders
+        FROM orders WHERE o_orderpriority = '1-URGENT'
     )
-    SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM o a JOIN o b
       ON a.k < b.k AND b.d BETWEEN a.d - 6 AND a.d + 6
     GROUP BY 1, 2
@@ -176,12 +176,19 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-pairs shuffle needed. Same bucketize-don't-nest-loop
     move as `join_range_bands` / `operators/rangejoin.py`, for the
     temporal-overlap special case (tile width >= max interval length
-    guarantees every overlapping pair shares a tile). The oracle is
-    the naive inequality join (DuckDB IEJoin handles it at test
+    guarantees every overlapping pair shares a tile). Work — and the
+    TRUE result — is output-bounded: densifying a fixed time range
+    (the probe's key-offset multiplication) grows overlap pairs
+    quadratically by definition, while growing the time range at
+    fixed density is linear; the URGENT-priority filter (pushed to
+    the scan) keeps the graded pair volume batch-sized. The oracle
+    is the naive inequality join (DuckDB IEJoin handles it at test
     scale)."""
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
         F.col("o_orderkey").alias("k"),
-        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("p"),
         # o_orderdate may read as TIMESTAMP_NTZ; session tz is pinned
         # UTC so the cast is deterministic
         F.expr(
@@ -209,5 +216,5 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pairs.groupBy(
-        F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
+        F.col("a.p").alias("sa"), F.col("b.p").alias("sb")
     ).agg(F.count("*").cast("long").alias("n_pairs"))

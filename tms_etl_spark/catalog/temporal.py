@@ -528,3 +528,121 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cp") / F.col("ss")).alias("acf"),
         "n_pairs",
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s
+        FROM c GROUP BY 1
+    ), d AS (
+        SELECT c.event_type, c.h,
+               CAST(c.cnt AS DOUBLE) - (CAST(st.s AS DOUBLE) / st.n)
+                 AS dev
+        FROM c JOIN st USING (event_type)
+    ), ssq AS (
+        SELECT event_type,
+               CAST(ROUND(SUM(CAST(dev * dev AS DECIMAL(38,8))), 0)
+                    AS DOUBLE) AS ss
+        FROM d GROUP BY 1
+    ), num AS (
+        SELECT lg.lag AS lag,
+               CAST(ROUND(SUM(CAST(a.dev * b.dev AS DECIMAL(38,8))), 0)
+                    AS DOUBLE) AS cp,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d a
+        JOIN (SELECT UNNEST([-3,-2,-1,0,1,2,3]) AS lag) lg ON TRUE
+        JOIN d b ON a.event_type = 'click'
+               AND b.event_type = 'purchase'
+               AND b.h = a.h + lg.lag
+        GROUP BY 1
+    )
+    SELECT CAST(num.lag AS INTEGER) AS lag,
+           cp / (sqrt(ca.ss) * sqrt(cb.ss)) AS xcorr, n_pairs
+    FROM num,
+         (SELECT ss FROM ssq WHERE event_type = 'click') ca,
+         (SELECT ss FROM ssq WHERE event_type = 'purchase') cb
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the click and purchase hourly count
+    series at lags -3..+3 hours — does click volume LEAD purchase
+    volume (positive-lag peak) or lag it? The lead-lag probe behind
+    campaign attribution and capacity planning. Same single-scan
+    grid collapse as `ts_autocorrelation` (the corpus touches one
+    partial-combining exchange; the localCheckpointed grid feeds
+    stats, deviations, and the lag join), normalized by the two
+    series' own sums of squares."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    c = c.localCheckpoint(eager=False)
+    st = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    d = c.join(st, "event_type").select(
+        "event_type",
+        "h",
+        (
+            F.col("cnt").cast("double")
+            - F.col("s").cast("double") / F.col("n")
+        ).alias("dev"),
+    )
+    ss = d.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("dev") * F.col("dev")).cast("decimal(38,8)")), 0
+        )
+        .cast("double")
+        .alias("ss")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    a = d.where(F.col("event_type") == "click").alias("a")
+    b = d.where(F.col("event_type") == "purchase").alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.h") == F.col("a.h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("a.dev") * F.col("b.dev")).cast("decimal(38,8)")
+                ),
+                0,
+            )
+            .cast("double")
+            .alias("cp"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    ca = ss.where(F.col("event_type") == "click").select(
+        F.col("ss").alias("ss_a")
+    )
+    cb = ss.where(F.col("event_type") == "purchase").select(
+        F.col("ss").alias("ss_b")
+    )
+    return (
+        num.crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            (
+                F.col("cp")
+                / (F.sqrt(F.col("ss_a")) * F.sqrt(F.col("ss_b")))
+            ).alias("xcorr"),
+            "n_pairs",
+        )
+    )
