@@ -788,3 +788,56 @@ def test_optimize_incremental_purges_dead_and_tombstones(spark, tdir):
     assert "dead_files" not in man and "deletes" not in man
     rows = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
     assert rows[5] == -5 and 7 not in rows and len(rows) == 99
+
+
+def test_stream_merge_versioned_upserts_exactly_once(spark, tdir, tmp_path):
+    """Streaming CDC-apply: a file stream of (id, val) updates merges
+    into the table; re-running the drained stream (or a fresh stream
+    over the same files with the same checkpoint) replays as a no-op."""
+    import pathlib
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        stream_merge_versioned,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+    schema = "id long, val long"
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    emit("b0", [(0, 10), (1, 11), (2, 12)])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src) + "/*")
+    q = stream_merge_versioned(stream, tdir, cp, key="id")
+    q.awaitTermination(120)
+    assert {
+        (r["id"], r["val"]) for r in read_version(spark, tdir).collect()
+    } == {(0, 10), (1, 11), (2, 12)}
+
+    # second wave: one update (id=1), one insert (id=5), in-batch dup
+    # on id=5 (dedup picks max struct -> val 52)
+    emit("b1", [(1, 111), (5, 51), (5, 52)])
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src) + "/*")
+    q2 = stream_merge_versioned(stream2, tdir, cp, key="id")
+    q2.awaitTermination(120)
+    got = {(r["id"], r["val"]) for r in read_version(spark, tdir).collect()}
+    assert got == {(0, 10), (1, 111), (2, 12), (5, 52)}
+
+    v = current_version(spark, tdir)
+    # drained restart: no new commits, same rows
+    stream3 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q3 = stream_merge_versioned(stream3, tdir, cp, key="id")
+    q3.awaitTermination(120)
+    assert current_version(spark, tdir) == v
+    assert {
+        (r["id"], r["val"]) for r in read_version(spark, tdir).collect()
+    } == got

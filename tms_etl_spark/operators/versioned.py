@@ -1032,6 +1032,54 @@ def stream_write_versioned(
     return w.start()
 
 
+def stream_merge_versioned(
+    sdf,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT sink: each micro-batch applies as
+    a copy-on-write MERGE (`merge_version`) keyed on ``key`` — the
+    streaming-CDC-apply pattern (late corrections, mutable entities)
+    where `stream_write_versioned` is the append-only pattern. The
+    batch is deduplicated to one row per key via a max_by precedence
+    struct over the batch's own column order (a replayed batch picks
+    the same rows), committed with ``txn_id = "merge-batch-<id>"``,
+    so the restart-after-commit race replays as a no-op — idempotence
+    ledger in the table, per-batch cost = merge cost (touched files +
+    batch), never O(table). An empty table bootstraps via a plain
+    append commit."""
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        others = [c for c in cols if c != key]
+        # one row per key: greatest (other-cols) struct wins — any
+        # deterministic total order works, it just has to be REPLAY-
+        # STABLE so a retried batch merges identical rows
+        dedup = (
+            batch_df.groupBy(key)
+            .agg(F.max_by(F.struct(*others), F.struct(*others)).alias("__r"))
+            .select(key, *[F.col(f"__r.{c}").alias(c) for c in others])
+        )
+        txn = f"merge-batch-{batch_id}"
+        if current_version(spark, table_dir) == 0:
+            write_version(dedup, table_dir, "append", txn_id=txn)
+        else:
+            merge_version(
+                spark, table_dir, dedup, key, "update", txn_id=txn
+            )
+
+    w = sdf.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def read_version_changes(
     spark: SparkSession,
     table_dir: str,
