@@ -841,3 +841,76 @@ def test_stream_merge_versioned_upserts_exactly_once(spark, tdir, tmp_path):
     assert {
         (r["id"], r["val"]) for r in read_version(spark, tdir).collect()
     } == got
+
+
+def test_merge_model_based_random_ops(spark, tdir):
+    """Model-based randomized check of the whole mutation surface:
+    a random sequence of append / merge-update / merge-delete /
+    delete_rows / incremental-compact operations applied to BOTH the
+    versioned table and a plain Python dict; after every step the
+    table must read back exactly the dict."""
+    import random
+
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        merge_version,
+        optimize_incremental,
+        write_version,
+    )
+
+    rng = random.Random(42)
+    model: dict[int, int] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, val long")
+
+    def check():
+        got = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
+        assert got == model
+
+    # bootstrap
+    rows = [(i, rng.randrange(1000)) for i in range(0, 20)]
+    model.update(dict(rows))
+    write_version(df_of(rows), tdir, "append")
+    check()
+
+    for step in range(12):
+        op = rng.choice(["append", "merge", "mergedel", "delete", "compact"])
+        if op == "append":
+            # fresh keys only (append doesn't upsert)
+            base = 100 + step * 10
+            rows = [(base + j, rng.randrange(1000)) for j in range(3)]
+            model.update(dict(rows))
+            write_version(df_of(rows), tdir, "append")
+        elif op == "merge":
+            keys = rng.sample(sorted(model) + [9000 + step], 3)
+            rows = [(k, rng.randrange(1000)) for k in set(keys)]
+            model.update(dict(rows))
+            merge_version(spark, tdir, df_of(rows), "id", "update")
+        elif op == "mergedel":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            for k in keys:
+                model.pop(k, None)
+            merge_version(
+                spark,
+                tdir,
+                spark.createDataFrame([(k,) for k in keys], "id long"),
+                "id",
+                "delete",
+            )
+        elif op == "delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            for k in keys:
+                model.pop(k, None)
+            delete_rows(
+                spark,
+                tdir,
+                spark.createDataFrame([(k,) for k in keys], "id long"),
+            )
+        else:
+            optimize_incremental(spark, tdir, min_file_bytes=1024)
+        check()
