@@ -914,3 +914,120 @@ def test_merge_model_based_random_ops(spark, tdir):
         else:
             optimize_incremental(spark, tdir, min_file_bytes=1024)
         check()
+
+
+# ------------------------------------------------ materialized views
+
+
+def test_materialized_view_incremental_refresh(spark, tdir, tmp_path):
+    """The incrementally-refreshed view must equal a from-scratch
+    aggregate after every refresh — bit-identical sums (decimal) —
+    and only consume the base's new files."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.matview import (
+        _last_refreshed_base,
+        refresh_sum_view,
+        rebuild_sum_view,
+    )
+    from tms_etl_spark.operators.versioned import write_version
+
+    mv = str(tmp_path / "mv")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 5).alias("h"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+
+    def expect():
+        return {
+            (r["g"], r["h"]): (str(r["s"]), r["n"])
+            for r in read_version(spark, tdir)
+            .groupBy("g", "h")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,8)"))
+                .cast("decimal(28,8)")
+                .alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (r["g"], r["h"]): (str(r["sum_val"]), r["n_rows"])
+            for r in read_version(spark, mv).collect()
+        }
+
+    write_version(batch(0, 500), tdir, "append")
+    assert refresh_sum_view(spark, tdir, mv, ["g", "h"], "x") == 1
+    assert got() == expect()
+
+    write_version(batch(500, 800), tdir, "append")
+    write_version(batch(800, 900), tdir, "append")
+    assert refresh_sum_view(spark, tdir, mv, ["g", "h"], "x") == 3
+    assert got() == expect()
+    assert _last_refreshed_base(spark, mv) == 3
+
+    # replay: no-op, no extra view version
+    from tms_etl_spark.operators.versioned import current_version
+
+    v = current_version(spark, mv)
+    assert refresh_sum_view(spark, tdir, mv, ["g", "h"], "x") == 3
+    assert current_version(spark, mv) == v
+
+    # rebuild equals incremental bit-for-bit
+    mv2 = str(tmp_path / "mv2")
+    rebuild_sum_view(spark, tdir, mv2, ["g", "h"], "x")
+    got2 = {
+        (r["g"], r["h"]): (str(r["sum_val"]), r["n_rows"])
+        for r in read_version(spark, mv2).collect()
+    }
+    assert got2 == got()
+
+
+def test_materialized_view_refuses_nonappend_base(spark, tdir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.matview import (
+        refresh_sum_view,
+        rebuild_sum_view,
+    )
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        write_version,
+    )
+
+    mv = str(tmp_path / "mv")
+    write_version(
+        spark.range(0, 50).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") * 1.0).alias("x")
+        ),
+        tdir,
+        "append",
+    )
+    refresh_sum_view(spark, tdir, mv, ["g"], "x")
+    delete_rows(spark, tdir, spark.createDataFrame([(1,)], "id long")
+                .selectExpr("id as g"))
+    write_version(
+        spark.range(50, 60).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") * 1.0).alias("x")
+        ),
+        tdir,
+        "append",
+    )
+    with pytest.raises(ValueError, match="delete|delta"):
+        refresh_sum_view(spark, tdir, mv, ["g"], "x")
+    # recovery path: full rebuild reflects the delete
+    rebuild_sum_view(spark, tdir, mv, ["g"], "x")
+    got = {r["g"]: r["n_rows"] for r in read_version(spark, mv).collect()}
+    exp = {
+        r["g"]: r["n"]
+        for r in read_version(spark, tdir)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp

@@ -1,0 +1,164 @@
+"""Incrementally-maintained materialized views on the versioned-table
+layer — the end-to-end composition of this engine's lakehouse pieces:
+`read_version_changes` (file-level CDC tail) feeds a delta aggregate,
+`merge_version` (copy-on-write MERGE) applies it, and the manifest's
+txn ledger records which base version the view reflects, making every
+refresh idempotent and crash-safe.
+
+Why it matters at 100 TB: a grouped aggregate over the full base
+table costs a full scan per refresh; this refresh costs
+O(new batches + view) — the base's unread history is never touched.
+That is the IVM delta rule for SUM-like aggregates (the repo's
+`operators/ivm.py` proves the algebra; this module gives it durable
+storage and restart semantics).
+
+Cites: the reference re-aggregates the whole shift-fact table per
+report run (/root/reference/src/main_01.py report path); here the
+same summary stays fresh for the cost of the day's batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.versioned import (
+    _manifest_path,
+    _read_json,
+    current_version,
+    merge_version,
+    read_version,
+    read_version_changes,
+    write_version,
+)
+
+_TXN_PREFIX = "mv-base-v"
+_SEP = "\x1f"  # unit separator: can't occur in the group values
+
+
+def _last_refreshed_base(spark: SparkSession, mv_dir: str) -> int:
+    """Base version the view currently reflects, recovered from the
+    txn ledger of the view's LATEST manifest (one metadata read) —
+    no external watermark file to lose or corrupt."""
+    cur = current_version(spark, mv_dir)
+    if cur <= 0:
+        return 0
+    man = _read_json(spark, _manifest_path(mv_dir, cur))
+    best = 0
+    for t, _v in man.get("recent_txns", []):
+        if t.startswith(_TXN_PREFIX):
+            best = max(best, int(t[len(_TXN_PREFIX):]))
+    return best
+
+
+def _agg(df: DataFrame, group_cols: list[str], sum_col: str) -> DataFrame:
+    """Grouped (decimal-exact sum, count) plus the surrogate merge key
+    — one map-side-combined exchange on the group columns."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sum(F.col(sum_col).cast("decimal(28,8)"))
+            .cast("decimal(28,8)")
+            .alias("sum_val"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.concat_ws(
+                _SEP, *[F.col(c).cast("string") for c in group_cols]
+            ).alias("mv_key"),
+            *group_cols,
+            "sum_val",
+            "n_rows",
+        )
+    )
+
+
+def refresh_sum_view(
+    spark: SparkSession,
+    base_dir: str,
+    mv_dir: str,
+    group_cols: list[str],
+    sum_col: str,
+) -> int:
+    """Bring the materialized view `SELECT group_cols, SUM(sum_col),
+    COUNT(*) FROM base GROUP BY group_cols` up to the base's current
+    version; returns the base version now reflected.
+
+    - First call (empty view): one full aggregate — the unavoidable
+      bootstrap, committed with the base version in the ledger.
+    - Steady state: the delta aggregate reads ONLY the base's new
+      files (`read_version_changes` file-level diff), joins the
+      view's current rows for the touched groups (AQE broadcasts the
+      batch-sized delta), and lands as a copy-on-write MERGE keyed on
+      the surrogate ``mv_key`` (deterministic concat of the group
+      values — one-column merge regardless of group arity). Cost:
+      O(new batches + view scan + touched view files).
+    - Idempotent/crash-safe: ``txn_id = "mv-base-v<B>"`` makes a
+      replayed refresh a no-op; the reflected version is recovered
+      from the ledger, never from external state. Refreshing with no
+      new base commits returns immediately.
+    - decimal-exact sums: an incremental view and a from-scratch
+      rebuild are bit-identical regardless of batch boundaries.
+
+    A non-append base change (overwrite/rollback/delete/merge) has no
+    file-level delta: `read_version_changes` raises, and the caller
+    recovers with `rebuild_sum_view`."""
+    base_cur = current_version(spark, base_dir)
+    if base_cur <= 0:
+        raise ValueError(f"no committed versions at {base_dir}")
+    done = _last_refreshed_base(spark, mv_dir)
+    if done >= base_cur:
+        return done
+    txn = f"{_TXN_PREFIX}{base_cur}"
+    if done == 0:
+        snap = _agg(read_version(spark, base_dir), group_cols, sum_col)
+        write_version(snap, mv_dir, "append", txn_id=txn)
+        return base_cur
+    delta = _agg(
+        read_version_changes(spark, base_dir, done, base_cur),
+        group_cols,
+        sum_col,
+    )
+    cur_mv = read_version(spark, mv_dir).select(
+        "mv_key",
+        F.col("sum_val").alias("__old_s"),
+        F.col("n_rows").alias("__old_n"),
+    )
+    combined = delta.join(cur_mv, "mv_key", "left").select(
+        "mv_key",
+        *group_cols,
+        (
+            F.coalesce(F.col("__old_s"), F.lit(0).cast("decimal(28,8)"))
+            + F.col("sum_val")
+        )
+        .cast("decimal(28,8)")
+        .alias("sum_val"),
+        (F.coalesce(F.col("__old_n"), F.lit(0)) + F.col("n_rows"))
+        .cast("long")
+        .alias("n_rows"),
+    )
+    merge_version(
+        spark, mv_dir, combined, key="mv_key",
+        when_matched="update", txn_id=txn,
+    )
+    return base_cur
+
+
+def rebuild_sum_view(
+    spark: SparkSession,
+    base_dir: str,
+    mv_dir: str,
+    group_cols: list[str],
+    sum_col: str,
+) -> int:
+    """Full recompute (recovery after a non-append base change): one
+    aggregate of the base committed as an OVERWRITE version carrying
+    the current base version in the ledger."""
+    base_cur = current_version(spark, base_dir)
+    if base_cur <= 0:
+        raise ValueError(f"no committed versions at {base_dir}")
+    snap = _agg(read_version(spark, base_dir), group_cols, sum_col)
+    write_version(
+        snap, mv_dir, "overwrite", txn_id=f"{_TXN_PREFIX}{base_cur}"
+    )
+    return base_cur
