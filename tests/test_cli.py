@@ -170,3 +170,29 @@ def test_cli_table_merge_and_compact(spark, tmp_path, capsys):
     assert rc == 0
     assert "committed v3" in capsys.readouterr().out
     assert read_version(spark, tdir).count() == 7
+
+
+def test_cli_mv_refresh(spark, tmp_path, capsys):
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "base")
+    mv = str(tmp_path / "view")
+    write_version(
+        spark.range(0, 40).select(
+            (F.col("id") % 4).alias("g"), (F.col("id") * 1.0).alias("x")
+        ),
+        tdir,
+        "append",
+    )
+    rc = main(
+        ["table", "mv-refresh", tdir, "--view", mv,
+         "--group-by", "g", "--sum", "x"]
+    )
+    assert rc == 0
+    assert "reflects base v1" in capsys.readouterr().out
+    assert read_version(spark, mv).count() == 4

@@ -104,6 +104,18 @@ def _parser() -> argparse.ArgumentParser:
         "--when-matched", choices=("update", "delete"), default="update"
     )
     tm.add_argument("--txn-id", default=None)
+    for nm, hp in (
+        ("mv-refresh", "incrementally refresh a SUM/COUNT view"),
+        ("mv-rebuild", "full recompute of a SUM/COUNT view"),
+    ):
+        tv = tsub.add_parser(nm, help=hp)
+        tv.add_argument("dir", help="base table dir")
+        tv.add_argument("--view", required=True, help="view table dir")
+        tv.add_argument(
+            "--group-by", required=True,
+            help="comma-separated group columns",
+        )
+        tv.add_argument("--sum", required=True, dest="sum_col")
     return p
 
 
@@ -213,6 +225,23 @@ def main(argv: list[str] | None = None) -> int:
                 txn_id=args.txn_id,
             )
             print(f"committed v{v}")
+            return 0
+        if args.table_cmd in ("mv-refresh", "mv-rebuild"):
+            from tms_etl_spark.operators import matview
+
+            fn = (
+                matview.refresh_sum_view
+                if args.table_cmd == "mv-refresh"
+                else matview.rebuild_sum_view
+            )
+            b = fn(
+                spark,
+                args.dir,
+                args.view,
+                args.group_by.split(","),
+                args.sum_col,
+            )
+            print(f"view reflects base v{b}")
             return 0
 
     return 2
