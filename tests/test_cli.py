@@ -196,3 +196,21 @@ def test_cli_mv_refresh(spark, tmp_path, capsys):
     assert rc == 0
     assert "reflects base v1" in capsys.readouterr().out
     assert read_version(spark, mv).count() == 4
+
+
+def test_cli_index_and_point(spark, tmp_path, capsys):
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "bidx")
+    write_version(
+        spark.range(0, 500).select("id", (F.col("id") * 7).alias("v"))
+        .repartition(4, "id"),
+        tdir,
+        "append",
+    )
+    assert main(["table", "index", tdir, "--col", "id"]) == 0
+    assert "wrote" in capsys.readouterr().out
+    assert main(["table", "point", tdir, "--col", "id", "--value", "42"]) == 0
+    assert "294" in capsys.readouterr().out

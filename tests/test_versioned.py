@@ -1031,3 +1031,101 @@ def test_materialized_view_refuses_nonappend_base(spark, tdir, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------- bloom index
+
+
+def test_bloom_index_point_read_skips_files(spark, tdir):
+    """On a hash-distributed high-cardinality key every file's
+    zonemap spans the whole domain (range pruning useless); the bloom
+    sidecar must cut a point read to ~1 file, exactly."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import write_version
+
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") * 3).alias("val")
+    ).repartition(8, "id")  # hash layout: zonemaps useless
+    write_version(df, tdir, "append")
+    build_bloom_index(spark, tdir, "id")
+
+    got = read_version_point(spark, tdir, "id", 12345)
+    rows = got.collect()
+    assert [(r["id"], r["val"]) for r in rows] == [(12345, 37035)]
+    # file skipping: the scan touched far fewer than the 8 files
+    assert 0 < len(got.inputFiles()) <= 3
+    full = read_version(spark, tdir).where(F.col("id") == 12345)
+    assert len(full.inputFiles()) == 8
+
+    # absent key: empty result, zero or near-zero files scanned
+    miss = read_version_point(spark, tdir, "id", 999999)
+    assert miss.count() == 0
+
+
+def test_bloom_index_random_point_reads_exact(spark, tdir):
+    """Pruned point reads equal unpruned filters for random keys —
+    bloom false positives may widen the scan, never the result."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import write_version
+
+    rng = random.Random(11)
+    write_version(
+        spark.range(0, 5000).select(
+            F.col("id"), (F.col("id") % 97).alias("val")
+        ).repartition(6, "id"),
+        tdir,
+        "append",
+    )
+    build_bloom_index(spark, tdir, "id")
+    full = read_version(spark, tdir)
+    for _ in range(10):
+        k = rng.randrange(0, 6000)  # some misses too
+        got = {
+            (r["id"], r["val"])
+            for r in read_version_point(spark, tdir, "id", k).collect()
+        }
+        exp = {
+            (r["id"], r["val"])
+            for r in full.where(F.col("id") == k).collect()
+        }
+        assert got == exp
+
+
+def test_bloom_index_unindexed_files_still_scanned(spark, tdir):
+    """Files appended AFTER the index build aren't in the sidecar —
+    they must be scanned conservatively, not skipped."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import write_version
+
+    write_version(
+        spark.range(0, 1000).select("id", (F.col("id")).alias("val"))
+        .repartition(4, "id"),
+        tdir,
+        "append",
+    )
+    build_bloom_index(spark, tdir, "id")
+    write_version(
+        spark.createDataFrame([(55555, 1)], "id long, val long"),
+        tdir,
+        "append",
+    )
+    # index was built at v1; the v2 read has no v2 index -> fallback
+    got = read_version_point(spark, tdir, "id", 55555).collect()
+    assert [(r["id"], r["val"]) for r in got] == [(55555, 1)]

@@ -104,6 +104,18 @@ def _parser() -> argparse.ArgumentParser:
         "--when-matched", choices=("update", "delete"), default="update"
     )
     tm.add_argument("--txn-id", default=None)
+    ti = tsub.add_parser(
+        "index", help="build a per-file Bloom sidecar for point reads"
+    )
+    ti.add_argument("dir")
+    ti.add_argument("--col", required=True)
+    tg = tsub.add_parser(
+        "point", help="bloom-pruned point read (col = value)"
+    )
+    tg.add_argument("dir")
+    tg.add_argument("--col", required=True)
+    tg.add_argument("--value", required=True)
+    tg.add_argument("--limit", type=int, default=20)
     for nm, hp in (
         ("mv-refresh", "incrementally refresh a SUM/COUNT view"),
         ("mv-rebuild", "full recompute of a SUM/COUNT view"),
@@ -225,6 +237,30 @@ def main(argv: list[str] | None = None) -> int:
                 txn_id=args.txn_id,
             )
             print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "index":
+            from tms_etl_spark.operators.bloomindex import build_bloom_index
+
+            print(f"wrote {build_bloom_index(spark, args.dir, args.col)}")
+            return 0
+        if args.table_cmd == "point":
+            from pyspark.sql import functions as F
+
+            from tms_etl_spark.operators.bloomindex import read_version_point
+
+            cur = vt.read_version(spark, args.dir)
+            if args.col not in cur.columns:
+                print(f"unknown column: {args.col!r}", file=sys.stderr)
+                return 2
+            ktype = dict(cur.dtypes)[args.col]
+            val = (
+                spark.createDataFrame([(args.value,)], "v string")
+                .select(F.col("v").cast(ktype))
+                .head()[0]
+            )
+            read_version_point(spark, args.dir, args.col, val).show(
+                args.limit, truncate=False
+            )
             return 0
         if args.table_cmd in ("mv-refresh", "mv-rebuild"):
             from tms_etl_spark.operators import matview

@@ -1,0 +1,183 @@
+"""File-level Bloom indexes for versioned tables — point-lookup file
+skipping where zonemaps can't help.
+
+A zonemap prunes range predicates, but on a HIGH-CARDINALITY key with
+no clustering every file's [min, max] spans the whole domain and a
+point read still scans everything. The lakehouse answer is a per-file
+Bloom filter: ~1.2 bytes/key for a 1% false-positive rate, stored in
+a SIDECAR parquet (`_indexes/<col>/v<version>-bloom`), consulted at
+plan time — a `key = value` read then scans only the files whose
+bloom admits the value (plus rare false positives; the residual
+filter keeps results exact).
+
+The index build is fully distributed and JVM-side: each row emits its
+k hash positions as (word, mask) pairs ARRAY-SIDE (one explode of a
+k-element array), and `bit_or` — a partial-combining aggregate —
+folds them into the per-(file, word) bitmap words. No Python in the
+hot path, no driver-side bitsets; the sidecar is (files x words)
+rows, written once per indexed version like any other data.
+
+Hashes: xxhash64(col, seed=i) for i in 0..k-1 — deterministic across
+engines/runs, so an index built anywhere prunes the same files."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.versioned import (
+    _manifest_path,
+    _read_json,
+    _scan_with_deletes,
+    current_version,
+    path_exists,
+)
+
+_BITS = 1 << 20  # 1 Mi bits per file ≈ 131 kB; ~1% FP at ~100k keys
+_K = 4
+
+
+def _canon(p: str) -> str:
+    """Normalize file:///x, file:/x, /x to one canonical /x form."""
+    import re
+
+    return re.sub(r"^file:/+", "/", p)
+
+
+def _index_dir(table_dir: str, col: str, version: int) -> str:
+    return f"{table_dir}/_indexes/{col}/v{version:06d}-bloom"
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    version: int | None = None,
+) -> str:
+    """Build the per-file Bloom sidecar for ``col`` at ``version``
+    (default: current). One pass over the version's data projected to
+    (file, col); returns the sidecar path. Rebuild after commits that
+    add files (an index is valid for the exact file set it indexed —
+    readers fall back to scanning un-indexed files). Bits-per-file
+    and hash count are module constants so build and probe can never
+    disagree."""
+    bits, n_hashes = _BITS, _K
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    df = _scan_with_deletes(spark, table_dir, man).select(
+        F.input_file_name().alias("file"), F.col(col).alias("__v")
+    )
+    # k hash positions per row, array-side; split into (word, mask)
+    pos = df.select(
+        "file",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.abs(F.xxhash64(F.col("__v"), F.lit(i)))
+                        % F.lit(bits)
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "file",
+        (F.col("p") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+    )
+    words = pos.groupBy("file", "word").agg(
+        F.bit_or("mask").alias("bits")
+    )
+    out = _index_dir(table_dir, col, v)
+    words.withColumn(
+        "file", F.regexp_replace("file", "^file:/+", "/")
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_version_point(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point read `col = value` using the Bloom sidecar for file
+    skipping. Exact: bloom-admitted files still pass through the
+    residual filter; files not covered by the sidecar (added after
+    the index build) are conservatively scanned. Falls back to a
+    plain filtered scan when no index exists. The sidecar probe is a
+    metadata-scale aggregate (k words per file), collected as one
+    file list — the same plan-time footprint as zonemap pruning."""
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    pred_scan = _scan_with_deletes(spark, table_dir, man)
+    idx = _index_dir(table_dir, col, v)
+    if not path_exists(spark, idx):
+        return pred_scan.where(F.col(col) == F.lit(value))
+    # xxhash64 is TYPE-sensitive: probe with the column's exact type
+    # or a long column never matches an int literal's hashes
+    lit = F.lit(value).cast(dict(pred_scan.dtypes)[col])
+    probes = [
+        (
+            int(r["word"]),
+            int(r["mask"]),
+        )
+        for r in spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        (F.abs(F.xxhash64(lit, F.lit(i))) % F.lit(_BITS))
+                        for i in range(_K)
+                    ]
+                ).alias("p")
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+        )
+        .collect()
+    ]
+    words = spark.read.parquet(idx)
+    # a file admits the value iff EVERY distinct probed (word, mask)
+    # bit is set (hash collisions can make < _K distinct probes)
+    distinct_probes = sorted(set(probes))
+    probe_df = spark.createDataFrame(
+        distinct_probes, "word long, mask long"
+    )
+    hits = (
+        words.join(F.broadcast(probe_df), "word")
+        .where(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        .groupBy("file")
+        .agg(F.count("*").alias("k_hit"))
+        .where(F.col("k_hit") >= len(distinct_probes))
+    )
+    keep = [_canon(r["file"]) for r in hits.collect()]
+    indexed = {
+        _canon(r["file"])
+        for r in words.select("file").distinct().collect()
+    }
+    # files in the version but not in the index: scan conservatively
+    from tms_etl_spark.sources.fs import list_files
+
+    dead = set(man.get("dead_files", []))
+    all_files = []
+    for d in man["dirs"]:
+        for fi in list_files(spark, f"{table_dir}/{d}"):
+            name = fi.path.rsplit("/", 1)[-1]
+            if name.endswith(".parquet") and f"{d}/{name}" not in dead:
+                all_files.append(_canon(fi.path))
+    unindexed = [f for f in all_files if f not in indexed]
+    scan_files = sorted(set(keep) | set(unindexed))
+    if not scan_files:
+        return pred_scan.where(F.col(col) == lit).limit(0)
+    if man.get("deletes"):
+        # tombstoned tables: correctness first — bloom skips only the
+        # clean-dir fast path; fall back to the full subtracted scan
+        return pred_scan.where(F.col(col) == lit)
+    return spark.read.parquet(*scan_files).where(F.col(col) == lit)
