@@ -1129,3 +1129,39 @@ def test_bloom_index_unindexed_files_still_scanned(spark, tdir):
     # index was built at v1; the v2 read has no v2 index -> fallback
     got = read_version_point(spark, tdir, "id", 55555).collect()
     assert [(r["id"], r["val"]) for r in got] == [(55555, 1)]
+
+
+def test_pruned_multi_predicate_read(spark, tdir):
+    """AND-of-predicates pruning: a file is skipped when ANY zonemap
+    proves it empty; results equal the unpruned filter exactly."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        read_version_pruned_multi,
+        write_version,
+    )
+
+    # range-clustered on id -> tight id zonemaps per file
+    for lo in range(0, 4000, 1000):
+        write_version(
+            spark.range(lo, lo + 1000).select(
+                "id",
+                (F.col("id") % 13).alias("m"),
+                (F.col("id") * 2).alias("v"),
+            ).repartition(1),
+            tdir,
+            "append",
+        )
+    got = read_version_pruned_multi(
+        spark, tdir, [("id", ">=", 1500), ("id", "<", 1600), ("m", "=", 5)]
+    )
+    exp = (
+        read_version(spark, tdir)
+        .where((F.col("id") >= 1500) & (F.col("id") < 1600) & (F.col("m") == 5))
+        .collect()
+    )
+    assert sorted((r["id"], r["v"]) for r in got.collect()) == sorted(
+        (r["id"], r["v"]) for r in exp
+    )
+    # only the one file covering [1000, 2000) survives pruning
+    assert len(got.inputFiles()) == 1

@@ -526,6 +526,74 @@ def read_version_pruned(
     ).where(pred)
 
 
+def read_version_pruned_multi(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunctive zonemap pruning: ``predicates`` is a list of
+    (col, op, value) combined with AND — a file is skipped when ANY
+    predicate's zonemap proves it empty (the sound rule for a
+    conjunction), and every surviving row still passes the full
+    residual filter. The multi-column analog of
+    `read_version_pruned`; with range-clustered layout on one column
+    and a selective second predicate this stacks both cuts."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if v <= 0 or v > cur:
+        raise ValueError(
+            f"version {v} not committed at {table_dir} (current {cur})"
+        )
+    p = _manifest_path(table_dir, v)
+    if not path_exists(spark, p):
+        raise ValueError(f"version {v} expired at {table_dir}")
+    man = _read_json(spark, p)
+    stats = man.get("stats", {})
+    dead = set(man.get("dead_files", []))
+    ops = {
+        "=": lambda c, x: F.col(c) == F.lit(x),
+        "<": lambda c, x: F.col(c) < F.lit(x),
+        "<=": lambda c, x: F.col(c) <= F.lit(x),
+        ">": lambda c, x: F.col(c) > F.lit(x),
+        ">=": lambda c, x: F.col(c) >= F.lit(x),
+    }
+    pred = reduce(
+        lambda a, b: a & b,
+        [ops[op](col, val) for col, op, val in predicates],
+    )
+    keep_dirs: list[str] = []
+    paths_by_dir: dict[str, list[str]] = {}
+    for d in man["dirs"]:
+        files: list[str] = []
+        for fi in list_files(spark, f"{table_dir}/{d}"):
+            name = fi.path.rsplit("/", 1)[-1]
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{d}/{name}"
+            if rel in dead:
+                continue
+            if any(
+                _file_prunable(stats.get(rel), col, op, val)
+                for col, op, val in predicates
+            ):
+                continue
+            files.append(f"{table_dir}/{rel}")
+        if files:
+            keep_dirs.append(d)
+            paths_by_dir[d] = files
+    if not keep_dirs:
+        full = spark.read.parquet(*[f"{table_dir}/{d}" for d in man["dirs"]])
+        return spark.createDataFrame([], full.schema)
+    return _scan_with_deletes(
+        spark, table_dir, man, dirs=keep_dirs, paths_by_dir=paths_by_dir
+    ).where(pred)
+
+
 def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
     """Non-destructive rollback: commit a NEW version whose manifest
     points at ``to_version``'s data dirs. Zero data movement; the
