@@ -1165,3 +1165,42 @@ def test_pruned_multi_predicate_read(spark, tdir):
     )
     # only the one file covering [1000, 2000) survives pruning
     assert len(got.inputFiles()) == 1
+
+
+def test_optimize_zorder_tightens_both_dimensions(spark, tdir):
+    """OPTIMIZE ZORDER BY (x, y): after Morton-key clustering, a
+    selective predicate on EITHER column prunes files via
+    read_version_pruned_multi — the 2-D layout parity check."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        optimize_version,
+        read_version_pruned_multi,
+        write_version,
+    )
+
+    write_version(
+        spark.range(0, 40000).select(
+            (F.col("id") % 200).alias("x"),
+            ((F.col("id") * 7919) % 200).alias("y"),
+            F.col("id").alias("payload"),
+        ).repartition(8),
+        tdir,
+        "append",
+    )
+    optimize_version(
+        spark, tdir, target_file_bytes=40_000, zorder_by=("x", "y")
+    )
+    total = len(read_version(spark, tdir).inputFiles())
+    assert total >= 4  # compaction produced a multi-file layout
+    for col in ("x", "y"):
+        got = read_version_pruned_multi(
+            spark, tdir, [(col, ">=", 10), (col, "<", 20)]
+        )
+        exp = (
+            read_version(spark, tdir)
+            .where((F.col(col) >= 10) & (F.col(col) < 20))
+            .count()
+        )
+        assert got.count() == exp
+        assert len(got.inputFiles()) < total  # pruning bit on this dim

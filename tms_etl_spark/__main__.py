@@ -60,6 +60,10 @@ def _parser() -> argparse.ArgumentParser:
     to = tsub.add_parser("optimize")
     to.add_argument("dir")
     to.add_argument("--cluster-by", default=None)
+    to.add_argument(
+        "--zorder-by", default=None,
+        help="two comma-separated columns for Morton-key clustering",
+    )
     te = tsub.add_parser("expire")
     te.add_argument("dir")
     te.add_argument("--keep-last", type=int, default=7)
@@ -186,8 +190,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"committed v{vt.rollback(spark, args.dir, args.to)}")
             return 0
         if args.table_cmd == "optimize":
+            zo = (
+                tuple(args.zorder_by.split(","))
+                if args.zorder_by
+                else None
+            )
             v = vt.optimize_version(
-                spark, args.dir, cluster_by=args.cluster_by
+                spark, args.dir, cluster_by=args.cluster_by, zorder_by=zo
             )
             print(f"committed v{v}")
             return 0

@@ -699,6 +699,7 @@ def optimize_version(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: str | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Compaction commit: rewrite the CURRENT version's rows into one
     fresh data dir with file sizes targeted from LISTING METADATA
@@ -717,8 +718,14 @@ def optimize_version(
     makes each file's [min,max] tight, so `read_version_pruned`
     point/range reads touch ~1 file after compaction. This is the
     OPTIMIZE ... ZORDER/CLUSTER BY move of lakehouse formats, with
-    range partitioning as the single-column case (compose with
-    `operators/layout.py` hilbert/z-order keys for multi-column)."""
+    range partitioning as the single-column case.
+
+    ``zorder_by=(x, y)``: two-dimensional case — files cluster by
+    the interleaved-bit Morton key (`operators/layout.py:zorder_key`,
+    JVM-side bit spreading), so BOTH columns' per-file zonemaps come
+    out tight and `read_version_pruned_multi` predicates on either
+    (or both) dimensions skip files — the OPTIMIZE ... ZORDER BY of
+    Delta, on this layer. Mutually exclusive with ``cluster_by``."""
     from math import ceil
 
     from tms_etl_spark.sources.fs import total_size
@@ -737,11 +744,23 @@ def optimize_version(
 
     import uuid
 
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
     if cluster_by is not None:
         df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
             cluster_by
+        )
+    elif zorder_by is not None:
+        from tms_etl_spark.operators.layout import zorder_key
+
+        zx, zy = zorder_by
+        df = (
+            df.withColumn("__zkey", zorder_key(zx, zy))
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
         )
     else:
         df = df.repartition(n_files)
@@ -755,6 +774,11 @@ def optimize_version(
             "op": (
                 f"optimize:{n_files}"
                 + (f":cluster_by={cluster_by}" if cluster_by else "")
+                + (
+                    f":zorder_by={zorder_by[0]},{zorder_by[1]}"
+                    if zorder_by
+                    else ""
+                )
             ),
             "stats": _dir_file_stats(spark, table_dir, new_dir),
             "recent_txns": _carry_txns(man, None, v),
