@@ -8,7 +8,8 @@ over the registered tables, and plan inspection from one command:
     python -m tms_etl_spark run <query> [--sf-dir DIR] [--limit N]
     python -m tms_etl_spark explain <query> [--sf-dir DIR]
     python -m tms_etl_spark sql "SELECT ... FROM lineitem ..." [--sf-dir DIR]
-    python -m tms_etl_spark table history|show|rollback|optimize|expire|changes DIR ...
+    python -m tms_etl_spark table history|show|rollback|optimize|compact|
+        expire|changes|delete|merge|index|point|mv-refresh|mv-rebuild DIR ...
 
 Output goes to stdout (`run` prints `show()`-style tables capped at
 --limit rows; `sql` the same). Exit code 0 on success, 2 on unknown
