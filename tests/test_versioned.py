@@ -1204,3 +1204,43 @@ def test_optimize_zorder_tightens_both_dimensions(spark, tdir):
         )
         assert got.count() == exp
         assert len(got.inputFiles()) < total  # pruning bit on this dim
+
+
+def test_checked_write_constraints_and_schema(spark, tdir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        ExpectationViolation,
+        write_version_checked,
+    )
+
+    qdir = str(tmp_path / "quarantine")
+    ok = spark.createDataFrame([(1, 10), (2, 20)], "id long, val long")
+    write_version_checked(ok, tdir, check_constraints=["val >= 0"])
+    assert read_version(spark, tdir).count() == 2
+
+    # violation without quarantine: refused, nothing committed
+    bad = spark.createDataFrame([(3, -5), (4, 40)], "id long, val long")
+    with pytest.raises(ExpectationViolation, match="violate"):
+        write_version_checked(bad, tdir, check_constraints=["val >= 0"])
+    assert read_version(spark, tdir).count() == 2
+
+    # with quarantine: clean rows land here, dirty rows THERE
+    write_version_checked(
+        bad, tdir, check_constraints=["val >= 0"], quarantine_dir=qdir
+    )
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {1, 2, 4}
+    assert {r["id"] for r in read_version(spark, qdir).collect()} == {3}
+
+    # strict schema: extra column refused; evolve: allowed
+    wide = spark.createDataFrame(
+        [(5, 50, "x")], "id long, val long, note string"
+    )
+    with pytest.raises(ExpectationViolation, match="schema"):
+        write_version_checked(wide, tdir)
+    write_version_checked(wide, tdir, schema_policy="evolve")
+    assert read_version(spark, tdir).where(F.col("id") == 5).count() == 1
+    # type change always refused
+    retyped = spark.createDataFrame([(6, "oops")], "id long, val string")
+    with pytest.raises(ExpectationViolation, match="schema"):
+        write_version_checked(retyped, tdir, schema_policy="evolve")

@@ -1313,3 +1313,81 @@ def commit_existing_dir(
         payload["txn_id"] = txn_id
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
+
+
+class ExpectationViolation(RuntimeError):
+    """A commit-time constraint failed; nothing was committed."""
+
+
+def write_version_checked(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    txn_id: str | None = None,
+    check_constraints: list[str] | None = None,
+    schema_policy: str = "strict",
+    quarantine_dir: str | None = None,
+) -> int:
+    """`write_version` with COMMIT-TIME constraints — the CHECK
+    constraint / schema-enforcement half of the lakehouse contract
+    (a table that any producer can silently poison isn't a table):
+
+    - ``check_constraints``: SQL boolean expressions every row must
+      satisfy (e.g. ``"val >= 0"``, ``"id IS NOT NULL"``). Violating
+      rows either fail the commit (default — one COUNT per batch,
+      nothing lands) or, with ``quarantine_dir``, are split off and
+      committed THERE as their own versioned table while the clean
+      rows commit here (`quarantine_split` — both halves share one
+      scan). Constraint checks cost O(batch), never O(table).
+    - ``schema_policy="strict"``: the batch's columns must equal the
+      table's current columns (names + types, order-insensitive) —
+      a pure METADATA comparison via `schema_drift`, zero data read.
+      ``"evolve"`` permits additions (the union-read layer fills
+      nulls); removals/type changes always refuse.
+
+    Raises ExpectationViolation BEFORE any data lands — the commit
+    protocol's all-or-nothing property extends to constraints."""
+    from tms_etl_spark.operators.expectations import (
+        quarantine_split,
+        schema_drift,
+    )
+
+    spark = df.sparkSession
+    cur = current_version(spark, table_dir)
+    if cur >= 1 and schema_policy in ("strict", "evolve"):
+        current = read_version(spark, table_dir)
+        drift = schema_drift(current, df)
+        blocking = [
+            d
+            for d in drift
+            if d["change"] in ("removed", "type_changed")
+            or (schema_policy == "strict" and d["change"] == "added")
+        ]
+        if blocking:
+            raise ExpectationViolation(
+                f"schema policy {schema_policy!r} refuses: {blocking}"
+            )
+    elif schema_policy not in ("strict", "evolve"):
+        raise ValueError(f"unknown schema_policy {schema_policy!r}")
+    if check_constraints:
+        combined = " AND ".join(f"({c})" for c in check_constraints)
+        clean, dirty = quarantine_split(df, combined)
+        if quarantine_dir is None:
+            n_bad = dirty.count()
+            if n_bad:
+                raise ExpectationViolation(
+                    f"{n_bad} rows violate [{combined}]; commit refused"
+                )
+            return write_version(df, table_dir, mode, txn_id=txn_id)
+        v = write_version(clean, table_dir, mode, txn_id=txn_id)
+        # quarantined rows become an inspectable versioned table of
+        # their own (empty batches skipped — no noise commits)
+        if dirty.take(1):
+            write_version(
+                dirty,
+                quarantine_dir,
+                "append",
+                txn_id=(f"{txn_id}-quarantine" if txn_id else None),
+            )
+        return v
+    return write_version(df, table_dir, mode, txn_id=txn_id)
