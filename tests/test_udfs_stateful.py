@@ -255,3 +255,45 @@ def test_anomaly_processor_welford_replay():
                 expect.append(i)
     assert flagged == expect
     assert 200 in flagged  # the planted outlier
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf (not in this env); "
+    "logic pinned by test_anomaly_processor_welford_replay",
+)
+def test_anomaly_stream_live(spark, sf_dir, tmp_path):
+    """Live drive of the Welford anomaly stream: plant one extreme
+    outlier among stable values; only it should be flagged."""
+    from tms_etl_spark.operators.udfs import anomaly_stream_by_key
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), 10.0 + (i % 3) * 0.1)
+        for i in range(40)
+    ] + [(1, dt.datetime(2024, 1, 1, 0, 1, 0), 500.0)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        anomaly_stream_by_key(stream, key="user_id", ts="ts", value="value")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anom_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM anom_out").collect()
+    assert len(out) == 1 and out[0]["value"] == 500.0
+    assert abs(out[0]["zscore"]) > 3.0
