@@ -468,3 +468,12 @@ def test_edit_distance_blocks_before_levenshtein(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "levenshtein" in p
+
+
+def test_grouped_topk_bounded_no_group_window(spark, sf_dir):
+    """The bounded top-k must compile to two partial-combining
+    aggregates — no Window over the group (the hot-key straggler)."""
+    p = _plan(spark, sf_dir, "topk_per_group_bounded")
+    assert "partial_" in p          # both phases map-side combine
+    assert "row_number" not in p    # no rank function anywhere
+    assert "Window" not in p        # no window operator at all

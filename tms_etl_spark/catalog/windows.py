@@ -201,3 +201,39 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@query(
+    "topk_per_group_bounded",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey DESC,
+                            l_linenumber DESC
+               ) AS rn
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+    FROM r WHERE rn <= 3
+    """,
+)
+def topk_per_group_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest lineitems per return flag via the BUFFER-BOUNDED
+    two-phase aggregate (`operators/windows.py:grouped_topk_agg`) —
+    per-task state is a k-slice, so a 10^9-row hot group degrades
+    into partial-aggregation work instead of a single-task window
+    sort. The oracle is the window form; both carry the full
+    (price, orderkey, linenumber) descending tie-break so the kept
+    SET is well-defined."""
+    from tms_etl_spark.operators.windows import grouped_topk_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_topk_agg(
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        3,
+        ["l_orderkey", "l_linenumber"],
+    )

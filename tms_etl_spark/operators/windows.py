@@ -98,3 +98,62 @@ def skyline_2d(
     joined = df.join(thresh, x_col)
     dominated = (F.col("__best_cheaper_y") >= y) | (F.col("__ymax") > y)
     return joined.where(~dominated).select(*df.columns)
+
+
+def grouped_topk_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    payload_cols: Sequence[str] | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-group top-k with BOUNDED buffers — the hot-key-safe
+    alternative to `topk_per_group`'s window form. A window ranks by
+    sorting EVERY row of a group in one task: a group with 10^9 rows
+    is a straggler (or an OOM) no matter how many executors exist.
+    This form never materializes a group:
+
+      phase 1 — groupBy(keys, spark_partition_id): each task folds
+        ONLY its local slice of each group into a k-slice of a sorted
+        array (buffer ≤ min(partition rows, k after slice));
+      phase 2 — groupBy(keys): flatten the per-partition k-slices
+        (≤ k × n_partitions rows per group — independent of group
+        size) and slice to the final k.
+
+    Both phases are ordinary partial-combining aggregates; the hot
+    key degrades into aggregation work across partitions instead of
+    a single-reducer sort. Ties break by the payload struct's own
+    ordering after the order column, so results are deterministic.
+    Returns one row per kept input row: keys + order_col + payload.
+    """
+    payload_cols = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in df.columns if c not in keys and c != order_col]
+    )
+    srt = F.struct(F.col(order_col).alias("__o"), *[F.col(c) for c in payload_cols])
+    direction = F.asc if ascending else F.desc
+
+    def slice_topk(arr):
+        srt_arr = F.array_sort(arr)
+        if not ascending:
+            srt_arr = F.reverse(srt_arr)
+        return F.slice(srt_arr, 1, k)
+
+    local = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(*keys, "__pid")
+        .agg(slice_topk(F.collect_list(srt)).alias("__top"))
+    )
+    final = (
+        local.groupBy(*keys)
+        .agg(slice_topk(F.flatten(F.collect_list("__top"))).alias("__top"))
+        .select(*keys, F.explode("__top").alias("__r"))
+        .select(
+            *keys,
+            F.col("__r.__o").alias(order_col),
+            *[F.col(f"__r.{c}").alias(c) for c in payload_cols],
+        )
+    )
+    return final.orderBy(*keys, direction(order_col))
