@@ -420,3 +420,170 @@ def eval_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank.cast("long").alias("first_relevant_rank"),
         (F.lit(1.0) / rank).cast("double").alias("reciprocal_rank"),
     )
+
+
+_NDCG_K = 10
+
+
+@query(
+    "eval_ndcg",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id < {_MRR_QUERIES}
+    ),
+    v AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS vv
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT q.qid, q.qlabel, v.vec_id, any_value(v.label) AS label,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS dot,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(v.vv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nv,
+               CAST(ROUND(SUM(CAST(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nq
+        FROM v JOIN q USING (i)
+        WHERE v.vec_id <> q.qid
+        GROUP BY q.qid, q.qlabel, v.vec_id
+    ),
+    scored AS (
+        SELECT qid, qlabel, vec_id, label,
+               dot / (sqrt(nv) * sqrt(nq)) AS c
+        FROM sums
+    ),
+    nrel AS (
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM scored WHERE label = qlabel GROUP BY qid
+    ),
+    top AS (
+        SELECT qid, qlabel, label,
+               CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY c DESC, vec_id DESC
+               ) AS BIGINT) AS rn
+        FROM scored
+        QUALIFY rn <= {_NDCG_K}
+    ),
+    dcg AS (
+        SELECT qid,
+               CAST(SUM(CAST(
+                   CASE WHEN label = qlabel
+                        THEN 1.0 / (ln(rn + 1) / ln(2.0)) ELSE 0.0 END
+                   AS DECIMAL(28,14))) AS DOUBLE) AS dcg
+        FROM top GROUP BY qid
+    ),
+    ideal AS (
+        SELECT nrel.qid,
+               CAST(SUM(CAST(1.0 / (ln(g.i + 1) / ln(2.0))
+                             AS DECIMAL(28,14))) AS DOUBLE) AS idcg
+        FROM nrel
+        JOIN (SELECT UNNEST(generate_series(1, {_NDCG_K})) AS i) g
+          ON g.i <= nrel.n_rel
+        GROUP BY nrel.qid
+    )
+    SELECT d.qid AS query_id, n.n_rel, d.dcg, i.idcg,
+           d.dcg / i.idcg AS ndcg
+    FROM dcg d JOIN nrel n USING (qid) JOIN ideal i ON i.qid = d.qid
+    """,
+)
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 over the 5-query label-relevance evaluation set — the
+    graded companion of `eval_retrieval_rank`'s MRR. The per-query
+    top-10 comes from the BUFFER-BOUNDED two-phase top-k
+    (`grouped_topk_agg`), so no corpus-sized per-qid window exists;
+    ranks are then a window over the 10-row result (bounded), DCG
+    terms are IEEE expressions with identical parse trees on both
+    engines (explicit ln(x)/ln(2)), and term sums ride DECIMAL(28,14)
+    for order-independence. IDCG joins a broadcast 1..k index against
+    each query's relevant-doc count."""
+    from pyspark.sql import Window
+
+    from tms_etl_spark.operators.windows import grouped_topk_agg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _MRR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.posexplode("embedding").alias("i", "qv"),
+    )
+    v = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "vv")
+    )
+    dd = decimal_dot
+    sums = (
+        v.join(F.broadcast(q), "i")
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qlabel", "vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.round(F.sum(dd(F.col("vv"), F.col("qv"))), 8)
+            .cast("double")
+            .alias("dot"),
+            F.round(F.sum(dd(F.col("vv"), F.col("vv"))), 8)
+            .cast("double")
+            .alias("nv"),
+            F.round(F.sum(dd(F.col("qv"), F.col("qv"))), 8)
+            .cast("double")
+            .alias("nq"),
+        )
+    )
+    scored = sums.select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        (F.col("dot") / (F.sqrt("nv") * F.sqrt("nq"))).alias("c"),
+    )
+    scored = scored.localCheckpoint(eager=False)
+    nrel = (
+        scored.where(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_rel"))
+    )
+    top = grouped_topk_agg(
+        scored, ["qid"], "c", _NDCG_K, ["vec_id", "label", "qlabel"]
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("c"), F.desc("vec_id"))
+    # bounded window: exactly _NDCG_K rows per qid after the top-k
+    top = top.withColumn("rn", F.row_number().over(wr).cast("long"))
+    term = F.when(
+        F.col("label") == F.col("qlabel"),
+        F.lit(1.0) / (F.log(F.col("rn") + 1) / F.log(F.lit(2.0))),
+    ).otherwise(F.lit(0.0))
+    dcg = top.groupBy("qid").agg(
+        F.sum(term.cast("decimal(28,14)")).cast("double").alias("dcg")
+    )
+    idx = spark.range(1, _NDCG_K + 1).select(
+        F.col("id").cast("long").alias("i")
+    )
+    ideal = (
+        nrel.crossJoin(F.broadcast(idx))
+        .where(F.col("i") <= F.col("n_rel"))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (
+                    F.lit(1.0)
+                    / (F.log(F.col("i") + 1) / F.log(F.lit(2.0)))
+                ).cast("decimal(28,14)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        dcg.join(nrel, "qid")
+        .join(ideal, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel",
+            "dcg",
+            "idcg",
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        )
+    )
