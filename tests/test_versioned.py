@@ -1244,3 +1244,29 @@ def test_checked_write_constraints_and_schema(spark, tdir, tmp_path):
     retyped = spark.createDataFrame([(6, "oops")], "id long, val string")
     with pytest.raises(ExpectationViolation, match="schema"):
         write_version_checked(retyped, tdir, schema_policy="evolve")
+
+
+def test_stream_write_checked_quarantines(spark, tdir, tmp_path):
+    """Streaming sink with constraints: bad rows divert to the
+    quarantine table, clean rows commit, exactly-once preserved."""
+    from tms_etl_spark.operators.versioned import stream_write_versioned
+
+    src = tmp_path / "in"
+    src.mkdir()
+    qdir = str(tmp_path / "dead")
+    cp = str(tmp_path / "cp")
+    schema = "id long, val long"
+    spark.createDataFrame(
+        [(1, 10), (2, -7), (3, 30)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = stream_write_versioned(
+        stream,
+        tdir,
+        cp,
+        check_constraints=["val >= 0"],
+        quarantine_dir=qdir,
+    )
+    q.awaitTermination(120)
+    assert {r["id"] for r in read_version(spark, tdir).collect()} == {1, 3}
+    assert {r["id"] for r in read_version(spark, qdir).collect()} == {2}

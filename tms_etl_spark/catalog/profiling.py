@@ -225,3 +225,67 @@ def profile_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
         F.count("*").cast("long").alias("n_clusters")
     )
+
+
+@query(
+    "profile_categorical_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_values
+        FROM c
+    )
+    SELECT 'orders.o_orderpriority' AS column_name,
+           t.n_values,
+           CAST(SUM(CAST(
+               -(CAST(cnt AS DOUBLE) / t.n)
+                 * (ln(CAST(cnt AS DOUBLE) / t.n) / ln(2.0))
+               AS DECIMAL(28,14))) AS DOUBLE) AS entropy_bits,
+           CAST(SUM(CAST(
+               -(CAST(cnt AS DOUBLE) / t.n)
+                 * (ln(CAST(cnt AS DOUBLE) / t.n) / ln(2.0))
+               AS DECIMAL(28,14))) AS DOUBLE)
+             / (ln(CAST(t.n_values AS DOUBLE)) / ln(2.0))
+             AS normalized
+    FROM c, t GROUP BY t.n, t.n_values
+    """,
+)
+def profile_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the order-priority distribution —
+    the information-content companion of `profile_categorical_gini`
+    (entropy weights rare categories harder than impurity). One
+    partial-combining count to the value grain; p·log2(p) terms are
+    identical-parse-tree IEEE (explicit ln(x)/ln(2)) over exact
+    (count, n) pairs and the term sum rides DECIMAL(28,14) so the
+    grid accumulation is order-independent. Normalized by log2 of
+    the value-domain size (1.0 = uniform)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_orderpriority").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    term = (-p * (F.log(p) / F.log(F.lit(2.0)))).cast("decimal(28,14)")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n", "n_values")
+        .agg(F.sum(term).cast("double").alias("entropy_bits"))
+        .select(
+            F.lit("orders.o_orderpriority").alias("column_name"),
+            "n_values",
+            "entropy_bits",
+            (
+                F.col("entropy_bits")
+                / (
+                    F.log(F.col("n_values").cast("double"))
+                    / F.log(F.lit(2.0))
+                )
+            ).alias("normalized"),
+        )
+    )

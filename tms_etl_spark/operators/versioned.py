@@ -1102,6 +1102,8 @@ def stream_write_versioned(
     checkpoint_dir: str,
     mode: str = "append",
     available_now: bool = True,
+    check_constraints: list[str] | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Exactly-once streaming sink into a versioned table: each
     micro-batch commits as one table version with ``txn_id =
@@ -1111,10 +1113,29 @@ def stream_write_versioned(
     the restart-after-commit-before-checkpoint race never
     double-appends — the foreachBatch exactly-once recipe with the
     idempotence ledger living in the table itself. Returns the
-    started StreamingQuery."""
+    started StreamingQuery.
+
+    ``check_constraints`` routes each batch through
+    `write_version_checked`: with ``quarantine_dir`` violating rows
+    divert to their own versioned table (the streaming dead-letter
+    pattern) while clean rows commit; without it a poisoned batch
+    FAILS the query rather than landing — the constraint contract
+    holds under streaming exactly like batch."""
 
     def _sink(batch_df, batch_id: int) -> None:
-        write_version(batch_df, table_dir, mode, txn_id=f"batch-{batch_id}")
+        if check_constraints:
+            write_version_checked(
+                batch_df,
+                table_dir,
+                mode,
+                txn_id=f"batch-{batch_id}",
+                check_constraints=check_constraints,
+                quarantine_dir=quarantine_dir,
+            )
+        else:
+            write_version(
+                batch_df, table_dir, mode, txn_id=f"batch-{batch_id}"
+            )
 
     w = sdf.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir
