@@ -357,6 +357,35 @@ AUDIT = [
         "(ONE corpus scan for four consumers); lag joins and "
         "per-type stats run on the calendar-bounded grid",
     ),
+    (
+        "topk_per_group_bounded",
+        ["partial_", "HashAggregate"],
+        "two-phase buffer-bounded top-k: per-(group, partition) "
+        "k-slices then a flatten+slice merge — NO Window operator, "
+        "no row_number; hot keys degrade into aggregation work",
+    ),
+    (
+        "eval_ndcg",
+        ["HashAggregate", "partial_"],
+        "per-qid top-10 rides the bounded two-phase top-k; the only "
+        "rank window runs over the 10-row-per-query result; DCG "
+        "term sums ride DECIMAL",
+    ),
+    (
+        "privacy_t_closeness",
+        ["partial_count", "HashAggregate"],
+        "two partial-combining corpus aggregates (class-band and "
+        "global-band counts); EMD numerators are integer sums over "
+        "the class x band grid; cumulative windows partition by "
+        "class, the global cum runs on the bounded band domain",
+    ),
+    (
+        "agg_weighted_median",
+        ["partial_sum", "hashpartitioning"],
+        "group-local value histogram with integer weight sums; "
+        "nearest-rank pick is 2*cumw >= total_w — no per-group "
+        "value buffer",
+    ),
 ]
 
 
