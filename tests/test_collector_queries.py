@@ -154,3 +154,24 @@ def test_domain_reports(spark, tmp_path):
     assert (
         spark.sql("SELECT Tear FROM teares_desligados").collect()[0]["Tear"] == "00002"
     )
+
+
+def test_driver_priority_window_intact():
+    """The driver records the FIRST ~50 entries of queries(); this
+    pins the round-5 evidence window: exactly 50 names, all real,
+    leading with the four queries that have never had a green driver
+    row (the round-4 verdict's rotation order)."""
+    from tms_etl_spark import catalog
+
+    catalog.load_all()
+    from tms_etl_spark.catalog import _DRIVER_PRIORITY, QUERIES
+
+    assert len(_DRIVER_PRIORITY) == 50
+    assert all(n in QUERIES for n in _DRIVER_PRIORITY)
+    assert list(QUERIES)[:50] == _DRIVER_PRIORITY
+    assert _DRIVER_PRIORITY[:4] == [
+        "events_funnel",
+        "events_sessionize",
+        "sim_cosine_topk",
+        "agg_approx_distinct",
+    ]
