@@ -226,3 +226,30 @@ def test_cli_table_create(spark, tmp_path, capsys):
     assert main(["table", "create", tdir, "--from", src]) == 0
     assert "committed v1" in capsys.readouterr().out
     assert read_version(spark, tdir).count() == 25
+
+
+def test_pipeline_demo_end_to_end(spark, tmp_path, capsys):
+    """The medallion demo (bronze -> checked silver -> dedup gold ->
+    MV -> bloom point read) must run clean end to end."""
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import pipeline_demo
+
+    old_argv = sys.argv
+    sys.argv = ["pipeline_demo.py", str(tmp_path / "lake")]
+    try:
+        assert pipeline_demo.main() == 0
+    finally:
+        sys.argv = old_argv
+    stages = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    by = {s["stage"]: s for s in stages}
+    assert by["silver"]["quarantined"] > 0
+    assert by["gold"]["rows"] < by["silver"]["rows"]  # dedup dropped
+    assert by["index"]["files_scanned"] <= by["index"]["files_total"]
+    assert "done" in by
