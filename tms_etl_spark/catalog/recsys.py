@@ -148,3 +148,79 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_topk(
         _copurchase_edges(li), "u", "v", k=20, max_hub_deg=64
     )
+
+
+@query(
+    "recs_covisit_time_decay",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               epoch_us(ts) AS us
+        FROM events
+        WHERE props IS NOT NULL
+    ),
+    pairs AS (
+        SELECT LEAST(a.item, b.item) AS item_a,
+               GREATEST(a.item, b.item) AS item_b,
+               CAST(FLOOR(ABS(a.us - b.us) / 60000000) AS BIGINT) AS gap_min
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.us < b.us
+         AND b.us - a.us <= 3600000000
+         AND a.item <> b.item
+    )
+    SELECT item_a, item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_covisits,
+           CAST(SUM(CAST(1.0 / (1 + gap_min) AS DECIMAL(28,14)))
+                AS DOUBLE) AS decayed_weight
+    FROM pairs GROUP BY 1, 2
+    ORDER BY decayed_weight DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def recs_covisit_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed co-visitation (the classic covisit recsys edge,
+    item2vec-era): items an engaged user touches within an hour get
+    an edge weighted 1/(1 + minutes apart) — nearby co-visits count
+    near 1, the hour boundary caps the fan-out. Scale shape: one
+    user-keyed equi-join with the hour residual (per-user activity
+    is bounded — the funnel family's shape), weights are IEEE on
+    exact integer minute gaps, the per-pair accumulation rides
+    DECIMAL(28,14), and top-20 compiles to TakeOrdered with the full
+    (weight, item_a, item_b) tiebreak. The item key comes out of the
+    JSON props column JVM-side (`get_json_object`)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("props").isNotNull()
+    )
+    e = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.us") < F.col("b.us"))
+        & (F.col("b.us") - F.col("a.us") <= 3600000000)
+        & (F.col("a.item") != F.col("b.item")),
+    ).select(
+        F.least(F.col("a.item"), F.col("b.item")).alias("item_a"),
+        F.greatest(F.col("a.item"), F.col("b.item")).alias("item_b"),
+        F.floor(
+            F.abs(F.col("a.us") - F.col("b.us")) / F.lit(60000000)
+        )
+        .cast("long")
+        .alias("gap_min"),
+    )
+    w = (F.lit(1.0) / (F.lit(1) + F.col("gap_min"))).cast("decimal(28,14)")
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").cast("long").alias("n_covisits"),
+            F.sum(w).cast("double").alias("decayed_weight"),
+        )
+        .orderBy(F.desc("decayed_weight"), "item_a", "item_b")
+        .limit(20)
+    )
