@@ -1270,3 +1270,136 @@ def test_stream_write_checked_quarantines(spark, tdir, tmp_path):
     q.awaitTermination(120)
     assert {r["id"] for r in read_version(spark, tdir).collect()} == {1, 3}
     assert {r["id"] for r in read_version(spark, qdir).collect()} == {2}
+
+
+# ---- round-6 advice regressions ------------------------------------
+
+
+def test_merge_basename_collision_rewrites_right_file(spark, tdir):
+    """ADVICE r5 (medium): merge_version used to map probe results
+    back to rel paths by file BASENAME. commit_existing_dir admits
+    arbitrary dirs, so two live files can share a basename; the old
+    dict silently resolved to the wrong file — the untouched file was
+    marked dead and the truly-touched one stayed live, duplicating
+    matched keys. Pin the full-path mapping: two colliding basenames,
+    source touching only one, final state exact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tms_etl_spark.operators.versioned import (
+        commit_existing_dir,
+        merge_version,
+    )
+
+    # dir committed FIRST holds the touched key; the later dir's file
+    # shares the basename and a COVERING zonemap ([0,20] spans 12) so
+    # it stays a candidate — the exact shape where basename-last-wins
+    # picked the wrong file.
+    os.makedirs(f"{tdir}/data/bulk-touched")
+    pq.write_table(
+        pa.table({"id": [12], "val": [999]}),
+        f"{tdir}/data/bulk-touched/part-0.parquet",
+    )
+    os.makedirs(f"{tdir}/data/bulk-cold")
+    pq.write_table(
+        pa.table({"id": [0, 20], "val": [0, 200]}),
+        f"{tdir}/data/bulk-cold/part-0.parquet",
+    )
+    commit_existing_dir(spark, tdir, "data/bulk-touched", "append")
+    commit_existing_dir(spark, tdir, "data/bulk-cold", "append")
+
+    src = spark.createDataFrame([(12, 1200)], "id long, val long")
+    v = merge_version(spark, tdir, src, "id", "update")
+    man = _manifest(tdir, v)
+    dead = set(man.get("dead_files", []))
+    assert dead == {"data/bulk-touched/part-0.parquet"} or (
+        "data/bulk-touched" not in man["dirs"]
+    )
+    rows = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
+    assert rows == {0: 0, 12: 1200, 20: 200}
+
+
+def test_merge_rejects_null_source_keys(spark, tdir):
+    """ADVICE r5 (low): NULL source keys got a misleading
+    'duplicate key rows' error (count_distinct ignores NULLs). They
+    now fail fast with a dedicated message."""
+    from tms_etl_spark.operators.versioned import merge_version
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    src = spark.createDataFrame(
+        [(None, 10), (1, 11)], "id long, val long"
+    )
+    with pytest.raises(ValueError, match="NULL 'id'"):
+        merge_version(spark, tdir, src, "id", "update")
+
+
+def test_mv_null_group_values_stay_distinct(spark, tdir, tmp_path):
+    """ADVICE r5 (low): concat_ws SKIPS NULLs, so groups ('a', NULL)
+    and (NULL, 'a') used to collapse onto one mv_key and trip the
+    duplicate-key guard. NULLs are now encoded per-position."""
+    from tms_etl_spark.operators.matview import refresh_sum_view
+
+    mv = str(tmp_path / "mv")
+    base = spark.createDataFrame(
+        [("a", None, 1), (None, "a", 10), (None, None, 100), ("a", "a", 3)],
+        "g string, h string, x long",
+    )
+    write_version(base, tdir, "append")
+    assert refresh_sum_view(spark, tdir, mv, ["g", "h"], "x") == 1
+    got = {
+        (r["g"], r["h"]): int(r["sum_val"])
+        for r in read_version(spark, mv).collect()
+    }
+    assert got == {
+        ("a", None): 1,
+        (None, "a"): 10,
+        (None, None): 100,
+        ("a", "a"): 3,
+    }
+    # incremental refresh over a delta hitting a NULL group still lands
+    write_version(
+        spark.createDataFrame([("a", None, 5)], "g string, h string, x long"),
+        tdir,
+        "append",
+    )
+    assert refresh_sum_view(spark, tdir, mv, ["g", "h"], "x") == 2
+    got2 = {
+        (r["g"], r["h"]): int(r["sum_val"])
+        for r in read_version(spark, mv).collect()
+    }
+    assert got2[("a", None)] == 6 and got2[(None, "a")] == 10
+
+
+def test_bloom_index_survives_shuffled_tombstone_state(spark, tdir):
+    """ADVICE r5 (low): the index build used to compute
+    input_file_name() downstream of the tombstone anti-join — a
+    shuffle-executed join (broadcast disabled) yields '' and the
+    sidecar indexed no real files, silently degrading point reads to
+    full scans. The build now scans live files directly; pin that the
+    sidecar carries real paths even with deletes present and
+    broadcasting off."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import delete_rows
+
+    write_version(_df(spark, 0, 2000).repartition(4), tdir, "append")
+    delete_rows(
+        spark,
+        tdir,
+        spark.range(0, 2000, 7).select(F.col("id")),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        idx = build_bloom_index(spark, tdir, "id")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    files = [r["file"] for r in spark.read.parquet(idx).select("file").distinct().collect()]
+    assert files and all(f.endswith(".parquet") for f in files)
+    # exactness: deleted key absent, live key found
+    assert read_version_point(spark, tdir, "id", 14).count() == 0
+    assert read_version_point(spark, tdir, "id", 15).count() == 1

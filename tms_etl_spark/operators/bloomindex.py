@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tms_etl_spark.operators.versioned import (
+    _live_rel_files,
     _manifest_path,
     _read_json,
     _scan_with_deletes,
@@ -60,12 +61,31 @@ def build_bloom_index(
     add files (an index is valid for the exact file set it indexed —
     readers fall back to scanning un-indexed files). Bits-per-file
     and hash count are module constants so build and probe can never
-    disagree."""
+    disagree.
+
+    The build scans the version's LIVE FILES directly — deliberately
+    NOT through `_scan_with_deletes`: if the tombstone anti-join
+    executed as a shuffle join (large delete vector, broadcast
+    disabled), `input_file_name()` returns '' past the shuffle and
+    the sidecar would index no real files — silently degrading every
+    point read to a full scan. Skipping tombstone subtraction is
+    sound for a Bloom PRE-FILTER: a deleted key admitted to a file's
+    bloom can only cause a false-positive file read; the residual
+    `col = value` filter plus the reader's tombstone handling keep
+    results exact."""
     bits, n_hashes = _BITS, _K
     cur = current_version(spark, table_dir)
     v = version if version is not None else cur
     man = _read_json(spark, _manifest_path(table_dir, v))
-    df = _scan_with_deletes(spark, table_dir, man).select(
+    live = _live_rel_files(spark, table_dir, man)
+    paths = [
+        f"{table_dir}/{rel}" for rels in live.values() for rel in rels
+    ]
+    if not paths:
+        raise ValueError(
+            f"version {v} of {table_dir} has no live files to index"
+        )
+    df = spark.read.parquet(*paths).select(
         F.input_file_name().alias("file"), F.col(col).alias("__v")
     )
     # k hash positions per row, array-side; split into (word, mask)

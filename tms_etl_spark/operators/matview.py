@@ -34,6 +34,7 @@ from tms_etl_spark.operators.versioned import (
 
 _TXN_PREFIX = "mv-base-v"
 _SEP = "\x1f"  # unit separator: can't occur in the group values
+_NULL = "\x00\x1enull"  # per-position NULL sentinel, see _agg
 
 
 def _last_refreshed_base(spark: SparkSession, mv_dir: str) -> int:
@@ -53,7 +54,15 @@ def _last_refreshed_base(spark: SparkSession, mv_dir: str) -> int:
 
 def _agg(df: DataFrame, group_cols: list[str], sum_col: str) -> DataFrame:
     """Grouped (decimal-exact sum, count) plus the surrogate merge key
-    — one map-side-combined exchange on the group columns."""
+    — one map-side-combined exchange on the group columns.
+
+    NULL group values are encoded POSITIONALLY in the key:
+    ``concat_ws`` silently *skips* NULL arguments, which would collapse
+    distinct groups like ('a', NULL) and (NULL, 'a') onto one surrogate
+    key and trip merge_version's duplicate-key guard. Each position is
+    therefore coalesced to a sentinel (control characters — unreachable
+    from a real cast) before concatenation, so every distinct group
+    tuple gets a distinct key."""
     return (
         df.groupBy(*group_cols)
         .agg(
@@ -64,7 +73,11 @@ def _agg(df: DataFrame, group_cols: list[str], sum_col: str) -> DataFrame:
         )
         .select(
             F.concat_ws(
-                _SEP, *[F.col(c).cast("string") for c in group_cols]
+                _SEP,
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                    for c in group_cols
+                ],
             ).alias("mv_key"),
             *group_cols,
             "sum_val",

@@ -787,6 +787,20 @@ def optimize_version(
     return v
 
 
+def _canon_file_path(p: str) -> str:
+    """One canonical absolute form for a local file path however it
+    was spelled — `file:///x`, `file:/x`, URL-encoded, relative — so
+    paths from `input_file_name()` (a percent-encoded file: URI) and
+    paths constructed as ``f"{table_dir}/{rel}"`` compare equal."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(p)
+    if parsed.scheme:
+        p = unquote(parsed.path)
+    return os.path.normpath(os.path.abspath(p))
+
+
 def _live_rel_files(
     spark: SparkSession, table_dir: str, man: dict
 ) -> dict[str, list[str]]:
@@ -872,11 +886,20 @@ def merge_version(
             if t == txn_id:
                 return ver
 
-    # one row per source key, or the merge is nondeterministic
+    # one row per NON-NULL source key, or the merge is
+    # nondeterministic. count_distinct ignores NULLs, so NULL keys
+    # need their own check — conflating them with duplicates gives a
+    # misleading error (and a NULL key can never match a target row).
     nd = source_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(key)).alias("d"),
+        F.count(F.when(F.col(key).isNull(), F.lit(1))).alias("nulls"),
     ).head()
+    if nd["nulls"]:
+        raise ValueError(
+            f"source has {nd['nulls']} NULL {key!r} rows — MERGE keys "
+            "must be non-null (a NULL key can never match)"
+        )
     if nd["n"] != nd["d"]:
         raise ValueError(
             f"source has {nd['n'] - nd['d']} duplicate key rows — "
@@ -916,10 +939,26 @@ def merge_version(
             .select("__f")
             .distinct()
         )
-        by_name = {rel.rsplit("/", 1)[-1]: rel for rel in candidates}
-        touched = sorted(
-            by_name[r["__f"].rsplit("/", 1)[-1]] for r in probe.collect()
-        )
+        # Map probe hits back to rel paths by CANONICAL FULL PATH, not
+        # basename: `commit_existing_dir` admits arbitrary dirs, so two
+        # candidates may share a basename — a basename-keyed dict would
+        # silently mark the wrong file dead and leave the truly-touched
+        # file live (matched rows surviving alongside the merged rows).
+        by_path = {
+            _canon_file_path(f"{table_dir}/{rel}"): rel
+            for rel in candidates
+        }
+        touched_set = set()
+        for r in probe.collect():
+            p = _canon_file_path(r["__f"])
+            if p not in by_path:
+                raise ValueError(
+                    f"merge probe returned file {r['__f']!r} not among "
+                    "the candidate live files — path canonicalization "
+                    "mismatch; refusing a possibly-wrong rewrite"
+                )
+            touched_set.add(by_path[p])
+        touched = sorted(touched_set)
 
     # 3. rewrite only the touched files (tombstones applied = purge)
     parts: list[DataFrame] = []

@@ -126,7 +126,16 @@ def grouped_topk_agg(
     a single-reducer sort. Ties break by the payload struct's own
     ordering after the order column, so results are deterministic.
     Returns one row per kept input row: keys + order_col + payload.
+
+    NULL order values are FILTERED OUT up front: ``array_sort`` places
+    NULL-first structs at one end and ``reverse`` would promote them
+    to the TOP of the descending ranking, whereas the window form this
+    replaces (``row_number ORDER BY x DESC``) puts NULLs last. Top-k
+    by a NULL rank is meaningless, so the bounded form defines the
+    ranking over non-null order values only; a group with fewer than
+    k non-null rows returns just those rows.
     """
+    df = df.where(F.col(order_col).isNotNull())
     payload_cols = list(
         payload_cols
         if payload_cols is not None
