@@ -174,6 +174,7 @@ def load_all() -> None:
         semdedup,
         privacy,
         evaluation,
+        lakehouse,
     )
 
     global _DRIVER_PRIORITY
