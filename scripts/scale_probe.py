@@ -74,6 +74,11 @@ DEFAULT_QUERIES = [
     "dedup_substring_spans",
     "drift_ks",
     "sim_pq_adc",
+    # round-12 additions (VERDICT r5 item 5): the round-11 bench
+    # headliners that had no probe rows
+    "recs_covisit_time_decay",
+    "privacy_t_closeness",
+    "join_interval_overlap",
 ]
 
 # SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH
@@ -84,6 +89,16 @@ DEFAULT_QUERIES = [
 # Only valid for queries that never join the part dim (the graph
 # family) — part-FK joins would lose matches under the shift.
 _GRAPH_KEYS = os.environ.get("SCALE_GRAPH_KEYS") == "1"
+
+# SCALE_SHIFT_TIME=1: shift each events copy's timestamps by one full
+# span, so scaling GROWS THE TIME RANGE AT FIXED DENSITY instead of
+# densifying a fixed range. This is the linear regime for time-tiled
+# interval joins (`join_interval_overlap`): under densification the
+# TRUE overlap-pair output grows quadratically with copies (every
+# copy overlaps every other), so the default probe measures output
+# growth, not plan growth — see SCALE.md. Only meaningful for
+# queries keyed on event TIME; time-bucketed session/window queries
+# with fixed calendar filters would see different data per copy.
 
 KEY_OFFSETS = {
     "lineitem": (
@@ -101,15 +116,36 @@ KEY_OFFSETS = {
 }
 
 
+_SHIFT_TIME = os.environ.get("SCALE_SHIFT_TIME") == "1"
+
+# time column shifted per copy under SCALE_SHIFT_TIME (one full span
+# + a week of clearance, so copies can never overlap in time)
+_TIME_COLS = {"events": "ts", "orders": "o_orderdate"}
+
+
 def build_scaled(spark, base_dir: str, out_dir: str, mult: int) -> None:
     for t in TABLE_NAMES:
         df = load_table(spark, base_dir, t)
+        span_sec, tcol = 0, _TIME_COLS.get(t)
+        if _SHIFT_TIME and tcol and mult > 1:
+            b = df.agg(
+                F.min(tcol).alias("lo"), F.max(tcol).alias("hi")
+            ).head()
+            span_sec = (
+                int((b["hi"] - b["lo"]).total_seconds()) + 7 * 86400
+            )
         if t in KEY_OFFSETS and mult > 1:
             parts = [df]
             for i in range(1, mult):
                 shifted = df
                 for col, off in KEY_OFFSETS[t].items():
                     shifted = shifted.withColumn(col, F.col(col) + i * off)
+                if span_sec:
+                    shifted = shifted.withColumn(
+                        tcol,
+                        F.col(tcol)
+                        + F.expr(f"INTERVAL {i * span_sec} SECONDS"),
+                    )
                 parts.append(shifted)
             out = parts[0]
             for p in parts[1:]:

@@ -1403,3 +1403,118 @@ def test_bloom_index_survives_shuffled_tombstone_state(spark, tdir):
     # exactness: deleted key absent, live key found
     assert read_version_point(spark, tdir, "id", 14).count() == 0
     assert read_version_point(spark, tdir, "id", 15).count() == 1
+
+
+def test_merge_touched_cap_falls_back_to_full_candidate_rewrite(
+    spark, tdir, monkeypatch
+):
+    """VERDICT r5 item 7: the touched-file discovery collect is
+    bounded by _MERGE_TOUCHED_CAP; past it the merge rewrites every
+    candidate file (coarser copy-on-write, same correctness). Pin the
+    fallback with a cap of 1 and a merge touching 2 files."""
+    from tms_etl_spark.operators import versioned
+
+    write_version(_df(spark, 0, 50).repartition(1), tdir, "append")
+    write_version(_df(spark, 50, 100).repartition(1), tdir, "append")
+    monkeypatch.setattr(versioned, "_MERGE_TOUCHED_CAP", 1)
+    src = spark.createDataFrame(
+        [(10, -1), (60, -2)], "id long, val long"
+    )
+    v = versioned.merge_version(spark, tdir, src, "id", "update")
+    man = _manifest(tdir, v)
+    # both batches' files rewritten (all candidates): no pre-merge
+    # data dir survives
+    assert all("-merge-" in d for d in man["dirs"])
+    rows = {r["id"]: r["val"] for r in read_version(spark, tdir).collect()}
+    assert rows[10] == -1 and rows[60] == -2 and rows[0] == 0
+    assert len(rows) == 100
+
+
+# ---- round-6: row-level CDC diff -----------------------------------
+
+
+def test_rowdiff_append_only_is_all_inserts(spark, tdir):
+    from tms_etl_spark.operators.versioned import read_version_rowdiff
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    write_version(_df(spark, 5, 8), tdir, "append")
+    d = read_version_rowdiff(spark, tdir, "id", 1).collect()
+    assert {(r["id"], r["op"], r["val"]) for r in d} == {
+        (5, "insert", 50), (6, "insert", 60), (7, "insert", 70)
+    }
+
+
+def test_rowdiff_merge_delete_and_noop(spark, tdir):
+    """MERGE rewrite + deletion vector + untouched rows: updates carry
+    post-images, deletes carry pre-images, rows rewritten with
+    identical values emit nothing."""
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        merge_version,
+        read_version_rowdiff,
+    )
+
+    write_version(_df(spark, 0, 10).repartition(2), tdir, "append")
+    # update ids 2,3 (3 -> same value: a no-op rewrite), insert 100
+    src = spark.createDataFrame(
+        [(2, 999), (3, 30), (100, 1000)], "id long, val long"
+    )
+    merge_version(spark, tdir, src, "id", "update")
+    delete_rows(spark, tdir, spark.createDataFrame([(7,)], "id long"))
+    d = read_version_rowdiff(spark, tdir, "id", 1).collect()
+    assert {(r["id"], r["op"], r["val"]) for r in d} == {
+        (2, "update", 999),
+        (100, "insert", 1000),
+        (7, "delete", 70),
+    }
+    # sub-range diffs: merge only, then delete only
+    d12 = read_version_rowdiff(spark, tdir, "id", 1, 2).collect()
+    assert {(r["id"], r["op"], r["val"]) for r in d12} == {
+        (2, "update", 999), (100, "insert", 1000)
+    }
+    d23 = read_version_rowdiff(spark, tdir, "id", 2, 3).collect()
+    assert {(r["id"], r["op"], r["val"]) for r in d23} == {
+        (7, "delete", 70)
+    }
+
+
+def test_rowdiff_compaction_is_empty(spark, tdir):
+    from tms_etl_spark.operators.versioned import (
+        optimize_version,
+        read_version_rowdiff,
+    )
+
+    write_version(_df(spark, 0, 6).repartition(3), tdir, "append")
+    write_version(_df(spark, 6, 9).repartition(2), tdir, "append")
+    optimize_version(spark, tdir)
+    assert read_version_rowdiff(spark, tdir, "id", 2).count() == 0
+    # but the pre-compaction append still shows through 1 -> latest
+    d = read_version_rowdiff(spark, tdir, "id", 1)
+    assert {r["id"] for r in d.collect()} == {6, 7, 8}
+    assert {r["op"] for r in d.collect()} == {"insert"}
+
+
+def test_rowdiff_rejects_duplicate_keys(spark, tdir):
+    from tms_etl_spark.operators.versioned import read_version_rowdiff
+
+    write_version(_df(spark, 0, 3), tdir, "append")
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "id long, val long")
+    write_version(dup, tdir, "append")
+    with pytest.raises(ValueError, match="duplicate or NULL"):
+        read_version_rowdiff(spark, tdir, "id", 1).collect()
+
+
+def test_rowdiff_overwrite_is_full_replacement(spark, tdir):
+    from tms_etl_spark.operators.versioned import read_version_rowdiff
+
+    write_version(_df(spark, 0, 3), tdir, "append")
+    write_version(
+        spark.createDataFrame([(1, 10), (5, 55)], "id long, val long"),
+        tdir,
+        "overwrite",
+    )
+    d = read_version_rowdiff(spark, tdir, "id", 1).collect()
+    # 1 keeps its value (no-op), 0/2 vanish, 5 appears
+    assert {(r["id"], r["op"], r["val"]) for r in d} == {
+        (0, "delete", 0), (2, "delete", 20), (5, "insert", 55)
+    }

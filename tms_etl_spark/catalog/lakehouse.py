@@ -32,6 +32,7 @@ from tms_etl_spark.operators.versioned import (
     merge_version,
     read_version,
     read_version_pruned_multi,
+    read_version_rowdiff,
     write_version,
 )
 from tms_etl_spark.sources.tables import load_table
@@ -145,6 +146,49 @@ def lakehouse_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             dsum("value", "total_value"),
         )
+    )
+
+
+@query(
+    "lakehouse_cdc_rowdiff",
+    oracle="""
+    SELECT c_custkey, 'delete' AS op, c_mktsegment, c_acctbal
+    FROM customer WHERE c_custkey % 50 = 0
+    UNION ALL
+    SELECT c_custkey, 'update' AS op, c_mktsegment, c_acctbal * 2
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey % 50 <> 0 AND c_acctbal <> 0
+    """,
+)
+def lakehouse_cdc_rowdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed derived from manifests alone
+    (`read_version_rowdiff`): v1 = customer table, v2 = CoW MERGE
+    doubling BUILDING balances, v3 = deletion vector on
+    c_custkey % 50 = 0. The diff v1→v3 must classify every key
+    value-wise — updates carry post-images, deletes carry v1
+    pre-images, rows rewritten with identical values (zero-balance
+    BUILDING rows survive the ×2 untouched; non-BUILDING rows ride
+    through the CoW rewrite) emit NOTHING. The oracle is the same
+    classification as plain CASE logic over the original table; a
+    double comparison (bal*2 <> bal ⇔ bal <> 0) keeps both engines
+    bit-agreed."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_cdc_")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_version(c, tdir, "append")
+    src = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") * 2
+    )
+    merge_version(spark, tdir, src, key="c_custkey", when_matched="update")
+    delete_rows(
+        spark,
+        tdir,
+        c.where(F.col("c_custkey") % 50 == 0).select("c_custkey"),
+    )
+    return read_version_rowdiff(
+        spark, tdir, key="c_custkey", from_version=1
     )
 
 

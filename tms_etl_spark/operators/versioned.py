@@ -67,22 +67,74 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
-    """Write to a writer-private tmp then rename — the commit point.
+    """Write to a writer-private tmp, then commit-if-absent — the
+    conditional-commit point that arbitrates racing writers.
 
-    Hadoop's local rename is POSIX rename(2), which silently REPLACES
-    an existing destination, so a bare rename cannot arbitrate two
-    writers racing to the same version. The commit is therefore made
-    CONDITIONAL with a per-version lock marker taken via
-    ``fs.createNewFile`` (atomic O_CREAT|O_EXCL on local and HDFS):
-    the loser raises ConcurrentWriteError and must retry at the next
-    version number; the winner's manifest is never clobbered. On
+    LOCAL paths (scheme '' or 'file') use a pure-POSIX protocol,
+    because Hadoop's LOCAL ``createNewFile`` is check-then-create
+    (a TOCTOU window two processes can both slip through — observed
+    under the two-JVM race test) and its local rename semantics on a
+    pre-existing destination are version-dependent:
+
+      1. lock  = ``os.open(O_CREAT|O_EXCL)`` — genuinely atomic on a
+         POSIX filesystem; a pre-existing ``.lock`` (live or stale)
+         refuses with ConcurrentWriteError (stale = writer died
+         between lock and commit; remove manually after confirming
+         no writer is live);
+      2. commit = ``os.link(tmp, final)`` — link(2) fails EEXIST
+         ATOMICALLY, so even two writers inside the lock window (or
+         a writer racing protocol-unaware tooling) cannot clobber a
+         committed manifest; the loser raises ConcurrentWriteError.
+
+    REMOTE filesystems keep the Hadoop protocol: ``createNewFile``
+    lock (atomic server-side on HDFS), exists-check, tmp write,
+    rename; a rename that fails because the destination appeared is
+    classified as ConcurrentWriteError (lost race), not IOError. On
     object stores without atomic create-exclusive this degrades to
     best-effort — single-writer per table is the supported deployment
     there (the same caveat Delta documents for S3 without a
-    coordination service). A writer that dies between lock and commit
-    leaves a stale ``.lock`` beside an absent manifest; remove it
-    manually after confirming no writer is live."""
+    coordination service)."""
     import uuid
+    from urllib.parse import urlparse
+
+    data = json.dumps(payload).encode("utf-8")
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        import os
+
+        local = parsed.path if parsed.scheme else path
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        lock = local + ".lock"
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{path} is being committed by another writer"
+            ) from None
+        os.close(lock_fd)
+        tmp = f"{local}.{uuid.uuid4().hex[:8]}.tmp"
+        try:
+            if os.path.exists(local):
+                raise ConcurrentWriteError(f"{path} already committed")
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, data)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            try:
+                os.link(tmp, local)  # atomic commit-if-absent
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"{path} already committed"
+                ) from None
+        finally:
+            for leftover in (tmp, lock):
+                try:
+                    os.unlink(leftover)
+                except FileNotFoundError:
+                    pass
+        return
 
     fs, hpath, jvm = _fs(spark, path)
     lock = jvm.org.apache.hadoop.fs.Path(path + ".lock")
@@ -96,10 +148,13 @@ def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
         )
         out = fs.create(tmp, True)
         try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+            out.write(bytearray(data))
         finally:
             out.close()
         if not fs.rename(tmp, hpath):
+            fs.delete(tmp, False)
+            if fs.exists(hpath):  # destination appeared: lost the race
+                raise ConcurrentWriteError(f"{path} already committed")
             raise IOError(f"manifest commit rename failed for {path}")
     finally:
         fs.delete(lock, False)
@@ -130,6 +185,11 @@ class VersionInfo:
 # always among the most recent commits, so idempotence checks read ONE
 # manifest, not the whole history (O(1) per commit, not O(versions))
 _RECENT_TXNS = 64
+
+# MERGE touched-file discovery collects one path string per hit file;
+# past this cap (≈ tens of MB of driver strings) the merge falls back
+# to rewriting every candidate file — coarser CoW, same correctness
+_MERGE_TOUCHED_CAP = 200_000
 
 # per-file zonemap stats cover JSON-native orderable types only
 # (dates/timestamps/decimals would need lossy or stringly encodings)
@@ -938,6 +998,17 @@ def merge_version(
             .join(src_keys, key, "left_semi")
             .select("__f")
             .distinct()
+            # Driver-side bound on the touched-file discovery: the
+            # collect below is one path string per hit file — fine for
+            # batch-sized merges, but a merge whose keys touch
+            # millions of files would build an unbounded driver list.
+            # Cap the collect at one more than the candidate count we
+            # could possibly map (candidates is already manifest-
+            # resident metadata) AND the absolute _MERGE_TOUCHED_CAP;
+            # past the cap, fall back to rewriting every candidate
+            # file — a coarser but correct copy-on-write (documented
+            # in SCALE.md).
+            .limit(min(len(candidates), _MERGE_TOUCHED_CAP) + 1)
         )
         # Map probe hits back to rel paths by CANONICAL FULL PATH, not
         # basename: `commit_existing_dir` admits arbitrary dirs, so two
@@ -948,17 +1019,24 @@ def merge_version(
             _canon_file_path(f"{table_dir}/{rel}"): rel
             for rel in candidates
         }
-        touched_set = set()
-        for r in probe.collect():
-            p = _canon_file_path(r["__f"])
-            if p not in by_path:
-                raise ValueError(
-                    f"merge probe returned file {r['__f']!r} not among "
-                    "the candidate live files — path canonicalization "
-                    "mismatch; refusing a possibly-wrong rewrite"
-                )
-            touched_set.add(by_path[p])
-        touched = sorted(touched_set)
+        hits = probe.collect()
+        if len(hits) > _MERGE_TOUCHED_CAP:
+            # cap exceeded: the merge touches (nearly) everything —
+            # rewrite all candidates instead of enumerating hits
+            touched = sorted(candidates)
+        else:
+            touched_set = set()
+            for r in hits:
+                p = _canon_file_path(r["__f"])
+                if p not in by_path:
+                    raise ValueError(
+                        f"merge probe returned file {r['__f']!r} not "
+                        "among the candidate live files — path "
+                        "canonicalization mismatch; refusing a "
+                        "possibly-wrong rewrite"
+                    )
+                touched_set.add(by_path[p])
+            touched = sorted(touched_set)
 
     # 3. rewrite only the touched files (tombstones applied = purge)
     parts: list[DataFrame] = []
@@ -1286,6 +1364,151 @@ def read_version_changes(
         )
         return spark.createDataFrame([], full.schema)
     return spark.read.parquet(*[f"{table_dir}/{d}" for d in new_dirs])
+
+
+def read_version_rowdiff(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+    check_unique: bool = True,
+) -> DataFrame:
+    """ROW-level change feed between two committed versions — the
+    change-data-feed `read_version_changes` can't give when history
+    includes MERGE rewrites, deletion vectors, or compaction. Returns
+    one row per changed key with ``op`` ∈ {'insert','update',
+    'delete'}: post-image values for insert/update, pre-image values
+    for delete. Unchanged keys — including rows physically rewritten
+    with identical values (compaction, CoW spill-through) — produce
+    NOTHING: classification is value-based, so file layout never
+    leaks into the feed.
+
+    Scale: the diff never scans the whole table. The pre/post scopes
+    are exactly (a) files live in one version but not the other (the
+    MERGE/compaction rewrite set) and (b) still-shared files under a
+    tombstone commit new to ``to`` (the deletion-vector scope, taken
+    from the delete entries' recorded ``covers`` dirs) — O(touched
+    files), the same bound `merge_version` itself pays, not
+    O(history) or O(table). An append-only delta degenerates to
+    exactly the new files (all inserts).
+
+    ``key`` must be unique per snapshot within the diff scope (the
+    CDC grain); ``check_unique`` verifies it on the scoped scans (two
+    metadata-cheap aggregates) and raises rather than emitting a
+    join-exploded feed. Delta Lake's Change Data Feed records this at
+    write time; this derives the same feed from the manifests alone,
+    so it works retroactively on any version pair."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(spark, table_dir)
+    to_v = to_version if to_version is not None else cur
+    if not (0 < from_version <= to_v <= cur):
+        raise ValueError(
+            f"bad version range ({from_version}, {to_v}] at {table_dir} "
+            f"(current {cur})"
+        )
+    man_from = _read_json(spark, _manifest_path(table_dir, from_version))
+    man_to = _read_json(spark, _manifest_path(table_dir, to_v))
+
+    live_from = _live_rel_files(spark, table_dir, man_from)
+    live_to = _live_rel_files(spark, table_dir, man_to)
+    f_set = {rel for rels in live_from.values() for rel in rels}
+    t_set = {rel for rels in live_to.values() for rel in rels}
+    removed = f_set - t_set
+    added = t_set - f_set
+
+    # deletion-vector scope: dirs covered by tombstone commits new in
+    # `to` — their still-shared files hold the vector-deleted rows'
+    # pre-images (and unchanged rows, which classify out as no-ops)
+    from_del = {d["dir"] for d in man_from.get("deletes", [])}
+    new_covers: set[str] = set()
+    for de in man_to.get("deletes", []):
+        if de["dir"] not in from_del:
+            new_covers.update(de["covers"])
+    shared_covered = {
+        rel
+        for rel in (f_set & t_set)
+        if rel.rsplit("/", 1)[0] in new_covers
+    }
+
+    def _scoped(man: dict, rels: set[str]) -> DataFrame | None:
+        if not rels:
+            return None
+        by_dir: dict[str, list[str]] = {}
+        for rel in sorted(rels):
+            d = rel.rsplit("/", 1)[0]
+            by_dir.setdefault(d, []).append(f"{table_dir}/{rel}")
+        return _scan_with_deletes(
+            spark, table_dir, man, dirs=sorted(by_dir), paths_by_dir=by_dir
+        )
+
+    pre = _scoped(man_from, removed | shared_covered)
+    post = _scoped(man_to, added | shared_covered)
+    if pre is None and post is None:
+        schema = read_version(spark, table_dir, to_v).schema
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType(
+                [schema[key]]
+                + [T.StructField("op", T.StringType())]
+                + [fld for fld in schema.fields if fld.name != key]
+            ),
+        )
+    ref = post if post is not None else pre
+    cols = ref.columns
+    if key not in cols:
+        raise ValueError(f"no key column {key!r} in table schema")
+    if pre is not None and set(pre.columns) != set(cols):
+        raise ValueError(
+            "schema changed across the diff range — align schemas "
+            "before diffing"
+        )
+    val_cols = [c for c in cols if c != key]
+    empty = spark.createDataFrame([], ref.select(key, *val_cols).schema)
+    pre = pre if pre is not None else empty
+    post = post if post is not None else empty
+
+    if check_unique:
+        for side, df in (("pre", pre), ("post", post)):
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(key)).alias("d"),
+                F.count(F.when(F.col(key).isNull(), 1)).alias("nulls"),
+            ).head()
+            if agg["nulls"] or agg["n"] != agg["d"]:
+                raise ValueError(
+                    f"{side} scope has duplicate or NULL {key!r} values "
+                    "— rowdiff requires a unique non-null key per "
+                    "snapshot"
+                )
+
+    pre_s = pre.select(
+        F.col(key),
+        F.struct(*[F.col(c) for c in val_cols]).alias("__pre"),
+    )
+    post_s = post.select(
+        F.col(key),
+        F.struct(*[F.col(c) for c in val_cols]).alias("__post"),
+    )
+    j = pre_s.join(post_s, key, "full_outer")
+    op = (
+        F.when(F.col("__pre").isNull(), F.lit("insert"))
+        .when(F.col("__post").isNull(), F.lit("delete"))
+        .when(F.col("__pre").eqNullSafe(F.col("__post")), F.lit(None))
+        .otherwise(F.lit("update"))
+    )
+    img = F.coalesce(F.col("__post"), F.col("__pre"))
+    return (
+        j.select(F.col(key), op.alias("op"), img.alias("__img"))
+        .where(F.col("op").isNotNull())
+        .select(
+            key,
+            "op",
+            *[F.col(f"__img.{c}").alias(c) for c in val_cols],
+        )
+    )
 
 
 def resumable_iterate(
