@@ -157,10 +157,10 @@ def test_domain_reports(spark, tmp_path):
 
 
 def test_driver_priority_window_intact():
-    """The driver records the FIRST ~50 entries of queries(); this
-    pins the round-5 evidence window: exactly 50 names, all real,
-    leading with the four queries that have never had a green driver
-    row (the round-4 verdict's rotation order)."""
+    """The driver records the FIRST ~50 entries of queries(); since
+    round 6 the window is DERIVED from the CORRECTNESS history (policy
+    pinned round-robust in tests/test_driver_window.py). Here: the
+    window is exactly 50 real names and is the registry prefix."""
     from tms_etl_spark import catalog
 
     catalog.load_all()
@@ -169,9 +169,3 @@ def test_driver_priority_window_intact():
     assert len(_DRIVER_PRIORITY) == 50
     assert all(n in QUERIES for n in _DRIVER_PRIORITY)
     assert list(QUERIES)[:50] == _DRIVER_PRIORITY
-    assert _DRIVER_PRIORITY[:4] == [
-        "events_funnel",
-        "events_sessionize",
-        "sim_cosine_topk",
-        "agg_approx_distinct",
-    ]

@@ -1,0 +1,90 @@
+"""Inverted token index on versioned tables: exactness vs the plain
+scan, file skipping, unindexed-file fallback, delete-vector policy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.textindex import (
+    build_text_index,
+    search_token,
+    tokens_of,
+)
+from tms_etl_spark.operators.versioned import write_version
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "docs")
+
+
+def _docs(spark, lo, hi, word):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(f"Alpha {word} beta-"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+
+
+def test_search_matches_plain_scan_and_skips_files(spark, tdir):
+    # three single-file batches; only one contains 'needle'
+    write_version(_docs(spark, 0, 50, "straw").repartition(1), tdir, "append")
+    write_version(_docs(spark, 50, 60, "needle").repartition(1), tdir, "append")
+    write_version(_docs(spark, 60, 90, "hay").repartition(1), tdir, "append")
+    build_text_index(spark, tdir, "text")
+
+    got = search_token(spark, tdir, "text", "needle")
+    assert len(got.inputFiles()) == 1  # two token-free files skipped
+    assert {r["doc_id"] for r in got.collect()} == set(range(50, 60))
+    # tokenizer contract: case-insensitive, punctuation-delimited
+    up = search_token(spark, tdir, "text", "ALPHA")
+    assert up.count() == 90
+    assert search_token(spark, tdir, "text", "beta").count() == 90
+    assert search_token(spark, tdir, "text", "bet").count() == 0
+
+
+def test_unindexed_late_files_scan_conservatively(spark, tdir):
+    write_version(_docs(spark, 0, 10, "old").repartition(1), tdir, "append")
+    build_text_index(spark, tdir, "text")
+    # commit AFTER the build: not in the sidecar, must still be found
+    write_version(_docs(spark, 10, 15, "fresh").repartition(1), tdir, "append")
+    got = search_token(spark, tdir, "text", "fresh")
+    assert {r["doc_id"] for r in got.collect()} == {10, 11, 12, 13, 14}
+
+
+def test_no_index_falls_back_to_plain_scan(spark, tdir):
+    write_version(_docs(spark, 0, 10, "solo"), tdir, "append")
+    assert search_token(spark, tdir, "text", "solo").count() == 10
+
+
+def test_deletes_fall_back_to_subtracted_scan(spark, tdir):
+    from tms_etl_spark.operators.versioned import delete_rows
+
+    write_version(_docs(spark, 0, 20, "word").repartition(2), tdir, "append")
+    build_text_index(spark, tdir, "text")
+    delete_rows(
+        spark, tdir, spark.range(0, 20, 2).select(F.col("id").alias("doc_id"))
+    )
+    got = search_token(spark, tdir, "text", "word")
+    assert {r["doc_id"] for r in got.collect()} == set(range(1, 20, 2))
+
+
+def test_tokens_of_matches_duckdb_split(spark):
+    """The tokenizer contract both engines must share (the SQL-oracle
+    side uses string_split_regex(lower(x), '[^a-z0-9]+'))."""
+    import duckdb
+
+    vals = ["A b-c", "x2,y;Z", "", "--", "Tail9 "]
+    sp = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(tokens_of("s").alias("t"))
+        .collect()
+    )
+    dk = duckdb.sql(
+        "SELECT string_split_regex(lower(s), '[^a-z0-9]+') FROM "
+        "(SELECT unnest(?::VARCHAR[]) AS s)",
+        params=[vals],
+    ).fetchall()
+    assert [r["t"] for r in sp] == [list(r[0]) for r in dk]

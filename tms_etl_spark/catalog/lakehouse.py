@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
 from tms_etl_spark.catalog.exact import dsum, sql_dsum
+from tms_etl_spark.operators.textindex import build_text_index, search_token
 from tms_etl_spark.operators.versioned import (
     delete_rows,
     merge_version,
@@ -189,6 +190,35 @@ def lakehouse_cdc_rowdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return read_version_rowdiff(
         spark, tdir, key="c_custkey", from_version=1
+    )
+
+
+@query(
+    "lakehouse_text_search",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE list_contains(
+        string_split_regex(lower(text), '[^a-z0-9]+'), 'dup')
+    """,
+)
+def lakehouse_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-token-index search (`operators/textindex.py`): commit
+    the documents table as several files, build the token sidecar,
+    and search for a selective token ('dup' — rare in the synthetic
+    vocabulary, so the posting list actually skips files). The
+    index-routed scan + residual predicate must return exactly the
+    rows the oracle's plain containment filter selects — both sides
+    share the one tokenizer contract (lowercase, split on
+    non-alphanumeric runs)."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_text_")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    write_version(d.repartition(8), tdir, "append")
+    build_text_index(spark, tdir, "text")
+    return search_token(spark, tdir, "text", "dup").select(
+        "doc_id", "source", "n_chars"
     )
 
 

@@ -1,0 +1,156 @@
+"""File-level inverted TOKEN index for versioned tables — keyword
+search with file skipping, completing the skipping quartet: zonemaps
+(range), clustering (layout), bloom (point on a key), tokens
+(containment on text).
+
+A keyword predicate (`text` contains word w) defeats both zonemaps
+and bloom indexes: it is not a range and not an equality on a stored
+value. The lakehouse answer is the classic inverted file: a sidecar
+parquet of DISTINCT (file, token) pairs. At 100 TB the sidecar is
+itself distributed data — built with one explode + distinct shuffle,
+never driver-side — and the probe reads it filtered by token (the
+sidecar is range-partitioned and sorted by token, so parquet
+row-group stats prune the probe scan too). A search then scans only
+the files whose posting admits the token; the residual predicate
+keeps results exact, and files committed after the index build are
+scanned conservatively.
+
+Tokenization is the shared contract between build and probe (and any
+SQL oracle): lowercase, split on runs of non-alphanumerics. It lives
+in ONE function so the two sides can never disagree.
+
+Cites: the reference greps its CSV exports row-by-row in Python for
+report filtering (/root/reference/src/main_01.py report path); this
+gives the same containment predicate as an indexed, file-skipping
+scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.versioned import (
+    _live_rel_files,
+    _manifest_path,
+    _read_json,
+    _scan_with_deletes,
+    current_version,
+    path_exists,
+)
+
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def tokens_of(col) -> "F.Column":
+    """The index's tokenizer: lowercase, split on non-alphanumeric
+    runs. JVM-side, shared by build and probe. SQL-oracle equivalent:
+    ``string_split_regex(lower(col), '[^a-z0-9]+')`` (DuckDB) /
+    ``split(lower(col), '[^a-z0-9]+')`` (Spark SQL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), _TOKEN_RE)
+
+
+def _index_dir(table_dir: str, col: str, version: int) -> str:
+    return f"{table_dir}/_indexes/text_{col}/v{version:06d}-tokens"
+
+
+def _canon(p: str) -> str:
+    import re
+
+    return re.sub(r"^file:/+", "/", p)
+
+
+def build_text_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    version: int | None = None,
+    n_shards: int = 8,
+) -> str:
+    """Build the inverted-token sidecar for ``col`` at ``version``
+    (default: current). Scans the version's LIVE FILES directly (same
+    rationale as the bloom build: `input_file_name` must not cross a
+    shuffle, and tombstoned rows admitted to a posting can only cost
+    false-positive file reads — the residual filter and the reader's
+    tombstone handling keep results exact). One explode + distinct
+    shuffle; the sidecar lands range-partitioned and sorted by token
+    so probes push the token predicate into the parquet scan."""
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    live = _live_rel_files(spark, table_dir, man)
+    paths = [
+        f"{table_dir}/{rel}" for rels in live.values() for rel in rels
+    ]
+    if not paths:
+        raise ValueError(
+            f"version {v} of {table_dir} has no live files to index"
+        )
+    postings = (
+        spark.read.parquet(*paths)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                "file"
+            ),
+            F.explode(tokens_of(col)).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    out = _index_dir(table_dir, col, v)
+    (
+        postings.repartitionByRange(n_shards, "token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def search_token(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    token: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Exact containment search `token ∈ tokens_of(col)` using the
+    inverted sidecar for file skipping. Files the index proves
+    token-free are never opened; index-covered hits plus any files
+    committed after the build are scanned with the residual
+    predicate. Falls back to a plain filtered scan when no index
+    exists, and — correctness first — when the version carries
+    deletion vectors (the tombstone-subtracted scan path owns that
+    case, same policy as `read_version_point`)."""
+    tok = token.lower()
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    residual = F.array_contains(tokens_of(col), tok)
+    pred_scan = _scan_with_deletes(spark, table_dir, man)
+    idx = _index_dir(table_dir, col, v)
+    if not path_exists(spark, idx) or man.get("deletes"):
+        return pred_scan.where(residual)
+    hits = {
+        _canon(r["file"])
+        for r in spark.read.parquet(idx)
+        .where(F.col("token") == tok)
+        .select("file")
+        .collect()
+    }
+    indexed = {
+        _canon(r["file"])
+        for r in spark.read.parquet(idx).select("file").distinct().collect()
+    }
+    live = _live_rel_files(spark, table_dir, man)
+    all_files = [
+        _canon(f"{table_dir}/{rel}")
+        for rels in live.values()
+        for rel in rels
+    ]
+    scan_files = sorted(
+        set(f for f in all_files if f in hits or f not in indexed)
+    )
+    if not scan_files:
+        return pred_scan.where(residual).limit(0)
+    return spark.read.parquet(*scan_files).where(residual)
