@@ -253,3 +253,41 @@ def test_pipeline_demo_end_to_end(spark, tmp_path, capsys):
     assert by["gold"]["rows"] < by["silver"]["rows"]  # dedup dropped
     assert by["index"]["files_scanned"] <= by["index"]["files_total"]
     assert "done" in by
+
+
+def test_cli_text_index_and_search(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "tidx")
+    write_version(
+        spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("word"), (F.col("id") % 3).cast("string"))
+            .alias("text"),
+        ).repartition(3),
+        tdir,
+        "append",
+    )
+    assert main(["table", "text-index", tdir, "--col", "text"]) == 0
+    assert "wrote" in capsys.readouterr().out
+    assert main(
+        ["table", "search", tdir, "--col", "text", "--token", "word2",
+         "--limit", "30"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("word2") == 10
+    # incremental extension after an append
+    write_version(
+        spark.range(30, 35).select(
+            F.col("id").alias("doc_id"), F.lit("fresh token").alias("text")
+        ),
+        tdir,
+        "append",
+    )
+    assert main(
+        ["table", "text-index", tdir, "--col", "text", "--extend"]
+    ) == 0
+    assert main(["table", "index", tdir, "--col", "doc_id", "--extend"]) == 0

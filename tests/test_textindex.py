@@ -88,3 +88,74 @@ def test_tokens_of_matches_duckdb_split(spark):
         params=[vals],
     ).fetchall()
     assert [r["t"] for r in sp] == [list(r[0]) for r in dk]
+
+
+def test_extend_index_incremental_matches_rebuild(spark, tdir):
+    """extend_text_index carries still-live files' postings forward
+    and scans only the unindexed batches; the result must be
+    row-identical to a from-scratch rebuild, and searches at the new
+    version must be index-routed (no conservative scan)."""
+    from tms_etl_spark.operators.textindex import extend_text_index
+
+    write_version(_docs(spark, 0, 40, "old").repartition(2), tdir, "append")
+    build_text_index(spark, tdir, "text")
+    write_version(_docs(spark, 40, 50, "shiny").repartition(1), tdir, "append")
+    out = extend_text_index(spark, tdir, "text")
+
+    got = search_token(spark, tdir, "text", "shiny")
+    assert len(got.inputFiles()) == 1  # routed, not conservative
+    assert {r["doc_id"] for r in got.collect()} == set(range(40, 50))
+
+    rebuilt = build_text_index(spark, tdir, "text")
+    a = {
+        (r["file"], r["token"])
+        for r in spark.read.parquet(out).collect()
+    }
+    b = {
+        (r["file"], r["token"])
+        for r in spark.read.parquet(rebuilt).collect()
+    }
+    assert a == b
+
+
+def test_extend_without_prior_builds_full(spark, tdir):
+    from tms_etl_spark.operators.textindex import extend_text_index
+
+    write_version(_docs(spark, 0, 10, "solo").repartition(1), tdir, "append")
+    extend_text_index(spark, tdir, "text")
+    assert search_token(spark, tdir, "text", "solo").count() == 10
+
+
+def test_extend_after_compaction_drops_dead_postings(spark, tdir):
+    from tms_etl_spark.operators.textindex import extend_text_index
+    from tms_etl_spark.operators.versioned import optimize_version
+
+    write_version(_docs(spark, 0, 10, "aa").repartition(1), tdir, "append")
+    write_version(_docs(spark, 10, 20, "bb").repartition(1), tdir, "append")
+    build_text_index(spark, tdir, "text")
+    optimize_version(spark, tdir)
+    out = extend_text_index(spark, tdir, "text")
+    files = {
+        r["file"]
+        for r in spark.read.parquet(out).select("file").distinct().collect()
+    }
+    # postings' file set == the version's live files: the compacted
+    # output is indexed, the dead batches' postings dropped
+    from tms_etl_spark.operators.versioned import (
+        _live_rel_files,
+        _manifest_path,
+        _read_json,
+        current_version,
+    )
+
+    man = _read_json(
+        spark, _manifest_path(tdir, current_version(spark, tdir))
+    )
+    live = {
+        f"{tdir}/{rel}"
+        for rels in _live_rel_files(spark, tdir, man).values()
+        for rel in rels
+    }
+    assert files == live
+    got = search_token(spark, tdir, "text", "aa")
+    assert {r["doc_id"] for r in got.collect()} == set(range(0, 10))

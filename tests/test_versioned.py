@@ -1518,3 +1518,35 @@ def test_rowdiff_overwrite_is_full_replacement(spark, tdir):
     assert {(r["id"], r["op"], r["val"]) for r in d} == {
         (0, "delete", 0), (2, "delete", 20), (5, "insert", 55)
     }
+
+
+def test_extend_bloom_index_incremental_matches_rebuild(spark, tdir):
+    """extend_bloom_index carries still-live files' bitmaps forward
+    and hashes only the new batches; word rows must be identical to a
+    from-scratch rebuild, and point reads at the new version must be
+    index-routed and exact."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        extend_bloom_index,
+        read_version_point,
+    )
+
+    write_version(_df(spark, 0, 400).repartition(2), tdir, "append")
+    build_bloom_index(spark, tdir, "id")
+    write_version(_df(spark, 400, 500).repartition(1), tdir, "append")
+    out = extend_bloom_index(spark, tdir, "id")
+
+    got = read_version_point(spark, tdir, "id", 450)
+    assert got.count() == 1 and got.head()["val"] == 4500
+    assert len(got.inputFiles()) == 1  # routed to the new file only
+
+    rebuilt = build_bloom_index(spark, tdir, "id")
+    a = {
+        (r["file"], r["word"], r["bits"])
+        for r in spark.read.parquet(out).collect()
+    }
+    b = {
+        (r["file"], r["word"], r["bits"])
+        for r in spark.read.parquet(rebuilt).collect()
+    }
+    assert a == b

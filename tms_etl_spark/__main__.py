@@ -120,6 +120,11 @@ def _parser() -> argparse.ArgumentParser:
     )
     ti.add_argument("dir")
     ti.add_argument("--col", required=True)
+    ti.add_argument(
+        "--extend",
+        action="store_true",
+        help="incremental: carry live files' bitmaps, hash only new files",
+    )
     tg = tsub.add_parser(
         "point", help="bloom-pruned point read (col = value)"
     )
@@ -127,6 +132,24 @@ def _parser() -> argparse.ArgumentParser:
     tg.add_argument("--col", required=True)
     tg.add_argument("--value", required=True)
     tg.add_argument("--limit", type=int, default=20)
+    tti = tsub.add_parser(
+        "text-index",
+        help="build/extend the inverted token sidecar for keyword search",
+    )
+    tti.add_argument("dir")
+    tti.add_argument("--col", required=True)
+    tti.add_argument(
+        "--extend",
+        action="store_true",
+        help="incremental: carry live files' postings, scan only new files",
+    )
+    tts = tsub.add_parser(
+        "search", help="token-index-pruned keyword containment search"
+    )
+    tts.add_argument("dir")
+    tts.add_argument("--col", required=True)
+    tts.add_argument("--token", required=True)
+    tts.add_argument("--limit", type=int, default=20)
     for nm, hp in (
         ("mv-refresh", "incrementally refresh a SUM/COUNT view"),
         ("mv-rebuild", "full recompute of a SUM/COUNT view"),
@@ -261,9 +284,29 @@ def main(argv: list[str] | None = None) -> int:
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "index":
-            from tms_etl_spark.operators.bloomindex import build_bloom_index
+            from tms_etl_spark.operators.bloomindex import (
+                build_bloom_index,
+                extend_bloom_index,
+            )
 
-            print(f"wrote {build_bloom_index(spark, args.dir, args.col)}")
+            fn = extend_bloom_index if args.extend else build_bloom_index
+            print(f"wrote {fn(spark, args.dir, args.col)}")
+            return 0
+        if args.table_cmd == "text-index":
+            from tms_etl_spark.operators.textindex import (
+                build_text_index,
+                extend_text_index,
+            )
+
+            fn = extend_text_index if args.extend else build_text_index
+            print(f"wrote {fn(spark, args.dir, args.col)}")
+            return 0
+        if args.table_cmd == "search":
+            from tms_etl_spark.operators.textindex import search_token
+
+            search_token(spark, args.dir, args.col, args.token).show(
+                args.limit, truncate=False
+            )
             return 0
         if args.table_cmd == "point":
             from pyspark.sql import functions as F

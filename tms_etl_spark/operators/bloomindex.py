@@ -117,6 +117,95 @@ def build_bloom_index(
     return out
 
 
+def extend_bloom_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    version: int | None = None,
+) -> str:
+    """Incrementally bring the Bloom sidecar up to ``version`` —
+    per-file bitmaps are independent facts, so the new sidecar is the
+    newest prior sidecar's rows restricted to files still live at
+    ``version`` (broadcast semi-join against the metadata-sized live
+    list) plus bitmaps computed only for live-but-unindexed files.
+    Cost: O(new files + sidecar), never O(table); same maintenance
+    contract as `textindex.extend_text_index`. Falls back to a full
+    build when no prior sidecar exists."""
+    import re as _re
+
+    from tms_etl_spark.operators.versioned import _live_rel_files
+    from tms_etl_spark.sources.fs import list_files
+
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    root = f"{table_dir}/_indexes/{col}"
+    prev_v = 0
+    if path_exists(spark, root):
+        for fi in list_files(spark, root):
+            m = _re.search(r"v(\d+)-bloom$", fi.path)
+            if m and int(m.group(1)) < v:
+                prev_v = max(prev_v, int(m.group(1)))
+    if prev_v == 0:
+        return build_bloom_index(spark, table_dir, col, v)
+
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    live = _live_rel_files(spark, table_dir, man)
+    live_paths = sorted(
+        _canon(f"{table_dir}/{rel}")
+        for rels in live.values()
+        for rel in rels
+    )
+    if not live_paths:
+        raise ValueError(
+            f"version {v} of {table_dir} has no live files to index"
+        )
+    prev = spark.read.parquet(_index_dir(table_dir, col, prev_v))
+    live_df = spark.createDataFrame(
+        [(p,) for p in live_paths], "file string"
+    )
+    carried = prev.join(F.broadcast(live_df), "file", "left_semi")
+    indexed = {
+        _canon(r["file"])
+        for r in prev.select("file").distinct().collect()
+    }
+    new_files = [p for p in live_paths if p not in indexed]
+    parts = [carried]
+    if new_files:
+        fresh = spark.read.parquet(*new_files).select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                "file"
+            ),
+            F.col(col).alias("__v"),
+        )
+        pos = fresh.select(
+            "file",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.abs(F.xxhash64(F.col("__v"), F.lit(i)))
+                            % F.lit(_BITS)
+                        )
+                        for i in range(_K)
+                    ]
+                )
+            ).alias("p"),
+        ).select(
+            "file",
+            (F.col("p") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+        )
+        parts.append(
+            pos.groupBy("file", "word").agg(F.bit_or("mask").alias("bits"))
+        )
+    out_df = parts[0]
+    for p in parts[1:]:
+        out_df = out_df.unionByName(p)
+    out = _index_dir(table_dir, col, v)
+    out_df.write.mode("overwrite").parquet(out)
+    return out
+
+
 def read_version_point(
     spark: SparkSession,
     table_dir: str,

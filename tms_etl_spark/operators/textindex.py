@@ -107,6 +107,85 @@ def build_text_index(
     return out
 
 
+def extend_text_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    version: int | None = None,
+    n_shards: int = 8,
+) -> str:
+    """Incrementally bring the token sidecar up to ``version`` without
+    rescanning indexed data — the 100 TB maintenance path. Postings
+    are per-file facts, so the new sidecar is: the newest prior
+    sidecar's rows restricted to files STILL LIVE at ``version``
+    (a broadcast semi-join against the metadata-sized live list —
+    rows of compacted/merged-away files drop out), plus freshly built
+    postings for live-but-unindexed files (the appended batches).
+    Cost: O(new files + sidecar), never O(table). Falls back to a
+    full `build_text_index` when no prior sidecar exists."""
+    import re as _re
+
+    from tms_etl_spark.sources.fs import list_files
+
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    root = f"{table_dir}/_indexes/text_{col}"
+    prev_v = 0
+    if path_exists(spark, root):
+        for fi in list_files(spark, root):
+            m = _re.search(r"v(\d+)-tokens$", fi.path)
+            if m and int(m.group(1)) < v:
+                prev_v = max(prev_v, int(m.group(1)))
+    if prev_v == 0:
+        return build_text_index(spark, table_dir, col, v, n_shards)
+
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    live = _live_rel_files(spark, table_dir, man)
+    live_paths = sorted(
+        _canon(f"{table_dir}/{rel}")
+        for rels in live.values()
+        for rel in rels
+    )
+    if not live_paths:
+        raise ValueError(
+            f"version {v} of {table_dir} has no live files to index"
+        )
+    prev = spark.read.parquet(_index_dir(table_dir, col, prev_v))
+    live_df = spark.createDataFrame(
+        [(p,) for p in live_paths], "file string"
+    )
+    carried = prev.join(F.broadcast(live_df), "file", "left_semi")
+    indexed = {
+        _canon(r["file"])
+        for r in prev.select("file").distinct().collect()
+    }
+    new_files = [p for p in live_paths if p not in indexed]
+    parts = [carried]
+    if new_files:
+        parts.append(
+            spark.read.parquet(*new_files)
+            .select(
+                F.regexp_replace(
+                    F.input_file_name(), "^file:/+", "/"
+                ).alias("file"),
+                F.explode(tokens_of(col)).alias("token"),
+            )
+            .where(F.col("token") != "")
+            .distinct()
+        )
+    out_df = parts[0]
+    for p in parts[1:]:
+        out_df = out_df.unionByName(p)
+    out = _index_dir(table_dir, col, v)
+    (
+        out_df.repartitionByRange(n_shards, "token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
 def search_token(
     spark: SparkSession,
     table_dir: str,
