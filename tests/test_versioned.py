@@ -1550,3 +1550,86 @@ def test_extend_bloom_index_incremental_matches_rebuild(spark, tdir):
         for r in spark.read.parquet(rebuilt).collect()
     }
     assert a == b
+
+
+# ---- round-6: generalized incremental aggregate views --------------
+
+
+def test_agg_view_incremental_equals_rebuild(spark, tdir, tmp_path):
+    """refresh_agg_view across three appends must be bit-identical to
+    a from-scratch rebuild: decimal sums, counts, and min/max all
+    merge exactly."""
+    from tms_etl_spark.operators.matview import (
+        rebuild_agg_view,
+        refresh_agg_view,
+    )
+
+    mv, mv2 = str(tmp_path / "mv"), str(tmp_path / "mv2")
+    for lo in (0, 20, 40):
+        write_version(
+            spark.range(lo, lo + 20).select(
+                (F.col("id") % 4).alias("g"),
+                (F.col("id") * 1.5).alias("x"),
+            ),
+            tdir,
+            "append",
+        )
+        refresh_agg_view(
+            spark, tdir, mv, ["g"], sum_cols=["x"], minmax_cols=["x"]
+        )
+    rebuild_agg_view(
+        spark, tdir, mv2, ["g"], sum_cols=["x"], minmax_cols=["x"]
+    )
+    inc = {
+        r["g"]: (r["n_rows"], r["sum_x"], r["min_x"], r["max_x"])
+        for r in read_version(spark, mv).collect()
+    }
+    full = {
+        r["g"]: (r["n_rows"], r["sum_x"], r["min_x"], r["max_x"])
+        for r in read_version(spark, mv2).collect()
+    }
+    assert inc == full and len(inc) == 4
+    assert inc[0][0] == 15 and inc[0][2] == 0.0 and inc[0][3] == 84.0
+
+
+def test_agg_view_null_delta_keeps_extrema(spark, tdir, tmp_path):
+    """A delta whose group has only NULL measure values must add to
+    the count but leave min/max in place (least/greatest skip NULLs)
+    and add 0 to the sum (decimal sum of nulls is NULL -> coalesce)."""
+    from tms_etl_spark.operators.matview import refresh_agg_view
+
+    mv = str(tmp_path / "mv")
+    write_version(
+        spark.createDataFrame([("a", 5.0), ("a", 1.0)], "g string, x double"),
+        tdir,
+        "append",
+    )
+    refresh_agg_view(spark, tdir, mv, ["g"], sum_cols=["x"], minmax_cols=["x"])
+    write_version(
+        spark.createDataFrame(
+            [("a", None)], "g string, x double"
+        ),
+        tdir,
+        "append",
+    )
+    refresh_agg_view(spark, tdir, mv, ["g"], sum_cols=["x"], minmax_cols=["x"])
+    r = read_version(spark, mv).head()
+    assert r["n_rows"] == 3
+    assert float(r["sum_x"]) == 6.0
+    assert r["min_x"] == 1.0 and r["max_x"] == 5.0
+
+
+def test_agg_view_nonappend_raises_and_rebuilds(spark, tdir, tmp_path):
+    from tms_etl_spark.operators.matview import (
+        rebuild_agg_view,
+        refresh_agg_view,
+    )
+
+    mv = str(tmp_path / "mv")
+    write_version(_df(spark, 0, 10), tdir, "append")
+    refresh_agg_view(spark, tdir, mv, ["id"], sum_cols=["val"])
+    write_version(_df(spark, 0, 5), tdir, "overwrite")
+    with pytest.raises(ValueError):
+        refresh_agg_view(spark, tdir, mv, ["id"], sum_cols=["val"])
+    rebuild_agg_view(spark, tdir, mv, ["id"], sum_cols=["val"])
+    assert read_version(spark, mv).count() == 5

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from tms_etl_spark.catalog import query
 from tms_etl_spark.catalog.exact import dsum, sql_dsum
+from tms_etl_spark.operators.matview import refresh_agg_view
 from tms_etl_spark.operators.textindex import build_text_index, search_token
 from tms_etl_spark.operators.versioned import (
     delete_rows,
@@ -219,6 +220,54 @@ def lakehouse_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_text_index(spark, tdir, "text")
     return search_token(spark, tdir, "text", "dup").select(
         "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "lakehouse_mv_incremental",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 4)
+                AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained multi-aggregate view
+    (`operators/matview.py:refresh_agg_view`): commit half of orders,
+    bootstrap the view, append the other half, refresh — the second
+    refresh reads ONLY the new files (file-level CDC delta) and lands
+    as a CoW MERGE on the surrogate group key. The final view state
+    must be bit-identical to a one-shot aggregate over the whole
+    table (decimal-exact sums; exact min/max), which is exactly what
+    the DuckDB oracle computes."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_mv_base_")
+    mv = tempfile.mkdtemp(prefix="lakehouse_mv_view_") + "/mv"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_version(o.where(F.col("o_orderkey") % 2 == 0), tdir, "append")
+    refresh_agg_view(
+        spark, tdir, mv, ["o_orderstatus"],
+        sum_cols=["o_totalprice"], minmax_cols=["o_totalprice"],
+    )
+    write_version(o.where(F.col("o_orderkey") % 2 == 1), tdir, "append")
+    refresh_agg_view(
+        spark, tdir, mv, ["o_orderstatus"],
+        sum_cols=["o_totalprice"], minmax_cols=["o_totalprice"],
+    )
+    v = read_version(spark, mv)
+    return v.select(
+        "o_orderstatus",
+        F.col("n_rows").alias("n_orders"),
+        F.round(F.col("sum_o_totalprice"), 4)
+        .cast("double")
+        .alias("sum_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
     )
 
 

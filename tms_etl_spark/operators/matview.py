@@ -140,9 +140,18 @@ def refresh_sum_view(
     combined = delta.join(cur_mv, "mv_key", "left").select(
         "mv_key",
         *group_cols,
-        (
+        # NULL-exact merge: one-sided NULL acts as 0 (no non-null
+        # values on that side); both-sides NULL stays NULL (SQL's SUM
+        # over an all-NULL group) — incremental ≡ rebuild bitwise
+        F.when(
+            F.col("__old_s").isNull() & F.col("sum_val").isNull(),
+            F.lit(None),
+        )
+        .otherwise(
             F.coalesce(F.col("__old_s"), F.lit(0).cast("decimal(28,8)"))
-            + F.col("sum_val")
+            + F.coalesce(
+                F.col("sum_val"), F.lit(0).cast("decimal(28,8)")
+            )
         )
         .cast("decimal(28,8)")
         .alias("sum_val"),
@@ -153,6 +162,164 @@ def refresh_sum_view(
     merge_version(
         spark, mv_dir, combined, key="mv_key",
         when_matched="update", txn_id=txn,
+    )
+    return base_cur
+
+
+def _agg_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+) -> DataFrame:
+    """Grouped multi-aggregate state row per group: decimal-exact
+    sums, exact min/max, row count, plus the surrogate merge key —
+    one map-side-combined exchange."""
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(28,8)"))
+            .cast("decimal(28,8)")
+            .alias(f"sum_{c}")
+        )
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    out_cols = (
+        ["n_rows"]
+        + [f"sum_{c}" for c in sum_cols]
+        + [x for c in minmax_cols for x in (f"min_{c}", f"max_{c}")]
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(*aggs)
+        .select(
+            F.concat_ws(
+                _SEP,
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                    for c in group_cols
+                ],
+            ).alias("mv_key"),
+            *group_cols,
+            *out_cols,
+        )
+    )
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    base_dir: str,
+    mv_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str] = (),
+    minmax_cols: list[str] = (),
+) -> int:
+    """Generalized incremental view: per-group COUNT(*), decimal-
+    exact SUMs, and exact MIN/MAX maintained over the base's
+    append-only version chain — `refresh_sum_view`'s contract
+    (file-level CDC delta, CoW MERGE on the surrogate key, txn-ledger
+    recovery, idempotent replay) extended to the full set of
+    APPEND-DISTRIBUTIVE aggregates. AVG derives as sum/n at read
+    time. MIN/MAX are maintainable incrementally ONLY under
+    append-only bases — a delete could retract the current extremum,
+    which is exactly the case `read_version_changes` already raises
+    on (recover with `rebuild_agg_view`). Merge rules: sums add,
+    counts add, min takes `least`, max takes `greatest` (both
+    null-skipping, so an all-null delta group leaves the extremum in
+    place)."""
+    sum_cols, minmax_cols = list(sum_cols), list(minmax_cols)
+    if not sum_cols and not minmax_cols:
+        raise ValueError("nothing to aggregate")
+    base_cur = current_version(spark, base_dir)
+    if base_cur <= 0:
+        raise ValueError(f"no committed versions at {base_dir}")
+    done = _last_refreshed_base(spark, mv_dir)
+    if done >= base_cur:
+        return done
+    txn = f"{_TXN_PREFIX}{base_cur}"
+    if done == 0:
+        snap = _agg_multi(
+            read_version(spark, base_dir), group_cols, sum_cols, minmax_cols
+        )
+        write_version(snap, mv_dir, "append", txn_id=txn)
+        return base_cur
+    delta = _agg_multi(
+        read_version_changes(spark, base_dir, done, base_cur),
+        group_cols,
+        sum_cols,
+        minmax_cols,
+    )
+    state_cols = (
+        ["n_rows"]
+        + [f"sum_{c}" for c in sum_cols]
+        + [x for c in minmax_cols for x in (f"min_{c}", f"max_{c}")]
+    )
+    cur_mv = read_version(spark, mv_dir).select(
+        "mv_key", *[F.col(c).alias(f"__old_{c}") for c in state_cols]
+    )
+    merged = [
+        (F.coalesce(F.col("__old_n_rows"), F.lit(0)) + F.col("n_rows"))
+        .cast("long")
+        .alias("n_rows")
+    ]
+    zero = F.lit(0).cast("decimal(28,8)")
+    for c in sum_cols:
+        # NULL-exact merge: NULL on ONE side means "no non-null values
+        # on that side" and acts as 0; NULL on BOTH sides must stay
+        # NULL (SQL's SUM over an all-NULL group), keeping the
+        # incremental state bit-identical to a rebuild
+        old_s, new_s = F.col(f"__old_sum_{c}"), F.col(f"sum_{c}")
+        merged.append(
+            F.when(
+                old_s.isNull() & new_s.isNull(), F.lit(None)
+            )
+            .otherwise(F.coalesce(old_s, zero) + F.coalesce(new_s, zero))
+            .cast("decimal(28,8)")
+            .alias(f"sum_{c}")
+        )
+    for c in minmax_cols:
+        merged.append(
+            F.least(F.col(f"__old_min_{c}"), F.col(f"min_{c}")).alias(
+                f"min_{c}"
+            )
+        )
+        merged.append(
+            F.greatest(F.col(f"__old_max_{c}"), F.col(f"max_{c}")).alias(
+                f"max_{c}"
+            )
+        )
+    combined = delta.join(cur_mv, "mv_key", "left").select(
+        "mv_key", *group_cols, *merged
+    )
+    merge_version(
+        spark, mv_dir, combined, key="mv_key",
+        when_matched="update", txn_id=txn,
+    )
+    return base_cur
+
+
+def rebuild_agg_view(
+    spark: SparkSession,
+    base_dir: str,
+    mv_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str] = (),
+    minmax_cols: list[str] = (),
+) -> int:
+    """Full recompute of the generalized view (recovery after a
+    non-append base change), committed as an OVERWRITE version."""
+    base_cur = current_version(spark, base_dir)
+    if base_cur <= 0:
+        raise ValueError(f"no committed versions at {base_dir}")
+    snap = _agg_multi(
+        read_version(spark, base_dir),
+        group_cols,
+        list(sum_cols),
+        list(minmax_cols),
+    )
+    write_version(
+        snap, mv_dir, "overwrite", txn_id=f"{_TXN_PREFIX}{base_cur}"
     )
     return base_cur
 
