@@ -181,6 +181,13 @@ HEADLINE = [
     # the residual-pass regression metrics (two-scan OLS)
     "join_interval_overlap",
     "eval_regression_metrics",
+    # round-12 additions: the lakehouse write path measured end to
+    # end — versioned commit + CoW MERGE + read (merge_state), and
+    # commit + inverted-index build + routed search (text_search).
+    # Both build their table from scratch per run (tempdir), so the
+    # timing covers the full write-side story, not just reads.
+    "lakehouse_merge_state",
+    "lakehouse_text_search",
 ]
 
 

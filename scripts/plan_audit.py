@@ -386,6 +386,36 @@ AUDIT = [
         "nearest-rank pick is 2*cumw >= total_w — no per-group "
         "value buffer",
     ),
+    # round-12: lakehouse read paths (the plans below are the READ
+    # side of entries that first build a real versioned table — the
+    # scan shape is what survives to 100 TB)
+    (
+        "lakehouse_read_pruned",
+        ["Scan parquet", "partial_count"],
+        "zonemap-pruned versioned read: the scan's file list is the "
+        "manifest-pruned subset (plan-time skipping), residual "
+        "filter + partial-combined aggregate on top",
+    ),
+    (
+        "lakehouse_cdc_rowdiff",
+        ["FullOuter", "Scan parquet"],
+        "row-level CDC classify: ONE full-outer join on the key "
+        "between the two file-bounded scopes; value compare is a "
+        "struct equality in the join's projection, no second pass",
+    ),
+    (
+        "lakehouse_text_search",
+        ["array_contains", "Scan parquet"],
+        "token-index-routed search: the scan reads only "
+        "posting-admitted files; the residual containment predicate "
+        "(array_contains over the shared tokenizer) keeps it exact",
+    ),
+    (
+        "lakehouse_mv_incremental",
+        ["Scan parquet"],
+        "incremental multi-aggregate view read: groups-sized scan of "
+        "the view table — the base is never touched at read time",
+    ),
 ]
 
 

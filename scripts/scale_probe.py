@@ -79,6 +79,12 @@ DEFAULT_QUERIES = [
     "recs_covisit_time_decay",
     "privacy_t_closeness",
     "join_interval_overlap",
+    # round-12 lakehouse write-path headliners: versioned commit +
+    # CoW MERGE + read, and commit + inverted-index build + search —
+    # the probe scales the WRITE side (merge candidate discovery,
+    # posting build) with the data
+    "lakehouse_merge_state",
+    "lakehouse_text_search",
 ]
 
 # SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH

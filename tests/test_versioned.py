@@ -1633,3 +1633,56 @@ def test_agg_view_nonappend_raises_and_rebuilds(spark, tdir, tmp_path):
         refresh_agg_view(spark, tdir, mv, ["id"], sum_cols=["val"])
     rebuild_agg_view(spark, tdir, mv, ["id"], sum_cols=["val"])
     assert read_version(spark, mv).count() == 5
+
+
+def test_apply_rowdiff_replicates_source(spark, tdir, tmp_path):
+    """CDC pair round-trip: diff the source's version chain with
+    read_version_rowdiff and apply each feed to a replica — the
+    replica must converge to the source snapshot after every step,
+    and a replayed feed (same txn) must be a no-op."""
+    from tms_etl_spark.operators.versioned import (
+        apply_rowdiff,
+        delete_rows,
+        merge_version,
+        read_version_rowdiff,
+    )
+
+    rep = str(tmp_path / "replica")
+
+    def snap(d):
+        from tms_etl_spark.operators.versioned import read_version
+
+        return {
+            (r["id"], r["val"]) for r in read_version(spark, d).collect()
+        }
+
+    # v1: bootstrap both sides identically
+    write_version(_df(spark, 0, 20).repartition(2), tdir, "append")
+    write_version(_df(spark, 0, 20).repartition(2), rep, "append")
+
+    # source mutations: merge (update 3, insert 100), vector delete 7
+    merge_version(
+        spark,
+        tdir,
+        spark.createDataFrame([(3, -3), (100, 1)], "id long, val long"),
+        "id",
+        "update",
+    )
+    delete_rows(spark, tdir, spark.createDataFrame([(7,)], "id long"))
+
+    feed = read_version_rowdiff(spark, tdir, "id", 1)
+    apply_rowdiff(spark, rep, feed, "id", txn_id="feed-1")
+    assert snap(rep) == snap(tdir)
+
+    # replay: same txn must change nothing
+    v_before = current_version(spark, rep)
+    apply_rowdiff(spark, rep, feed, "id", txn_id="feed-1")
+    assert current_version(spark, rep) == v_before
+    assert snap(rep) == snap(tdir)
+
+    # bad op rejected
+    bad = feed.withColumn(
+        "op", F.lit("truncate")
+    )
+    with pytest.raises(ValueError, match="unknown ops"):
+        apply_rowdiff(spark, rep, bad, "id")

@@ -974,3 +974,67 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.lit(len(merges)) == 0)
         ).alias("merges_reduce"),
     )
+
+
+@query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '[^a-z0-9]+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 4, 0) + 1),
+                   i -> array_to_string(t[i:i+4], ' ')
+               )) AS ng
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT ng FROM grams WHERE doc_id < 25
+    )
+    SELECT DISTINCT g.doc_id
+    FROM grams g JOIN bench b ON g.ng = b.ng
+    WHERE g.doc_id >= 25
+    ORDER BY g.doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama training-set
+    hygiene step): flag every training document sharing ANY token
+    5-gram with the held-out eval set (here: doc_id < 25 plays the
+    benchmark). Scale shape: the benchmark's distinct n-grams are
+    EVAL-SET-sized — tiny against a 100 TB corpus — so they
+    BROADCAST and the corpus side is a map-side semi-join: one scan,
+    zero corpus shuffles (the final distinct is flagged-docs-sized).
+    N-grams are built array-side (transform over an index sequence,
+    no per-token explode of the corpus; only matching is row-wise).
+    Tokenizer + slicing semantics are the `textindex.tokens_of`
+    contract, pinned bit-equal to DuckDB."""
+    from tms_etl_spark.operators.textindex import tokens_of
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_of("text").alias("t")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("t") - 4, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 5)),
+            )
+        ).alias("ng"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") < 25).select("ng").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") >= 25)
+        .join(F.broadcast(bench), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )

@@ -1511,6 +1511,60 @@ def read_version_rowdiff(
     )
 
 
+def apply_rowdiff(
+    spark: SparkSession,
+    table_dir: str,
+    feed_df: DataFrame,
+    key: str,
+    txn_id: str | None = None,
+) -> int:
+    """Apply a `read_version_rowdiff`-shaped change feed (an ``op``
+    column ∈ {'insert','update','delete'} + full row images) to a
+    versioned target — the replication half of the CDC pair: diff a
+    source with `read_version_rowdiff`, apply downstream with this,
+    and the replica converges to the source snapshot. Upserts land
+    as ONE copy-on-write MERGE (file-skipping; inserts and updates
+    are the same operation under MERGE), deletes as ONE deletion-
+    vector commit — O(feed + touched files), never O(table).
+
+    ``txn_id`` makes the whole application idempotent: the two
+    commits use derived ids (``<txn>:upsert`` / ``<txn>:delete``), so
+    a replayed feed re-applies neither half. Returns the target's
+    final version."""
+    from pyspark.sql import functions as F
+
+    ops = feed_df.select("op").distinct()
+    bad = [
+        r["op"]
+        for r in ops.collect()
+        if r["op"] not in ("insert", "update", "delete")
+    ]
+    if bad:
+        raise ValueError(f"unknown ops in feed: {bad}")
+    upserts = feed_df.where(
+        F.col("op").isin("insert", "update")
+    ).drop("op")
+    deletes = feed_df.where(F.col("op") == "delete").select(key)
+    v = current_version(spark, table_dir)
+    if upserts.head(1):
+        v = merge_version(
+            spark,
+            table_dir,
+            upserts,
+            key=key,
+            when_matched="update",
+            txn_id=None if txn_id is None else f"{txn_id}:upsert",
+        )
+    if deletes.head(1):
+        v = delete_rows(
+            spark,
+            table_dir,
+            deletes,
+            txn_id=None if txn_id is None else f"{txn_id}:delete",
+        )
+    return v
+
+
 def resumable_iterate(
     spark: SparkSession,
     table_dir: str,
