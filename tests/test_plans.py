@@ -477,3 +477,50 @@ def test_grouped_topk_bounded_no_group_window(spark, sf_dir):
     assert "partial_" in p          # both phases map-side combine
     assert "row_number" not in p    # no rank function anywhere
     assert "Window" not in p        # no window operator at all
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The eval set's n-grams are eval-set-sized — they must
+    BROADCAST so the 100 TB corpus side is a map-side semi-join, and
+    the corpus must never explode through a shuffle join or nested
+    loop on the gram."""
+    p = _plan(spark, sf_dir, "dedup_decontaminate")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rowdiff_single_full_outer_join(spark, sf_dir):
+    """The CDC classify must be ONE full-outer join between the two
+    file-bounded scopes — value comparison rides the projection, no
+    second corpus pass, no nested loop."""
+    from tms_etl_spark.catalog import QUERIES
+
+    df = QUERIES["lakehouse_cdc_rowdiff"](spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "FullOuter" in p
+    # formatted mode prints the join in the tree AND its detail
+    # section: 2 mentions = ONE join (same convention as the
+    # Exchange-count pins above)
+    assert p.count("FullOuter") <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_text_search_residual_not_window(spark, sf_dir):
+    """Index-routed search is a scan + codegen'd containment filter:
+    no join, no window, no shuffle at all on the read side."""
+    from tms_etl_spark.catalog import QUERIES
+
+    df = QUERIES["lakehouse_text_search"](spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "array_contains" in p
+    assert "Window" not in p and "Join" not in p
+    assert "Exchange" not in p  # pure map-side read
