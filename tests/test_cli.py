@@ -291,3 +291,27 @@ def test_cli_text_index_and_search(spark, tmp_path, capsys):
         ["table", "text-index", tdir, "--col", "text", "--extend"]
     ) == 0
     assert main(["table", "index", tdir, "--col", "doc_id", "--extend"]) == 0
+
+
+def test_cli_show_asof_and_repair(spark, tmp_path, capsys):
+    import pathlib
+    import time
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "asof")
+    write_version(spark.range(0, 3).selectExpr("id"), tdir, "append")
+    t1 = time.time()
+    time.sleep(0.05)
+    write_version(spark.range(3, 9).selectExpr("id"), tdir, "append")
+    assert main(
+        ["table", "show", tdir, "--asof", str(t1), "--limit", "20"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "resolved to v1" in out
+    (pathlib.Path(tdir) / "_manifests" / "v000009.json.lock").touch()
+    assert main(
+        ["table", "repair", tdir, "--stale-lock-seconds", "0"]
+    ) == 0
+    assert "removed 1 stale locks" in capsys.readouterr().out

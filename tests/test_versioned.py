@@ -1686,3 +1686,71 @@ def test_apply_rowdiff_replicates_source(spark, tdir, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown ops"):
         apply_rowdiff(spark, rep, bad, "id")
+
+
+def test_timestamp_time_travel(spark, tdir):
+    """version_asof resolves TIMESTAMP AS OF from the commit stamps
+    written at the atomic commit point; pre-stamp manifests fall back
+    to file mtime."""
+    import json
+    import pathlib
+    import time
+
+    from tms_etl_spark.operators.versioned import (
+        read_version_asof,
+        version_asof,
+    )
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    t1 = time.time()
+    time.sleep(0.05)
+    write_version(_df(spark, 5, 9), tdir, "append")
+    t2 = time.time()
+
+    assert version_asof(spark, tdir, t1) == 1
+    assert version_asof(spark, tdir, t2) == 2
+    assert read_version_asof(spark, tdir, t1).count() == 5
+    assert read_version_asof(spark, tdir, t2).count() == 9
+    with pytest.raises(ValueError, match="at or before"):
+        version_asof(spark, tdir, t1 - 3600)
+    # ISO-string form
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(t2).isoformat()
+    assert version_asof(spark, tdir, iso) == 2
+    # legacy manifest without committed_at: mtime fallback
+    mp = pathlib.Path(tdir) / "_manifests" / "v000001.json"
+    man = json.loads(mp.read_text())
+    del man["committed_at"]
+    mp.write_text(json.dumps(man))  # rewrite bumps mtime to "now"
+    assert version_asof(spark, tdir, time.time() + 1) == 2
+    # the legacy manifest resolves by its (fresh) mtime, not an error
+    assert version_asof(spark, tdir, time.time() + 1) >= 1
+
+
+def test_repair_table_clears_stale_debris(spark, tdir):
+    import pathlib
+
+    from tms_etl_spark.operators.versioned import (
+        ConcurrentWriteError,
+        repair_table,
+    )
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    man_dir = pathlib.Path(tdir) / "_manifests"
+    # dead writer's debris for v2
+    (man_dir / "v000002.json.lock").touch()
+    (man_dir / "v000002.json.abc123.tmp").write_text("{}")
+    # the stale lock blocks v2 commits
+    with pytest.raises(ConcurrentWriteError):
+        write_version(_df(spark, 5, 9), tdir, "append")
+    # young debris is protected...
+    assert repair_table(spark, tdir, stale_lock_seconds=3600) == {
+        "stale_locks": 0, "orphan_tmps": 0
+    }
+    # ...but past the threshold it's cleared and commits resume
+    assert repair_table(spark, tdir, stale_lock_seconds=0) == {
+        "stale_locks": 1, "orphan_tmps": 1
+    }
+    assert write_version(_df(spark, 5, 9), tdir, "append") == 2
+    assert read_version(spark, tdir).count() == 9

@@ -9,7 +9,8 @@ over the registered tables, and plan inspection from one command:
     python -m tms_etl_spark explain <query> [--sf-dir DIR]
     python -m tms_etl_spark sql "SELECT ... FROM lineitem ..." [--sf-dir DIR]
     python -m tms_etl_spark table history|show|rollback|optimize|compact|
-        expire|changes|delete|merge|index|point|mv-refresh|mv-rebuild DIR ...
+        expire|changes|delete|merge|index|point|text-index|search|
+        repair|mv-refresh|mv-rebuild DIR ...
 
 Output goes to stdout (`run` prints `show()`-style tables capped at
 --limit rows; `sql` the same). Exit code 0 on success, 2 on unknown
@@ -54,7 +55,20 @@ def _parser() -> argparse.ArgumentParser:
     ts = tsub.add_parser("show")
     ts.add_argument("dir")
     ts.add_argument("--version", type=int, default=None)
+    ts.add_argument(
+        "--asof", default=None,
+        help="TIMESTAMP AS OF (ISO-8601 or epoch seconds); "
+        "mutually exclusive with --version",
+    )
     ts.add_argument("--limit", type=int, default=20)
+    trp = tsub.add_parser(
+        "repair", help="clear stale commit locks / orphan tmp manifests"
+    )
+    trp.add_argument("dir")
+    trp.add_argument(
+        "--stale-lock-seconds", type=float, default=3600.0,
+        help="age before a lock with no manifest counts as dead",
+    )
     tr = tsub.add_parser("rollback")
     tr.add_argument("dir")
     tr.add_argument("--to", type=int, required=True)
@@ -212,8 +226,29 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"v{h.version:06d}\t{h.n_dirs} dirs\t{h.op}")
             return 0
         if args.table_cmd == "show":
-            vt.read_version(spark, args.dir, args.version).show(
+            version = args.version
+            if args.asof is not None:
+                if version is not None:
+                    print("--version and --asof are mutually exclusive",
+                          file=sys.stderr)
+                    return 2
+                try:
+                    ts = float(args.asof)
+                except ValueError:
+                    ts = args.asof  # ISO-8601 string
+                version = vt.version_asof(spark, args.dir, ts)
+                print(f"resolved to v{version}")
+            vt.read_version(spark, args.dir, version).show(
                 args.limit, truncate=False
+            )
+            return 0
+        if args.table_cmd == "repair":
+            res = vt.repair_table(
+                spark, args.dir, stale_lock_seconds=args.stale_lock_seconds
+            )
+            print(
+                f"removed {res['stale_locks']} stale locks, "
+                f"{res['orphan_tmps']} orphan tmps"
             )
             return 0
         if args.table_cmd == "rollback":

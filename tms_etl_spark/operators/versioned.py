@@ -94,9 +94,14 @@ def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
     best-effort — single-writer per table is the supported deployment
     there (the same caveat Delta documents for S3 without a
     coordination service)."""
+    import time
     import uuid
     from urllib.parse import urlparse
 
+    # every commit path funnels through here, so this is the one
+    # place to stamp the commit wall-clock (timestamp time travel,
+    # `version_asof`); pre-stamped payloads (tests) pass through
+    payload.setdefault("committed_at", time.time())
     data = json.dumps(payload).encode("utf-8")
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
@@ -434,6 +439,88 @@ def read_version(
         raise ValueError(f"version {v} expired at {table_dir}")
     man = _read_json(spark, p)
     return _scan_with_deletes(spark, table_dir, man)
+
+
+def version_asof(spark: SparkSession, table_dir: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the highest version committed at
+    or before ``ts`` (epoch seconds, datetime, or ISO-8601 string).
+    Every manifest carries ``committed_at`` stamped at the atomic
+    commit point; manifests from before that field existed fall back
+    to the manifest file's mtime. O(versions) metadata reads —
+    listing-scale, no data touched. Raises if the table has no
+    version that old."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts).timestamp()
+    elif isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    ts = float(ts)
+    root = f"{table_dir}/{_MANIFESTS}"
+    if not path_exists(spark, root):
+        raise ValueError(f"no committed versions at {table_dir}")
+    best = 0
+    for fi in list_files(spark, root, "v*.json"):
+        name = fi.path.rsplit("/", 1)[-1]
+        v = int(name[1:-5])
+        man = _read_json(spark, _manifest_path(table_dir, v))
+        at = man.get("committed_at", fi.mtime_ms / 1000.0)
+        if at <= ts:
+            best = max(best, v)
+    if best == 0:
+        raise ValueError(
+            f"no version of {table_dir} committed at or before {ts}"
+        )
+    return best
+
+
+def read_version_asof(spark: SparkSession, table_dir: str, ts) -> DataFrame:
+    """Time travel by TIMESTAMP: the newest snapshot as of ``ts``
+    (Delta's ``TIMESTAMP AS OF``, resolved from the manifests'
+    commit stamps)."""
+    return read_version(spark, table_dir, version_asof(spark, table_dir, ts))
+
+
+def repair_table(
+    spark: SparkSession,
+    table_dir: str,
+    stale_lock_seconds: float = 3600.0,
+) -> dict:
+    """Crash-debris cleanup, safe to run while writers are live:
+
+    - ``.lock`` markers WITHOUT a committed manifest, older than
+      ``stale_lock_seconds`` (a writer died between lock and commit;
+      a live writer's lock is only held for one small JSON write, so
+      an hour-old one is dead) — removed, unblocking that version;
+    - orphan ``.tmp`` manifest files older than the same threshold
+      (the pre-commit scratch of dead writers) — removed.
+
+    A lock WITH a committed manifest beside it is mid-delete debris
+    and always safe to remove. Never touches data dirs — orphan DATA
+    cleanup belongs to `expire_versions`' grace-window logic.
+    Returns counts per category."""
+    import time
+
+    root = f"{table_dir}/{_MANIFESTS}"
+    out = {"stale_locks": 0, "orphan_tmps": 0}
+    if not path_exists(spark, root):
+        return out
+    fs, _, jvm = _fs(spark, root)
+    now_ms = time.time() * 1000.0
+    files = list_files(spark, root)
+    names = {fi.path.rsplit("/", 1)[-1] for fi in files}
+    for fi in files:
+        name = fi.path.rsplit("/", 1)[-1]
+        age_ok = now_ms - fi.mtime_ms >= stale_lock_seconds * 1000.0
+        if name.endswith(".json.lock"):
+            committed = name[: -len(".lock")] in names
+            if committed or age_ok:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(fi.path), False)
+                out["stale_locks"] += 1
+        elif name.endswith(".tmp") and age_ok:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(fi.path), False)
+            out["orphan_tmps"] += 1
+    return out
 
 
 def delete_rows(
