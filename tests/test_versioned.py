@@ -1754,3 +1754,110 @@ def test_repair_table_clears_stale_debris(spark, tdir):
     }
     assert write_version(_df(spark, 5, 9), tdir, "append") == 2
     assert read_version(spark, tdir).count() == 9
+
+
+def test_vacuum_indexes_keeps_newest(spark, tdir):
+    import pathlib
+
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.textindex import (
+        build_text_index,
+        extend_text_index,
+    )
+    from tms_etl_spark.operators.versioned import vacuum_indexes
+
+    write_version(
+        _df(spark, 0, 100)
+        .selectExpr("id", "val", "concat('w', id % 5) AS text"),
+        tdir,
+        "append",
+    )
+    build_bloom_index(spark, tdir, "id")
+    build_text_index(spark, tdir, "text")
+    for lo in (100, 200):
+        write_version(
+            _df(spark, lo, lo + 100)
+            .selectExpr("id", "val", "concat('w', id % 5) AS text"),
+            tdir,
+            "append",
+        )
+        extend_text_index(spark, tdir, "text")
+    # text index: v1, v2, v3 sidecars; bloom: v1 only
+    assert vacuum_indexes(spark, tdir, keep_last=1) == 2
+    idx_root = pathlib.Path(tdir) / "_indexes"
+    assert sorted(p.name for p in (idx_root / "text_text").iterdir()) == [
+        "v000003-tokens"
+    ]
+    # searches still work: current version routed, old version falls
+    # back to the plain scan (sidecar gone = conservative, not wrong)
+    from tms_etl_spark.operators.textindex import search_token
+
+    assert search_token(spark, tdir, "text", "w0").count() == 60
+    assert (
+        search_token(spark, tdir, "text", "w0", version=1).count() == 20
+    )
+    assert read_version_point(spark, tdir, "id", 42).count() == 1
+
+
+def test_rowdiff_replication_model_based(spark, tdir, tmp_path):
+    """Model-based pin of the CDC pair: a random-but-seeded sequence
+    of appends / merges / deletes / compactions on the source; after
+    every step the rowdiff feed (prev -> cur) is applied to a replica
+    and the two snapshots must be identical. Covers the interactions
+    no single-shot test hits (merge after delete, compaction no-ops,
+    delete of a just-merged key, re-insert after delete)."""
+    import random
+
+    from tms_etl_spark.operators.versioned import (
+        apply_rowdiff,
+        delete_rows,
+        merge_version,
+        optimize_version,
+        read_version_rowdiff,
+    )
+
+    rng = random.Random(1234)
+
+    def snap(d):
+        return {
+            (r["id"], r["val"]) for r in read_version(spark, d).collect()
+        }
+
+    rep = str(tmp_path / "replica")
+    write_version(_df(spark, 0, 30).repartition(2), tdir, "append")
+    write_version(_df(spark, 0, 30).repartition(2), rep, "append")
+    next_id = 1000
+    for step in range(8):
+        prev_v = current_version(spark, tdir)
+        op = rng.choice(["append", "merge", "delete", "compact"])
+        if op == "append":
+            write_version(
+                _df(spark, next_id, next_id + 10), tdir, "append"
+            )
+            next_id += 10
+        elif op == "merge":
+            live = sorted({i for i, _ in snap(tdir)})
+            picks = rng.sample(live, min(4, len(live)))
+            src = spark.createDataFrame(
+                [(i, rng.randrange(10_000)) for i in picks]
+                + [(next_id, -1)],
+                "id long, val long",
+            )
+            merge_version(spark, tdir, src, "id", "update")
+            next_id += 1
+        elif op == "delete":
+            live = sorted({i for i, _ in snap(tdir)})
+            picks = rng.sample(live, min(3, len(live)))
+            delete_rows(
+                spark,
+                tdir,
+                spark.createDataFrame([(i,) for i in picks], "id long"),
+            )
+        else:
+            optimize_version(spark, tdir)
+        feed = read_version_rowdiff(spark, tdir, "id", prev_v)
+        apply_rowdiff(spark, rep, feed, "id", txn_id=f"step-{step}")
+        assert snap(rep) == snap(tdir), (step, op)

@@ -1598,6 +1598,42 @@ def read_version_rowdiff(
     )
 
 
+def vacuum_indexes(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+) -> int:
+    """GC for index sidecars (`_indexes/<name>/v<N>-…`): keep the
+    newest ``keep_last`` sidecar versions per index, delete the rest.
+    Sidecars are derived data — rebuildable from any version — so
+    this never affects correctness, only reclaims the space that
+    per-version builds/extends accumulate. Time-travel reads at an
+    expired sidecar's version silently fall back to unindexed scans
+    (the read paths already handle a missing sidecar). Returns the
+    number of sidecar dirs removed."""
+    import re as _re
+
+    root = f"{table_dir}/_indexes"
+    if not path_exists(spark, root):
+        return 0
+    fs, hroot, jvm = _fs(spark, root)
+    removed = 0
+    for idx_status in fs.listStatus(hroot):
+        if not idx_status.isDirectory():
+            continue
+        idx_dir = idx_status.getPath()
+        versions = []
+        for s in fs.listStatus(idx_dir):
+            m = _re.match(r"v(\d+)-", s.getPath().getName())
+            if s.isDirectory() and m:
+                versions.append((int(m.group(1)), s.getPath()))
+        versions.sort()
+        for _, p in versions[: max(0, len(versions) - keep_last)]:
+            fs.delete(p, True)
+            removed += 1
+    return removed
+
+
 def apply_rowdiff(
     spark: SparkSession,
     table_dir: str,
