@@ -1861,3 +1861,79 @@ def test_rowdiff_replication_model_based(spark, tdir, tmp_path):
         feed = read_version_rowdiff(spark, tdir, "id", prev_v)
         apply_rowdiff(spark, rep, feed, "id", txn_id=f"step-{step}")
         assert snap(rep) == snap(tdir), (step, op)
+
+
+def test_agg_view_hll_ndv_incremental_equals_rebuild(spark, tdir, tmp_path):
+    """HLL union is a register max-merge — order-independent — so
+    the incrementally-maintained sketch must ESTIMATE identically to
+    the single-pass rebuild (serialized bytes may differ: union can
+    re-encode the internal representation), and the estimate must
+    track the exact distinct count."""
+    from tms_etl_spark.operators.matview import (
+        rebuild_agg_view,
+        refresh_agg_view,
+    )
+
+    mv, mv2 = str(tmp_path / "mv"), str(tmp_path / "mv2")
+    for lo in (0, 500):
+        write_version(
+            spark.range(lo, lo + 500).select(
+                (F.col("id") % 2).alias("g"),
+                (F.col("id") % 97).alias("u"),  # overlapping values
+            ),
+            tdir,
+            "append",
+        )
+        refresh_agg_view(spark, tdir, mv, ["g"], ndv_cols=["u"])
+    rebuild_agg_view(spark, tdir, mv2, ["g"], ndv_cols=["u"])
+
+    def est_of(d):
+        return {
+            r["g"]: r["ndv"]
+            for r in read_version(spark, d)
+            .select("g", F.hll_sketch_estimate("hll_u").alias("ndv"))
+            .collect()
+        }
+
+    # serialized sketch bytes can differ (union may re-encode the
+    # internal representation); the ESTIMATE is the contract
+    assert est_of(mv) == est_of(mv2)
+    est = {
+        r["g"]: r["ndv"]
+        for r in read_version(spark, mv)
+        .select("g", F.hll_sketch_estimate("hll_u").alias("ndv"))
+        .collect()
+    }
+    # exact distinct is 97 per group (ids mod 97 cover all residues)
+    for g in (0, 1):
+        assert abs(est[g] - 97) <= 5
+
+
+def test_merge_cluster_by_keeps_pruning_tight(spark, tdir):
+    """A cluster_by MERGE rewrite range-partitions + sorts its output
+    so the new files carry DISJOINT key ranges — a narrow pruned read
+    after the merge must skip most of the rewrite."""
+    from tms_etl_spark.operators.versioned import (
+        merge_version,
+        read_version_pruned,
+    )
+
+    # unclustered commit: round-robin shuffle gives every file the
+    # full key range (zonemaps useless)
+    write_version(_df(spark, 0, 20_000).repartition(4), tdir, "append")
+    # a source touching EVERY file forces a full clustered rewrite
+    src = spark.range(0, 20_000, 100).select(
+        "id", (-F.col("id")).alias("val")
+    )
+    merge_version(
+        spark, tdir, src, "id", "update",
+        cluster_by="id", cluster_partitions=4,
+    )
+    full = read_version(spark, tdir)
+    n_files = len(full.inputFiles())
+    assert n_files == 4  # the pinned range split
+    pruned = read_version_pruned(spark, tdir, "id", "<", 100)
+    assert len(pruned.inputFiles()) == 1  # disjoint ranges: 3 skipped
+    assert pruned.count() == 100
+    rows = {r["id"]: r["val"] for r in full.collect()}
+    assert rows[100] == -100 and rows[5] == 50 and len(rows) == 20_000

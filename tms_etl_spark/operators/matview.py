@@ -171,10 +171,15 @@ def _agg_multi(
     group_cols: list[str],
     sum_cols: list[str],
     minmax_cols: list[str],
+    ndv_cols: list[str] = (),
 ) -> DataFrame:
     """Grouped multi-aggregate state row per group: decimal-exact
-    sums, exact min/max, row count, plus the surrogate merge key —
-    one map-side-combined exchange."""
+    sums, exact min/max, row count, HLL sketches for approx distinct
+    counts, plus the surrogate merge key — one map-side-combined
+    exchange. The HLL register state is a max-merge, so it is
+    ORDER-INDEPENDENT: an incrementally-unioned sketch ESTIMATES
+    identically to one built in a single pass (serialized bytes may
+    differ — union can re-encode the internal representation)."""
     aggs = [F.count("*").cast("long").alias("n_rows")]
     for c in sum_cols:
         aggs.append(
@@ -185,10 +190,13 @@ def _agg_multi(
     for c in minmax_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+    for c in ndv_cols:
+        aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     out_cols = (
         ["n_rows"]
         + [f"sum_{c}" for c in sum_cols]
         + [x for c in minmax_cols for x in (f"min_{c}", f"max_{c}")]
+        + [f"hll_{c}" for c in ndv_cols]
     )
     return (
         df.groupBy(*group_cols)
@@ -214,6 +222,7 @@ def refresh_agg_view(
     group_cols: list[str],
     sum_cols: list[str] = (),
     minmax_cols: list[str] = (),
+    ndv_cols: list[str] = (),
 ) -> int:
     """Generalized incremental view: per-group COUNT(*), decimal-
     exact SUMs, and exact MIN/MAX maintained over the base's
@@ -228,8 +237,10 @@ def refresh_agg_view(
     counts add, min takes `least`, max takes `greatest` (both
     null-skipping, so an all-null delta group leaves the extremum in
     place)."""
-    sum_cols, minmax_cols = list(sum_cols), list(minmax_cols)
-    if not sum_cols and not minmax_cols:
+    sum_cols, minmax_cols, ndv_cols = (
+        list(sum_cols), list(minmax_cols), list(ndv_cols)
+    )
+    if not sum_cols and not minmax_cols and not ndv_cols:
         raise ValueError("nothing to aggregate")
     base_cur = current_version(spark, base_dir)
     if base_cur <= 0:
@@ -240,7 +251,8 @@ def refresh_agg_view(
     txn = f"{_TXN_PREFIX}{base_cur}"
     if done == 0:
         snap = _agg_multi(
-            read_version(spark, base_dir), group_cols, sum_cols, minmax_cols
+            read_version(spark, base_dir), group_cols, sum_cols,
+            minmax_cols, ndv_cols,
         )
         write_version(snap, mv_dir, "append", txn_id=txn)
         return base_cur
@@ -249,11 +261,13 @@ def refresh_agg_view(
         group_cols,
         sum_cols,
         minmax_cols,
+        ndv_cols,
     )
     state_cols = (
         ["n_rows"]
         + [f"sum_{c}" for c in sum_cols]
         + [x for c in minmax_cols for x in (f"min_{c}", f"max_{c}")]
+        + [f"hll_{c}" for c in ndv_cols]
     )
     cur_mv = read_version(spark, mv_dir).select(
         "mv_key", *[F.col(c).alias(f"__old_{c}") for c in state_cols]
@@ -289,6 +303,17 @@ def refresh_agg_view(
                 f"max_{c}"
             )
         )
+    for c in ndv_cols:
+        # HLL union is a register max-merge: commutative, associative,
+        # idempotent — incremental state ends byte-identical to a
+        # single-pass sketch; one-sided NULL passes through
+        old_h, new_h = F.col(f"__old_hll_{c}"), F.col(f"hll_{c}")
+        merged.append(
+            F.when(old_h.isNull(), new_h)
+            .when(new_h.isNull(), old_h)
+            .otherwise(F.hll_union(old_h, new_h))
+            .alias(f"hll_{c}")
+        )
     combined = delta.join(cur_mv, "mv_key", "left").select(
         "mv_key", *group_cols, *merged
     )
@@ -306,6 +331,7 @@ def rebuild_agg_view(
     group_cols: list[str],
     sum_cols: list[str] = (),
     minmax_cols: list[str] = (),
+    ndv_cols: list[str] = (),
 ) -> int:
     """Full recompute of the generalized view (recovery after a
     non-append base change), committed as an OVERWRITE version."""
@@ -317,6 +343,7 @@ def rebuild_agg_view(
         group_cols,
         list(sum_cols),
         list(minmax_cols),
+        list(ndv_cols),
     )
     write_version(
         snap, mv_dir, "overwrite", txn_id=f"{_TXN_PREFIX}{base_cur}"

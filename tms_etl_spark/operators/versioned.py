@@ -982,6 +982,8 @@ def merge_version(
     key: str,
     when_matched: str = "update",
     txn_id: str | None = None,
+    cluster_by: str | None = None,
+    cluster_partitions: int | None = None,
 ) -> int:
     """MERGE INTO for the versioned layer — copy-on-write upsert
     (``when_matched="update"``: matched target rows are replaced by
@@ -1150,6 +1152,19 @@ def merge_version(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if cluster_by is not None:
+            # clustering-preserving rewrite: range-partition + sort the
+            # merge output so its files keep DISJOINT cluster-key
+            # ranges — zonemap pruning stays tight under merge churn
+            # instead of degrading until the next OPTIMIZE. With no
+            # explicit count AQE coalesces the range shuffle for small
+            # rewrites; pass cluster_partitions to pin the file split.
+            rb = (
+                [cluster_partitions] if cluster_partitions else []
+            ) + [F.col(cluster_by)]
+            out = out.repartitionByRange(*rb).sortWithinPartitions(
+                cluster_by
+            )
         out.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
         if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
             new_stats = _dir_file_stats(spark, table_dir, new_dir)
