@@ -315,3 +315,15 @@ def test_cli_show_asof_and_repair(spark, tmp_path, capsys):
         ["table", "repair", tdir, "--stale-lock-seconds", "0"]
     ) == 0
     assert "removed 1 stale locks" in capsys.readouterr().out
+
+
+def test_cli_sql_vtable(spark, tmp_path, capsys):
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "vsql")
+    write_version(spark.range(0, 7).selectExpr("id"), tdir, "append")
+    assert main(
+        ["sql", "SELECT COUNT(*) AS n FROM myt", "--vtable", f"myt={tdir}"]
+    ) == 0
+    assert "7" in capsys.readouterr().out

@@ -1937,3 +1937,58 @@ def test_merge_cluster_by_keeps_pruning_tight(spark, tdir):
     assert pruned.count() == 100
     rows = {r["id"]: r["val"] for r in full.collect()}
     assert rows[100] == -100 and rows[5] == 50 and len(rows) == 20_000
+
+
+def test_stream_sink_maintains_indexes(spark, tdir, tmp_path):
+    """Streaming sink with maintain_indexes: after the stream drains,
+    point reads and keyword searches must be INDEX-ROUTED (sidecar at
+    the final version exists and prunes), with each batch paying only
+    the incremental extension."""
+    from tms_etl_spark.operators.bloomindex import read_version_point
+    from tms_etl_spark.operators.textindex import search_token
+    from tms_etl_spark.operators.versioned import stream_write_versioned
+
+    src = tmp_path / "in"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+    schema = "id long, body string"
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 10 + i, f"tok{b} common") for i in range(10)], schema
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = stream_write_versioned(
+        stream,
+        tdir,
+        cp,
+        maintain_indexes={"bloom": ["id"], "text": ["body"]},
+    )
+    q.awaitTermination(180)
+    assert read_version(spark, tdir).count() == 30
+    got = search_token(spark, tdir, "body", "tok1")
+    assert len(got.inputFiles()) == 1  # routed: two batches skipped
+    assert {r["id"] for r in got.collect()} == set(range(10, 20))
+    assert read_version_point(spark, tdir, "id", 25).count() == 1
+
+
+def test_register_versioned_sql_views(spark, tdir):
+    from tms_etl_spark.operators.versioned import register_versioned
+
+    write_version(_df(spark, 0, 10), tdir, "append")
+    write_version(_df(spark, 10, 15), tdir, "append")
+    register_versioned(spark, tdir, "vt")
+    assert spark.sql("SELECT COUNT(*) AS n FROM vt").head()["n"] == 15
+    hist = spark.sql(
+        "SELECT version, op, committed_at FROM vt__history ORDER BY version"
+    ).collect()
+    assert [r["version"] for r in hist] == [1, 2]
+    assert all(r["committed_at"] is not None for r in hist)
+    # time travel via the version kwarg
+    register_versioned(spark, tdir, "vt_old", version=1)
+    assert spark.sql("SELECT COUNT(*) AS n FROM vt_old").head()["n"] == 10
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        register_versioned(spark, tdir, "x", version=1, asof=0)

@@ -45,6 +45,11 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("statement")
     sp.add_argument("--sf-dir", default=_DEFAULT_SF)
     sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument(
+        "--vtable", action="append", default=[], metavar="NAME=DIR",
+        help="also register a versioned table (current snapshot + "
+        "NAME__history view); repeatable",
+    )
 
     tp = sub.add_parser(
         "table", help="versioned-table maintenance (operators/versioned.py)"
@@ -215,6 +220,15 @@ def main(argv: list[str] | None = None) -> int:
         from tms_etl_spark.sources.tables import register_views
 
         register_views(spark, args.sf_dir)
+        from tms_etl_spark.operators.versioned import register_versioned
+
+        for spec in args.vtable:
+            name, _, tdir = spec.partition("=")
+            if not tdir:
+                print(f"bad --vtable {spec!r} (want name=dir)",
+                      file=sys.stderr)
+                return 2
+            register_versioned(spark, tdir, name)
         spark.sql(args.statement).show(args.limit, truncate=False)
         return 0
 

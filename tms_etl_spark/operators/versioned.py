@@ -481,6 +481,40 @@ def read_version_asof(spark: SparkSession, table_dir: str, ts) -> DataFrame:
     return read_version(spark, table_dir, version_asof(spark, table_dir, ts))
 
 
+def register_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    version: int | None = None,
+    asof=None,
+) -> None:
+    """SQL front door for the versioned layer: register the chosen
+    snapshot as temp view ``name`` (time travel via ``version`` or
+    ``asof``) plus ``<name>__history`` (version / n_dirs / op /
+    committed_at) — `spark.sql` users get snapshot queries and a
+    DESCRIBE-HISTORY equivalent without touching the Python API. The
+    view holds the snapshot's PLAN, not its data: queries against it
+    still push filters into the manifest-selected file scan."""
+    if asof is not None and version is not None:
+        raise ValueError("version and asof are mutually exclusive")
+    if asof is not None:
+        version = version_asof(spark, table_dir, asof)
+    read_version(spark, table_dir, version).createOrReplaceTempView(name)
+    cur = current_version(spark, table_dir)
+    rows = []
+    for h in history(spark, table_dir):
+        man = _read_json(spark, _manifest_path(table_dir, h.version))
+        rows.append(
+            (h.version, h.n_dirs, h.op, man.get("committed_at"))
+        )
+    spark.createDataFrame(
+        rows or [(0, 0, "none", None)],
+        "version int, n_dirs int, op string, committed_at double",
+    ).where(f"version <= {cur}").createOrReplaceTempView(
+        f"{name}__history"
+    )
+
+
 def repair_table(
     spark: SparkSession,
     table_dir: str,
@@ -1323,6 +1357,7 @@ def stream_write_versioned(
     available_now: bool = True,
     check_constraints: list[str] | None = None,
     quarantine_dir: str | None = None,
+    maintain_indexes: dict | None = None,
 ):
     """Exactly-once streaming sink into a versioned table: each
     micro-batch commits as one table version with ``txn_id =
@@ -1339,7 +1374,16 @@ def stream_write_versioned(
     divert to their own versioned table (the streaming dead-letter
     pattern) while clean rows commit; without it a poisoned batch
     FAILS the query rather than landing — the constraint contract
-    holds under streaming exactly like batch."""
+    holds under streaming exactly like batch.
+
+    ``maintain_indexes`` (e.g. ``{"bloom": ["id"], "text":
+    ["body"]}``) extends the named sidecars after every commit via
+    the INCREMENTAL maintenance path — each batch pays
+    O(batch files + sidecar), never a table rescan — so point reads
+    and keyword searches stay index-routed while the stream runs.
+    Index extension is derived data rebuilt from the committed
+    version, so a crash between commit and extension loses nothing:
+    the next batch's extension (or an explicit extend) catches up."""
 
     def _sink(batch_df, batch_id: int) -> None:
         if check_constraints:
@@ -1355,6 +1399,20 @@ def stream_write_versioned(
             write_version(
                 batch_df, table_dir, mode, txn_id=f"batch-{batch_id}"
             )
+        if maintain_indexes:
+            spark = batch_df.sparkSession
+            for col in maintain_indexes.get("bloom", []):
+                from tms_etl_spark.operators.bloomindex import (
+                    extend_bloom_index,
+                )
+
+                extend_bloom_index(spark, table_dir, col)
+            for col in maintain_indexes.get("text", []):
+                from tms_etl_spark.operators.textindex import (
+                    extend_text_index,
+                )
+
+                extend_text_index(spark, table_dir, col)
 
     w = sdf.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir
