@@ -1992,3 +1992,69 @@ def test_register_versioned_sql_views(spark, tdir):
     assert spark.sql("SELECT COUNT(*) AS n FROM vt_old").head()["n"] == 10
     with pytest.raises(ValueError, match="mutually exclusive"):
         register_versioned(spark, tdir, "x", version=1, asof=0)
+
+
+def test_zorder_k_matches_python_reference(spark):
+    """zorder_key_k bit placement: dimension d's bit b lands at
+    output position b*K + d — checked against a Python reference on
+    exhaustive small values."""
+    from itertools import product
+
+    from tms_etl_spark.operators.layout import zorder_key_k
+
+    def ref(vals, bits, k):
+        out = 0
+        for d, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for b in range(bits):
+                out |= ((v >> b) & 1) << (b * k + d)
+        return out
+
+    triples = list(product(range(8), repeat=3))
+    df = spark.createDataFrame(triples, "x long, y long, z long")
+    got = {
+        (r["x"], r["y"], r["z"]): r["zvalue"]
+        for r in df.select(
+            "x", "y", "z", zorder_key_k(["x", "y", "z"], bits=3)
+        ).collect()
+    }
+    for t in triples:
+        assert got[t] == ref(t, 3, 3), t
+    with pytest.raises(ValueError):
+        zorder_key_k(["x"])
+    with pytest.raises(ValueError):
+        zorder_key_k(["x", "y", "z"], bits=22)
+
+
+def test_optimize_zorder_three_columns_prunes_all_dims(spark, tdir):
+    """3-column ZORDER: after compaction, a point/range predicate on
+    ANY of the three columns must skip most files."""
+    from tms_etl_spark.operators.versioned import (
+        optimize_version,
+        read_version_pruned,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        "id",
+        (F.col("id") % 13).alias("a"),
+        ((F.col("id") * 7) % 17).alias("b"),
+        ((F.col("id") * 31) % 11).alias("c"),
+    )
+    write_version(df.repartition(8), tdir, "append")
+    optimize_version(
+        spark,
+        tdir,
+        target_file_bytes=1_500,
+        zorder_by=("a", "b", "c"),
+    )
+    total = len(read_version(spark, tdir).inputFiles())
+    # enough z-range cuts that every dimension's top bit is
+    # constrained in some files (too few files = only the
+    # highest-interleaved dim prunes)
+    assert total >= 16
+    for col, val, expect in (("a", 0, n // 13 + 1), ("b", 0, n // 17 + 1),
+                             ("c", 0, n // 11 + 1)):
+        pr = read_version_pruned(spark, tdir, col, "=", val)
+        assert len(pr.inputFiles()) < total, col
+        assert abs(pr.count() - expect) <= 1, col

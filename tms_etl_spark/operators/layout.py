@@ -65,6 +65,35 @@ def sql_zvalue(x_expr: str, y_expr: str) -> str:
     return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
 
 
+def zorder_key_k(cols, bits: int | None = None) -> Column:
+    """Morton interleave of K dimensions (the 2-D `zorder_key`
+    generalized): dimension d's bit b lands at output position
+    ``b*K + d``. ``bits`` defaults to the most that fit a 64-bit lane
+    (63 // K — e.g. 21 bits/dim for 3 columns, 15 for 4). Built as a
+    flat OR of shift/mask terms — pure JVM expressions inside
+    whole-stage codegen, evaluated once per row at write time; no
+    UDFs. Callers bucketize wide domains first, same contract as the
+    2-D form."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    bits = bits if bits is not None else 63 // k
+    if bits * k > 63:
+        raise ValueError(f"{bits} bits x {k} dims exceeds a 64-bit lane")
+    out = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        v = (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+        for b in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)), b * k + d
+                )
+            )
+    return out.alias("zvalue")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -901,12 +901,14 @@ def optimize_version(
     OPTIMIZE ... ZORDER/CLUSTER BY move of lakehouse formats, with
     range partitioning as the single-column case.
 
-    ``zorder_by=(x, y)``: two-dimensional case — files cluster by
-    the interleaved-bit Morton key (`operators/layout.py:zorder_key`,
-    JVM-side bit spreading), so BOTH columns' per-file zonemaps come
-    out tight and `read_version_pruned_multi` predicates on either
-    (or both) dimensions skip files — the OPTIMIZE ... ZORDER BY of
-    Delta, on this layer. Mutually exclusive with ``cluster_by``."""
+    ``zorder_by=(x, y, ...)``: 2+ columns cluster by the
+    interleaved-bit Morton key (`operators/layout.py:zorder_key` for
+    two dims' masked fast path, `zorder_key_k` for more — both pure
+    JVM bit arithmetic), so EVERY listed column's per-file zonemaps
+    come out tight and `read_version_pruned_multi` predicates on any
+    subset of the dimensions skip files — the OPTIMIZE ... ZORDER BY
+    of Delta, on this layer. Mutually exclusive with
+    ``cluster_by``."""
     from math import ceil
 
     from tms_etl_spark.sources.fs import total_size
@@ -934,11 +936,15 @@ def optimize_version(
             cluster_by
         )
     elif zorder_by is not None:
-        from tms_etl_spark.operators.layout import zorder_key
+        from tms_etl_spark.operators.layout import zorder_key, zorder_key_k
 
-        zx, zy = zorder_by
+        zkey = (
+            zorder_key(*zorder_by)
+            if len(zorder_by) == 2
+            else zorder_key_k(list(zorder_by))
+        )
         df = (
-            df.withColumn("__zkey", zorder_key(zx, zy))
+            df.withColumn("__zkey", zkey)
             .repartitionByRange(n_files, "__zkey")
             .sortWithinPartitions("__zkey")
             .drop("__zkey")
@@ -956,7 +962,7 @@ def optimize_version(
                 f"optimize:{n_files}"
                 + (f":cluster_by={cluster_by}" if cluster_by else "")
                 + (
-                    f":zorder_by={zorder_by[0]},{zorder_by[1]}"
+                    ":zorder_by=" + ",".join(zorder_by)
                     if zorder_by
                     else ""
                 )
