@@ -99,6 +99,23 @@ def _production_overrides():
         qv = [float(x) for x in row["embedding"]]
         return pq_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
 
+    def winnow(spark, sf_dir):
+        # production form: xxhash64 rolling hash (winnowing's
+        # shared-substring guarantee is hash-agnostic; md5 exists for
+        # the DuckDB oracle's lexicographic-hex parity only)
+        from tms_etl_spark.catalog.llm_text import (
+            _WINNOW_B,
+            _WINNOW_K,
+            _WINNOW_W,
+        )
+        from tms_etl_spark.operators.dedup import winnow_digest
+
+        d = load_table(spark, sf_dir, "documents")
+        return winnow_digest(
+            d, k=_WINNOW_K, w=_WINNOW_W, prefix=_WINNOW_B,
+            hash_fn="xxhash64",
+        )
+
     def bpe(spark, sf_dir):
         # production form: train merges + encode the corpus (the
         # catalog entry wraps this in the bounds-invariant harness)
@@ -116,6 +133,7 @@ def _production_overrides():
         "dedup_semantic": semantic,
         "sim_pq_adc": pq,
         "text_bpe_encode": bpe,
+        "text_winnow_fingerprint": winnow,
     }
 
 

@@ -442,3 +442,51 @@ def test_prefix_join_equals_bruteforce(spark, docs_with_dups):
     assert set(pref) == set(brute)
     assert all(pref[k] == brute[k] for k in pref)
     assert len(pref) > 100  # non-vacuous on the planted corpus
+
+
+def test_winnow_xxhash64_fast_path_guarantee_and_determinism(spark):
+    """The production (xxhash64) winnow keeps the SIGMOD-2003
+    guarantee — documents sharing a substring of length >= w+k-1
+    share a fingerprint — and is deterministic across runs. Digest
+    column stays a string (longs stringified post-numeric-sort)."""
+    from tms_etl_spark.operators.dedup import winnow_digest
+
+    shared = "thequickbrownfoxjumpsover"  # length 25 >= w+k-1 = 11
+    docs = [
+        (0, "aaaa" + shared + "zzzz"),
+        (1, "bbbbbb" + shared + "yy"),
+        (2, "completely unrelated content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out1 = {
+        r["doc_id"]: (r["n_fp"], r["fp_digest"])
+        for r in winnow_digest(
+            df, k=8, w=4, prefix=None, hash_fn="xxhash64"
+        ).collect()
+    }
+    # determinism
+    out2 = {
+        r["doc_id"]: (r["n_fp"], r["fp_digest"])
+        for r in winnow_digest(
+            df, k=8, w=4, prefix=None, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert out1 == out2
+    assert all(isinstance(v[1], str) and len(v[1]) == 32 for v in out1.values())
+
+    # shared-substring guarantee at the fingerprint level
+    from tms_etl_spark.operators.dedup import _winnow_min_array
+    from pyspark.sql import functions as F
+
+    sel = (
+        _winnow_min_array(df, "text", "doc_id", 8, 4, None, "xxhash64")
+        .select("__id", F.explode("__mins").alias("fp"))
+        .distinct()
+    )
+    fps = {}
+    for r in sel.collect():
+        fps.setdefault(r["__id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]  # overlap from the shared substring
+
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        winnow_digest(df, hash_fn="sha1").collect()

@@ -316,8 +316,9 @@ def _winnow_min_array(
     k: int,
     w: int,
     prefix: int | None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(__id, __mins) where __mins[j] = min md5 of k-grams j..j+w-1
+    """(__id, __mins) where __mins[j] = min hash of k-grams j..j+w-1
     (truncated tail windows included, matching the windowed form).
     Everything happens inside the row: a transform builds the k-gram
     hash array, a second transform takes slice minima — no explode,
@@ -332,9 +333,11 @@ def _winnow_min_array(
         F.col(id_col).alias("__id"),
         (F.substring(t, 1, prefix) if prefix else t).alias("__t"),
     ).where(F.length("__t") >= k)
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     hashes = F.expr(
         f"transform(sequence(1, length(__t) - {k} + 1),"
-        f" i -> md5(substring(__t, i, {k})))"
+        f" i -> {hash_fn}(substring(__t, i, {k})))"
     )
     mins = F.expr(
         f"transform(sequence(1, size(__h)),"
@@ -352,9 +355,17 @@ def winnow_digest(
     k: int = 8,
     w: int = 4,
     prefix: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc winnowing summary: (id, n_fp, fp_digest) where
     ``fp_digest`` = md5 of the sorted distinct fingerprints.
+
+    ``hash_fn``: the k-gram rolling hash. "md5" (default) is the
+    cross-engine-exact form the DuckDB oracle can reproduce
+    (lexicographic hex); "xxhash64" is the PRODUCTION fast path
+    (~25% less wall on the md5-bound cost; winnowing's shared-
+    substring guarantee holds for any deterministic hash — only
+    WHICH grams get selected changes).
 
     One LIGHT shuffle: the minima arrays are computed in-row
     (``_winnow_min_array``) and deduped/sorted IN-ROW first, so the
@@ -363,15 +374,24 @@ def winnow_digest(
     oracle's GROUP BY) moves only each row's DISTINCT-fingerprint
     array — typically ~1/w of the gram count — instead of one row
     per k-gram with a per-doc sort as the original plan did."""
-    sel = _winnow_min_array(df, text_col, id_col, k, w, prefix).select(
+    sel = _winnow_min_array(
+        df, text_col, id_col, k, w, prefix, hash_fn
+    ).select(
         "__id", F.array_sort(F.array_distinct("__mins")).alias("__fps")
     )
     merged = F.array_sort(
         F.array_distinct(F.flatten(F.collect_list("__fps")))
     )
+    # xxhash64 fingerprints are longs: stringify (post-sort, so the
+    # ordering is numeric) before the digest concat
+    digest_in = (
+        merged
+        if hash_fn == "md5"
+        else F.transform(merged, lambda c: c.cast("string"))
+    )
     return sel.groupBy("__id").agg(
         F.size(merged).cast("long").alias("n_fp"),
-        F.md5(F.concat_ws("", merged)).alias("fp_digest"),
+        F.md5(F.concat_ws("", digest_in)).alias("fp_digest"),
     ).select(F.col("__id").alias(id_col), "n_fp", "fp_digest")
 
 
