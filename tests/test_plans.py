@@ -524,3 +524,13 @@ def test_text_search_residual_not_window(spark, sf_dir):
     assert "array_contains" in p
     assert "Window" not in p and "Join" not in p
     assert "Exchange" not in p  # pure map-side read
+
+
+def test_hard_negatives_broadcast_anchors_no_corpus_window(spark, sf_dir):
+    """Anchors broadcast (sample-sized build side); the per-anchor
+    argmax is an aggregation — no Window over the scored corpus, no
+    cartesian product."""
+    p = _plan(spark, sf_dir, "sim_hard_negatives")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -900,3 +900,105 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("miss") == 0).alias("adc_ids_ok"),
         (F.coalesce(F.col("maxdiff"), F.lit(0.0)) <= 1e-6).alias("adc_cos_ok"),
     )
+
+
+_N_ANCHORS = 20
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS aid, label AS albl,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS av
+        FROM embeddings WHERE vec_id < {_N_ANCHORS}
+    ), v AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS vv
+        FROM embeddings
+    ), sums AS (
+        SELECT a.aid, v.vec_id,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(a.av AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS dot,
+               CAST(ROUND(SUM(CAST(CAST(v.vv AS DOUBLE) * CAST(v.vv AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS nv,
+               CAST(ROUND(SUM(CAST(CAST(a.av AS DOUBLE) * CAST(a.av AS DOUBLE)
+                             AS DECIMAL(28,14))), 8) AS DOUBLE) AS na
+        FROM v JOIN a ON v.i = a.i AND v.label <> a.albl
+        GROUP BY a.aid, v.vec_id
+    ), scored AS (
+        SELECT aid, vec_id, dot / (sqrt(na) * sqrt(nv)) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY aid
+                   ORDER BY dot / (sqrt(na) * sqrt(nv)) DESC, vec_id ASC
+               ) AS rn
+        FROM sums
+    )
+    SELECT aid AS anchor_id, vec_id AS negative_id, cos_sim
+    FROM scored WHERE rn = 1
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (a bounded sample, vec_id < {N}) the single most-similar vector
+    with a DIFFERENT label — the pair a contrastive loss learns most
+    from. Scale shape: the anchor side is SAMPLE-sized and
+    broadcasts; the corpus is scanned once; per-(anchor, vec) scores
+    are one partial-combined aggregate; the final per-anchor argmax
+    is a struct-max AGGREGATION (no window over the scored corpus).
+    This harness form keeps the dot products decimal-exact so DuckDB
+    hash-matches; a production variant at 100 TB would route
+    candidate generation through the ANN ladder (IVF/LSH/PQ) and
+    rerank exactly, as `operators/retrieval.py:_exact_rerank` does.
+    Label inequality also excludes self-pairs for free."""
+    from tms_etl_spark.catalog.exact import decimal_dot as dd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.posexplode("embedding").alias("i", "av"),
+    )
+    v = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "vv")
+    )
+    sums = (
+        v.join(
+            F.broadcast(a),
+            (v["i"] == a["i"]) & (v["label"] != a["albl"]),
+        )
+        .groupBy("aid", "vec_id")
+        .agg(
+            F.round(F.sum(dd(F.col("vv"), F.col("av"))), 8)
+            .cast("double")
+            .alias("dot"),
+            F.round(F.sum(dd(F.col("vv"), F.col("vv"))), 8)
+            .cast("double")
+            .alias("nv"),
+            F.round(F.sum(dd(F.col("av"), F.col("av"))), 8)
+            .cast("double")
+            .alias("na"),
+        )
+    )
+    scored = sums.select(
+        "aid",
+        "vec_id",
+        (F.col("dot") / (F.sqrt("na") * F.sqrt("nv"))).alias("cos_sim"),
+    )
+    return (
+        scored.groupBy("aid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim"), (-F.col("vec_id")).alias("nid")
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("aid").alias("anchor_id"),
+            (-F.col("b.nid")).alias("negative_id"),
+            F.col("b.cos_sim").alias("cos_sim"),
+        )
+    )
