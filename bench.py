@@ -206,6 +206,11 @@ HEADLINE = [
     # timing covers the full write-side story, not just reads.
     "lakehouse_merge_state",
     "lakehouse_text_search",
+    # round-12 additions: benchmark decontamination (broadcast
+    # n-gram semi-join) and hard-negative mining (broadcast anchors,
+    # decimal-exact rerank)
+    "dedup_decontaminate",
+    "sim_hard_negatives",
 ]
 
 

@@ -85,6 +85,8 @@ DEFAULT_QUERIES = [
     # posting build) with the data
     "lakehouse_merge_state",
     "lakehouse_text_search",
+    "dedup_decontaminate",
+    "sim_hard_negatives",
 ]
 
 # SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH

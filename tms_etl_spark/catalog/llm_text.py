@@ -1016,14 +1016,16 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens_of("text").alias("t")
     )
-    grams = d.select(
+    # docs with < 5 tokens produce no 5-grams. The filter (not a
+    # greatest() clamp) matters in Spark: sequence(1, 0) infers step
+    # -1 and yields [1, 0], and slice(t, 0, n) THROWS — a clamp to 0
+    # crashes on short docs instead of skipping them. DuckDB's
+    # range(1, 1) is empty, so the filtered form matches the oracle.
+    grams = d.where(F.size("t") >= 5).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("t") - 4, F.lit(0)),
-                ),
+                F.sequence(F.lit(1), F.size("t") - 4),
                 lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 5)),
             )
         ).alias("ng"),
