@@ -124,6 +124,55 @@ def _production_overrides():
         d = load_table(spark, sf_dir, "documents")
         return apply_bpe(d, learn_bpe_merges(d, n_merges=8))
 
+    def hardneg(spark, sf_dir):
+        # production form: per-row zip_with/aggregate fold in doubles
+        # (no position explode) with norms precomputed map-side —
+        # the catalog entry keeps the decimal-exact explode harness
+        # for the DuckDB hash match
+        from tms_etl_spark.catalog.similarity import _N_ANCHORS
+
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        withn = emb.withColumn("nv", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+        a = (
+            withn.where(F.col("vec_id") < _N_ANCHORS)
+            .select(
+                F.col("vec_id").alias("aid"),
+                F.col("label").alias("albl"),
+                F.col("embedding").alias("ae"),
+                F.col("nv").alias("na"),
+            )
+        )
+        j = withn.crossJoin(F.broadcast(a)).where(
+            F.col("label") != F.col("albl")
+        )
+        cos = dot(F.col("embedding"), F.col("ae")) / (
+            F.col("na") * F.col("nv")
+        )
+        return (
+            j.select("aid", "vec_id", cos.alias("cos_sim"))
+            .groupBy("aid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cos_sim"), (-F.col("vec_id")).alias("nid")
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.col("aid").alias("anchor_id"),
+                (-F.col("b.nid")).alias("negative_id"),
+                F.col("b.cos_sim").alias("cos_sim"),
+            )
+        )
+
     return {
         "sim_neardup_pairs_lsh": neardup_lsh,
         "sim_ivf_topk": ivf,
@@ -134,6 +183,7 @@ def _production_overrides():
         "sim_pq_adc": pq,
         "text_bpe_encode": bpe,
         "text_winnow_fingerprint": winnow,
+        "sim_hard_negatives": hardneg,
     }
 
 

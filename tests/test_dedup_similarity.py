@@ -490,3 +490,29 @@ def test_winnow_xxhash64_fast_path_guarantee_and_determinism(spark):
 
     with pytest.raises(ValueError, match="unknown hash_fn"):
         winnow_digest(df, hash_fn="sha1").collect()
+
+
+def test_hard_negatives_production_matches_exact(spark, sf_dir):
+    """The bench/probe production form (double fold, broadcast
+    anchors) must pick the SAME negatives as the decimal-exact
+    catalog harness, with cosines within float tolerance — the same
+    agreement contract the other ANN production forms carry."""
+    from bench import _production_overrides
+    from tms_etl_spark.catalog import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["anchor_id"]: (r["negative_id"], r["cos_sim"])
+        for r in QUERIES["sim_hard_negatives"](spark, sf_dir).collect()
+    }
+    prod = {
+        r["anchor_id"]: (r["negative_id"], r["cos_sim"])
+        for r in _production_overrides()["sim_hard_negatives"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(exact) == set(prod) and len(exact) == 20
+    for aid, (nid, cos) in exact.items():
+        pnid, pcos = prod[aid]
+        assert abs(pcos - cos) < 1e-6, aid
+        assert pnid == nid or abs(pcos - cos) < 1e-9, aid
