@@ -13,8 +13,13 @@ one executable path, medallion-style:
 4. VIEW     incrementally-maintained per-language SUM/COUNT view.
 5. INDEX    per-file Bloom sidecar on doc_id; a point read scans
             only the admitting files.
-6. AUDIT    history across all tables — the manifest trail IS the
-            lineage record.
+6. SEARCH   inverted token sidecar on text; a keyword search scans
+            only posting-admitted files.
+7. REPLICA  row-level CDC: the gold table's version chain diffed
+            (`read_version_rowdiff`) and applied downstream
+            (`apply_rowdiff`) — the replica converges to gold.
+8. AUDIT    history across all tables — the manifest trail IS the
+            lineage record — plus a TIMESTAMP AS OF read.
 
 Prints one JSON line per stage; exits 0 when every check holds."""
 
@@ -108,11 +113,63 @@ def main() -> int:
     print(json.dumps({"stage": "index", "files_scanned": n_scanned,
                       "files_total": n_total}))
 
+    from tms_etl_spark.operators.textindex import (
+        build_text_index,
+        search_token,
+    )
+
+    build_text_index(spark, gold, "text")
+    tok = (
+        read_version(spark, gold)
+        .select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .count()
+        .orderBy("count", "t")
+        .head()["t"]
+    )
+    hits = search_token(spark, gold, "text", tok)
+    print(json.dumps({
+        "stage": "search", "token": tok, "hits": hits.count(),
+        "files_scanned": len(hits.inputFiles()),
+        "files_total": n_total,
+    }))
+
+    from tms_etl_spark.operators.versioned import (
+        apply_rowdiff,
+        current_version,
+        read_version_rowdiff,
+    )
+
+    replica = os.path.join(work, "replica")
+    write_version(read_version(spark, gold, 1), replica, "append")
+    feed = read_version_rowdiff(spark, gold, "doc_id", 1)
+    apply_rowdiff(spark, replica, feed, "doc_id", txn_id="demo-cdc")
+    same = (
+        read_version(spark, replica)
+        .exceptAll(read_version(spark, gold))
+        .isEmpty()
+        and read_version(spark, gold)
+        .exceptAll(read_version(spark, replica))
+        .isEmpty()
+    )
+    assert same
+    print(json.dumps({
+        "stage": "replica", "feed_rows": feed.count(),
+        "converged": same,
+        "replica_version": current_version(spark, replica),
+    }))
+
+    from tms_etl_spark.operators.versioned import read_version_asof
+    import time
+
+    asof_rows = read_version_asof(spark, gold, time.time()).count()
     trail = {
         t: [f"v{h.version}:{h.op}" for h in history(spark, os.path.join(work, t))]
-        for t in ("bronze", "silver", "gold", "view")
+        for t in ("bronze", "silver", "gold", "view", "replica")
     }
-    print(json.dumps({"stage": "audit", "history": trail}))
+    print(json.dumps({"stage": "audit", "history": trail,
+                      "asof_now_rows": asof_rows}))
     print(json.dumps({"stage": "done", "work_dir": work}))
     return 0
 

@@ -252,6 +252,10 @@ def test_pipeline_demo_end_to_end(spark, tmp_path, capsys):
     assert by["silver"]["quarantined"] > 0
     assert by["gold"]["rows"] < by["silver"]["rows"]  # dedup dropped
     assert by["index"]["files_scanned"] <= by["index"]["files_total"]
+    assert by["search"]["hits"] > 0
+    assert by["search"]["files_scanned"] <= by["search"]["files_total"]
+    assert by["replica"]["converged"] is True
+    assert by["audit"]["asof_now_rows"] == by["gold"]["post_merge"]
     assert "done" in by
 
 
