@@ -331,3 +331,28 @@ def test_cli_sql_vtable(spark, tmp_path, capsys):
         ["sql", "SELECT COUNT(*) AS n FROM myt", "--vtable", f"myt={tdir}"]
     ) == 0
     assert "7" in capsys.readouterr().out
+
+
+def test_cli_table_detail(spark, tmp_path, capsys):
+    import json
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.bloomindex import build_bloom_index
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "det")
+    write_version(
+        spark.range(0, 50).selectExpr("id", "id * 2 AS v"), tdir, "append"
+    )
+    delete_rows(spark, tdir, spark.createDataFrame([(3,)], "id long"))
+    build_bloom_index(spark, tdir, "id")
+    assert main(["table", "detail", tdir]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["version"] == 2 and d["n_live_files"] >= 1
+    assert d["live_bytes"] > 0 and d["committed_at"] is not None
+    assert d["n_delete_vectors"] == 1
+    assert d["zonemap_columns"] == ["id", "v"]
+    assert d["indexes"] == ["id"]

@@ -10,7 +10,7 @@ over the registered tables, and plan inspection from one command:
     python -m tms_etl_spark sql "SELECT ... FROM lineitem ..." [--sf-dir DIR]
     python -m tms_etl_spark table history|show|rollback|optimize|compact|
         expire|changes|delete|merge|index|point|text-index|search|
-        repair|mv-refresh|mv-rebuild DIR ...
+        detail|repair|mv-refresh|mv-rebuild DIR ...
 
 Output goes to stdout (`run` prints `show()`-style tables capped at
 --limit rows; `sql` the same). Exit code 0 on success, 2 on unknown
@@ -66,6 +66,11 @@ def _parser() -> argparse.ArgumentParser:
         "mutually exclusive with --version",
     )
     ts.add_argument("--limit", type=int, default=20)
+    tdt = tsub.add_parser(
+        "detail", help="DESCRIBE DETAIL: metadata-only snapshot summary"
+    )
+    tdt.add_argument("dir")
+    tdt.add_argument("--version", type=int, default=None)
     trp = tsub.add_parser(
         "repair", help="clear stale commit locks / orphan tmp manifests"
     )
@@ -82,7 +87,7 @@ def _parser() -> argparse.ArgumentParser:
     to.add_argument("--cluster-by", default=None)
     to.add_argument(
         "--zorder-by", default=None,
-        help="two comma-separated columns for Morton-key clustering",
+        help="2+ comma-separated columns for Morton-key clustering",
     )
     te = tsub.add_parser("expire")
     te.add_argument("dir")
@@ -255,6 +260,13 @@ def main(argv: list[str] | None = None) -> int:
             vt.read_version(spark, args.dir, version).show(
                 args.limit, truncate=False
             )
+            return 0
+        if args.table_cmd == "detail":
+            import json as _json
+
+            print(_json.dumps(
+                vt.describe_detail(spark, args.dir, args.version)
+            ))
             return 0
         if args.table_cmd == "repair":
             res = vt.repair_table(

@@ -481,6 +481,59 @@ def read_version_asof(spark: SparkSession, table_dir: str, ts) -> DataFrame:
     return read_version(spark, table_dir, version_asof(spark, table_dir, ts))
 
 
+def describe_detail(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> dict:
+    """DESCRIBE DETAIL for a versioned table — one metadata-only
+    summary of the chosen snapshot: file/dir counts, live bytes,
+    dead-file and tombstone debt (what the next OPTIMIZE would
+    reclaim), zonemap column coverage, commit stamp, and the index
+    sidecars present. No data files are opened."""
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if not (0 < v <= cur):
+        raise ValueError(f"no version {v} at {table_dir} (current {cur})")
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    live = _live_rel_files(spark, table_dir, man)
+    sizes = {
+        f"{d}/{fi.path.rsplit('/', 1)[-1]}": fi.size
+        for d in man["dirs"]
+        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet")
+    }
+    live_rels = [rel for rels in live.values() for rel in rels]
+    tomb_rows = 0
+    for de in man.get("deletes", []):
+        for fi in list_files(spark, f"{table_dir}/{de['dir']}", "*.parquet"):
+            tomb_rows += 1  # tombstone FILES (row count would open them)
+    indexes = []
+    idx_root = f"{table_dir}/_indexes"
+    if path_exists(spark, idx_root):
+        fs, hroot, _ = _fs(spark, idx_root)
+        indexes = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(hroot)
+            if s.isDirectory()
+        )
+    return {
+        "version": v,
+        "current_version": cur,
+        "op": man.get("op"),
+        "committed_at": man.get("committed_at"),
+        "n_dirs": len(man["dirs"]),
+        "n_live_files": len(live_rels),
+        "n_dead_files": len(man.get("dead_files", [])),
+        "live_bytes": sum(sizes.get(rel, 0) for rel in live_rels),
+        "n_delete_vectors": len(man.get("deletes", [])),
+        "n_tombstone_files": tomb_rows,
+        "zonemap_columns": sorted(
+            {c for e in man.get("stats", {}).values() for c in e}
+        ),
+        "indexes": indexes,
+    }
+
+
 def register_versioned(
     spark: SparkSession,
     table_dir: str,
