@@ -2058,3 +2058,20 @@ def test_optimize_zorder_three_columns_prunes_all_dims(spark, tdir):
         pr = read_version_pruned(spark, tdir, col, "=", val)
         assert len(pr.inputFiles()) < total, col
         assert abs(pr.count() - expect) <= 1, col
+
+
+def test_zorder_k2_equals_masked_fast_path(spark):
+    """For K=2 the generic interleave must equal the masked-spread
+    fast path bit-for-bit (same even/odd layout) — the two
+    implementations cross-check each other."""
+    from tms_etl_spark.operators.layout import zorder_key, zorder_key_k
+
+    df = spark.range(500).select(
+        (F.col("id") * 7919 % 65536).alias("x"),
+        (F.col("id") * 104729 % 65536).alias("y"),
+    )
+    rows = df.select(
+        zorder_key("x", "y").alias("fast"),
+        zorder_key_k(["x", "y"], bits=16).alias("generic"),
+    ).collect()
+    assert all(r["fast"] == r["generic"] for r in rows)
