@@ -356,3 +356,64 @@ def test_cli_table_detail(spark, tmp_path, capsys):
     assert d["n_delete_vectors"] == 1
     assert d["zonemap_columns"] == ["id", "v"]
     assert d["indexes"] == ["id"]
+
+
+def test_cli_mv_multi_agg_and_vacuum(spark, tmp_path, capsys):
+    import json
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.textindex import (
+        build_text_index,
+        extend_text_index,
+    )
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "base")
+    mv = str(tmp_path / "view")
+    write_version(
+        spark.range(0, 60).select(
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+            (F.col("id") % 7).alias("u"),
+            F.concat(F.lit("w"), (F.col("id") % 4).cast("string"))
+            .alias("text"),
+        ),
+        tdir,
+        "append",
+    )
+    rc = main(
+        ["table", "mv-refresh", tdir, "--view", mv, "--group-by", "g",
+         "--sum", "x", "--minmax", "x", "--ndv", "u"]
+    )
+    assert rc == 0 and "reflects base v1" in capsys.readouterr().out
+    row = (
+        read_version(spark, mv)
+        .where(F.col("g") == 0)
+        .select(
+            "n_rows", "sum_x", "min_x", "max_x",
+            F.hll_sketch_estimate("hll_u").alias("ndv"),
+        )
+        .head()
+    )
+    assert row["n_rows"] == 20 and row["min_x"] == 0.0
+    assert abs(row["ndv"] - 7) <= 1
+    # sidecar GC from the CLI
+    build_text_index(spark, tdir, "text")
+    write_version(
+        spark.range(60, 70).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") * 1.5).alias("x"),
+            (F.col("id") % 7).alias("u"),
+            F.concat(F.lit("w"), (F.col("id") % 4).cast("string"))
+            .alias("text"),
+        ),
+        tdir,
+        "append",
+    )
+    extend_text_index(spark, tdir, "text")
+    rc = main(["table", "vacuum-indexes", tdir, "--keep-last", "1"])
+    assert rc == 0
+    assert "removed 1 index sidecar versions" in capsys.readouterr().out

@@ -174,9 +174,15 @@ def _parser() -> argparse.ArgumentParser:
     tts.add_argument("--col", required=True)
     tts.add_argument("--token", required=True)
     tts.add_argument("--limit", type=int, default=20)
+    tvx = tsub.add_parser(
+        "vacuum-indexes",
+        help="GC index sidecars: keep the newest K versions per index",
+    )
+    tvx.add_argument("dir")
+    tvx.add_argument("--keep-last", type=int, default=2)
     for nm, hp in (
-        ("mv-refresh", "incrementally refresh a SUM/COUNT view"),
-        ("mv-rebuild", "full recompute of a SUM/COUNT view"),
+        ("mv-refresh", "incrementally refresh an aggregate view"),
+        ("mv-rebuild", "full recompute of an aggregate view"),
     ):
         tv = tsub.add_parser(nm, help=hp)
         tv.add_argument("dir", help="base table dir")
@@ -185,7 +191,12 @@ def _parser() -> argparse.ArgumentParser:
             "--group-by", required=True,
             help="comma-separated group columns",
         )
-        tv.add_argument("--sum", required=True, dest="sum_col")
+        tv.add_argument("--sum", required=True, dest="sum_col",
+                        help="comma-separated SUM columns")
+        tv.add_argument("--minmax", default="", dest="minmax_cols",
+                        help="comma-separated MIN/MAX columns")
+        tv.add_argument("--ndv", default="", dest="ndv_cols",
+                        help="comma-separated HLL approx-distinct columns")
     return p
 
 
@@ -388,20 +399,29 @@ def main(argv: list[str] | None = None) -> int:
                 args.limit, truncate=False
             )
             return 0
+        if args.table_cmd == "vacuum-indexes":
+            n = vt.vacuum_indexes(
+                spark, args.dir, keep_last=args.keep_last
+            )
+            print(f"removed {n} index sidecar versions")
+            return 0
         if args.table_cmd in ("mv-refresh", "mv-rebuild"):
             from tms_etl_spark.operators import matview
 
             fn = (
-                matview.refresh_sum_view
+                matview.refresh_agg_view
                 if args.table_cmd == "mv-refresh"
-                else matview.rebuild_sum_view
+                else matview.rebuild_agg_view
             )
+            split = lambda v: [c for c in v.split(",") if c]  # noqa: E731
             b = fn(
                 spark,
                 args.dir,
                 args.view,
-                args.group_by.split(","),
-                args.sum_col,
+                split(args.group_by),
+                sum_cols=split(args.sum_col),
+                minmax_cols=split(args.minmax_cols),
+                ndv_cols=split(args.ndv_cols),
             )
             print(f"view reflects base v{b}")
             return 0
