@@ -2075,3 +2075,11 @@ def test_zorder_k2_equals_masked_fast_path(spark):
         zorder_key_k(["x", "y"], bits=16).alias("generic"),
     ).collect()
     assert all(r["fast"] == r["generic"] for r in rows)
+
+
+def test_rowdiff_self_is_empty(spark, tdir):
+    from tms_etl_spark.operators.versioned import read_version_rowdiff
+
+    write_version(_df(spark, 0, 5), tdir, "append")
+    write_version(_df(spark, 5, 8), tdir, "append")
+    assert read_version_rowdiff(spark, tdir, "id", 2, 2).count() == 0
