@@ -290,19 +290,21 @@ def test_read_version_changes_scans_only_new_files(spark, tdir):
 
 
 def test_versioned_schema_evolution_merge(spark, tdir):
-    """Appending a batch with an extra column must stay readable:
-    per-version dirs are independent parquet footers, so a
-    mergeSchema read unions them (missing values null)."""
+    """Appending a batch with an extra column is explicit schema
+    EVOLUTION now (merge_schema=True): the manifest records the
+    evolved schema, a silent mismatched append refuses, and the plain
+    read null-fills the added column for pre-evolution rows — no
+    manual mergeSchema read needed."""
+    import pytest
+
     from tms_etl_spark.operators.versioned import read_version_changes
 
     write_version(_df(spark, 0, 5), tdir, "append")
     evolved = _df(spark, 5, 8).withColumn("extra", F.col("id") + 100)
-    write_version(evolved, tdir, "append")
-    man = read_version(spark, tdir)  # plain read: base schema only
-    merged = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*man.inputFiles())
-    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_version(evolved, tdir, "append")
+    write_version(evolved, tdir, "append", merge_schema=True)
+    merged = read_version(spark, tdir)
     assert "extra" in merged.columns
     assert merged.count() == 8
     assert merged.where(F.col("extra").isNull()).count() == 5

@@ -1,0 +1,161 @@
+"""Partitioned versioned tables: hive-layout commits, partition-value
+recovery (types pinned by the recorded schema, not path inference),
+manifest-level partition pruning, and interplay with deletes / MERGE /
+compaction. The reference's month-directory convention
+(/root/reference/src/main_01.py month-named CSV dirs) is the same
+identity-partitioning idea; this layer gives it lakehouse semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.versioned import (
+    delete_rows,
+    describe_detail,
+    merge_version,
+    optimize_version,
+    read_version,
+    read_version_pruned,
+    write_version,
+)
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "k int, seg string, val double")
+
+
+@pytest.fixture()
+def part_table(spark, tmp_path):
+    tdir = str(tmp_path / "ptab")
+    rows = [(i, ["A", "B", "C"][i % 3], float(i) * 1.5) for i in range(60)]
+    write_version(_mkdf(spark, rows), tdir, "append", partition_by=["seg"])
+    return tdir, rows
+
+
+def test_partitioned_roundtrip(spark, part_table):
+    tdir, rows = part_table
+    got = read_version(spark, tdir)
+    # recorded schema pins column ORDER and partition-column type
+    assert got.columns == ["k", "seg", "val"]
+    assert dict(got.dtypes)["seg"] == "string"
+    assert sorted(got.collect()) == sorted(rows)
+
+
+def test_partition_type_not_inferred(spark, tmp_path):
+    """A numeric-LOOKING string partition value must come back as a
+    string — path inference would turn '01' into int 1."""
+    tdir = str(tmp_path / "ptyped")
+    df = spark.createDataFrame(
+        [(1, "01"), (2, "02"), (3, "10")], "k int, month string"
+    )
+    write_version(df, tdir, "append", partition_by=["month"])
+    got = read_version(spark, tdir)
+    assert dict(got.dtypes)["month"] == "string"
+    assert sorted(r["month"] for r in got.collect()) == ["01", "02", "10"]
+
+
+def test_partition_pruning_skips_files(spark, part_table):
+    tdir, rows = part_table
+    got = read_version_pruned(spark, tdir, "seg", "=", "B")
+    want = [r for r in rows if r[1] == "B"]
+    assert sorted((r["k"], r["seg"], r["val"]) for r in got.collect()) == sorted(
+        want
+    )
+    # manifest-level pruning: only partition B's files are planned
+    files = got.inputFiles()
+    assert files and all("seg=B" in f for f in files)
+
+
+def test_appends_inherit_partitioning(spark, part_table):
+    tdir, rows = part_table
+    extra = [(100 + i, ["A", "B"][i % 2], 7.0) for i in range(10)]
+    write_version(_mkdf(spark, extra), tdir, "append")  # no partition_by
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "A")
+    want = [r for r in rows + extra if r[1] == "A"]
+    assert pruned.count() == len(want)
+    assert all("seg=A" in f for f in pruned.inputFiles())
+
+
+def test_conflicting_partition_spec_refused(spark, part_table):
+    tdir, _ = part_table
+    with pytest.raises(ValueError, match="partition spec"):
+        write_version(
+            _mkdf(spark, [(1, "A", 1.0)]), tdir, "append", partition_by=["k"]
+        )
+
+
+def test_partition_column_must_exist(spark, tmp_path):
+    tdir = str(tmp_path / "pmissing")
+    with pytest.raises(ValueError, match="not in schema"):
+        write_version(
+            _mkdf(spark, [(1, "A", 1.0)]), tdir, "append",
+            partition_by=["nope"],
+        )
+
+
+def test_describe_detail_reports_partitioning(spark, part_table):
+    tdir, _ = part_table
+    assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+
+
+def test_delete_on_partitioned_table(spark, part_table):
+    tdir, rows = part_table
+    doomed = spark.createDataFrame([(k,) for k in range(0, 60, 5)], "k int")
+    delete_rows(spark, tdir, doomed)
+    got = read_version(spark, tdir)
+    want = [r for r in rows if r[0] % 5 != 0]
+    assert sorted(got.collect()) == sorted(want)
+
+
+def test_merge_on_partitioned_table(spark, part_table):
+    """CoW MERGE rewrites into a PLAIN dir (partition cols
+    materialized); reads must union hive + plain dirs correctly."""
+    tdir, rows = part_table
+    src = _mkdf(spark, [(k, "A", 999.0) for k in range(0, 60, 3)])
+    merge_version(spark, tdir, src, key="k", when_matched="update")
+    got = {r["k"]: (r["seg"], r["val"]) for r in read_version(spark, tdir).collect()}
+    assert len(got) == 60
+    for k, seg, val in rows:
+        if k % 3 == 0:
+            assert got[k] == ("A", 999.0)
+        else:
+            assert got[k] == (seg, val)
+
+
+def test_optimize_keeps_partition_spec(spark, part_table):
+    """Compaction materializes partition columns into plain files but
+    the table-level spec survives, so later appends re-partition."""
+    tdir, rows = part_table
+    optimize_version(spark, tdir)
+    assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
+    assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+    extra = [(200, "C", 3.0)]
+    write_version(_mkdf(spark, extra), tdir, "append")
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "C")
+    assert pruned.count() == len([r for r in rows if r[1] == "C"]) + 1
+
+
+def test_time_travel_on_partitioned_table(spark, part_table):
+    tdir, rows = part_table
+    write_version(_mkdf(spark, [(500, "A", 1.0)]), tdir, "append")
+    assert read_version(spark, tdir, version=1).count() == len(rows)
+    assert read_version(spark, tdir).count() == len(rows) + 1
+
+
+def test_multi_column_partitioning(spark, tmp_path):
+    tdir = str(tmp_path / "p2")
+    df = spark.createDataFrame(
+        [(i, i % 2, ["x", "y"][i % 2], float(i)) for i in range(20)],
+        "k int, par int, seg string, val double",
+    )
+    write_version(df, tdir, "append", partition_by=["par", "seg"])
+    got = read_version(spark, tdir)
+    assert got.columns == ["k", "par", "seg", "val"]
+    assert got.count() == 20
+    pruned = read_version_pruned(spark, tdir, "par", "=", 1)
+    assert pruned.count() == 10
+    assert all("par=1" in f for f in pruned.inputFiles())
+    assert dict(pruned.dtypes)["par"] == "int"

@@ -33,6 +33,7 @@ from tms_etl_spark.operators.versioned import (
     delete_rows,
     merge_version,
     read_version,
+    read_version_pruned,
     read_version_pruned_multi,
     read_version_rowdiff,
     write_version,
@@ -304,4 +305,96 @@ def lakehouse_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "lakehouse_partition_pruned",
+    oracle=f"""
+    SELECT user_id % 8 AS user_bucket,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id % 8
+    """,
+)
+def lakehouse_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned versioned table + exact PARTITION pruning:
+    commit events with ``partition_by=['event_type']`` (identity
+    partitioning — one subdirectory per type, the lakehouse form of
+    the reference's month-named CSV directories,
+    /root/reference/src/main_01.py month-dir convention), then read
+    one partition. Because a partitioned file's zonemap has
+    min==max on the partition column, `read_version_pruned` plans
+    ONLY that partition's files from manifest metadata — at 100 TB
+    the other partitions are never listed, let alone scanned. The
+    partition column itself lives in the directory path, so the read
+    must also recover its value/type from the recorded schema; the
+    aggregate is hash-checked against a plain filter oracle."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_part_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_version(ev, tdir, "append", partition_by=["event_type"])
+    pruned = read_version_pruned(spark, tdir, "event_type", "=", "click")
+    return pruned.groupBy(
+        (F.col("user_id") % 8).alias("user_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+@query(
+    "lakehouse_schema_evolution",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT c_mktsegment, CAST(NULL AS DOUBLE) AS bal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(bal) AS n_with_bal,
+           {sql_dsum("bal", "total_bal")}
+    FROM unioned
+    GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on append (``merge_schema=True``): v1 commits
+    customers without a balance column, v2 appends the other half
+    WITH one — the manifest records the evolved schema, and the read
+    must null-fill `bal` for pre-evolution rows exactly as the
+    oracle's explicit CAST(NULL) union does. COUNT(bal) vs COUNT(*)
+    pins the null-fill row-for-row (not just aggregate-compatible),
+    and the decimal-exact sum pins the evolved column's values."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_evo_")
+    c = load_table(spark, sf_dir, "customer")
+    write_version(
+        c.where(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_mktsegment"
+        ),
+        tdir,
+        "append",
+    )
+    write_version(
+        c.where(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal")
+        ),
+        tdir,
+        "append",
+        merge_schema=True,
+    )
+    return (
+        read_version(spark, tdir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count("bal").alias("n_with_bal"),
+            dsum("bal", "total_bal"),
+        )
     )

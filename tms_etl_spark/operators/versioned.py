@@ -203,14 +203,23 @@ _STATS_TYPES = frozenset(
 )
 
 
-def _dir_file_stats(spark: SparkSession, table_dir: str, rel_dir: str) -> dict:
+def _dir_file_stats(
+    spark: SparkSession, table_dir: str, rel_dir: str, schema=None
+) -> dict:
     """Per-FILE min/max zonemap for the orderable columns of one data
     dir: a single groupBy-input-file aggregation over the just-written
     batch. The collected result is n_files × n_cols — listing-sized
-    metadata, same posture as `layout_zonemap_stats`."""
+    metadata, same posture as `layout_zonemap_stats`.
+
+    ``schema``: the recorded table schema — applied so hive partition
+    columns keep their committed types (path inference would guess)
+    and so stats line up with read-time column types. For a
+    hive-partitioned dir the partition column's per-file min==max, so
+    the ordinary zonemap machinery gives EXACT partition pruning."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{table_dir}/{rel_dir}")
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(f"{table_dir}/{rel_dir}")
     cols = [
         f.name
         for f in df.schema.fields
@@ -227,7 +236,15 @@ def _dir_file_stats(spark: SparkSession, table_dir: str, rel_dir: str) -> dict:
     )
     stats: dict[str, dict] = {}
     for r in rows:
-        rel = f"{rel_dir}/{r['__f'].rsplit('/', 1)[-1]}"
+        # hive layouts nest, so the rel path is everything under the
+        # dir, not the basename; the version-dir token makes the
+        # marker unique. (Hive value escaping: Spark writes
+        # `c=a%20b` ON DISK for special chars, and input_file_name
+        # re-encodes only the URI layer — stripping the scheme without
+        # unquoting keeps rel paths equal to listing-derived ones.)
+        rel = _rel_of(r["__f"], rel_dir)
+        if rel is None:
+            rel = f"{rel_dir}/{r['__f'].rsplit('/', 1)[-1]}"
         entry = {}
         for c in cols:
             mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
@@ -251,11 +268,170 @@ def _carry_txns(prev: dict | None, txn_id: str | None, v: int) -> list:
     return recent[:_RECENT_TXNS]
 
 
+def _rel_dir(rel: str) -> str:
+    """Manifest data dir owning a rel file path. Data dirs are always
+    exactly two segments (``data/vNNNNNN-token``); hive-partitioned
+    files nest deeper (``data/vN-t/c=v/part-*.parquet``), so the
+    owner is the first two segments, not ``dirname``."""
+    parts = rel.split("/")
+    return "/".join(parts[:2])
+
+
+def _rel_of(path: str, d: str) -> str | None:
+    """Rel path (under the table dir) of a listed file inside data dir
+    ``d`` — robust to hive-nested layouts and scheme-prefixed listing
+    paths: locate the ``/{d}/`` marker (version dirs carry a random
+    token, so the marker cannot recur inside a path)."""
+    marker = f"/{d}/"
+    i = path.find(marker)
+    if i < 0:
+        return None
+    return f"{d}/{path[i + len(marker):]}"
+
+
+def _nullable_type(dt):
+    """Deep all-nullable normalization of a Spark type — parquet
+    round-trips lose nullable=False, so the RECORDED table schema is
+    normalized at commit time to compare stably across versions."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullable_type(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    return dt
+
+
+def _man_schema(man: dict | None):
+    """The snapshot's recorded schema (StructType), or None for
+    manifests committed before schemas were recorded."""
+    from pyspark.sql import types as T
+
+    s = man.get("schema") if man else None
+    return T.StructType.fromJson(json.loads(s)) if s else None
+
+
+def _evolve_schema(prev, new, allow: bool):
+    """Recorded schema for an append of ``new`` onto a table whose
+    schema is ``prev``: same columns (any order) keep ``prev``;
+    added/dropped columns require ``allow`` (schema evolution) and
+    append the new fields after the existing ones; a TYPE change on a
+    shared column is always an error (readers of old files could not
+    honor it)."""
+    prev_by = {f.name: f.dataType for f in prev.fields}
+    new_by = {f.name: f.dataType for f in new.fields}
+    conflicts = sorted(
+        n for n in new_by if n in prev_by and prev_by[n] != new_by[n]
+    )
+    if conflicts:
+        raise ValueError(
+            f"type change on column(s) {conflicts} — versioned tables "
+            "do not support type evolution"
+        )
+    if set(new_by) == set(prev_by):
+        return prev
+    if not allow:
+        missing = sorted(set(prev_by) - set(new_by))
+        added = sorted(set(new_by) - set(prev_by))
+        raise ValueError(
+            f"schema mismatch vs table (missing {missing}, new {added}) "
+            "— pass merge_schema=True to evolve"
+        )
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(prev.fields)
+        + [f for f in new.fields if f.name not in prev_by]
+    )
+
+
+def _carry_props(src: dict | None, payload: dict) -> None:
+    """Carry table-level properties (recorded schema, partition spec,
+    hive-layout dirs) from a source manifest onto a new one. Hive dirs
+    are intersected with the dirs the new manifest references; a
+    caller that pre-set a property wins."""
+    if not src:
+        return
+    if src.get("schema") and "schema" not in payload:
+        payload["schema"] = src["schema"]
+    if src.get("partition_by") and "partition_by" not in payload:
+        payload["partition_by"] = src["partition_by"]
+    if src.get("hive_dirs"):
+        keep = set(payload["dirs"]) & set(src["hive_dirs"])
+        merged = sorted(keep | set(payload.get("hive_dirs", [])))
+        if merged:
+            payload["hive_dirs"] = merged
+
+
+def _read_files(
+    spark: SparkSession, table_dir: str, man: dict, paths: list[str]
+) -> DataFrame:
+    """Read an explicit list of data paths (files or whole dirs) of
+    one snapshot with the snapshot's RECORDED schema applied and hive
+    partition columns recovered.
+
+    Hive-partitioned dirs encode the partition column in the file
+    PATH, not the file — an explicit-file read needs ``basePath`` per
+    dir to recover it, and basePath is single-valued, so hive dirs
+    each get their own scan, unioned by name with one batched scan for
+    all plain paths (the dir count is compaction-bounded, so the union
+    arity stays small). The recorded schema makes reads deterministic
+    under schema evolution (old files null-fill added columns) and
+    pins hive partition-column TYPES (path-string inference would turn
+    a numeric-looking string key into int)."""
+    schema = _man_schema(man)
+    hive = set(man.get("hive_dirs", []))
+
+    def _reader(base: str | None = None):
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        if base is not None:
+            r = r.option("basePath", base)
+        return r
+
+    if not hive and schema is None:
+        return spark.read.parquet(*paths)
+    plain: list[str] = []
+    by_hive: dict[str, list[str]] = {}
+    for p in paths:
+        owner = next(
+            (d for d in hive if f"/{d}/" in p or p.endswith(f"/{d}")), None
+        )
+        if owner is not None:
+            by_hive.setdefault(owner, []).append(p)
+        else:
+            plain.append(p)
+    parts: list[DataFrame] = []
+    for d, ps in by_hive.items():
+        parts.append(_reader(f"{table_dir}/{d}").parquet(*ps))
+    if plain:
+        parts.append(_reader().parquet(*plain))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if schema is not None:
+        # recorded column order regardless of which part came first
+        out = out.select(*[f.name for f in schema.fields])
+    return out
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     txn_id: str | None = None,
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as the next table version.
 
@@ -281,7 +457,27 @@ def write_version(
     marker + exists-check in `_write_json_atomic`) — a racing loser
     gets ConcurrentWriteError and should re-invoke, landing on the
     next version number. On object stores without atomic
-    create-exclusive, run a single writer per table."""
+    create-exclusive, run a single writer per table.
+
+    ``partition_by`` makes the batch land hive-partitioned (one
+    subdirectory per partition value — Delta/Iceberg identity
+    partitioning). The spec is a TABLE-level property: appends inherit
+    it automatically, a conflicting spec is refused, and ``overwrite``
+    may reset it. Reads recover the partition column per dir
+    (``basePath``) with the RECORDED type, and the per-file zonemap a
+    partitioned file gets (min==max on the partition column) makes
+    `read_version_pruned` on the partition column exact partition
+    pruning — at 100 TB a partition-scoped read plans from manifest
+    metadata and never lists the other partitions' files. Keep
+    partition values to simple ASCII (URI-special characters would
+    diverge between listing- and scan-derived rel paths).
+
+    ``merge_schema`` allows SCHEMA EVOLUTION on append: new columns
+    are added to the recorded table schema (old files read as NULL for
+    them), columns missing from the batch are null-filled for its
+    rows, and a type change on a shared column is always refused. Each
+    manifest records the schema AS OF that version, so time travel
+    returns the historical shape."""
     import uuid
 
     if mode not in ("append", "overwrite"):
@@ -291,6 +487,26 @@ def write_version(
     prev = (
         _read_json(spark, _manifest_path(table_dir, cur)) if cur >= 1 else None
     )
+    part_cols = list(partition_by) if partition_by else None
+    if mode == "append" and prev is not None:
+        tbl_part = prev.get("partition_by")
+        if part_cols is None:
+            part_cols = tbl_part  # table property: appends inherit
+        elif tbl_part is not None and part_cols != tbl_part:
+            raise ValueError(
+                f"partition_by {part_cols} conflicts with the table's "
+                f"partition spec {tbl_part} (overwrite to repartition)"
+            )
+    new_schema = _nullable_type(df.schema)
+    rec_schema = new_schema
+    if mode == "append" and prev is not None:
+        prev_schema = _man_schema(prev)
+        if prev_schema is not None:
+            rec_schema = _evolve_schema(prev_schema, new_schema, merge_schema)
+    if part_cols:
+        missing = [c for c in part_cols if c not in rec_schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition column(s) {missing} not in schema")
     if txn_id is not None and prev is not None:
         if "recent_txns" in prev:
             for t, ver in prev["recent_txns"]:
@@ -305,11 +521,15 @@ def write_version(
                     return past
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
-    stats = _dir_file_stats(spark, table_dir, new_dir)
+    writer = df.write.mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(f"{table_dir}/{new_dir}")
+    stats = _dir_file_stats(spark, table_dir, new_dir, schema=rec_schema)
     dirs = [new_dir]
     deletes: list = []
     dead_files: list = []
+    hive_dirs: list = []
     if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
         # keep only stats for dirs still referenced (overwrite drops)
@@ -320,13 +540,21 @@ def write_version(
         deletes = list(prev.get("deletes", []))
         # files a MERGE rewrote stay dead across appends
         dead_files = list(prev.get("dead_files", []))
+        hive_dirs = list(prev.get("hive_dirs", []))
+    if part_cols:
+        hive_dirs = hive_dirs + [new_dir]
     payload = {
         "version": v,
         "dirs": dirs,
         "op": mode,
         "stats": stats,
+        "schema": rec_schema.json(),
         "recent_txns": _carry_txns(prev, txn_id, v),
     }
+    if part_cols:
+        payload["partition_by"] = part_cols
+    if hive_dirs:
+        payload["hive_dirs"] = hive_dirs
     if deletes:
         payload["deletes"] = deletes
     if dead_files:
@@ -373,10 +601,10 @@ def _scan_with_deletes(
         if not any(df_.startswith(d + "/") for df_ in dead):
             return [f"{table_dir}/{d}"]
         out = []
-        for fi in list_files(spark, f"{table_dir}/{d}"):
-            name = fi.path.rsplit("/", 1)[-1]
-            if name.endswith(".parquet") and f"{d}/{name}" not in dead:
-                out.append(f"{table_dir}/{d}/{name}")
+        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
+            rel = _rel_of(fi.path, d)
+            if rel is not None and rel not in dead:
+                out.append(f"{table_dir}/{rel}")
         return out
 
     def _read(dlist: list[str]) -> DataFrame:
@@ -387,11 +615,12 @@ def _scan_with_deletes(
                 paths.extend(
                     p
                     for p in paths_by_dir[d]
-                    if f"{d}/{p.rsplit('/', 1)[-1]}" not in dead
+                    if (_rel_of(p, d) or f"{d}/{p.rsplit('/', 1)[-1]}")
+                    not in dead
                 )
             else:
                 paths.extend(_live_paths(d))
-        return spark.read.parquet(*paths)
+        return _read_files(spark, table_dir, man, paths)
 
     if not deletes:
         return _read(scan_dirs)
@@ -498,7 +727,7 @@ def describe_detail(
     man = _read_json(spark, _manifest_path(table_dir, v))
     live = _live_rel_files(spark, table_dir, man)
     sizes = {
-        f"{d}/{fi.path.rsplit('/', 1)[-1]}": fi.size
+        _rel_of(fi.path, d): fi.size
         for d in man["dirs"]
         for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet")
     }
@@ -521,6 +750,7 @@ def describe_detail(
         "current_version": cur,
         "op": man.get("op"),
         "committed_at": man.get("committed_at"),
+        "partition_by": man.get("partition_by"),
         "n_dirs": len(man["dirs"]),
         "n_live_files": len(live_rels),
         "n_dead_files": len(man.get("dead_files", [])),
@@ -667,6 +897,7 @@ def delete_rows(
         payload["dead_files"] = list(prev["dead_files"])
     if txn_id is not None:
         payload["txn_id"] = txn_id
+    _carry_props(prev, payload)
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
@@ -739,12 +970,9 @@ def read_version_pruned(
     paths_by_dir: dict[str, list[str]] = {}
     for d in man["dirs"]:
         files: list[str] = []
-        for fi in list_files(spark, f"{table_dir}/{d}"):
-            name = fi.path.rsplit("/", 1)[-1]
-            if not name.endswith(".parquet"):
-                continue
-            rel = f"{d}/{name}"
-            if rel in dead:
+        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
+            rel = _rel_of(fi.path, d)
+            if rel is None or rel in dead:
                 continue
             if _file_prunable(stats.get(rel), col, op, value):
                 continue
@@ -753,8 +981,12 @@ def read_version_pruned(
             keep_dirs.append(d)
             paths_by_dir[d] = files
     if not keep_dirs:
-        full = spark.read.parquet(*[f"{table_dir}/{d}" for d in man["dirs"]])
-        return spark.createDataFrame([], full.schema)
+        schema = _man_schema(man)
+        if schema is None:
+            schema = spark.read.parquet(
+                *[f"{table_dir}/{d}" for d in man["dirs"]]
+            ).schema
+        return spark.createDataFrame([], schema)
     return _scan_with_deletes(
         spark, table_dir, man, dirs=keep_dirs, paths_by_dir=paths_by_dir
     ).where(pred)
@@ -804,12 +1036,9 @@ def read_version_pruned_multi(
     paths_by_dir: dict[str, list[str]] = {}
     for d in man["dirs"]:
         files: list[str] = []
-        for fi in list_files(spark, f"{table_dir}/{d}"):
-            name = fi.path.rsplit("/", 1)[-1]
-            if not name.endswith(".parquet"):
-                continue
-            rel = f"{d}/{name}"
-            if rel in dead:
+        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
+            rel = _rel_of(fi.path, d)
+            if rel is None or rel in dead:
                 continue
             if any(
                 _file_prunable(stats.get(rel), col, op, val)
@@ -821,8 +1050,12 @@ def read_version_pruned_multi(
             keep_dirs.append(d)
             paths_by_dir[d] = files
     if not keep_dirs:
-        full = spark.read.parquet(*[f"{table_dir}/{d}" for d in man["dirs"]])
-        return spark.createDataFrame([], full.schema)
+        schema = _man_schema(man)
+        if schema is None:
+            schema = spark.read.parquet(
+                *[f"{table_dir}/{d}" for d in man["dirs"]]
+            ).schema
+        return spark.createDataFrame([], schema)
     return _scan_with_deletes(
         spark, table_dir, man, dirs=keep_dirs, paths_by_dir=paths_by_dir
     ).where(pred)
@@ -838,27 +1071,26 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
     man = _read_json(spark, _manifest_path(table_dir, to_version))
     head = _read_json(spark, _manifest_path(table_dir, cur))
     v = cur + 1
-    _write_json_atomic(
-        spark,
-        _manifest_path(table_dir, v),
-        {
-            "version": v,
-            "dirs": man["dirs"],
-            "op": f"rollback:{to_version}",
-            "stats": man.get("stats", {}),
-            # deletion vectors and merge-dead files are part of the
-            # snapshot being restored
-            **({"deletes": man["deletes"]} if man.get("deletes") else {}),
-            **(
-                {"dead_files": man["dead_files"]}
-                if man.get("dead_files")
-                else {}
-            ),
-            # txn window follows the HEAD, not the rollback target —
-            # a retried micro-batch must still be recognized
-            "recent_txns": _carry_txns(head, None, v),
-        },
-    )
+    payload = {
+        "version": v,
+        "dirs": man["dirs"],
+        "op": f"rollback:{to_version}",
+        "stats": man.get("stats", {}),
+        # deletion vectors and merge-dead files are part of the
+        # snapshot being restored
+        **({"deletes": man["deletes"]} if man.get("deletes") else {}),
+        **(
+            {"dead_files": man["dead_files"]}
+            if man.get("dead_files")
+            else {}
+        ),
+        # txn window follows the HEAD, not the rollback target —
+        # a retried micro-batch must still be recognized
+        "recent_txns": _carry_txns(head, None, v),
+    }
+    # schema/partitioning are part of the restored snapshot too
+    _carry_props(man, payload)
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
 
@@ -1005,25 +1237,27 @@ def optimize_version(
     else:
         df = df.repartition(n_files)
     df.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
-    _write_json_atomic(
-        spark,
-        _manifest_path(table_dir, v),
-        {
-            "version": v,
-            "dirs": [new_dir],
-            "op": (
-                f"optimize:{n_files}"
-                + (f":cluster_by={cluster_by}" if cluster_by else "")
-                + (
-                    ":zorder_by=" + ",".join(zorder_by)
-                    if zorder_by
-                    else ""
-                )
-            ),
-            "stats": _dir_file_stats(spark, table_dir, new_dir),
-            "recent_txns": _carry_txns(man, None, v),
-        },
-    )
+    payload = {
+        "version": v,
+        "dirs": [new_dir],
+        "op": (
+            f"optimize:{n_files}"
+            + (f":cluster_by={cluster_by}" if cluster_by else "")
+            + (
+                ":zorder_by=" + ",".join(zorder_by)
+                if zorder_by
+                else ""
+            )
+        ),
+        "stats": _dir_file_stats(
+            spark, table_dir, new_dir, schema=_man_schema(man)
+        ),
+        "recent_txns": _carry_txns(man, None, v),
+    }
+    # compacted files materialize partition columns, so the new dir is
+    # plain; the partition spec survives for future appends
+    _carry_props(man, payload)
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
 
@@ -1050,10 +1284,9 @@ def _live_rel_files(
     out: dict[str, list[str]] = {}
     for d in man["dirs"]:
         files = []
-        for fi in list_files(spark, f"{table_dir}/{d}"):
-            name = fi.path.rsplit("/", 1)[-1]
-            rel = f"{d}/{name}"
-            if name.endswith(".parquet") and rel not in dead:
+        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
+            rel = _rel_of(fi.path, d)
+            if rel is not None and rel not in dead:
                 files.append(rel)
         out[d] = files
     return out
@@ -1225,7 +1458,7 @@ def merge_version(
     if touched:
         touched_by_dir: dict[str, list[str]] = {}
         for rel in touched:
-            d = rel.rsplit("/", 1)[0]
+            d = _rel_dir(rel)
             touched_by_dir.setdefault(d, []).append(f"{table_dir}/{rel}")
         survivors = _scan_with_deletes(
             spark,
@@ -1260,7 +1493,9 @@ def merge_version(
             )
         out.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
         if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
-            new_stats = _dir_file_stats(spark, table_dir, new_dir)
+            new_stats = _dir_file_stats(
+                spark, table_dir, new_dir, schema=_man_schema(man)
+            )
             dirs = dirs + [new_dir]
 
     # 4. manifest: touched files die; fully-dead dirs drop out
@@ -1280,7 +1515,7 @@ def merge_version(
     surviving_stats = {
         rel: s
         for rel, s in stats.items()
-        if rel not in dead and rel.rsplit("/", 1)[0] in kept_set
+        if rel not in dead and _rel_dir(rel) in kept_set
     }
     payload = {
         "version": v,
@@ -1291,11 +1526,14 @@ def merge_version(
     }
     if deletes:
         payload["deletes"] = deletes
-    dead = {rel for rel in dead if rel.rsplit("/", 1)[0] in kept_set}
+    dead = {rel for rel in dead if _rel_dir(rel) in kept_set}
     if dead:
         payload["dead_files"] = sorted(dead)
     if txn_id is not None:
         payload["txn_id"] = txn_id
+    # the merge-output dir is plain (partition cols materialized in
+    # its files); surviving hive dirs keep their layout via intersect
+    _carry_props(man, payload)
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
@@ -1377,7 +1615,9 @@ def optimize_incremental(
             f"{table_dir}/{new_dir}"
         )
         if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
-            new_stats = _dir_file_stats(spark, table_dir, new_dir)
+            new_stats = _dir_file_stats(
+                spark, table_dir, new_dir, schema=_man_schema(man)
+            )
             dirs = dirs + [new_dir]
     big_set = set(big)
     deletes = [
@@ -1388,7 +1628,7 @@ def optimize_incremental(
     stats = {
         rel: s
         for rel, s in man.get("stats", {}).items()
-        if rel.rsplit("/", 1)[0] in big_set and rel not in dead
+        if _rel_dir(rel) in big_set and rel not in dead
     }
     payload = {
         "version": v,
@@ -1400,10 +1640,11 @@ def optimize_incremental(
     if deletes:
         payload["deletes"] = deletes
     remaining_dead = sorted(
-        rel for rel in dead if rel.rsplit("/", 1)[0] in big_set
+        rel for rel in dead if _rel_dir(rel) in big_set
     )
     if remaining_dead:
         payload["dead_files"] = remaining_dead
+    _carry_props(man, payload)
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
@@ -1578,11 +1819,15 @@ def read_version_changes(
         )
     new_dirs = [d for d in man_to["dirs"] if d not in from_dirs]
     if not new_dirs:
-        full = spark.read.parquet(
-            *[f"{table_dir}/{d}" for d in man_to["dirs"]]
-        )
-        return spark.createDataFrame([], full.schema)
-    return spark.read.parquet(*[f"{table_dir}/{d}" for d in new_dirs])
+        schema = _man_schema(man_to)
+        if schema is None:
+            schema = spark.read.parquet(
+                *[f"{table_dir}/{d}" for d in man_to["dirs"]]
+            ).schema
+        return spark.createDataFrame([], schema)
+    return _read_files(
+        spark, table_dir, man_to, [f"{table_dir}/{d}" for d in new_dirs]
+    )
 
 
 def read_version_rowdiff(
@@ -1648,7 +1893,7 @@ def read_version_rowdiff(
     shared_covered = {
         rel
         for rel in (f_set & t_set)
-        if rel.rsplit("/", 1)[0] in new_covers
+        if _rel_dir(rel) in new_covers
     }
 
     def _scoped(man: dict, rels: set[str]) -> DataFrame | None:
@@ -1656,7 +1901,7 @@ def read_version_rowdiff(
             return None
         by_dir: dict[str, list[str]] = {}
         for rel in sorted(rels):
-            d = rel.rsplit("/", 1)[0]
+            d = _rel_dir(rel)
             by_dir.setdefault(d, []).append(f"{table_dir}/{rel}")
         return _scan_with_deletes(
             spark, table_dir, man, dirs=sorted(by_dir), paths_by_dir=by_dir
@@ -1863,6 +2108,7 @@ def commit_existing_dir(
     rel_dir: str,
     mode: str = "append",
     txn_id: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit data files that ALREADY landed under ``table_dir/
     rel_dir`` as the next version — the manifest half of
@@ -1881,7 +2127,15 @@ def commit_existing_dir(
             if t == txn_id:
                 return ver
     v = cur + 1
-    stats = _dir_file_stats(spark, table_dir, rel_dir)
+    dir_schema = _nullable_type(
+        spark.read.parquet(f"{table_dir}/{rel_dir}").schema
+    )
+    rec_schema = dir_schema
+    if mode == "append" and prev is not None:
+        ps = _man_schema(prev)
+        if ps is not None:
+            rec_schema = _evolve_schema(ps, dir_schema, merge_schema)
+    stats = _dir_file_stats(spark, table_dir, rel_dir, schema=rec_schema)
     dirs = [rel_dir]
     deletes: list = []
     dead_files: list = []
@@ -1895,8 +2149,11 @@ def commit_existing_dir(
         "dirs": dirs,
         "op": mode,
         "stats": stats,
+        "schema": rec_schema.json(),
         "recent_txns": _carry_txns(prev, txn_id, v),
     }
+    if mode == "append":
+        _carry_props(prev, payload)
     if deletes:
         payload["deletes"] = deletes
     if dead_files:
@@ -1961,6 +2218,7 @@ def write_version_checked(
             )
     elif schema_policy not in ("strict", "evolve"):
         raise ValueError(f"unknown schema_policy {schema_policy!r}")
+    evolve = schema_policy == "evolve"
     if check_constraints:
         combined = " AND ".join(f"({c})" for c in check_constraints)
         clean, dirty = quarantine_split(df, combined)
@@ -1970,8 +2228,12 @@ def write_version_checked(
                 raise ExpectationViolation(
                     f"{n_bad} rows violate [{combined}]; commit refused"
                 )
-            return write_version(df, table_dir, mode, txn_id=txn_id)
-        v = write_version(clean, table_dir, mode, txn_id=txn_id)
+            return write_version(
+                df, table_dir, mode, txn_id=txn_id, merge_schema=evolve
+            )
+        v = write_version(
+            clean, table_dir, mode, txn_id=txn_id, merge_schema=evolve
+        )
         # quarantined rows become an inspectable versioned table of
         # their own (empty batches skipped — no noise commits)
         if dirty.take(1):
@@ -1982,4 +2244,6 @@ def write_version_checked(
                 txn_id=(f"{txn_id}-quarantine" if txn_id else None),
             )
         return v
-    return write_version(df, table_dir, mode, txn_id=txn_id)
+    return write_version(
+        df, table_dir, mode, txn_id=txn_id, merge_schema=evolve
+    )
