@@ -261,6 +261,12 @@ HEADLINE = [
     # decimal-exact rerank)
     "dedup_decontaminate",
     "sim_hard_negatives",
+    # round-13 additions: hive-partitioned commit + exact partition-
+    # pruned read, and schema-evolved append + null-filling read —
+    # both time the versioned write path end to end (tempdir build
+    # per run, same posture as the other lakehouse entries).
+    "lakehouse_partition_pruned",
+    "lakehouse_schema_evolution",
 ]
 
 

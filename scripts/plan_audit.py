@@ -416,6 +416,25 @@ AUDIT = [
         "incremental multi-aggregate view read: groups-sized scan of "
         "the view table — the base is never touched at read time",
     ),
+    # round-13: hive-partitioned versioned read — the scan should
+    # plan ONLY the selected partition's files (manifest zonemap has
+    # min==max on the partition column) and the partition value is
+    # recovered from the path with the recorded type
+    (
+        "lakehouse_partition_pruned",
+        ["Scan parquet", "partial_count"],
+        "partition-pruned versioned read: the file list is one hive "
+        "partition's files; residual equality filter + "
+        "partial-combined aggregate on top",
+    ),
+    (
+        "lakehouse_schema_evolution",
+        ["Scan parquet", "partial_count"],
+        "schema-evolved read: both version dirs scanned with the "
+        "recorded schema (old files null-fill the added column "
+        "reader-side); one partial-combined aggregate — no "
+        "mergeSchema footer pass at read time",
+    ),
 ]
 
 

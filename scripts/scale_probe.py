@@ -87,6 +87,11 @@ DEFAULT_QUERIES = [
     "lakehouse_text_search",
     "dedup_decontaminate",
     "sim_hard_negatives",
+    # round-13 additions: hive-partitioned commit + partition-pruned
+    # read (write side scales, pruned read side should stay ~one
+    # partition), and schema-evolved append + null-filling read
+    "lakehouse_partition_pruned",
+    "lakehouse_schema_evolution",
 ]
 
 # SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH
