@@ -228,6 +228,46 @@ def test_cli_table_create(spark, tmp_path, capsys):
     assert read_version(spark, tdir).count() == 25
 
 
+def test_cli_table_create_partitioned_and_evolve(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        read_version_pruned,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 20).withColumn(
+        "seg", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    ).write.parquet(src)
+    tdir = str(tmp_path / "ptab")
+    assert (
+        main(
+            ["table", "create", tdir, "--from", src,
+             "--partition-by", "seg"]
+        )
+        == 0
+    )
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "even")
+    assert pruned.count() == 10
+    assert all("seg=even" in f for f in pruned.inputFiles())
+    # append with an extra column: refused plain, allowed with
+    # --merge-schema (schema evolution), spec inherited
+    src2 = str(tmp_path / "src2")
+    spark.range(100, 105).withColumn("seg", F.lit("odd")).withColumn(
+        "score", F.col("id") * 1.0
+    ).write.parquet(src2)
+    assert main(["table", "create", tdir, "--from", src2]) == 1
+    assert (
+        main(["table", "create", tdir, "--from", src2, "--merge-schema"])
+        == 0
+    )
+    got = read_version(spark, tdir)
+    assert got.columns == ["id", "seg", "score"]
+    assert got.where(F.col("score").isNull()).count() == 20
+
+
 def test_pipeline_demo_end_to_end(spark, tmp_path, capsys):
     """The medallion demo (bronze -> checked silver -> dedup gold ->
     MV -> bloom point read) must run clean end to end."""

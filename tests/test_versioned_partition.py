@@ -159,3 +159,76 @@ def test_multi_column_partitioning(spark, tmp_path):
     assert pruned.count() == 10
     assert all("par=1" in f for f in pruned.inputFiles())
     assert dict(pruned.dtypes)["par"] == "int"
+
+
+def test_stream_bootstrap_partitioned(spark, tmp_path):
+    """A streaming sink can BOOTSTRAP a hive-partitioned table: the
+    first micro-batch records the spec as a table property, later
+    batches inherit it, and the pruned read plans one partition."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from tms_etl_spark.operators.versioned import stream_write_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps({"k": i, "seg": ["A", "B"][i % 2]}) for i in range(10)
+        )
+    )
+    schema = StructType(
+        [StructField("k", LongType()), StructField("seg", StringType())]
+    )
+    tdir = str(tmp_path / "ptab")
+    q = stream_write_versioned(
+        spark.readStream.schema(schema).json(str(src)),
+        tdir,
+        str(tmp_path / "ckpt"),
+        partition_by=["seg"],
+    )
+    q.awaitTermination(120)
+    # second batch (new file) inherits the spec with no partition_by
+    (src / "b.json").write_text(_json.dumps({"k": 100, "seg": "A"}))
+    q2 = stream_write_versioned(
+        spark.readStream.schema(schema).json(str(src)),
+        tdir,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "A")
+    assert pruned.count() == 6
+    assert pruned.inputFiles() and all(
+        "seg=A" in f for f in pruned.inputFiles()
+    )
+
+
+def test_checked_write_partitioned(spark, tmp_path):
+    """write_version_checked forwards partition_by: clean rows land
+    hive-partitioned, quarantined rows land in their own (plain)
+    table, and the constraint contract is unchanged."""
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        write_version_checked,
+    )
+
+    tdir = str(tmp_path / "ptab")
+    qdir = str(tmp_path / "quar")
+    df = _mkdf(
+        spark,
+        [(1, "A", 1.0), (2, "B", -5.0), (3, "A", 2.0)],
+    )
+    write_version_checked(
+        df,
+        tdir,
+        check_constraints=["val >= 0"],
+        quarantine_dir=qdir,
+        partition_by=["seg"],
+    )
+    assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+    assert read_version(spark, tdir).count() == 2
+    assert read_version(spark, qdir).count() == 1
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "A")
+    assert all("seg=A" in f for f in pruned.inputFiles())

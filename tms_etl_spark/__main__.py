@@ -139,6 +139,16 @@ def _parser() -> argparse.ArgumentParser:
     tcr.add_argument("dir")
     tcr.add_argument("--from", dest="src", required=True,
                      help="source parquet path")
+    tcr.add_argument(
+        "--partition-by", default=None, metavar="COL[,COL]",
+        help="hive-partition the commit; becomes a table property "
+        "appends inherit",
+    )
+    tcr.add_argument(
+        "--merge-schema", action="store_true",
+        help="allow schema evolution when appending to an existing "
+        "table (added columns null-fill old rows)",
+    )
     ti = tsub.add_parser(
         "index", help="build a per-file Bloom sidecar for point reads"
     )
@@ -350,9 +360,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "create":
-            v = vt.write_version(
-                spark.read.parquet(args.src), args.dir, "append"
-            )
+            try:
+                v = vt.write_version(
+                    spark.read.parquet(args.src),
+                    args.dir,
+                    "append",
+                    partition_by=(
+                        args.partition_by.split(",")
+                        if args.partition_by
+                        else None
+                    ),
+                    merge_schema=args.merge_schema,
+                )
+            except ValueError as e:
+                # schema/partition-spec refusal: an operator contract,
+                # not a crash — report it like one
+                print(f"refused: {e}", file=sys.stderr)
+                return 1
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "index":

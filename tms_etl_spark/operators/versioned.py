@@ -1658,6 +1658,7 @@ def stream_write_versioned(
     check_constraints: list[str] | None = None,
     quarantine_dir: str | None = None,
     maintain_indexes: dict | None = None,
+    partition_by: list[str] | None = None,
 ):
     """Exactly-once streaming sink into a versioned table: each
     micro-batch commits as one table version with ``txn_id =
@@ -1683,7 +1684,12 @@ def stream_write_versioned(
     and keyword searches stay index-routed while the stream runs.
     Index extension is derived data rebuilt from the committed
     version, so a crash between commit and extension loses nothing:
-    the next batch's extension (or an explicit extend) catches up."""
+    the next batch's extension (or an explicit extend) catches up.
+
+    ``partition_by`` bootstraps a hive-partitioned table on the first
+    batch; later batches inherit the spec from the manifest (table
+    property), so passing it on every batch is idempotent and passing
+    it on none after the first also works."""
 
     def _sink(batch_df, batch_id: int) -> None:
         if check_constraints:
@@ -1694,10 +1700,15 @@ def stream_write_versioned(
                 txn_id=f"batch-{batch_id}",
                 check_constraints=check_constraints,
                 quarantine_dir=quarantine_dir,
+                partition_by=partition_by,
             )
         else:
             write_version(
-                batch_df, table_dir, mode, txn_id=f"batch-{batch_id}"
+                batch_df,
+                table_dir,
+                mode,
+                txn_id=f"batch-{batch_id}",
+                partition_by=partition_by,
             )
         if maintain_indexes:
             spark = batch_df.sparkSession
@@ -1728,6 +1739,7 @@ def stream_merge_versioned(
     checkpoint_dir: str,
     key: str,
     available_now: bool = True,
+    partition_by: list[str] | None = None,
 ):
     """Exactly-once streaming UPSERT sink: each micro-batch applies as
     a copy-on-write MERGE (`merge_version`) keyed on ``key`` — the
@@ -1756,7 +1768,15 @@ def stream_merge_versioned(
         )
         txn = f"merge-batch-{batch_id}"
         if current_version(spark, table_dir) == 0:
-            write_version(dedup, table_dir, "append", txn_id=txn)
+            # partition spec (if any) becomes a table property here;
+            # later CoW merges keep it via the manifest carry
+            write_version(
+                dedup,
+                table_dir,
+                "append",
+                txn_id=txn,
+                partition_by=partition_by,
+            )
         else:
             merge_version(
                 spark, table_dir, dedup, key, "update", txn_id=txn
@@ -2176,6 +2196,7 @@ def write_version_checked(
     check_constraints: list[str] | None = None,
     schema_policy: str = "strict",
     quarantine_dir: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """`write_version` with COMMIT-TIME constraints — the CHECK
     constraint / schema-enforcement half of the lakehouse contract
@@ -2229,10 +2250,20 @@ def write_version_checked(
                     f"{n_bad} rows violate [{combined}]; commit refused"
                 )
             return write_version(
-                df, table_dir, mode, txn_id=txn_id, merge_schema=evolve
+                df,
+                table_dir,
+                mode,
+                txn_id=txn_id,
+                partition_by=partition_by,
+                merge_schema=evolve,
             )
         v = write_version(
-            clean, table_dir, mode, txn_id=txn_id, merge_schema=evolve
+            clean,
+            table_dir,
+            mode,
+            txn_id=txn_id,
+            partition_by=partition_by,
+            merge_schema=evolve,
         )
         # quarantined rows become an inspectable versioned table of
         # their own (empty batches skipped — no noise commits)
@@ -2245,5 +2276,10 @@ def write_version_checked(
             )
         return v
     return write_version(
-        df, table_dir, mode, txn_id=txn_id, merge_schema=evolve
+        df,
+        table_dir,
+        mode,
+        txn_id=txn_id,
+        partition_by=partition_by,
+        merge_schema=evolve,
     )
