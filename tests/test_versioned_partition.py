@@ -126,16 +126,33 @@ def test_merge_on_partitioned_table(spark, part_table):
 
 
 def test_optimize_keeps_partition_spec(spark, part_table):
-    """Compaction materializes partition columns into plain files but
-    the table-level spec survives, so later appends re-partition."""
+    """Plain compaction PRESERVES the hive layout (one compacted file
+    per partition value — pruning stays directory-exact) and the
+    table-level spec survives, so later appends re-partition."""
     tdir, rows = part_table
     optimize_version(spark, tdir)
     assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
     assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "B")
+    files = pruned.inputFiles()
+    assert len(files) == 1 and "seg=B" in files[0]
     extra = [(200, "C", 3.0)]
     write_version(_mkdf(spark, extra), tdir, "append")
     pruned = read_version_pruned(spark, tdir, "seg", "=", "C")
     assert pruned.count() == len([r for r in rows if r[1] == "C"]) + 1
+    assert all("seg=C" in f for f in pruned.inputFiles())
+
+
+def test_optimize_cluster_by_overrides_hive_layout(spark, part_table):
+    """An explicit cluster_by rewrite materializes partition columns
+    into range-clustered plain files; results and the spec survive."""
+    tdir, rows = part_table
+    optimize_version(spark, tdir, cluster_by="k")
+    assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
+    assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+    # zonemap pruning on the CLUSTER column is now tight
+    pruned = read_version_pruned(spark, tdir, "k", "=", 7)
+    assert pruned.count() == 1
 
 
 def test_time_travel_on_partitioned_table(spark, part_table):

@@ -1234,9 +1234,26 @@ def optimize_version(
             .sortWithinPartitions("__zkey")
             .drop("__zkey")
         )
-    else:
-        df = df.repartition(n_files)
-    df.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
+    # a partitioned table compacts WITHIN its hive layout (absent an
+    # explicit re-clustering request): partition values stay
+    # directory-separated so partition pruning remains exact
+    # directory-level after compaction. Hash-repartitioning on the
+    # partition columns keeps task count ≤ n_files while each value's
+    # rows land in one task → one compacted file per partition value
+    # (hot partitions make one large file; pass cluster_by to split
+    # a dominant partition by a second key instead).
+    part_cols = man.get("partition_by")
+    hive_out = bool(part_cols) and cluster_by is None and zorder_by is None
+    if cluster_by is None and zorder_by is None:
+        df = (
+            df.repartition(n_files, *part_cols)
+            if hive_out
+            else df.repartition(n_files)
+        )
+    writer = df.write.mode("errorifexists")
+    if hive_out:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(f"{table_dir}/{new_dir}")
     payload = {
         "version": v,
         "dirs": [new_dir],
@@ -1254,8 +1271,12 @@ def optimize_version(
         ),
         "recent_txns": _carry_txns(man, None, v),
     }
-    # compacted files materialize partition columns, so the new dir is
-    # plain; the partition spec survives for future appends
+    # hive compaction keeps the layout (new dir needs basePath reads);
+    # an explicit cluster_by/zorder_by rewrite materializes partition
+    # columns into plain files instead — either way the partition
+    # spec survives as a table property for future appends
+    if hive_out:
+        payload["hive_dirs"] = [new_dir]
     _carry_props(man, payload)
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
