@@ -111,8 +111,9 @@ def test_delete_on_partitioned_table(spark, part_table):
 
 
 def test_merge_on_partitioned_table(spark, part_table):
-    """CoW MERGE rewrites into a PLAIN dir (partition cols
-    materialized); reads must union hive + plain dirs correctly."""
+    """CoW MERGE preserves the hive layout: the rewrite dir is
+    partitioned too, so partition pruning stays directory-exact
+    under merge churn."""
     tdir, rows = part_table
     src = _mkdf(spark, [(k, "A", 999.0) for k in range(0, 60, 3)])
     merge_version(spark, tdir, src, key="k", when_matched="update")
@@ -123,6 +124,26 @@ def test_merge_on_partitioned_table(spark, part_table):
             assert got[k] == ("A", 999.0)
         else:
             assert got[k] == (seg, val)
+    # every live file — original and rewritten — sits under a seg= dir
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "B")
+    assert pruned.inputFiles() and all(
+        "seg=B" in f for f in pruned.inputFiles()
+    )
+    want_b = [r for r in rows if r[1] == "B" and r[0] % 3 != 0]
+    assert pruned.count() == len(want_b)
+
+
+def test_merge_cluster_by_on_partitioned_table(spark, part_table):
+    """cluster_by wins over hive preservation: the rewrite dir is
+    plain range-clustered files, results unchanged."""
+    tdir, rows = part_table
+    src = _mkdf(spark, [(k, "A", 111.0) for k in range(0, 60, 4)])
+    merge_version(
+        spark, tdir, src, key="k", when_matched="update", cluster_by="k"
+    )
+    got = read_version(spark, tdir)
+    assert got.count() == 60
+    assert got.where((F.col("val") == 111.0)).count() == 15
 
 
 def test_optimize_keeps_partition_spec(spark, part_table):

@@ -1512,7 +1512,16 @@ def merge_version(
             out = out.repartitionByRange(*rb).sortWithinPartitions(
                 cluster_by
             )
-        out.write.mode("errorifexists").parquet(f"{table_dir}/{new_dir}")
+        # partitioned table + no explicit clustering: the rewrite
+        # keeps the hive layout, so partition pruning stays
+        # directory-exact under merge churn (same posture as
+        # optimize_version's hive-preserving compaction)
+        part_cols = man.get("partition_by")
+        hive_out = bool(part_cols) and cluster_by is None
+        writer = out.write.mode("errorifexists")
+        if hive_out:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(f"{table_dir}/{new_dir}")
         if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
             new_stats = _dir_file_stats(
                 spark, table_dir, new_dir, schema=_man_schema(man)
@@ -1552,8 +1561,11 @@ def merge_version(
         payload["dead_files"] = sorted(dead)
     if txn_id is not None:
         payload["txn_id"] = txn_id
-    # the merge-output dir is plain (partition cols materialized in
-    # its files); surviving hive dirs keep their layout via intersect
+    # a hive-layout merge output dir needs basePath reads; surviving
+    # hive dirs keep their layout via the carry's intersect. An
+    # explicit cluster_by rewrite stays plain (columns materialized).
+    if parts and new_stats and hive_out:
+        payload["hive_dirs"] = [new_dir]
     _carry_props(man, payload)
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
