@@ -270,3 +270,28 @@ def test_checked_write_partitioned(spark, tmp_path):
     assert read_version(spark, qdir).count() == 1
     pruned = read_version_pruned(spark, tdir, "seg", "=", "A")
     assert all("seg=A" in f for f in pruned.inputFiles())
+
+
+def test_optimize_incremental_partitioned(spark, part_table):
+    """Incremental compaction of small-file debt on a partitioned
+    table consolidates WITHIN the hive layout — pruning stays
+    directory-exact afterwards."""
+    from tms_etl_spark.operators.versioned import optimize_incremental
+
+    tdir, rows = part_table
+    # accrue small-file debt: several tiny appends
+    extra = []
+    for i in range(3):
+        batch = [(1000 + 10 * i + j, ["A", "B"][j % 2], 1.0) for j in range(4)]
+        write_version(_mkdf(spark, batch), tdir, "append")
+        extra += batch
+    v = optimize_incremental(
+        spark, tdir, target_file_bytes=1 << 30, min_file_bytes=1 << 20
+    )
+    assert v > 4
+    got = read_version(spark, tdir)
+    assert sorted(got.collect()) == sorted(rows + extra)
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "B")
+    assert pruned.inputFiles() and all(
+        "seg=B" in f for f in pruned.inputFiles()
+    )

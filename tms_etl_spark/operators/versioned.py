@@ -1641,12 +1641,20 @@ def optimize_incremental(
     new_dir = f"{_DATA}/v{v:06d}-compact-{uuid.uuid4().hex[:8]}"
     dirs = list(big)
     new_stats: dict = {}
+    part_cols = man.get("partition_by")
     if small:
         df = _scan_with_deletes(spark, table_dir, man, dirs=small)
         n_files = max(1, ceil(small_bytes / max(1, target_file_bytes)))
-        df.repartition(n_files).write.mode("errorifexists").parquet(
-            f"{table_dir}/{new_dir}"
-        )
+        # partitioned table: consolidate WITHIN the hive layout, same
+        # posture as optimize_version — pruning stays directory-exact
+        if part_cols:
+            df.repartition(n_files, *part_cols).write.mode(
+                "errorifexists"
+            ).partitionBy(*part_cols).parquet(f"{table_dir}/{new_dir}")
+        else:
+            df.repartition(n_files).write.mode("errorifexists").parquet(
+                f"{table_dir}/{new_dir}"
+            )
         if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
             new_stats = _dir_file_stats(
                 spark, table_dir, new_dir, schema=_man_schema(man)
@@ -1677,6 +1685,8 @@ def optimize_incremental(
     )
     if remaining_dead:
         payload["dead_files"] = remaining_dead
+    if part_cols and new_stats:
+        payload["hive_dirs"] = [new_dir]
     _carry_props(man, payload)
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
