@@ -295,3 +295,89 @@ def test_optimize_incremental_partitioned(spark, part_table):
     assert pruned.inputFiles() and all(
         "seg=B" in f for f in pruned.inputFiles()
     )
+
+
+def _ts_df(spark, rows):
+    """rows: (k, ts_string, val)"""
+    df = spark.createDataFrame(rows, "k int, ts_s string, val double")
+    return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_generated_partition_column(spark, tmp_path):
+    """Delta-style generated-column partitioning: the batch carries a
+    natural timestamp; the table derives p_month and partitions by
+    it. Appends inherit the expression and derive automatically."""
+    tdir = str(tmp_path / "gen")
+    write_version(
+        _ts_df(
+            spark,
+            [(1, "2024-01-05 10:00:00", 1.0), (2, "2024-02-10 11:00:00", 2.0)],
+        ),
+        tdir,
+        partition_by=["p_month"],
+        partition_exprs={"p_month": "date_format(ts, 'yyyy-MM')"},
+    )
+    # producer append: natural rows, no p_month, no spec repeated
+    write_version(
+        _ts_df(spark, [(3, "2024-02-20 09:00:00", 3.0)]), tdir, "append"
+    )
+    got = read_version(spark, tdir)
+    assert "p_month" in got.columns
+    by_k = {r["k"]: r["p_month"] for r in got.collect()}
+    assert by_k == {1: "2024-01", 2: "2024-02", 3: "2024-02"}
+    pruned = read_version_pruned(spark, tdir, "p_month", "=", "2024-02")
+    assert pruned.count() == 2
+    assert all("p_month=2024-02" in f for f in pruned.inputFiles())
+
+
+def test_generated_partition_merge_and_checked(spark, tmp_path):
+    """MERGE sources and checked writes also auto-derive the
+    generated column; conflicting expressions are refused."""
+    from tms_etl_spark.operators.versioned import write_version_checked
+
+    tdir = str(tmp_path / "gen")
+    exprs = {"p_month": "date_format(ts, 'yyyy-MM')"}
+    write_version(
+        _ts_df(spark, [(1, "2024-01-05 10:00:00", 1.0)]),
+        tdir,
+        partition_by=["p_month"],
+        partition_exprs=exprs,
+    )
+    # checked write without the generated column: derives, no drift
+    write_version_checked(
+        _ts_df(spark, [(2, "2024-03-01 08:00:00", 2.0)]),
+        tdir,
+        check_constraints=["val >= 0"],
+    )
+    # merge a natural source row updating k=1
+    merge_version(
+        spark,
+        tdir,
+        _ts_df(spark, [(1, "2024-01-05 10:00:00", 99.0)]),
+        key="k",
+        when_matched="update",
+    )
+    got = {r["k"]: (r["p_month"], r["val"]) for r in read_version(spark, tdir).collect()}
+    assert got == {1: ("2024-01", 99.0), 2: ("2024-03", 2.0)}
+    with pytest.raises(ValueError, match="generated columns"):
+        write_version(
+            _ts_df(spark, [(9, "2024-04-01 00:00:00", 1.0)]),
+            tdir,
+            "append",
+            partition_by=["p_month"],
+            partition_exprs={"p_month": "date_format(ts, 'yyyy')"},
+        )
+
+
+def test_partition_exprs_unknown_column_refused(spark, tmp_path):
+    tdir = str(tmp_path / "gen")
+    with pytest.raises(ValueError, match="non-partition"):
+        write_version(
+            _ts_df(spark, [(1, "2024-01-01 00:00:00", 1.0)]),
+            tdir,
+            partition_by=["p_month"],
+            partition_exprs={
+                "p_month": "date_format(ts, 'yyyy-MM')",
+                "other": "1",
+            },
+        )

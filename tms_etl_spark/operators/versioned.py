@@ -365,6 +365,8 @@ def _carry_props(src: dict | None, payload: dict) -> None:
         payload["schema"] = src["schema"]
     if src.get("partition_by") and "partition_by" not in payload:
         payload["partition_by"] = src["partition_by"]
+    if src.get("partition_exprs") and "partition_exprs" not in payload:
+        payload["partition_exprs"] = src["partition_exprs"]
     if src.get("hive_dirs"):
         keep = set(payload["dirs"]) & set(src["hive_dirs"])
         merged = sorted(keep | set(payload.get("hive_dirs", [])))
@@ -431,6 +433,7 @@ def write_version(
     mode: str = "append",
     txn_id: str | None = None,
     partition_by: list[str] | None = None,
+    partition_exprs: dict[str, str] | None = None,
     merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as the next table version.
@@ -472,6 +475,18 @@ def write_version(
     partition values to simple ASCII (URI-special characters would
     diverge between listing- and scan-derived rel paths).
 
+    ``partition_exprs`` makes partition columns GENERATED (Delta's
+    generated-column partitioning / the honest half of Iceberg's
+    hidden partitioning): ``partition_by=["p_month"],
+    partition_exprs={"p_month": "date_format(ts, 'yyyy-MM')"}``
+    derives the column from each batch's own data whenever the batch
+    doesn't carry it. The expressions are a table property like the
+    spec itself: appends inherit them, so producers write natural
+    rows and the layout stays time-bucketed with zero caller
+    plumbing; MERGE sources likewise auto-derive. Deterministic
+    expressions only (the same row must derive the same value on
+    retry).
+
     ``merge_schema`` allows SCHEMA EVOLUTION on append: new columns
     are added to the recorded table schema (old files read as NULL for
     them), columns missing from the batch are null-filled for its
@@ -479,6 +494,8 @@ def write_version(
     manifest records the schema AS OF that version, so time travel
     returns the historical shape."""
     import uuid
+
+    from pyspark.sql import functions as F
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -488,6 +505,7 @@ def write_version(
         _read_json(spark, _manifest_path(table_dir, cur)) if cur >= 1 else None
     )
     part_cols = list(partition_by) if partition_by else None
+    part_exprs = dict(partition_exprs) if partition_exprs else None
     if mode == "append" and prev is not None:
         tbl_part = prev.get("partition_by")
         if part_cols is None:
@@ -497,6 +515,24 @@ def write_version(
                 f"partition_by {part_cols} conflicts with the table's "
                 f"partition spec {tbl_part} (overwrite to repartition)"
             )
+        tbl_exprs = prev.get("partition_exprs")
+        if part_exprs is None:
+            part_exprs = tbl_exprs  # generated columns inherit too
+        elif tbl_exprs is not None and part_exprs != tbl_exprs:
+            raise ValueError(
+                f"partition_exprs {part_exprs} conflicts with the "
+                f"table's generated columns {tbl_exprs}"
+            )
+    if part_exprs:
+        unknown = sorted(set(part_exprs) - set(part_cols or []))
+        if unknown:
+            raise ValueError(
+                f"partition_exprs for non-partition column(s) {unknown}"
+            )
+        # generated columns: derive any the batch doesn't carry
+        for c in part_cols or []:
+            if c in part_exprs and c not in df.columns:
+                df = df.withColumn(c, F.expr(part_exprs[c]))
     new_schema = _nullable_type(df.schema)
     rec_schema = new_schema
     if mode == "append" and prev is not None:
@@ -553,6 +589,8 @@ def write_version(
     }
     if part_cols:
         payload["partition_by"] = part_cols
+    if part_exprs:
+        payload["partition_exprs"] = part_exprs
     if hive_dirs:
         payload["hive_dirs"] = hive_dirs
     if deletes:
@@ -1382,6 +1420,16 @@ def merge_version(
             if t == txn_id:
                 return ver
 
+    # generated partition columns: derive any the source lacks from
+    # the recorded expressions, so producers MERGE natural rows and
+    # the CoW output still lands in the hive layout (delete-merge
+    # sources carry only the key — nothing to derive from, and their
+    # rows never land)
+    if when_matched == "update":
+        for c, e in (man.get("partition_exprs") or {}).items():
+            if c not in source_df.columns:
+                source_df = source_df.withColumn(c, F.expr(e))
+
     # one row per NON-NULL source key, or the merge is
     # nondeterministic. count_distinct ignores NULLs, so NULL keys
     # need their own check — conflating them with duplicates gives a
@@ -1702,6 +1750,7 @@ def stream_write_versioned(
     quarantine_dir: str | None = None,
     maintain_indexes: dict | None = None,
     partition_by: list[str] | None = None,
+    partition_exprs: dict[str, str] | None = None,
 ):
     """Exactly-once streaming sink into a versioned table: each
     micro-batch commits as one table version with ``txn_id =
@@ -1744,6 +1793,7 @@ def stream_write_versioned(
                 check_constraints=check_constraints,
                 quarantine_dir=quarantine_dir,
                 partition_by=partition_by,
+                partition_exprs=partition_exprs,
             )
         else:
             write_version(
@@ -1752,6 +1802,7 @@ def stream_write_versioned(
                 mode,
                 txn_id=f"batch-{batch_id}",
                 partition_by=partition_by,
+                partition_exprs=partition_exprs,
             )
         if maintain_indexes:
             spark = batch_df.sparkSession
@@ -2240,6 +2291,7 @@ def write_version_checked(
     schema_policy: str = "strict",
     quarantine_dir: str | None = None,
     partition_by: list[str] | None = None,
+    partition_exprs: dict[str, str] | None = None,
 ) -> int:
     """`write_version` with COMMIT-TIME constraints — the CHECK
     constraint / schema-enforcement half of the lakehouse contract
@@ -2265,8 +2317,26 @@ def write_version_checked(
         schema_drift,
     )
 
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     cur = current_version(spark, table_dir)
+    # derive generated partition columns BEFORE the drift check — a
+    # producer batch legitimately lacks them (that's the feature)
+    gen = dict(partition_exprs or {})
+    if cur >= 1:
+        gen = {
+            **(
+                _read_json(spark, _manifest_path(table_dir, cur)).get(
+                    "partition_exprs"
+                )
+                or {}
+            ),
+            **gen,
+        }
+    for c, e in gen.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(e))
     if cur >= 1 and schema_policy in ("strict", "evolve"):
         current = read_version(spark, table_dir)
         drift = schema_drift(current, df)
@@ -2298,6 +2368,7 @@ def write_version_checked(
                 mode,
                 txn_id=txn_id,
                 partition_by=partition_by,
+                partition_exprs=partition_exprs,
                 merge_schema=evolve,
             )
         v = write_version(
@@ -2306,6 +2377,7 @@ def write_version_checked(
             mode,
             txn_id=txn_id,
             partition_by=partition_by,
+            partition_exprs=partition_exprs,
             merge_schema=evolve,
         )
         # quarantined rows become an inspectable versioned table of
@@ -2324,5 +2396,6 @@ def write_version_checked(
         mode,
         txn_id=txn_id,
         partition_by=partition_by,
+        partition_exprs=partition_exprs,
         merge_schema=evolve,
     )
