@@ -347,6 +347,48 @@ def lakehouse_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_generated_partition",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS p_day,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def lakehouse_generated_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED partition column: the table derives
+    ``p_day = date_format(ts, 'yyyy-MM-dd')`` at commit time
+    (Delta generated-column partitioning — producers write natural
+    rows, the layout stays time-bucketed). The read back must agree
+    with DuckDB's own formatting of the ORIGINAL timestamps,
+    value-for-value — pinning both the derivation expression and the
+    path round-trip of the partition value (hive escaping, recorded
+    string type)."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_gen_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    write_version(
+        ev,
+        tdir,
+        "append",
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    return (
+        read_version(spark, tdir)
+        .groupBy("p_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
     "lakehouse_schema_evolution",
     oracle=f"""
     WITH unioned AS (
