@@ -61,8 +61,21 @@ def main() -> int:
     dead, view = os.path.join(work, "dead"), os.path.join(work, "view")
 
     docs = load_table(spark, sf, "documents")
-    write_version(docs, bronze, "append")
-    print(json.dumps({"stage": "bronze", "rows": read_version(spark, bronze).count()}))
+    # bronze lands hive-partitioned by source (identity partitioning —
+    # per-source reads plan from manifest metadata alone)
+    write_version(docs, bronze, "append", partition_by=["source"])
+    from tms_etl_spark.operators.versioned import read_version_pruned
+
+    one_src = read_version_pruned(spark, bronze, "source", "=", "src3")
+    assert one_src.inputFiles() and all(
+        "source=src3" in f for f in one_src.inputFiles()
+    ), "partition pruning must plan only src3's files"
+    print(json.dumps({
+        "stage": "bronze",
+        "rows": read_version(spark, bronze).count(),
+        "partition_by": ["source"],
+        "pruned_src3_rows": one_src.count(),
+    }))
 
     write_version_checked(
         read_version(spark, bronze),
