@@ -381,3 +381,45 @@ def test_partition_exprs_unknown_column_refused(spark, tmp_path):
                 "other": "1",
             },
         )
+
+
+def test_bloom_point_read_on_partitioned_table(spark, part_table):
+    """Index-routed point reads must keep the hive partition column:
+    the explicit-file scan goes through the basePath-aware reader, so
+    the result schema matches read_version and merged-away files'
+    nested rel paths are honored."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+
+    tdir, rows = part_table
+    build_bloom_index(spark, tdir, "k")
+    got = read_version_point(spark, tdir, "k", 7)
+    assert got.columns == ["k", "seg", "val"]
+    assert [(r["k"], r["seg"]) for r in got.collect()] == [(7, "B")]
+
+
+def test_text_search_on_partitioned_table(spark, tmp_path):
+    from tms_etl_spark.operators.textindex import (
+        build_text_index,
+        search_token,
+    )
+
+    tdir = str(tmp_path / "ptext")
+    df = spark.createDataFrame(
+        [
+            (1, "A", "alpha beta"),
+            (2, "B", "gamma delta"),
+            (3, "A", "beta gamma"),
+        ],
+        "k int, seg string, body string",
+    )
+    write_version(df, tdir, "append", partition_by=["seg"])
+    build_text_index(spark, tdir, "body")
+    got = search_token(spark, tdir, "body", "beta")
+    assert got.columns == ["k", "seg", "body"]
+    assert sorted((r["k"], r["seg"]) for r in got.collect()) == [
+        (1, "A"),
+        (3, "A"),
+    ]

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from tms_etl_spark.operators.versioned import (
     _live_rel_files,
     _manifest_path,
+    _read_files,
     _read_json,
     _scan_with_deletes,
     current_version,
@@ -271,16 +272,16 @@ def read_version_point(
         _canon(r["file"])
         for r in words.select("file").distinct().collect()
     }
-    # files in the version but not in the index: scan conservatively
-    from tms_etl_spark.sources.fs import list_files
-
-    dead = set(man.get("dead_files", []))
-    all_files = []
-    for d in man["dirs"]:
-        for fi in list_files(spark, f"{table_dir}/{d}"):
-            name = fi.path.rsplit("/", 1)[-1]
-            if name.endswith(".parquet") and f"{d}/{name}" not in dead:
-                all_files.append(_canon(fi.path))
+    # files in the version but not in the index: scan conservatively.
+    # `_live_rel_files` is hive-aware (nested rel paths), so the dead
+    # check holds on partitioned tables too — a basename-built rel
+    # would never match a nested dead entry and resurrect merged rows.
+    live = _live_rel_files(spark, table_dir, man)
+    all_files = [
+        _canon(f"{table_dir}/{rel}")
+        for rels in live.values()
+        for rel in rels
+    ]
     unindexed = [f for f in all_files if f not in indexed]
     scan_files = sorted(set(keep) | set(unindexed))
     if not scan_files:
@@ -289,4 +290,9 @@ def read_version_point(
         # tombstoned tables: correctness first — bloom skips only the
         # clean-dir fast path; fall back to the full subtracted scan
         return pred_scan.where(F.col(col) == lit)
-    return spark.read.parquet(*scan_files).where(F.col(col) == lit)
+    # _read_files (not a bare explicit-file read): hive partition
+    # columns live in the PATH and need basePath + the recorded
+    # schema to come back — a plain read would drop them
+    return _read_files(spark, table_dir, man, scan_files).where(
+        F.col(col) == lit
+    )

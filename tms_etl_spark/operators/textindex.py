@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from tms_etl_spark.operators.versioned import (
     _live_rel_files,
     _manifest_path,
+    _read_files,
     _read_json,
     _scan_with_deletes,
     current_version,
@@ -232,4 +233,7 @@ def search_token(
     )
     if not scan_files:
         return pred_scan.where(residual).limit(0)
-    return spark.read.parquet(*scan_files).where(residual)
+    # _read_files: hive partition columns live in the PATH and need
+    # basePath + the recorded schema — a plain explicit-file read
+    # would drop them on partitioned tables
+    return _read_files(spark, table_dir, man, scan_files).where(residual)
