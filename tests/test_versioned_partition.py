@@ -134,8 +134,9 @@ def test_merge_on_partitioned_table(spark, part_table):
 
 
 def test_merge_cluster_by_on_partitioned_table(spark, part_table):
-    """cluster_by wins over hive preservation: the rewrite dir is
-    plain range-clustered files, results unchanged."""
+    """cluster_by composes with hive preservation: the rewrite is
+    range-clustered WITHIN the partition layout, results unchanged
+    and pruning still directory-exact."""
     tdir, rows = part_table
     src = _mkdf(spark, [(k, "A", 111.0) for k in range(0, 60, 4)])
     merge_version(
@@ -144,6 +145,10 @@ def test_merge_cluster_by_on_partitioned_table(spark, part_table):
     got = read_version(spark, tdir)
     assert got.count() == 60
     assert got.where((F.col("val") == 111.0)).count() == 15
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "A")
+    assert pruned.inputFiles() and all(
+        "seg=A" in f for f in pruned.inputFiles()
+    )
 
 
 def test_optimize_keeps_partition_spec(spark, part_table):
@@ -164,16 +169,20 @@ def test_optimize_keeps_partition_spec(spark, part_table):
     assert all("seg=C" in f for f in pruned.inputFiles())
 
 
-def test_optimize_cluster_by_overrides_hive_layout(spark, part_table):
-    """An explicit cluster_by rewrite materializes partition columns
-    into range-clustered plain files; results and the spec survive."""
+def test_optimize_cluster_by_within_hive_layout(spark, part_table):
+    """OPTIMIZE never unpartitions: cluster_by orders rows WITHIN the
+    hive layout — partition pruning stays directory-exact AND the
+    cluster column's zonemaps are tight inside every partition."""
     tdir, rows = part_table
     optimize_version(spark, tdir, cluster_by="k")
     assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
     assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
-    # zonemap pruning on the CLUSTER column is now tight
+    # zonemap pruning on the CLUSTER column still works
     pruned = read_version_pruned(spark, tdir, "k", "=", 7)
     assert pruned.count() == 1
+    # and every compacted file stayed inside a partition directory
+    allf = read_version(spark, tdir).inputFiles()
+    assert allf and all("seg=" in f for f in allf)
 
 
 def test_time_travel_on_partitioned_table(spark, part_table):
@@ -423,3 +432,16 @@ def test_text_search_on_partitioned_table(spark, tmp_path):
         (1, "A"),
         (3, "A"),
     ]
+
+
+def test_optimize_zorder_within_hive_layout(spark, part_table):
+    """OPTIMIZE ZORDER on a partitioned table clusters by the Morton
+    key WITHIN each partition directory."""
+    tdir, rows = part_table
+    optimize_version(spark, tdir, zorder_by=("k", "val"))
+    assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
+    allf = read_version(spark, tdir).inputFiles()
+    assert allf and all("seg=" in f for f in allf)
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "C")
+    assert pruned.count() == len([r for r in rows if r[1] == "C"])
+    assert all("seg=C" in f for f in pruned.inputFiles())

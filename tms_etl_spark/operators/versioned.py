@@ -1254,10 +1254,20 @@ def optimize_version(
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
+    # a partitioned table ALWAYS compacts within its hive layout
+    # (OPTIMIZE never unpartitions — Delta semantics); cluster_by /
+    # zorder_by then order rows WITHIN the layout: range-partitioning
+    # on (partition cols, cluster key) keeps each partition value's
+    # rows directory-separated while splitting hot partitions into
+    # multiple files with disjoint per-file cluster-key ranges — so
+    # partition pruning stays directory-exact AND the cluster
+    # column's zonemaps come out tight inside every partition.
+    part_cols = man.get("partition_by") or []
+    hive_out = bool(part_cols)
     if cluster_by is not None:
-        df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
-            cluster_by
-        )
+        df = df.repartitionByRange(
+            n_files, *part_cols, cluster_by
+        ).sortWithinPartitions(*part_cols, cluster_by)
     elif zorder_by is not None:
         from tms_etl_spark.operators.layout import zorder_key, zorder_key_k
 
@@ -1268,26 +1278,17 @@ def optimize_version(
         )
         df = (
             df.withColumn("__zkey", zkey)
-            .repartitionByRange(n_files, "__zkey")
-            .sortWithinPartitions("__zkey")
+            .repartitionByRange(n_files, *part_cols, "__zkey")
+            .sortWithinPartitions(*part_cols, "__zkey")
             .drop("__zkey")
         )
-    # a partitioned table compacts WITHIN its hive layout (absent an
-    # explicit re-clustering request): partition values stay
-    # directory-separated so partition pruning remains exact
-    # directory-level after compaction. Hash-repartitioning on the
-    # partition columns keeps task count ≤ n_files while each value's
-    # rows land in one task → one compacted file per partition value
-    # (hot partitions make one large file; pass cluster_by to split
-    # a dominant partition by a second key instead).
-    part_cols = man.get("partition_by")
-    hive_out = bool(part_cols) and cluster_by is None and zorder_by is None
-    if cluster_by is None and zorder_by is None:
-        df = (
-            df.repartition(n_files, *part_cols)
-            if hive_out
-            else df.repartition(n_files)
-        )
+    elif hive_out:
+        # plain compaction: each partition value's rows land in one
+        # task → one compacted file per value (hot partitions make
+        # one large file; pass cluster_by to split by a second key)
+        df = df.repartition(n_files, *part_cols)
+    else:
+        df = df.repartition(n_files)
     writer = df.write.mode("errorifexists")
     if hive_out:
         writer = writer.partitionBy(*part_cols)
@@ -1310,9 +1311,8 @@ def optimize_version(
         "recent_txns": _carry_txns(man, None, v),
     }
     # hive compaction keeps the layout (new dir needs basePath reads);
-    # an explicit cluster_by/zorder_by rewrite materializes partition
-    # columns into plain files instead — either way the partition
-    # spec survives as a table property for future appends
+    # the partition spec survives as a table property for future
+    # appends
     if hive_out:
         payload["hive_dirs"] = [new_dir]
     _carry_props(man, payload)
@@ -1547,25 +1547,26 @@ def merge_version(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # partitioned table: the rewrite ALWAYS keeps the hive layout
+        # so partition pruning stays directory-exact under merge
+        # churn; cluster_by then orders rows WITHIN the layout (range
+        # partition on (partition cols, cluster key) — hot partitions
+        # split into files with disjoint cluster ranges).
+        part_cols = man.get("partition_by") or []
+        hive_out = bool(part_cols)
         if cluster_by is not None:
-            # clustering-preserving rewrite: range-partition + sort the
-            # merge output so its files keep DISJOINT cluster-key
-            # ranges — zonemap pruning stays tight under merge churn
-            # instead of degrading until the next OPTIMIZE. With no
-            # explicit count AQE coalesces the range shuffle for small
-            # rewrites; pass cluster_partitions to pin the file split.
+            # clustering-preserving rewrite: the merge output's files
+            # keep DISJOINT cluster-key ranges — zonemap pruning stays
+            # tight under merge churn instead of degrading until the
+            # next OPTIMIZE. With no explicit count AQE coalesces the
+            # range shuffle for small rewrites; pass
+            # cluster_partitions to pin the file split.
             rb = (
                 [cluster_partitions] if cluster_partitions else []
-            ) + [F.col(cluster_by)]
+            ) + [F.col(c) for c in part_cols] + [F.col(cluster_by)]
             out = out.repartitionByRange(*rb).sortWithinPartitions(
-                cluster_by
+                *part_cols, cluster_by
             )
-        # partitioned table + no explicit clustering: the rewrite
-        # keeps the hive layout, so partition pruning stays
-        # directory-exact under merge churn (same posture as
-        # optimize_version's hive-preserving compaction)
-        part_cols = man.get("partition_by")
-        hive_out = bool(part_cols) and cluster_by is None
         writer = out.write.mode("errorifexists")
         if hive_out:
             writer = writer.partitionBy(*part_cols)
@@ -1610,8 +1611,7 @@ def merge_version(
     if txn_id is not None:
         payload["txn_id"] = txn_id
     # a hive-layout merge output dir needs basePath reads; surviving
-    # hive dirs keep their layout via the carry's intersect. An
-    # explicit cluster_by rewrite stays plain (columns materialized).
+    # hive dirs keep their layout via the carry's intersect
     if parts and new_stats and hive_out:
         payload["hive_dirs"] = [new_dir]
     _carry_props(man, payload)
