@@ -445,3 +445,43 @@ def test_optimize_zorder_within_hive_layout(spark, part_table):
     pruned = read_version_pruned(spark, tdir, "seg", "=", "C")
     assert pruned.count() == len([r for r in rows if r[1] == "C"])
     assert all("seg=C" in f for f in pruned.inputFiles())
+
+
+def test_partition_spec_evolution_via_optimize(spark, tmp_path):
+    """Iceberg-style spec evolution by rewrite: OPTIMIZE with an
+    explicit partition_by re-lands the table in the new spec, which
+    future appends inherit; [] unpartitions."""
+    from tms_etl_spark.operators.versioned import optimize_version
+
+    tdir = str(tmp_path / "respec")
+    rows = [(i, ["A", "B"][i % 2], float(i)) for i in range(40)]
+    write_version(_mkdf(spark, rows), tdir, "append")  # plain table
+    # evolve: plain -> partitioned by seg
+    optimize_version(spark, tdir, partition_by=["seg"])
+    assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+    assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "A")
+    assert pruned.inputFiles() and all(
+        "seg=A" in f for f in pruned.inputFiles()
+    )
+    # appends inherit the evolved spec
+    write_version(_mkdf(spark, [(100, "B", 1.0)]), tdir, "append")
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "B")
+    assert pruned.count() == 21
+    assert all("seg=B" in f for f in pruned.inputFiles())
+    # evolve back: unpartition
+    optimize_version(spark, tdir, partition_by=[])
+    assert describe_detail(spark, tdir)["partition_by"] is None
+    got = read_version(spark, tdir)
+    assert got.count() == 41
+    assert not any("seg=" in f for f in got.inputFiles())
+    # old partitioned snapshot still time-travels
+    assert read_version(spark, tdir, version=2).count() == 40
+
+
+def test_spec_evolution_unknown_column_refused(spark, part_table):
+    from tms_etl_spark.operators.versioned import optimize_version
+
+    tdir, _ = part_table
+    with pytest.raises(ValueError, match="not in schema"):
+        optimize_version(spark, tdir, partition_by=["nope"])

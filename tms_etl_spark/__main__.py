@@ -89,6 +89,11 @@ def _parser() -> argparse.ArgumentParser:
         "--zorder-by", default=None,
         help="2+ comma-separated columns for Morton-key clustering",
     )
+    to.add_argument(
+        "--partition-by", default=None, metavar="COL[,COL]|none",
+        help="partition SPEC EVOLUTION: rewrite into this hive spec "
+        "(future appends inherit it); 'none' unpartitions",
+    )
     te = tsub.add_parser("expire")
     te.add_argument("dir")
     te.add_argument("--keep-last", type=int, default=7)
@@ -307,8 +312,19 @@ def main(argv: list[str] | None = None) -> int:
                 if args.zorder_by
                 else None
             )
+            pb = None
+            if args.partition_by is not None:
+                pb = (
+                    []
+                    if args.partition_by.lower() == "none"
+                    else args.partition_by.split(",")
+                )
             v = vt.optimize_version(
-                spark, args.dir, cluster_by=args.cluster_by, zorder_by=zo
+                spark,
+                args.dir,
+                cluster_by=args.cluster_by,
+                zorder_by=zo,
+                partition_by=pb,
             )
             print(f"committed v{v}")
             return 0

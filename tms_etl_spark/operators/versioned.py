@@ -1204,6 +1204,7 @@ def optimize_version(
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: str | None = None,
     zorder_by: tuple[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Compaction commit: rewrite the CURRENT version's rows into one
     fresh data dir with file sizes targeted from LISTING METADATA
@@ -1255,14 +1256,31 @@ def optimize_version(
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
     # a partitioned table ALWAYS compacts within its hive layout
-    # (OPTIMIZE never unpartitions — Delta semantics); cluster_by /
-    # zorder_by then order rows WITHIN the layout: range-partitioning
-    # on (partition cols, cluster key) keeps each partition value's
-    # rows directory-separated while splitting hot partitions into
-    # multiple files with disjoint per-file cluster-key ranges — so
-    # partition pruning stays directory-exact AND the cluster
-    # column's zonemaps come out tight inside every partition.
-    part_cols = man.get("partition_by") or []
+    # (OPTIMIZE never unpartitions silently — Delta semantics);
+    # cluster_by / zorder_by then order rows WITHIN the layout:
+    # range-partitioning on (partition cols, cluster key) keeps each
+    # partition value's rows directory-separated while splitting hot
+    # partitions into multiple files with disjoint per-file
+    # cluster-key ranges — so partition pruning stays directory-exact
+    # AND the cluster column's zonemaps come out tight inside every
+    # partition.
+    #
+    # ``partition_by`` is PARTITION SPEC EVOLUTION (Iceberg's
+    # rewrite-based spec change): the compaction output lands in the
+    # NEW spec, which becomes the table property for future appends;
+    # ``partition_by=[]`` explicitly unpartitions. The rewrite is the
+    # same full pass compaction already pays — spec evolution costs
+    # nothing extra. Generated-column expressions survive only for
+    # columns still in the new spec.
+    respec = partition_by is not None
+    part_cols = (
+        list(partition_by) if respec else (man.get("partition_by") or [])
+    )
+    if respec and part_cols:
+        schema = _man_schema(man) or df.schema
+        missing = [c for c in part_cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition column(s) {missing} not in schema")
     hive_out = bool(part_cols)
     if cluster_by is not None:
         df = df.repartitionByRange(
@@ -1312,10 +1330,23 @@ def optimize_version(
     }
     # hive compaction keeps the layout (new dir needs basePath reads);
     # the partition spec survives as a table property for future
-    # appends
+    # appends — unless this call EVOLVED it, in which case the new
+    # spec (and only its generated-column expressions) is recorded
     if hive_out:
         payload["hive_dirs"] = [new_dir]
     _carry_props(man, payload)
+    if respec:
+        keep_exprs = {
+            c: e
+            for c, e in (man.get("partition_exprs") or {}).items()
+            if c in part_cols
+        }
+        payload.pop("partition_by", None)
+        payload.pop("partition_exprs", None)
+        if part_cols:
+            payload["partition_by"] = part_cols
+        if keep_exprs:
+            payload["partition_exprs"] = keep_exprs
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
