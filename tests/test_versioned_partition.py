@@ -485,3 +485,92 @@ def test_spec_evolution_unknown_column_refused(spark, part_table):
     tdir, _ = part_table
     with pytest.raises(ValueError, match="not in schema"):
         optimize_version(spark, tdir, partition_by=["nope"])
+
+
+def test_partitioned_model_based_random_ops(spark, tmp_path):
+    """Model-based randomized check of the mutation surface ON A
+    PARTITIONED TABLE with a GENERATED partition column: a random
+    sequence of append / merge-update / merge-delete / delete_rows /
+    incremental-compact / full-optimize ops applied to both the table
+    and a plain dict; after every step the read-back AND a
+    partition-pruned read must equal the model. Sources never carry
+    the partition column — every path must auto-derive it."""
+    import random
+
+    from tms_etl_spark.operators.versioned import (
+        optimize_incremental,
+        optimize_version,
+    )
+
+    tdir = str(tmp_path / "pmodel")
+    rng = random.Random(7)
+    model: dict[int, int] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, val long")
+
+    def check():
+        got = {
+            (r["id"]): (r["val"], r["seg"])
+            for r in read_version(spark, tdir).collect()
+        }
+        want = {k: (v, str(k % 4)) for k, v in model.items()}
+        assert got == want
+        pruned = read_version_pruned(spark, tdir, "seg", "=", "1")
+        got1 = {r["id"]: r["val"] for r in pruned.collect()}
+        assert got1 == {k: v for k, v in model.items() if k % 4 == 1}
+
+    rows = [(i, rng.randrange(1000)) for i in range(0, 20)]
+    model.update(dict(rows))
+    write_version(
+        df_of(rows),
+        tdir,
+        "append",
+        partition_by=["seg"],
+        partition_exprs={"seg": "cast(pmod(id, 4) as string)"},
+    )
+    check()
+
+    for step in range(12):
+        op = rng.choice(
+            ["append", "merge", "mergedel", "delete", "compact", "optimize"]
+        )
+        if op == "append":
+            base = 100 + step * 10
+            rows = [(base + j, rng.randrange(1000)) for j in range(3)]
+            model.update(dict(rows))
+            write_version(df_of(rows), tdir, "append")
+        elif op == "merge":
+            keys = rng.sample(sorted(model) + [9000 + step], 3)
+            rows = [(k, rng.randrange(1000)) for k in set(keys)]
+            model.update(dict(rows))
+            merge_version(spark, tdir, df_of(rows), "id", "update")
+        elif op == "mergedel":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            for k in keys:
+                model.pop(k, None)
+            merge_version(
+                spark,
+                tdir,
+                spark.createDataFrame([(k,) for k in keys], "id long"),
+                "id",
+                "delete",
+            )
+        elif op == "delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            for k in keys:
+                model.pop(k, None)
+            delete_rows(
+                spark,
+                tdir,
+                spark.createDataFrame([(k,) for k in keys], "id long"),
+            )
+        elif op == "compact":
+            optimize_incremental(spark, tdir, min_file_bytes=1024)
+        else:
+            optimize_version(spark, tdir)
+        check()
