@@ -356,3 +356,80 @@ def test_python_writer_append_keeps_tombstones(spark, tmp_path):
     ).option("path", tdir).mode("append").save()
     ids = {r["id"] for r in read_version(spark, tdir).collect()}
     assert ids == {0, 1, 3, 4, 5, 100}  # 2 stays deleted
+
+
+def test_versioned_stream_source_partitioned_table(spark, tmp_path):
+    """The pure-Python streaming source on a HIVE-PARTITIONED table:
+    the declared schema comes from the manifest's recorded schema,
+    partition values are recovered from the file paths, and appends
+    tail with the partition column populated."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import write_version
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+
+    tdir = str(tmp_path / "ptab")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        "id",
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("seg"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    write_version(mk(0, 6), tdir, "append", partition_by=["seg"])
+    spark.dataSource.register(VersionedTableDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("tms_versioned")
+            .option("path", tdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["id"], r["seg"], r["v"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    want = {(i, f"s{i % 2}", 2.0 * i) for i in range(6)}
+    assert drain() == want
+    write_version(mk(6, 9), tdir, "append")  # spec inherited
+    want |= {(i, f"s{i % 2}", 2.0 * i) for i in range(6, 9)}
+    assert drain() == want
+
+
+def test_python_writer_append_keeps_partition_spec(spark, tmp_path):
+    """A pure-Python-writer append to a JVM-partitioned table lands a
+    PLAIN dir but must carry the table properties — dropping them
+    would silently unpartition the table."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        describe_detail,
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+
+    tdir = str(tmp_path / "ptab")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        "id",
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("seg"),
+    )
+    write_version(mk(0, 6), tdir, "append", partition_by=["seg"])
+    spark.dataSource.register(VersionedTableDataSource)
+    mk(6, 8).write.format("tms_versioned").option("path", tdir).mode(
+        "append"
+    ).save()
+    assert describe_detail(spark, tdir)["partition_by"] == ["seg"]
+    assert read_version(spark, tdir).count() == 8
+    # a JVM append after the python one still partitions (spec lives)
+    write_version(mk(8, 10), tdir, "append")
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "s1")
+    assert pruned.count() == 5

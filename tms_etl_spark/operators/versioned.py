@@ -789,6 +789,7 @@ def describe_detail(
         "op": man.get("op"),
         "committed_at": man.get("committed_at"),
         "partition_by": man.get("partition_by"),
+        "partition_exprs": man.get("partition_exprs"),
         "n_dirs": len(man["dirs"]),
         "n_live_files": len(live_rels),
         "n_dead_files": len(man.get("dead_files", [])),

@@ -226,11 +226,16 @@ class VersionedTableDataSource(DataSource):
         return "tms_versioned"
 
     def schema(self):
-        """Table schema from the latest version's first live file —
-        one parquet FOOTER read, no data access."""
+        """Table schema: the manifest's RECORDED schema when present
+        (exact under schema evolution and hive partitioning — the
+        partition column is path-encoded, absent from footers), else
+        the latest version's first live file's footer."""
+        import json as _json
+
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StructType
 
         path = self.options.get("path")
         if not path:
@@ -239,7 +244,10 @@ class VersionedTableDataSource(DataSource):
         cur = _current_version_py(table)
         if cur <= 0:
             raise ValueError(f"no committed versions at {table}")
-        files = _live_files_py(table, _read_manifest_py(table, cur))
+        man = _read_manifest_py(table, cur)
+        if man.get("schema"):
+            return StructType.fromJson(_json.loads(man["schema"]))
+        files = _live_files_py(table, man)
         if not files:
             raise ValueError(f"version {cur} at {table} has no live files")
         return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
@@ -248,7 +256,7 @@ class VersionedTableDataSource(DataSource):
         return VersionedTableWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema) -> "VersionedTableStreamReader":
-        return VersionedTableStreamReader(self.options)
+        return VersionedTableStreamReader(self.options, schema)
 
 
 def _commit_pending_pure_python(
@@ -315,6 +323,7 @@ def _commit_pending_pure_python(
     recent = list(prev.get("recent_txns", [])) if prev else []
     deletes: list = []
     dead_files: list = []
+    carry: dict = {}
     if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
         stats = {**prev.get("stats", {}), **stats}
@@ -322,12 +331,24 @@ def _commit_pending_pure_python(
         # them here would resurrect deleted/updated rows
         deletes = list(prev.get("deletes", []))
         dead_files = list(prev.get("dead_files", []))
+        # table properties survive too: recorded schema, partition
+        # spec, generated-column exprs, hive-layout dirs (this writer
+        # lands PLAIN dirs, so hive_dirs only keeps still-referenced
+        # ones) — dropping them here would silently unpartition a
+        # JVM-created table on the next pure-Python append
+        for k in ("schema", "partition_by", "partition_exprs"):
+            if prev.get(k):
+                carry[k] = prev[k]
+        keep_hive = [d for d in prev.get("hive_dirs", []) if d in dirs]
+        if keep_hive:
+            carry["hive_dirs"] = keep_hive
     payload = {
         "version": v,
         "dirs": dirs,
         "op": mode,
         "stats": stats,
         "recent_txns": recent[:64],
+        **carry,
     }
     if deletes:
         payload["deletes"] = deletes
@@ -373,15 +394,23 @@ def _current_version_py(table_dir: str) -> int:
 
 
 def _live_files_py(table_dir: str, man: dict) -> list[str]:
-    """Abs paths of a manifest's live parquet files (dead subtracted)."""
+    """Abs paths of a manifest's live parquet files (dead subtracted).
+    Recursive: hive-partitioned dirs nest files under ``col=value``
+    subdirectories, and their dead-file rel paths are nested too."""
     import glob
     import os
 
     dead = set(man.get("dead_files", []))
     out: list[str] = []
     for d in man["dirs"]:
-        for fp in sorted(glob.glob(os.path.join(table_dir, d, "*.parquet"))):
-            if f"{d}/{os.path.basename(fp)}" not in dead:
+        for fp in sorted(
+            glob.glob(
+                os.path.join(table_dir, d, "**", "*.parquet"),
+                recursive=True,
+            )
+        ):
+            rel = os.path.relpath(fp, table_dir).replace(os.sep, "/")
+            if rel not in dead:
                 out.append(fp)
     return out
 
@@ -413,11 +442,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     streaming jobs (the same caveat Delta's streaming source
     documents for non-append commits)."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema=None) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("tms_versioned requires .option('path', ...)")
         self._table = path.removeprefix("file:")
+        self._schema = schema  # declared output schema (StructType)
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -468,11 +498,55 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if not partition.path:
             return iter(())
+        import os
+        from urllib.parse import unquote
+
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        # Arrow batches straight to the executor's stream — no
-        # per-row Python objects
-        return pq.ParquetFile(partition.path).iter_batches()
+        pf = pq.ParquetFile(partition.path)
+        # hive partition values are PATH-encoded (col=value segments
+        # under the data dir) and schema evolution leaves old files
+        # without the added columns — align every batch to the
+        # declared schema: path values injected, missing columns
+        # null-filled, order pinned
+        rel = os.path.relpath(partition.path, self._table)
+        path_vals = {}
+        for seg in rel.replace(os.sep, "/").split("/")[:-1]:
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                path_vals[k] = unquote(val)
+        target = None
+        if self._schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(self._schema)
+        if target is None or (
+            not path_vals and pf.schema_arrow.names == list(target.names)
+        ):
+            # Arrow batches straight to the executor's stream — no
+            # per-row Python objects
+            return pf.iter_batches()
+
+        def _aligned():
+            for b in pf.iter_batches():
+                n = b.num_rows
+                cols = []
+                for f in target:
+                    if f.name in b.schema.names:
+                        col = b.column(f.name)
+                        if col.type != f.type:
+                            col = col.cast(f.type)
+                    elif f.name in path_vals:
+                        col = pa.array(
+                            [path_vals[f.name]] * n, type=pa.string()
+                        ).cast(f.type)
+                    else:
+                        col = pa.nulls(n, type=f.type)
+                    cols.append(col)
+                yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+        return _aligned()
 
     def commit(self, end: dict) -> None:
         pass  # manifests are immutable; nothing to clean up
