@@ -574,3 +574,18 @@ def test_partitioned_model_based_random_ops(spark, tmp_path):
         else:
             optimize_version(spark, tdir)
         check()
+
+
+def test_register_versioned_partitioned_sql(spark, part_table):
+    """SQL front door on a partitioned table: snapshot view carries
+    the partition column and pushes partition-value filters."""
+    from tms_etl_spark.operators.versioned import register_versioned
+
+    tdir, rows = part_table
+    register_versioned(spark, tdir, "ptab_sql")
+    got = spark.sql(
+        "SELECT seg, COUNT(*) AS n FROM ptab_sql GROUP BY seg ORDER BY seg"
+    ).collect()
+    assert [(r["seg"], r["n"]) for r in got] == [("A", 20), ("B", 20), ("C", 20)]
+    hist = spark.sql("SELECT version, op FROM ptab_sql__history").collect()
+    assert [(r["version"], r["op"]) for r in hist] == [(1, "append")]

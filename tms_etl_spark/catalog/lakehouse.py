@@ -32,6 +32,7 @@ from tms_etl_spark.operators.textindex import build_text_index, search_token
 from tms_etl_spark.operators.versioned import (
     delete_rows,
     merge_version,
+    optimize_version,
     read_version,
     read_version_pruned,
     read_version_pruned_multi,
@@ -384,6 +385,48 @@ def lakehouse_generated_partition(
         .agg(
             F.count("*").alias("n_events"),
             dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
+    "lakehouse_spec_evolution",
+    oracle=f"""
+    SELECT p_size_band,
+           COUNT(*) AS n_parts,
+           {sql_dsum("p_retailprice", "total_price")}
+    FROM (
+        SELECT CASE WHEN p_size < 25 THEN 'small' ELSE 'large' END
+                   AS p_size_band,
+               p_retailprice
+        FROM part
+    )
+    GROUP BY p_size_band
+    """,
+)
+def lakehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition SPEC EVOLUTION by rewrite: commit part PLAIN with a
+    derived band column, then OPTIMIZE into ``partition_by=
+    ['p_size_band']`` — the rewrite re-lands every row in the new
+    hive spec (Iceberg's spec change). The read back (values now
+    path-encoded for the rewritten files) must match the plain CASE
+    aggregation over the original table."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_respec_")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_size") < 25, "small")
+        .otherwise("large")
+        .alias("p_size_band"),
+        "p_retailprice",
+    )
+    write_version(p, tdir, "append")  # plain table
+    optimize_version(spark, tdir, partition_by=["p_size_band"])
+    return (
+        read_version(spark, tdir)
+        .groupBy("p_size_band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            dsum("p_retailprice", "total_price"),
         )
     )
 
