@@ -589,3 +589,36 @@ def test_register_versioned_partitioned_sql(spark, part_table):
     assert [(r["seg"], r["n"]) for r in got] == [("A", 20), ("B", 20), ("C", 20)]
     hist = spark.sql("SELECT version, op FROM ptab_sql__history").collect()
     assert [(r["version"], r["op"]) for r in hist] == [(1, "append")]
+
+
+def test_rowdiff_on_partitioned_table(spark, part_table):
+    """Row-level CDC works across hive layouts: a MERGE on a
+    partitioned table classifies exactly the value-changed rows."""
+    from tms_etl_spark.operators.versioned import read_version_rowdiff
+
+    tdir, rows = part_table
+    src = _mkdf(spark, [(k, "A", 777.0) for k in range(0, 60, 10)])
+    merge_version(spark, tdir, src, key="k", when_matched="update")
+    diff = read_version_rowdiff(spark, tdir, key="k", from_version=1)
+    got = {(r["k"], r["op"], r["seg"], r["val"]) for r in diff.collect()}
+    # k=0,30 were already seg=A; k=10,20,40,50 change seg too —
+    # every touched key's val changes, so all 6 are updates
+    assert got == {(k, "update", "A", 777.0) for k in range(0, 60, 10)}
+
+
+def test_expire_on_partitioned_table(spark, part_table, tmp_path):
+    """expire_versions physically removes superseded hive dirs
+    (recursive delete) while the current snapshot stays intact."""
+    import os
+
+    from tms_etl_spark.operators.versioned import (
+        expire_versions,
+        optimize_version,
+    )
+
+    tdir, rows = part_table
+    optimize_version(spark, tdir)  # v2 supersedes v1's hive dir
+    expire_versions(spark, tdir, keep_last=1, orphan_grace_hours=0.0)
+    assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
+    data_dirs = os.listdir(os.path.join(tdir, "data"))
+    assert len(data_dirs) == 1  # v1's nested hive dir is fully gone
