@@ -2085,3 +2085,25 @@ def test_rowdiff_self_is_empty(spark, tdir):
     write_version(_df(spark, 0, 5), tdir, "append")
     write_version(_df(spark, 5, 8), tdir, "append")
     assert read_version_rowdiff(spark, tdir, "id", 2, 2).count() == 0
+
+
+def test_maintain_table_one_call(spark, tdir, tmp_path):
+    """maintain_table chains repair + incremental compact + expire +
+    index vacuum; small-file debt is consolidated, the table reads
+    back unchanged, and a second run is a no-op (no empty commits)."""
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        maintain_table,
+    )
+
+    for i in range(4):  # small-file debt: four tiny appends
+        write_version(_df(spark, i * 5, i * 5 + 5), tdir, "append")
+    out = maintain_table(
+        spark, tdir, min_file_bytes=1 << 20, keep_last=10
+    )
+    assert out["compacted"] is True
+    assert read_version(spark, tdir).count() == 20
+    v = current_version(spark, tdir)
+    out2 = maintain_table(spark, tdir, min_file_bytes=1 << 20)
+    assert out2["compacted"] is False
+    assert current_version(spark, tdir) == v  # idempotent: no new commit

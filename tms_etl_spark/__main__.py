@@ -94,6 +94,15 @@ def _parser() -> argparse.ArgumentParser:
         help="partition SPEC EVOLUTION: rewrite into this hive spec "
         "(future appends inherit it); 'none' unpartitions",
     )
+    tmn = tsub.add_parser(
+        "maintain",
+        help="one-call housekeeping: repair + incremental compact + "
+        "optional expire + index vacuum",
+    )
+    tmn.add_argument("dir")
+    tmn.add_argument("--keep-last", type=int, default=None)
+    tmn.add_argument("--min-file-mb", type=float, default=32.0)
+    tmn.add_argument("--target-file-mb", type=float, default=128.0)
     te = tsub.add_parser("expire")
     te.add_argument("dir")
     te.add_argument("--keep-last", type=int, default=7)
@@ -327,6 +336,18 @@ def main(argv: list[str] | None = None) -> int:
                 partition_by=pb,
             )
             print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "maintain":
+            import json as _json
+
+            out = vt.maintain_table(
+                spark,
+                args.dir,
+                target_file_bytes=int(args.target_file_mb * 1024 * 1024),
+                min_file_bytes=int(args.min_file_mb * 1024 * 1024),
+                keep_last=args.keep_last,
+            )
+            print(_json.dumps(out))
             return 0
         if args.table_cmd == "expire":
             n = vt.expire_versions(

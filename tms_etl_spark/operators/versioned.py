@@ -2431,3 +2431,53 @@ def write_version_checked(
         partition_exprs=partition_exprs,
         merge_schema=evolve,
     )
+
+
+def maintain_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: int = 32 * 1024 * 1024,
+    keep_last: int | None = None,
+    orphan_grace_hours: float = 24.0,
+    stale_lock_seconds: float = 3600.0,
+    index_keep_last: int = 2,
+) -> dict:
+    """One-call nightly maintenance — the Delta "OPTIMIZE + VACUUM"
+    window as a single idempotent entrypoint, each step already
+    O(debt), never O(table):
+
+    1. `repair_table` — dead writers' lock/tmp debris;
+    2. `optimize_incremental` — small-file consolidation + physical
+       purge of tombstoned/merge-dead rows (no-op commit avoided when
+       there is no debt); hive layouts preserved;
+    3. `expire_versions` (only when ``keep_last`` is given — version
+       retention is a policy decision, not a default);
+    4. `vacuum_indexes` — superseded sidecar generations.
+
+    Safe while readers are live (readers pin manifests, expire keeps
+    the newest ``keep_last``); run in a writer-quiet window like any
+    compaction. Returns a per-step summary for audit logs."""
+    out: dict = {
+        "repair": repair_table(spark, table_dir, stale_lock_seconds)
+    }
+    before = current_version(spark, table_dir)
+    after = optimize_incremental(
+        spark,
+        table_dir,
+        target_file_bytes=target_file_bytes,
+        min_file_bytes=min_file_bytes,
+    )
+    out["compacted"] = after != before
+    out["version"] = after
+    if keep_last is not None:
+        out["expired_versions"] = expire_versions(
+            spark,
+            table_dir,
+            keep_last=keep_last,
+            orphan_grace_hours=orphan_grace_hours,
+        )
+    out["vacuumed_indexes"] = vacuum_indexes(
+        spark, table_dir, keep_last=index_keep_last
+    )
+    return out
