@@ -433,3 +433,26 @@ def test_python_writer_append_keeps_partition_spec(spark, tmp_path):
     write_version(mk(8, 10), tdir, "append")
     pruned = read_version_pruned(spark, tdir, "seg", "=", "s1")
     assert pruned.count() == 5
+
+
+def test_python_writer_rowcounts_feed_metadata_count(spark, tmp_path):
+    """Mixed JVM + pure-Python appends: metadata-only COUNT(*) stays
+    exact because both writers record per-file row counts."""
+    from tms_etl_spark.operators.versioned import (
+        count_rows,
+        count_rows_metadata,
+        _manifest_path,
+        _read_json,
+        write_version,
+    )
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+
+    tdir = str(tmp_path / "vtab")
+    write_version(spark.range(0, 7).toDF("id"), tdir, "append")
+    spark.dataSource.register(VersionedTableDataSource)
+    spark.range(7, 12).toDF("id").write.format("tms_versioned").option(
+        "path", tdir
+    ).mode("append").save()
+    man = _read_json(spark, _manifest_path(tdir, 2))
+    assert count_rows_metadata(man) == 12  # metadata path, no scan
+    assert count_rows(spark, tdir) == 12

@@ -2107,3 +2107,39 @@ def test_maintain_table_one_call(spark, tdir, tmp_path):
     out2 = maintain_table(spark, tdir, min_file_bytes=1 << 20)
     assert out2["compacted"] is False
     assert current_version(spark, tdir) == v  # idempotent: no new commit
+
+
+def test_count_rows_metadata_only(spark, tdir):
+    """COUNT(*) from manifest metadata: appends, MERGE rewrites, and
+    compaction all keep per-file row counts exact; deletion vectors
+    force the subtracted-scan fallback (still exact)."""
+    from tms_etl_spark.operators.versioned import (
+        _manifest_path,
+        _read_json,
+        count_rows,
+        count_rows_metadata,
+        delete_rows,
+        merge_version,
+        optimize_version,
+    )
+
+    write_version(_df(spark, 0, 50), tdir, "append")
+    write_version(_df(spark, 50, 80), tdir, "append")
+    assert count_rows(spark, tdir) == 80
+    assert count_rows(spark, tdir, version=1) == 50
+    # MERGE: rewritten files' counts die with them, new dir's counts in
+    src = spark.createDataFrame([(5, 1), (200, 2)], "id long, val long")
+    merge_version(spark, tdir, src, "id", "update")
+    assert count_rows(spark, tdir) == 81
+    optimize_version(spark, tdir)
+    assert count_rows(spark, tdir) == 81
+    # metadata path is actually used (no deletes → non-None)
+    man = _read_json(spark, _manifest_path(tdir, 4))
+    assert count_rows_metadata(man) == 81
+    # tombstones: metadata refuses, scan fallback stays exact
+    delete_rows(
+        spark, tdir, spark.createDataFrame([(7,), (8,)], "id long")
+    )
+    man = _read_json(spark, _manifest_path(tdir, 5))
+    assert count_rows_metadata(man) is None
+    assert count_rows(spark, tdir) == 79

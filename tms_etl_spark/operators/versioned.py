@@ -225,9 +225,11 @@ def _dir_file_stats(
         for f in df.schema.fields
         if f.dataType.simpleString() in _STATS_TYPES
     ]
-    if not cols:
-        return {}
-    aggs = []
+    # per-file row counts ride in the same aggregation under the
+    # reserved "__rows" key: COUNT(*) over any snapshot with no
+    # deletion vectors is then answerable from manifest metadata
+    # alone (`count_rows`) — the Delta stats-only-count move
+    aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
@@ -245,7 +247,7 @@ def _dir_file_stats(
         rel = _rel_of(r["__f"], rel_dir)
         if rel is None:
             rel = f"{rel_dir}/{r['__f'].rsplit('/', 1)[-1]}"
-        entry = {}
+        entry = {"__rows": int(r["__nrows"])}
         for c in cols:
             mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
             if mn is None:
@@ -797,8 +799,14 @@ def describe_detail(
         "n_delete_vectors": len(man.get("deletes", [])),
         "n_tombstone_files": tomb_rows,
         "zonemap_columns": sorted(
-            {c for e in man.get("stats", {}).values() for c in e}
+            {
+                c
+                for e in man.get("stats", {}).values()
+                for c in e
+                if c != "__rows"
+            }
         ),
+        "n_rows_metadata": count_rows_metadata(man),
         "indexes": indexes,
     }
 
@@ -2481,3 +2489,46 @@ def maintain_table(
         spark, table_dir, keep_last=index_keep_last
     )
     return out
+
+
+def count_rows_metadata(man: dict) -> int | None:
+    """COUNT(*) of a snapshot from manifest metadata alone, or None
+    when metadata cannot answer exactly: deletion vectors pending
+    (row-level subtraction) or files committed before per-file row
+    counts were recorded. Pure function of one manifest — zero I/O."""
+    if man.get("deletes"):
+        return None
+    stats = man.get("stats", {})
+    if not stats:
+        return None
+    dead = set(man.get("dead_files", []))
+    total = 0
+    for rel, e in stats.items():
+        if rel in dead:
+            continue
+        n = e.get("__rows")
+        if not isinstance(n, int):
+            # pre-rowcount commit in the chain, or a data column
+            # literally named "__rows" shadowed the counter
+            return None
+        total += n
+    return total
+
+
+def count_rows(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> int:
+    """COUNT(*) with the metadata fast path: snapshots without
+    deletion vectors answer from the manifest's per-file row counts —
+    zero data I/O, so a 100 TB table's count returns in the time it
+    takes to read one JSON. Tombstoned snapshots fall back to the one
+    subtracted scan that defines their row set."""
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if v <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    n = count_rows_metadata(man)
+    if n is not None:
+        return n
+    return _scan_with_deletes(spark, table_dir, man).count()

@@ -294,7 +294,9 @@ def _commit_pending_pure_python(
         glob.glob(os.path.join(table_dir, pending_rel, "*.parquet"))
     ):
         meta = pq.ParquetFile(fp).metadata
-        entry: dict = {}
+        # per-file row count (same "__rows" key the JVM path records)
+        # keeps metadata-only COUNT(*) exact across writer mixes
+        entry: dict = {"__rows": meta.num_rows}
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for ci in range(g.num_columns):
