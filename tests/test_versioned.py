@@ -2143,3 +2143,38 @@ def test_count_rows_metadata_only(spark, tdir):
     man = _read_json(spark, _manifest_path(tdir, 5))
     assert count_rows_metadata(man) is None
     assert count_rows(spark, tdir) == 79
+
+
+def test_analyze_table_stats_sidecar(spark, tdir):
+    """ANALYZE: one-pass ndv/null/min-max statistics stored as a
+    derived sidecar, readable without a scan, version-scoped."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        analyze_table,
+        read_table_stats,
+    )
+
+    df = spark.range(0, 100).select(
+        "id",
+        (F.col("id") % 10).alias("bucket"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id") * 1.5)
+        .alias("val"),
+    )
+    write_version(df, tdir, "append")
+    got = analyze_table(spark, tdir)
+    assert got["n_rows"] == 100
+    assert got["columns"]["bucket"]["ndv"] == 10
+    assert got["columns"]["val"]["null_count"] == 25
+    assert got["columns"]["id"]["min"] == 0
+    assert got["columns"]["id"]["max"] == 99
+    # sidecar readable cold, version-scoped, absent for unanalyzed
+    assert read_table_stats(spark, tdir) == got
+    write_version(spark.range(100, 110).select(
+        "id", (F.col("id") % 10).alias("bucket"),
+        (F.col("id") * 1.5).alias("val")), tdir, "append")
+    assert read_table_stats(spark, tdir) is None  # v2 not analyzed
+    assert read_table_stats(spark, tdir, version=1) == got
+    with pytest.raises(ValueError, match="unknown column"):
+        analyze_table(spark, tdir, cols=["nope"])

@@ -94,6 +94,16 @@ def _parser() -> argparse.ArgumentParser:
         help="partition SPEC EVOLUTION: rewrite into this hive spec "
         "(future appends inherit it); 'none' unpartitions",
     )
+    tan = tsub.add_parser(
+        "analyze",
+        help="one-pass column statistics (ndv/nulls/min-max) into a "
+        "_stats sidecar",
+    )
+    tan.add_argument("dir")
+    tan.add_argument(
+        "--cols", default=None, metavar="COL[,COL]",
+        help="subset of columns (default: all)",
+    )
     tmn = tsub.add_parser(
         "maintain",
         help="one-call housekeeping: repair + incremental compact + "
@@ -336,6 +346,16 @@ def main(argv: list[str] | None = None) -> int:
                 partition_by=pb,
             )
             print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "analyze":
+            import json as _json
+
+            out = vt.analyze_table(
+                spark,
+                args.dir,
+                cols=args.cols.split(",") if args.cols else None,
+            )
+            print(_json.dumps(out))
             return 0
         if args.table_cmd == "maintain":
             import json as _json

@@ -1204,6 +1204,11 @@ def expire_versions(
         fs2, hp, _ = _fs(spark, p)
         if fs2.exists(hp):
             fs2.delete(hp, False)
+        # derived statistics sidecars die with their version
+        sp = f"{table_dir}/_stats/v{v:06d}.json"
+        fs3, shp, _ = _fs(spark, sp)
+        if fs3.exists(shp):
+            fs3.delete(shp, False)
     return removed
 
 
@@ -2532,3 +2537,87 @@ def count_rows(
     if n is not None:
         return n
     return _scan_with_deletes(spark, table_dir, man).count()
+
+
+def _write_json_overwrite(spark: SparkSession, path: str, payload: dict):
+    """Plain last-writer-wins JSON write for DERIVED sidecars (table
+    statistics) — no conditional-commit ceremony: rebuilding derived
+    data twice is harmless, unlike manifests."""
+    fs, jvm_path, _ = _fs(spark, path)
+    out = fs.create(jvm_path, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def analyze_table(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str] | None = None,
+    version: int | None = None,
+) -> dict:
+    """ANALYZE TABLE for the versioned layer: per-column ndv
+    (HLL approximate), null_count, and min/max (orderable types) over
+    the chosen snapshot, in ONE aggregate pass (every statistic
+    partial-combines map-side — the scan is the whole cost). The
+    result lands as a sidecar (``_stats/v<N>.json``) so later
+    sessions / engines read table statistics without a scan
+    (`read_table_stats`), and is returned. Derived data: rebuildable
+    from the snapshot, last-writer-wins, GC'd with its version."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if v <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    df = _scan_with_deletes(spark, table_dir, man)
+    names = cols if cols is not None else df.columns
+    missing = [c for c in names if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown column(s) {missing}")
+    orderable = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in _STATS_TYPES
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nul_{c}")
+        )
+        if c in orderable:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+    r = df.agg(*aggs).head()
+    stats: dict = {"version": v, "n_rows": int(r["__n"]), "columns": {}}
+    for c in names:
+        entry = {
+            "ndv": int(r[f"__ndv_{c}"]),
+            "null_count": int(r[f"__nul_{c}"]),
+        }
+        if c in orderable:
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            ok = mn is not None and not (
+                isinstance(mn, float) and (mn != mn or mx != mx)
+            )
+            if ok:
+                entry["min"], entry["max"] = mn, mx
+        stats["columns"][c] = entry
+    _write_json_overwrite(
+        spark, f"{table_dir}/_stats/v{v:06d}.json", stats
+    )
+    return stats
+
+
+def read_table_stats(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict | None:
+    """Previously-ANALYZEd statistics for a snapshot (None if that
+    version was never analyzed) — one JSON read, no scan."""
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    p = f"{table_dir}/_stats/v{v:06d}.json"
+    return _read_json(spark, p) if path_exists(spark, p) else None
