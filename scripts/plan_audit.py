@@ -435,6 +435,20 @@ AUDIT = [
         "reader-side); one partial-combined aggregate — no "
         "mergeSchema footer pass at read time",
     ),
+    (
+        "lakehouse_generated_partition",
+        ["Scan parquet", "partial_count"],
+        "generated-column partitioned read: p_day recovered from the "
+        "hive paths (zero I/O) with the recorded string type; one "
+        "partial-combined aggregate over the recovered column",
+    ),
+    (
+        "lakehouse_spec_evolution",
+        ["Scan parquet", "partial_count"],
+        "spec-evolved read: the rewrite re-landed every row in the "
+        "new hive spec; the scan is the new layout's files via "
+        "basePath with the recorded schema",
+    ),
 ]
 
 
