@@ -457,3 +457,23 @@ def test_cli_mv_multi_agg_and_vacuum(spark, tmp_path, capsys):
     rc = main(["table", "vacuum-indexes", tdir, "--keep-last", "1"])
     assert rc == 0
     assert "removed 1 index sidecar versions" in capsys.readouterr().out
+
+
+def test_cli_table_analyze_and_maintain(spark, tmp_path, capsys):
+    import json
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "t")
+    for i in range(3):  # small-file debt
+        write_version(
+            spark.range(i * 10, i * 10 + 10).toDF("id"), tdir, "append"
+        )
+    assert main(["table", "analyze", tdir, "--cols", "id"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_rows"] == 30
+    assert stats["columns"]["id"]["min"] == 0
+    assert main(["table", "maintain", tdir, "--min-file-mb", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True and out["version"] == 4
