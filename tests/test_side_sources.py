@@ -456,3 +456,59 @@ def test_python_writer_rowcounts_feed_metadata_count(spark, tmp_path):
     man = _read_json(spark, _manifest_path(tdir, 2))
     assert count_rows_metadata(man) == 12  # metadata path, no scan
     assert count_rows(spark, tdir) == 12
+
+
+def test_python_writer_rejects_missing_partition_column(spark, tmp_path):
+    """The pure-Python writer cannot derive generated partition
+    columns; appending a batch that lacks a carried partition column
+    must FAIL the commit (not land rows that schema-applied reads
+    would silently null-fill), and a batch that materializes the
+    column commits normally."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from py4j.protocol import Py4JJavaError
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        read_version,
+        write_version,
+    )
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = str(tmp_path / "vtp")
+    base = spark.range(0, 6).select(
+        F.col("id"),
+        F.to_date(
+            F.concat(F.lit("2024-0"), (F.col("id") % 2 + 1).cast("string"), F.lit("-01"))
+        ).alias("ts"),
+    )
+    write_version(
+        base.withColumn("p_month", F.date_format("ts", "yyyy-MM")),
+        t,
+        "append",
+        partition_by=["p_month"],
+        partition_exprs={"p_month": "date_format(ts, 'yyyy-MM')"},
+    )
+    assert current_version(spark, t) == 1
+
+    bad = spark.range(6, 8).select(
+        F.col("id"), F.to_date(F.lit("2024-03-01")).alias("ts")
+    )
+    with _pytest.raises(Exception) as ei:
+        bad.write.format("tms_versioned").option("path", t).mode(
+            "append"
+        ).save()
+    assert "partition column" in str(ei.value)
+    assert current_version(spark, t) == 1  # nothing committed
+
+    good = bad.withColumn("p_month", F.date_format("ts", "yyyy-MM"))
+    good.write.format("tms_versioned").option("path", t).mode(
+        "append"
+    ).save()
+    assert current_version(spark, t) == 2
+    got = read_version(spark, t)
+    assert got.count() == 8
+    assert (
+        got.where(F.col("p_month").isNull()).count() == 0
+    )  # no silent NULL partition values

@@ -246,3 +246,71 @@ def test_extend_model_based_matches_rebuild_across_ops(spark, tdir):
             .collect()
         }
         assert routed == plain, (step, op, w)
+
+
+def test_extend_is_incremental_not_full_rebuild(spark, tdir, monkeypatch):
+    """Pin the INCREMENTAL contract itself, not just output equality:
+    with a prior sidecar on disk, extend_text_index must detect it
+    (prev_v > 0) and must NOT fall back to build_text_index. A
+    regression in the sidecar-dir detection (e.g. matching r'-tokens$'
+    against file paths, which never ends a path) silently turns every
+    extend into an O(table) rebuild."""
+    import tms_etl_spark.operators.textindex as ti
+
+    write_version(_docs(spark, 0, 30, "old").repartition(1), tdir, "append")
+    build_text_index(spark, tdir, "text")
+    write_version(_docs(spark, 30, 40, "novel").repartition(1), tdir, "append")
+
+    def _boom(*a, **k):  # fallback taken == incremental path broken
+        raise AssertionError(
+            "extend_text_index fell back to a full rebuild despite a "
+            "prior sidecar being present"
+        )
+
+    monkeypatch.setattr(ti, "build_text_index", _boom)
+    out = ti.extend_text_index(spark, tdir, "text")
+    got = search_token(spark, tdir, "text", "novel")
+    assert len(got.inputFiles()) == 1
+    assert {r["doc_id"] for r in got.collect()} == set(range(30, 40))
+    # and the carried postings really came from the v1 sidecar
+    old_files = {
+        r["file"]
+        for r in spark.read.parquet(out)
+        .where(F.col("token") == "old")
+        .select("file")
+        .distinct()
+        .collect()
+    }
+    assert len(old_files) == 1
+
+
+def test_extend_bloom_is_incremental_not_full_rebuild(spark, tdir, monkeypatch):
+    """Same detection pin for the Bloom sidecar: a prior vNNN-bloom dir
+    must be found from list_files() FILE paths and the full-build
+    fallback must not run."""
+    import tms_etl_spark.operators.bloomindex as bi
+
+    df = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    write_version(df.repartition(1), tdir, "append")
+    bi.build_bloom_index(spark, tdir, "doc_id")
+    write_version(
+        spark.range(30, 40)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(1),
+        tdir,
+        "append",
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "extend_bloom_index fell back to a full rebuild despite a "
+            "prior sidecar being present"
+        )
+
+    monkeypatch.setattr(bi, "build_bloom_index", _boom)
+    out = bi.extend_bloom_index(spark, tdir, "doc_id")
+    files = {
+        r["file"]
+        for r in spark.read.parquet(out).select("file").distinct().collect()
+    }
+    assert len(files) == 2  # both batches' bitmaps present

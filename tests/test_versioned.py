@@ -1718,8 +1718,18 @@ def test_timestamp_time_travel(spark, tdir):
     # ISO-string form
     import datetime
 
-    iso = datetime.datetime.fromtimestamp(t2).isoformat()
+    utc = datetime.timezone.utc
+    iso = datetime.datetime.fromtimestamp(t2, tz=utc).isoformat()
     assert version_asof(spark, tdir, iso) == 2
+    # offset-less ISO strings are documented UTC — same resolution as
+    # the explicit +00:00 form, independent of the driver host's zone
+    naive = datetime.datetime.fromtimestamp(t2, tz=utc).replace(
+        tzinfo=None
+    )
+    assert version_asof(spark, tdir, naive.isoformat()) == 2
+    assert version_asof(
+        spark, tdir, (naive - datetime.timedelta(seconds=t2 - t1)).isoformat()
+    ) == 1
     # legacy manifest without committed_at: mtime fallback
     mp = pathlib.Path(tdir) / "_manifests" / "v000001.json"
     man = json.loads(mp.read_text())

@@ -143,7 +143,10 @@ def extend_bloom_index(
     prev_v = 0
     if path_exists(spark, root):
         for fi in list_files(spark, root):
-            m = _re.search(r"v(\d+)-bloom$", fi.path)
+            # list_files yields FILE paths (…/vNNN-bloom/part-*.parquet);
+            # match the dir segment, not end-of-string, else prev_v stays 0
+            # and extend always falls back to a full-table rebuild.
+            m = _re.search(r"v(\d+)-bloom(?:/|$)", fi.path)
             if m and int(m.group(1)) < v:
                 prev_v = max(prev_v, int(m.group(1)))
     if prev_v == 0:

@@ -721,7 +721,14 @@ def version_asof(spark: SparkSession, table_dir: str, ts) -> int:
     import datetime as _dt
 
     if isinstance(ts, str):
-        ts = _dt.datetime.fromisoformat(ts).timestamp()
+        parsed = _dt.datetime.fromisoformat(ts)
+        # committed_at is a UTC epoch stamp, so an offset-less ISO
+        # string is interpreted as UTC — never the driver machine's
+        # local zone, or the same string would resolve to different
+        # versions on differently-configured hosts
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        ts = parsed.timestamp()
     elif isinstance(ts, _dt.datetime):
         ts = ts.timestamp()
     ts = float(ts)

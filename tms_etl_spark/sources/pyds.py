@@ -312,6 +312,14 @@ def _commit_pending_pure_python(
                         continue
                 if isinstance(mn, float) and (mn != mn or mx != mx):
                     continue
+                # mirror the JVM path's _STATS_TYPES posture: zonemaps
+                # only for JSON-native orderable types — pyarrow hands
+                # back datetime.date/datetime/Decimal for temporal and
+                # decimal columns, which the manifest's plain
+                # json.dumps cannot carry (the JVM path skips those
+                # column types for the same reason)
+                if not isinstance(mn, (bool, int, float, str)):
+                    continue
                 name = col.path_in_schema
                 if name in entry:
                     entry[name] = [min(entry[name][0], mn),
@@ -344,6 +352,29 @@ def _commit_pending_pure_python(
         keep_hive = [d for d in prev.get("hive_dirs", []) if d in dirs]
         if keep_hive:
             carry["hive_dirs"] = keep_hive
+        # This writer does NOT derive generated partition columns (no
+        # JVM, no expression engine): a carried partition column must
+        # already be materialized in every landed file, or
+        # schema-applied reads would silently null-fill it. Fail the
+        # commit instead of committing silent NULL partition values.
+        part_cols = list(carry.get("partition_by") or []) + [
+            c
+            for c in (carry.get("partition_exprs") or {})
+            if c not in (carry.get("partition_by") or [])
+        ]
+        if part_cols:
+            for fp in sorted(
+                glob.glob(os.path.join(table_dir, pending_rel, "*.parquet"))
+            ):
+                names = set(pq.ParquetFile(fp).schema_arrow.names)
+                missing = [c for c in part_cols if c not in names]
+                if missing:
+                    raise ValueError(
+                        f"partition column(s) {missing} absent from "
+                        f"{os.path.basename(fp)}: the pure-Python writer "
+                        "cannot derive generated partition columns — "
+                        "materialize them in the batch before writing"
+                    )
     payload = {
         "version": v,
         "dirs": dirs,
