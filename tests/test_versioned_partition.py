@@ -622,3 +622,63 @@ def test_expire_on_partitioned_table(spark, part_table, tmp_path):
     assert sorted(read_version(spark, tdir).collect()) == sorted(rows)
     data_dirs = os.listdir(os.path.join(tdir, "data"))
     assert len(data_dirs) == 1  # v1's nested hive dir is fully gone
+
+
+def test_collapsed_hive_scan_equals_per_dir_scan(spark, tmp_path, monkeypatch):
+    """Past _HIVE_UNION_MAX hive version dirs, reads collapse into ONE
+    multi-path scan with partition columns parsed from the file path.
+    Forced on (threshold 0), it must be value-identical to the per-dir
+    basePath scan across the nasty hive-escaping cases: %XX escapes,
+    literal '+' and space, '=', '/', unicode, NULL partitions, and an
+    int-typed partition column."""
+    import tms_etl_spark.operators.versioned as V
+
+    tdir = str(tmp_path / "collapse")
+    vals = [
+        "plain", "a b", "a%20b", "a+b", "x=y", "c/d",
+        "münchen", None, "2024-01-01 10:00:00",
+    ]
+    for i, v in enumerate(vals):
+        df = spark.createDataFrame(
+            [(i * 10 + j, v, i % 4) for j in range(3)],
+            "id int, p string, bucket int",
+        )
+        write_version(df, tdir, "append", partition_by=["p", "bucket"])
+
+    baseline = sorted(
+        map(tuple, read_version(spark, tdir).collect())
+    )  # per-dir basePath path (9 dirs < threshold)
+    monkeypatch.setattr(V, "_HIVE_UNION_MAX", 0)
+    got = read_version(spark, tdir)
+    assert dict(got.dtypes)["bucket"] == "int"  # recorded type, cast applied
+    assert sorted(map(tuple, got.collect())) == baseline
+    assert [r["p"] for r in got.where(F.col("p").isNull()).collect()] == [
+        None, None, None,
+    ]
+
+
+def test_collapsed_scan_composes_with_deletes_and_pruning(
+    spark, tmp_path, monkeypatch
+):
+    """The collapsed scan is below _scan_with_deletes and the pruned
+    read path, so tombstones and manifest pruning must behave
+    identically with it forced on."""
+    import tms_etl_spark.operators.versioned as V
+
+    tdir = str(tmp_path / "collapse2")
+    for i in range(5):
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"s{i % 2}") for j in range(4)],
+            "k int, seg string",
+        )
+        write_version(df, tdir, "append", partition_by=["seg"])
+    delete_rows(
+        spark, tdir, spark.range(0, 50, 10).select(F.col("id").cast("int").alias("k"))
+    )
+    baseline = sorted(r["k"] for r in read_version(spark, tdir).collect())
+    monkeypatch.setattr(V, "_HIVE_UNION_MAX", 0)
+    assert sorted(r["k"] for r in read_version(spark, tdir).collect()) == baseline
+    pruned = read_version_pruned(spark, tdir, "seg", "=", "s1")
+    assert sorted(r["k"] for r in pruned.collect()) == [
+        k for k in baseline if (k // 10) % 2 == 1
+    ]

@@ -376,6 +376,60 @@ def _carry_props(src: dict | None, payload: dict) -> None:
             payload["hive_dirs"] = merged
 
 
+# Hive dirs each need their own basePath scan (basePath is
+# single-valued and Spark's partition discovery refuses sibling
+# version-dir roots in one scan), so reads union one scan per hive
+# dir — fine while compaction keeps the dir count small. Past this
+# threshold the union arity itself becomes the cost (measured:
+# ~21 s to PLAN a 1000-dir read, scripts/hive_dirs_probe.py), so
+# reads collapse every hive dir into ONE multi-path scan that
+# recovers partition columns from input_file_name instead.
+_HIVE_UNION_MAX = 32
+
+
+def _hive_collapsed_scan(reader, paths, schema, part_cols) -> DataFrame:
+    """ONE scan for many hive version dirs: read the files plainly
+    (recorded schema applied, so path-encoded partition columns come
+    back null) and recover each partition column from the file path.
+
+    Exact hive-unescape: the on-disk segment is hive-escaped
+    (%XX for '=', '/', ':', '%', …; space and '+' kept literal) and
+    `input_file_name` URI-encodes that name once more — so the raw
+    value is TWO url_decode layers down, with literal '+' protected
+    from url_decode's form-encoding rule (+ → space) at each layer.
+    `__HIVE_DEFAULT_PARTITION__` is the hive null marker; the cast to
+    the recorded type matches Spark's own partition-value casting.
+    Physical column values (spec-evolution history where the column
+    was data, not path) win only when the path carries no segment."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    # recursiveFileLookup turns partition DISCOVERY off — without it
+    # Spark detects the k=v dirs under each version dir and refuses
+    # the sibling roots (CONFLICTING_DIRECTORY_STRUCTURES); here the
+    # partition columns are recovered explicitly below instead
+    df = reader.option("recursiveFileLookup", "true").parquet(*paths)
+    fname = F.input_file_name()
+
+    def _decode(col):
+        return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+    for c in part_cols:
+        seg = F.regexp_extract(
+            fname, "/" + _re.escape(c) + "=([^/]+)/", 1
+        )
+        raw = _decode(_decode(seg))
+        parsed = F.when(
+            (seg == "") | (raw == "__HIVE_DEFAULT_PARTITION__"),
+            F.lit(None),
+        ).otherwise(raw)
+        df = df.withColumn(
+            c, F.coalesce(parsed.cast(schema[c].dataType), F.col(c))
+        )
+    return df
+
+
 def _read_files(
     spark: SparkSession, table_dir: str, man: dict, paths: list[str]
 ) -> DataFrame:
@@ -387,11 +441,16 @@ def _read_files(
     PATH, not the file — an explicit-file read needs ``basePath`` per
     dir to recover it, and basePath is single-valued, so hive dirs
     each get their own scan, unioned by name with one batched scan for
-    all plain paths (the dir count is compaction-bounded, so the union
-    arity stays small). The recorded schema makes reads deterministic
-    under schema evolution (old files null-fill added columns) and
-    pins hive partition-column TYPES (path-string inference would turn
-    a numeric-looking string key into int)."""
+    all plain paths. The dir count is compaction-bounded in a
+    maintained table; an UNMAINTAINED append-heavy table instead gets
+    one collapsed scan past `_HIVE_UNION_MAX` dirs (partition columns
+    parsed from the path — every hive dir of one manifest shares the
+    manifest's `partition_by`, because spec evolution is
+    rewrite-based and conflicting appends refuse). The recorded
+    schema makes reads deterministic under schema evolution (old
+    files null-fill added columns) and pins hive partition-column
+    TYPES (path-string inference would turn a numeric-looking string
+    key into int)."""
     schema = _man_schema(man)
     hive = set(man.get("hive_dirs", []))
 
@@ -407,17 +466,42 @@ def _read_files(
         return spark.read.parquet(*paths)
     plain: list[str] = []
     by_hive: dict[str, list[str]] = {}
+    # Ownership lookup is O(paths), not O(paths × hive dirs): every
+    # data dir's second segment (vNNNNNN-token) carries a random
+    # unique token, so indexing hive dirs by that segment resolves a
+    # path's owner from its own segments — an uncompacted append-heavy
+    # table with thousands of hive version dirs pays listing-scale
+    # matching, not a quadratic driver-side scan.
+    seg_owner = {d.split("/", 1)[-1]: d for d in hive}
     for p in paths:
-        owner = next(
-            (d for d in hive if f"/{d}/" in p or p.endswith(f"/{d}")), None
-        )
+        owner = None
+        for seg in reversed(p.rstrip("/").split("/")):
+            owner = seg_owner.get(seg)
+            if owner is not None:
+                break
         if owner is not None:
             by_hive.setdefault(owner, []).append(p)
         else:
             plain.append(p)
     parts: list[DataFrame] = []
-    for d, ps in by_hive.items():
-        parts.append(_reader(f"{table_dir}/{d}").parquet(*ps))
+    part_cols = list(man.get("partition_by") or [])
+    if (
+        len(by_hive) > _HIVE_UNION_MAX
+        and schema is not None
+        and part_cols
+        and all(c in schema.fieldNames() for c in part_cols)
+    ):
+        parts.append(
+            _hive_collapsed_scan(
+                _reader(),
+                [p for ps in by_hive.values() for p in ps],
+                schema,
+                part_cols,
+            )
+        )
+    else:
+        for d, ps in by_hive.items():
+            parts.append(_reader(f"{table_dir}/{d}").parquet(*ps))
     if plain:
         parts.append(_reader().parquet(*plain))
     out = parts[0]
