@@ -2188,3 +2188,109 @@ def test_analyze_table_stats_sidecar(spark, tdir):
     assert read_table_stats(spark, tdir, version=1) == got
     with pytest.raises(ValueError, match="unknown column"):
         analyze_table(spark, tdir, cols=["nope"])
+
+
+def test_analyze_stats_drive_broadcast_join(spark, tdir):
+    """ANALYZE statistics must DO planning work (Delta-style): a
+    mostly-deleted dimension whose on-disk bytes exceed the broadcast
+    threshold reads through a deletion-vector anti-join, so Catalyst
+    over-estimates it and sort-merges every join against it — the
+    sidecar's post-delete n_rows proves it tiny, and re-registering
+    the view applies a broadcast hint."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        analyze_table,
+        delete_rows,
+        estimated_size_bytes,
+        register_versioned,
+        write_version,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+    try:
+        dim = spark.range(0, 150_000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("nm"),
+        )
+        write_version(dim, tdir, "append")
+        delete_rows(
+            spark,
+            tdir,
+            spark.range(200, 150_000).select(F.col("id").alias("k")),
+        )
+        spark.range(0, 500_000).select(
+            (F.col("id") % 200).alias("k"), F.col("id").alias("v")
+        ).createOrReplaceTempView("fact_stats_test")
+        q = (
+            "SELECT f.k, sum(f.v) AS s, max(d.nm) AS m "
+            "FROM fact_stats_test f JOIN dim_stats_test d ON f.k = d.k "
+            "GROUP BY f.k"
+        )
+
+        def plan() -> str:
+            jdf = spark.sql(q)._jdf
+            return jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+
+        register_versioned(spark, tdir, "dim_stats_test")
+        p1 = plan()
+        # the FACT join sort-merges (the internal tombstone anti-join
+        # may broadcast; the dim side estimate is still file-sized)
+        assert "SortMergeJoin" in p1
+        stats = analyze_table(spark, tdir)
+        assert stats["n_rows"] == 200
+        est = estimated_size_bytes(
+            stats, spark.table("dim_stats_test").schema
+        )
+        assert est is not None and est < (1 << 20)
+        register_versioned(spark, tdir, "dim_stats_test")
+        p2 = plan()
+        assert "BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2
+        # opt-out keeps the unhinted plan
+        register_versioned(spark, tdir, "dim_stats_test", use_stats=False)
+        assert "SortMergeJoin" in plan()
+        # the hint changes strategy, not results
+        register_versioned(spark, tdir, "dim_stats_test")
+        got = spark.sql(q).agg(F.count("*").alias("c")).head()["c"]
+        assert got == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_threshold_parsing_and_size_estimate(spark):
+    from pyspark.sql import types as T
+
+    from tms_etl_spark.operators.versioned import (
+        _broadcast_threshold_bytes,
+        estimated_size_bytes,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in [
+            ("10485760", 10485760),
+            ("10485760b", 10485760),
+            ("1MB", 1 << 20),
+            ("2g", 2 << 30),
+            ("512kb", 512 << 10),
+            ("-1", -1),
+        ]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    # avg_len used when present; legacy sidecar without n_rows -> None
+    st = {"n_rows": 100, "columns": {"s": {"avg_len": 12}}}
+    assert estimated_size_bytes(st, schema) == 100 * ((8 + 8) + (12 + 16))
+    assert estimated_size_bytes({"columns": {}}, schema) is None

@@ -682,3 +682,117 @@ def test_collapsed_scan_composes_with_deletes_and_pruning(
     assert sorted(r["k"] for r in pruned.collect()) == [
         k for k in baseline if (k // 10) % 2 == 1
     ]
+
+
+def test_generated_partition_predicate_derivation(spark, tmp_path):
+    """A read filtering the SOURCE column of a generated partition
+    column must prune via the DERIVED partition predicate: WHERE ts in
+    a range touches only the hive dirs whose derived p_day matches —
+    no p_day filter spelled by the user (Delta's generated-column
+    constraint derivation; the reference's month-window scan derives
+    month dirs from dates the same way)."""
+    import datetime
+
+    from tms_etl_spark.operators.versioned import read_version_pruned_multi
+
+    tdir = str(tmp_path / "genpred")
+    rows = []
+    for d in range(1, 7):  # six days, 4 rows each
+        for j in range(4):
+            rows.append((d * 10 + j, f"2024-03-0{d} 0{j}:30:00", float(j)))
+    write_version(
+        _ts_df(spark, rows),
+        tdir,
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+
+    # equality on ts -> p_day equality -> exactly one partition dir
+    got = read_version_pruned(
+        spark, tdir, "ts", "=", datetime.datetime(2024, 3, 4, 2, 30)
+    )
+    assert [r["k"] for r in got.collect()] == [42]
+    assert all("p_day=2024-03-04" in f for f in got.inputFiles())
+    assert len({f.rsplit("/", 2)[1] for f in got.inputFiles()}) == 1
+
+    # range on ts -> p_day bounds -> only the three matching dirs;
+    # the residual keeps row-exactness inside the boundary days
+    lo = datetime.datetime(2024, 3, 2, 1, 0)
+    hi = datetime.datetime(2024, 3, 4, 23, 0)
+    got = read_version_pruned_multi(
+        spark, tdir, [("ts", ">=", lo), ("ts", "<=", hi)]
+    )
+    assert sorted(r["k"] for r in got.collect()) == [
+        21, 22, 23, 30, 31, 32, 33, 40, 41, 42, 43,
+    ]
+    days = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    assert days == {"p_day=2024-03-02", "p_day=2024-03-03", "p_day=2024-03-04"}
+
+    # strict < relaxes to <= on the partition column (sound): the
+    # boundary DAY is scanned, boundary rows filtered by the residual
+    got = read_version_pruned(
+        spark, tdir, "ts", "<", datetime.datetime(2024, 3, 2, 0, 0)
+    )
+    assert sorted(r["k"] for r in got.collect()) == [10, 11, 12, 13]
+    days = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    assert days == {"p_day=2024-03-01", "p_day=2024-03-02"}  # not 03-03+
+
+
+def test_generated_partition_derivation_monotone_gate(spark, tmp_path):
+    """Non-monotone generated exprs (bare month() wraps every year)
+    must derive NOTHING — pruning soundness depends on the gate."""
+    from tms_etl_spark.operators.versioned import (
+        _derived_partition_predicates,
+        _manifest_path,
+        _read_json,
+        current_version,
+    )
+
+    tdir = str(tmp_path / "genmono")
+    write_version(
+        _ts_df(
+            spark,
+            [(1, "2023-05-01 00:00:00", 1.0), (2, "2024-02-01 00:00:00", 2.0)],
+        ),
+        tdir,
+        partition_by=["p_m"],
+        partition_exprs={"p_m": "month(ts)"},
+    )
+    man = _read_json(
+        spark, _manifest_path(tdir, current_version(spark, tdir))
+    )
+    import datetime
+
+    derived = _derived_partition_predicates(
+        spark, man, [("ts", ">=", datetime.datetime(2024, 1, 1))]
+    )
+    assert derived == []
+    # and the read stays CORRECT (scans everything, filters rows)
+    got = read_version_pruned(
+        spark, tdir, "ts", ">=", datetime.datetime(2024, 1, 1)
+    )
+    assert [r["k"] for r in got.collect()] == [2]
+
+    # year() IS monotone and derives
+    tdir2 = str(tmp_path / "genyear")
+    write_version(
+        _ts_df(
+            spark,
+            [(1, "2023-05-01 00:00:00", 1.0), (2, "2024-02-01 00:00:00", 2.0)],
+        ),
+        tdir2,
+        partition_by=["p_y"],
+        partition_exprs={"p_y": "year(ts)"},
+    )
+    man2 = _read_json(
+        spark, _manifest_path(tdir2, current_version(spark, tdir2))
+    )
+    derived = _derived_partition_predicates(
+        spark, man2, [("ts", ">=", datetime.datetime(2024, 1, 1))]
+    )
+    assert derived == [("p_y", ">=", 2024)]
+    got = read_version_pruned(
+        spark, tdir2, "ts", ">=", datetime.datetime(2024, 1, 1)
+    )
+    assert [r["k"] for r in got.collect()] == [2]
+    assert all("p_y=2024" in f for f in got.inputFiles())

@@ -483,3 +483,54 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("bal", "total_bal"),
         )
     )
+
+
+@query(
+    "lakehouse_derived_pruning",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+      AND ts <= TIMESTAMP '2024-01-13 18:00:00'
+    GROUP BY event_type
+    """,
+)
+def lakehouse_derived_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-partition PREDICATE DERIVATION: the table is
+    partitioned by the generated ``p_day = date_format(ts,
+    'yyyy-MM-dd')``, and the read filters the RAW timestamp — the
+    pruned reader derives ``p_day`` bounds from the monotone
+    expression (`operators/versioned.py:
+    _derived_partition_predicates`), so only the boundary-inclusive
+    day dirs are scanned while the residual keeps row exactness.
+    DuckDB checks the VALUES; `test_generated_partition_predicate_
+    derivation` pins the file-count claim. The reference's
+    month-window scan derives month dirs from a date range the same
+    way (/root/reference/src/main_02.py:226-232)."""
+    import datetime
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_derive_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    write_version(
+        ev,
+        tdir,
+        "append",
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    lo = datetime.datetime(2024, 1, 10, 6, 0, 0)
+    hi = datetime.datetime(2024, 1, 13, 18, 0, 0)
+    return (
+        read_version_pruned_multi(
+            spark, tdir, [("ts", ">=", lo), ("ts", "<=", hi)]
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )

@@ -35,6 +35,7 @@ as `fs.py:expire_files`.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -908,6 +909,7 @@ def register_versioned(
     name: str,
     version: int | None = None,
     asof=None,
+    use_stats: bool = True,
 ) -> None:
     """SQL front door for the versioned layer: register the chosen
     snapshot as temp view ``name`` (time travel via ``version`` or
@@ -915,12 +917,33 @@ def register_versioned(
     committed_at) — `spark.sql` users get snapshot queries and a
     DESCRIBE-HISTORY equivalent without touching the Python API. The
     view holds the snapshot's PLAN, not its data: queries against it
-    still push filters into the manifest-selected file scan."""
+    still push filters into the manifest-selected file scan.
+
+    ``use_stats``: when the snapshot has an ANALYZE sidecar proving
+    it under `spark.sql.autoBroadcastJoinThreshold`
+    (`estimated_size_bytes`), the view carries a broadcast hint —
+    Delta's stats-driven join planning. This matters exactly when
+    Catalyst cannot see the size itself: a snapshot with deletion
+    vectors reads through an anti-join, whose output size estimate is
+    opaque, so an actually-tiny dimension table would otherwise
+    sort-merge every join against it."""
     if asof is not None and version is not None:
         raise ValueError("version and asof are mutually exclusive")
     if asof is not None:
         version = version_asof(spark, table_dir, asof)
-    read_version(spark, table_dir, version).createOrReplaceTempView(name)
+    if version is None:
+        version = current_version(spark, table_dir)
+    df = read_version(spark, table_dir, version)
+    if use_stats:
+        stats = read_table_stats(spark, table_dir, version)
+        if stats is not None:
+            from pyspark.sql import functions as F
+
+            thresh = _broadcast_threshold_bytes(spark)
+            est = estimated_size_bytes(stats, df.schema)
+            if thresh > 0 and est is not None and est <= thresh:
+                df = F.broadcast(df)
+    df.createOrReplaceTempView(name)
     cur = current_version(spark, table_dir)
     rows = []
     for h in history(spark, table_dir):
@@ -1043,6 +1066,77 @@ def delete_rows(
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
+# Generated-column expressions recognized as NON-DECREASING in their
+# source column — the gate for deriving partition predicates from a
+# source-column filter (Delta's generated-column constraint
+# derivation). date_format qualifies only for prefix-ordered formats
+# (string order = time order); bare month()/day() wrap and must NOT
+# match. The format alternatives are case-SENSITIVE ('mm' is minutes).
+_GEN_MONOTONE = [
+    re.compile(p)
+    for p in (
+        r"^\s*(?i:date_format)\(\s*([A-Za-z_]\w*)\s*,\s*"
+        r"'(?:yyyy(?:-MM(?:-dd(?: HH(?::mm(?::ss)?)?)?)?)?)'\s*\)\s*$",
+        r"^\s*(?i:year)\(\s*([A-Za-z_]\w*)\s*\)\s*$",
+        r"^\s*(?i:to_date)\(\s*([A-Za-z_]\w*)\s*\)\s*$",
+        r"^\s*(?i:cast)\(\s*([A-Za-z_]\w*)\s+(?i:as)\s+(?i:date)\s*\)\s*$",
+        r"^\s*(?i:date_trunc)\(\s*'(?i:year|quarter|month|week|day|hour)'"
+        r"\s*,\s*([A-Za-z_]\w*)\s*\)\s*$",
+    )
+]
+
+_DERIVED_OP = {"=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+
+
+def _derived_partition_predicates(
+    spark: SparkSession, man: dict, predicates: list[tuple]
+) -> list[tuple]:
+    """Partition-column predicates IMPLIED by source-column filters
+    through the manifest's generated-column expressions: for a
+    recognized non-decreasing expr ``p = f(src)``, ``src op v``
+    implies ``p op' f(v)`` (equality maps to equality; strict
+    inequalities relax to non-strict — sound for any monotone f).
+    The derived predicates join the PRUNING set only (never the
+    residual filter), so a user filtering raw ``ts`` gets the same
+    manifest-exact dir pruning as one filtering ``p_day`` — the
+    reference's month-window scan derives its month dirs from dates
+    the same way (/root/reference/src/main_02.py:226-232). f(v) is
+    evaluated by Spark itself on a one-row plan, so derivation
+    matches write-time semantics exactly (same session timezone,
+    same function)."""
+    from pyspark.sql import functions as F
+
+    exprs = man.get("partition_exprs") or {}
+    if not exprs:
+        return []
+    schema = _man_schema(man)
+    by_src: dict[str, list[tuple[str, str]]] = {}
+    for pcol, expr in exprs.items():
+        for pat in _GEN_MONOTONE:
+            m = pat.match(expr)
+            if m:
+                by_src.setdefault(m.group(1), []).append((pcol, expr))
+                break
+    derived: list[tuple] = []
+    for col, op, value in predicates:
+        for pcol, expr in by_src.get(col, []):
+            src_t = (
+                schema[col].dataType if schema is not None else None
+            )
+            lit = F.lit(value)
+            if src_t is not None:
+                lit = lit.cast(src_t)
+            fv = (
+                spark.range(1)
+                .select(lit.alias(col))
+                .selectExpr(f"({expr}) AS __p")
+                .head()["__p"]
+            )
+            if fv is not None:
+                derived.append((pcol, _DERIVED_OP[op], fv))
+    return derived
+
+
 def _file_prunable(entry: dict | None, col: str, op: str, value) -> bool:
     """True iff the zonemap PROVES no row of the file can satisfy
     ``col op value``. Missing stats → not prunable (conservative).
@@ -1104,6 +1198,11 @@ def read_version_pruned(
         ">": F.col(col) > F.lit(value),
         ">=": F.col(col) >= F.lit(value),
     }[op]
+    # a filter on a generated column's SOURCE prunes via the derived
+    # partition predicate too (residual stays the user's predicate)
+    prune_preds = [(col, op, value)] + _derived_partition_predicates(
+        spark, man, [(col, op, value)]
+    )
     keep_dirs: list[str] = []
     paths_by_dir: dict[str, list[str]] = {}
     for d in man["dirs"]:
@@ -1112,7 +1211,10 @@ def read_version_pruned(
             rel = _rel_of(fi.path, d)
             if rel is None or rel in dead:
                 continue
-            if _file_prunable(stats.get(rel), col, op, value):
+            if any(
+                _file_prunable(stats.get(rel), c, o, x)
+                for c, o, x in prune_preds
+            ):
                 continue
             files.append(f"{table_dir}/{rel}")
         if files:
@@ -1170,6 +1272,9 @@ def read_version_pruned_multi(
         lambda a, b: a & b,
         [ops[op](col, val) for col, op, val in predicates],
     )
+    prune_preds = list(predicates) + _derived_partition_predicates(
+        spark, man, predicates
+    )
     keep_dirs: list[str] = []
     paths_by_dir: dict[str, list[str]] = {}
     for d in man["dirs"]:
@@ -1180,7 +1285,7 @@ def read_version_pruned_multi(
                 continue
             if any(
                 _file_prunable(stats.get(rel), col, op, val)
-                for col, op, val in predicates
+                for col, op, val in prune_preds
             ):
                 continue
             files.append(f"{table_dir}/{rel}")
@@ -2673,6 +2778,11 @@ def analyze_table(
         for f in df.schema.fields
         if f.dataType.simpleString() in _STATS_TYPES
     }
+    strings = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "string"
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in names:
         aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
@@ -2682,6 +2792,11 @@ def analyze_table(
         if c in orderable:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
+        if c in strings:
+            # avg byte length rides in the same pass: it is what turns
+            # n_rows into a size estimate planners can act on
+            # (`estimated_size_bytes` → stats-driven broadcast)
+            aggs.append(F.avg(F.length(c)).alias(f"__len_{c}"))
     r = df.agg(*aggs).head()
     stats: dict = {"version": v, "n_rows": int(r["__n"]), "columns": {}}
     for c in names:
@@ -2696,6 +2811,8 @@ def analyze_table(
             )
             if ok:
                 entry["min"], entry["max"] = mn, mx
+        if c in strings and r[f"__len_{c}"] is not None:
+            entry["avg_len"] = round(float(r[f"__len_{c}"]), 2)
         stats["columns"][c] = entry
     _write_json_overwrite(
         spark, f"{table_dir}/_stats/v{v:06d}.json", stats
@@ -2712,3 +2829,58 @@ def read_table_stats(
     v = version if version is not None else cur
     p = f"{table_dir}/_stats/v{v:06d}.json"
     return _read_json(spark, p) if path_exists(spark, p) else None
+
+
+# in-memory width per Spark type, matching Catalyst's defaults
+# (defaultSize); strings use the ANALYZEd avg byte length when the
+# sidecar has one, else Catalyst's 20-byte guess — plus an 8-byte
+# object/offset overhead per field, which keeps the estimate on the
+# conservative (larger) side of what the broadcast would really cost
+_FIXED_WIDTHS = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "float": 4,
+    "date": 4, "bigint": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def estimated_size_bytes(stats: dict, schema) -> int | None:
+    """Planner-facing size estimate of an ANALYZEd snapshot:
+    n_rows × Σ per-column widths. None when the sidecar predates the
+    n_rows field. Deliberately conservative — unknown/nested types
+    count 48 bytes — because the consumer (stats-driven broadcast)
+    must never hint a table that is secretly large."""
+    n = stats.get("n_rows")
+    if n is None:
+        return None
+    cols = stats.get("columns", {})
+    width = 0
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if t in _FIXED_WIDTHS:
+            width += _FIXED_WIDTHS[t] + 8
+        elif t == "string":
+            width += int(cols.get(f.name, {}).get("avg_len", 20)) + 8 + 8
+        elif t.startswith("decimal"):
+            width += 16 + 8
+        else:
+            width += 48
+    return int(n) * width
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as bytes (-1 = disabled);
+    the conf value may carry a b/k/m/g suffix."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return -1
