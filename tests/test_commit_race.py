@@ -145,3 +145,137 @@ def test_two_process_commit_race(tmp_path, spark):
         assert man["version"] == v
         for d in man["dirs"]:
             assert (pathlib.Path(tdir2) / d).is_dir()
+
+
+class _FakeObjectStore:
+    """In-memory object store exposing ONLY an atomic put-if-absent —
+    the minimal contract the seam requires of S3 If-None-Match / GCS
+    if-generation-match / Azure If-None-Match bindings."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.objects: dict[str, bytes] = {}
+        self.put_attempts = 0
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            self.put_attempts += 1
+            if path in self.objects:
+                return False
+            self.objects[path] = data
+            return True
+
+
+def test_conditional_put_two_writer_race(spark):
+    """Fake-object-store mirror of phase 1: two threads rendezvous at
+    a barrier and commit THE SAME manifest path through the
+    registered conditional-put seam. Exactly one wins; the surviving
+    object is the winner's payload; the loser sees
+    ConcurrentWriteError. No lock or tmp object exists in the store
+    at any point (the conditional PUT is the entire commit)."""
+    import threading
+
+    from tms_etl_spark.operators.versioned import (
+        ConcurrentWriteError,
+        _write_json_atomic,
+        set_conditional_put,
+    )
+
+    store = _FakeObjectStore()
+    set_conditional_put(store.put_if_absent)
+    try:
+        path = "fake://bucket/tbl/_manifests/v000001.json"
+        barrier = threading.Barrier(2)
+        results: dict[str, str] = {}
+
+        def writer(tag: str) -> None:
+            barrier.wait(timeout=30)
+            try:
+                _write_json_atomic(
+                    spark, path, {"version": 1, "winner": tag}
+                )
+                results[tag] = "WIN"
+            except ConcurrentWriteError:
+                results[tag] = "LOSE"
+
+        ts = [
+            threading.Thread(target=writer, args=(t,)) for t in ("a", "b")
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        assert sorted(results.values()) == ["LOSE", "WIN"]
+        winner = next(k for k, v in results.items() if v == "WIN")
+        assert json.loads(store.objects[path])["winner"] == winner
+        assert set(store.objects) == {path}  # no locks, no tmps
+    finally:
+        set_conditional_put(None)
+
+
+def test_conditional_put_contended_retry_convergence(spark):
+    """Fake-object-store mirror of phase 2: four writers append-loop
+    with the documented retry protocol (re-read current version,
+    re-commit at version+1 on ConcurrentWriteError). All commits land,
+    versions are gapless, every writer's payloads survive verbatim."""
+    import threading
+
+    from tms_etl_spark.operators.versioned import (
+        ConcurrentWriteError,
+        _write_json_atomic,
+        set_conditional_put,
+    )
+
+    store = _FakeObjectStore()
+    set_conditional_put(store.put_if_absent)
+    try:
+        base = "fake://bucket/tbl2/_manifests"
+        n_writers, n_commits = 4, 5
+
+        def current() -> int:
+            vs = [
+                int(p.rsplit("/v", 1)[1][:6])
+                for p in store.objects
+                if p.startswith(base)
+            ]
+            return max(vs, default=0)
+
+        def writer(tag: int) -> None:
+            for i in range(n_commits):
+                for _ in range(200):
+                    v = current() + 1
+                    try:
+                        _write_json_atomic(
+                            spark,
+                            f"{base}/v{v:06d}.json",
+                            {"version": v, "writer": tag, "i": i},
+                        )
+                        break
+                    except ConcurrentWriteError:
+                        continue
+                else:
+                    raise AssertionError(f"writer {tag} gave up")
+
+        ts = [
+            threading.Thread(target=writer, args=(t,))
+            for t in range(n_writers)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        total = n_writers * n_commits
+        assert len(store.objects) == total
+        mans = [json.loads(b) for b in store.objects.values()]
+        assert sorted(m["version"] for m in mans) == list(
+            range(1, total + 1)
+        )  # gapless chain
+        per = {}
+        for m in mans:
+            per.setdefault(m["writer"], set()).add(m["i"])
+        assert all(per[t] == set(range(n_commits)) for t in range(n_writers))
+        assert store.put_attempts >= total  # contention actually happened
+    finally:
+        set_conditional_put(None)

@@ -61,3 +61,65 @@ def test_fresh_checkout_falls_back_to_registration_order(monkeypatch):
     monkeypatch.setattr(cat, "_evidence_history", lambda: ({}, 1))
     w = cat._derive_driver_window()
     assert len(w) == 50 and set(w) <= set(cat.QUERIES)
+
+
+def test_rotation_bounds_evidence_age(monkeypatch):
+    """The checked invariant behind the derived window (VERDICT r6
+    item 7): simulate the rotation round after round and assert no
+    query's driver evidence ever ages past one full rotation cycle
+    (ceil(N/W), +1 slack for core-family queue jumps), and the §2
+    core family never ages past _CORE_MAX_AGE. This turns the
+    rotation policy from a convention into a bound the suite
+    enforces."""
+    import math
+
+    names = list(cat.QUERIES)
+    n, w = len(names), cat._WINDOW
+    cycle = math.ceil(n / w)
+    latest: dict[str, int] = {}
+    for rnd in range(1, cycle * 3 + 3):
+        snap = dict(latest)
+        monkeypatch.setattr(
+            cat, "_evidence_history", lambda s=snap, r=rnd: (s, r)
+        )
+        window = cat._derive_driver_window()
+        assert len(window) == w
+        for q in window:
+            latest[q] = rnd
+        if rnd > cycle:  # steady state reached
+            ages = {q: rnd - latest.get(q, 0) for q in names}
+            assert max(ages.values()) <= cycle + 1, (
+                rnd,
+                max(ages, key=ages.get),
+            )
+            for q in cat._CORE_FAMILY:
+                assert ages[q] <= cat._CORE_MAX_AGE, (q, ages[q])
+
+
+def test_current_window_takes_the_stalest_first():
+    """Against the REAL CORRECTNESS history: every never-sampled query
+    is in the window (while they fit), and no excluded query is
+    strictly staler than any included tier-3 (non-core, sampled)
+    query — i.e. the materialized window really is the burn-down
+    front, so the backlog shrinks by a full window every round."""
+    latest, now = cat._evidence_history()
+    if not latest:  # fresh checkout: nothing to pin
+        return
+    names = list(cat.QUERIES)
+    window = cat._DRIVER_PRIORITY
+    never = [q for q in names if q not in latest]
+    if len(never) <= len(window):
+        assert set(never) <= set(window)
+    tier3_ages = [
+        now - latest[q]
+        for q in window
+        if q in latest and q not in cat._CORE_FAMILY
+    ]
+    excluded = [q for q in names if q not in set(window)]
+    if tier3_ages and excluded:
+        floor = min(tier3_ages)
+        for q in excluded:
+            assert now - latest.get(q, now) <= floor, (
+                q,
+                "stale query left out of the window",
+            )

@@ -67,6 +67,28 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed (or is committing) this version."""
 
 
+# Injectable put-if-absent primitive for object-store deployments:
+# fn(path, data) -> True iff the object was CREATED (False = an
+# object already existed — the caller lost the commit race). The
+# callable must be atomic server-side. Applies to NON-local schemes
+# only; local paths always use the POSIX O_EXCL+link protocol.
+_CONDITIONAL_PUT = None
+
+
+def set_conditional_put(fn) -> None:
+    """Register (or clear, with None) the object-store conditional-put
+    commit primitive used by `_write_json_atomic` for non-local
+    paths: ``fn(path: str, data: bytes) -> bool`` returning True iff
+    the object was created and False iff one already existed (the
+    lost-race signal). Real bindings are one HTTP call: S3 PUT with
+    ``If-None-Match: *``, GCS ``if-generation-match: 0``, Azure Blob
+    ``If-None-Match: *`` — each atomic server-side, which is the
+    whole point: the conditional PUT IS the commit, so no lock file,
+    tmp object, or rename exists to leak on crash."""
+    global _CONDITIONAL_PUT
+    _CONDITIONAL_PUT = fn
+
+
 def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
     """Write to a writer-private tmp, then commit-if-absent — the
     conditional-commit point that arbitrates racing writers.
@@ -90,11 +112,16 @@ def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
     REMOTE filesystems keep the Hadoop protocol: ``createNewFile``
     lock (atomic server-side on HDFS), exists-check, tmp write,
     rename; a rename that fails because the destination appeared is
-    classified as ConcurrentWriteError (lost race), not IOError. On
-    object stores without atomic create-exclusive this degrades to
-    best-effort — single-writer per table is the supported deployment
-    there (the same caveat Delta documents for S3 without a
-    coordination service)."""
+    classified as ConcurrentWriteError (lost race), not IOError.
+
+    OBJECT STORES route through the injectable put-if-absent seam
+    (`set_conditional_put`) when one is registered — a single atomic
+    conditional PUT is the whole commit, no lock or rename (S3
+    ``If-None-Match: *`` PUT, GCS ``if-generation-match: 0``, Azure
+    ``If-None-Match``; Delta's managed-LogStore move). Without a
+    registered seam, stores lacking atomic create-exclusive degrade
+    to best-effort single-writer — the caveat Delta documents for
+    bare S3."""
     import time
     import uuid
     from urllib.parse import urlparse
@@ -140,6 +167,13 @@ def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
                     os.unlink(leftover)
                 except FileNotFoundError:
                     pass
+        return
+
+    if _CONDITIONAL_PUT is not None:
+        # one atomic server-side conditional PUT is the entire
+        # commit: created == won; an existing object == lost race
+        if not _CONDITIONAL_PUT(path, data):
+            raise ConcurrentWriteError(f"{path} already committed")
         return
 
     fs, hpath, jvm = _fs(spark, path)
