@@ -92,6 +92,30 @@ DEFAULT_QUERIES = [
     # partition), and schema-evolved append + null-filling read
     "lakehouse_partition_pruned",
     "lakehouse_schema_evolution",
+    # round-14 (VERDICT r6 item 2): every bench HEADLINE query gets a
+    # probe row — the entries below close the gap between HEADLINE
+    # and this list (several are deliberately "boring" map-side or
+    # broadcast shapes whose flat curves are the point), plus the
+    # remaining lakehouse entries and the new derived-pruning read.
+    "join_broadcast_dim_chain",
+    "agg_rollup",
+    "topk_per_group",
+    "tms_upsert_merge",
+    "stream_session_window",
+    "dedup_clusters",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "multimodal_feature_extract",
+    "text_quality_score",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "split_leakage_safe",
+    "lakehouse_time_travel",
+    "lakehouse_spec_evolution",
+    "lakehouse_derived_pruning",
+    "feature_quantile_bin",
+    "eval_auc",
+    "eval_regression_metrics",
 ]
 
 # SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH
