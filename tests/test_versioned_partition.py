@@ -796,3 +796,64 @@ def test_generated_partition_derivation_monotone_gate(spark, tmp_path):
     )
     assert [r["k"] for r in got.collect()] == [2]
     assert all("p_y=2024" in f for f in got.inputFiles())
+
+
+def test_dpp_semijoin_prunes_files_and_matches_plain_join(spark, tmp_path):
+    """Manifest-level dynamic partition pruning: a filtered dimension's
+    distinct keys prune the fact snapshot's files through the
+    zonemaps, and the residual semi-join keeps rows exact — equal to
+    the unpruned read filtered the plain way."""
+    from tms_etl_spark.operators.versioned import (
+        read_version_pruned_semijoin,
+    )
+
+    tdir = str(tmp_path / "dppfact")
+    for lo in (0, 100, 200, 300):  # four single-file commits, disjoint key ranges
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+    dim = spark.createDataFrame(
+        [(5, "want"), (42, "want"), (777, "noise")], "k long, tag string"
+    ).where(F.col("tag") == "want")
+
+    got = read_version_pruned_semijoin(spark, tdir, "k", dim)
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+        (5, 10), (42, 84),
+    ]
+    assert len(got.inputFiles()) == 1  # both keys live in the 0-99 file
+
+    # keys spanning two files scan exactly two
+    dim2 = spark.createDataFrame([(5,), (250,)], "k long")
+    got2 = read_version_pruned_semijoin(spark, tdir, "k", dim2)
+    assert sorted(r["k"] for r in got2.collect()) == [5, 250]
+    assert len(got2.inputFiles()) == 2
+
+    # no matching keys: empty result, correct schema
+    none = read_version_pruned_semijoin(
+        spark, tdir, "k", spark.createDataFrame([(9_999,)], "k long")
+    )
+    assert none.count() == 0
+    assert none.columns == ["k", "v"]
+
+    # over max_keys: unpruned but exact (the documented degradation)
+    wide = spark.range(0, 50).select(F.col("id").alias("k"))
+    got3 = read_version_pruned_semijoin(
+        spark, tdir, "k", wide, max_keys=10
+    )
+    assert got3.count() == 50
+    assert len(got3.inputFiles()) == 4  # nothing pruned
+
+    # key_col rename + hive-partitioned fact prunes partition dirs
+    tdir2 = str(tmp_path / "dpphive")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("seg"),
+    )
+    write_version(df, tdir2, "append", partition_by=["seg"])
+    dimh = spark.createDataFrame([("1",)], "segment string")
+    goth = read_version_pruned_semijoin(
+        spark, tdir2, "seg", dimh, key_col="segment"
+    )
+    assert goth.count() == 30
+    assert all("seg=1" in f for f in goth.inputFiles())

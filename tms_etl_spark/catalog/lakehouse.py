@@ -534,3 +534,49 @@ def lakehouse_derived_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "total_value"),
         )
     )
+
+
+@query(
+    "lakehouse_dpp_join",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice", "total_price")}
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def lakehouse_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level DYNAMIC PARTITION PRUNING
+    (`operators/versioned.py:read_version_pruned_semijoin`): the fact
+    table is committed then OPTIMIZEd range-clustered on the join key
+    (tight per-file zonemaps), and the read is pruned by the DISTINCT
+    keys of a FILTERED dimension — Spark's DPP executed against
+    manifest metadata before the fact table is listed, so the
+    dimension predicate's selectivity transfers to the fact scan.
+    The residual semi-join keeps rows exact; DuckDB checks the whole
+    path against a plain IN-subquery over the original parquet."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_dpp_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    write_version(li, tdir, "append")
+    optimize_version(spark, tdir, cluster_by="l_orderkey")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        read_version_pruned_semijoin(
+            spark, tdir, "l_orderkey", keys, key_col="o_orderkey"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )

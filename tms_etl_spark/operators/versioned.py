@@ -1338,6 +1338,108 @@ def read_version_pruned_multi(
     ).where(pred)
 
 
+def read_version_pruned_semijoin(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    keys_df: DataFrame,
+    key_col: str | None = None,
+    version: int | None = None,
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """Manifest-level DYNAMIC PARTITION PRUNING: prune a fact
+    snapshot by the DISTINCT values a dimension side will join on —
+    Spark's DPP move, executed against the manifest's zonemaps before
+    the fact table is ever listed. The dimension's distinct join keys
+    (post-filter, so a selective dim predicate transfers its
+    selectivity to the fact scan) are collected, each fact file is
+    kept only if some key falls inside its ``col`` [min, max] (binary
+    search per file over the sorted keys — O(files · log keys) driver
+    metadata work), and the result carries the semi-join residual
+    (``col ∈ keys``) so rows are exact, not just file-exact.
+
+    On a hive/generated-partition column (per-file min == max) this
+    prunes partitions exactly, like Spark's own DPP; on a
+    range-clustered column it still skips every file whose range
+    misses all keys. The key set is a DIMENSION's join column —
+    bounded by construction; ``max_keys`` is the safety valve: past
+    it the collect is abandoned and the full snapshot returns with
+    the same residual (correct, just unpruned — the documented
+    degradation, mirroring Spark falling back to a plain join when
+    the DPP subquery is too big). Derived partition predicates do not
+    apply here (keys are a set, not a range); generated columns
+    still prune when ``col`` IS the partition column."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if v <= 0 or v > cur:
+        raise ValueError(
+            f"version {v} not committed at {table_dir} (current {cur})"
+        )
+    p = _manifest_path(table_dir, v)
+    if not path_exists(spark, p):
+        raise ValueError(f"version {v} expired at {table_dir}")
+    man = _read_json(spark, p)
+    kc = key_col or col
+    distinct_keys = keys_df.select(F.col(kc).alias("__k")).distinct()
+    rows = distinct_keys.limit(max_keys + 1).collect()
+    residual_keys = keys_df.select(F.col(kc).alias(col)).distinct()
+
+    def _with_residual(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(residual_keys), on=col, how="left_semi")
+
+    if len(rows) > max_keys:
+        # dimension side too wide to collect: unpruned but exact
+        return _with_residual(_scan_with_deletes(spark, table_dir, man))
+    keys = sorted(r["__k"] for r in rows if r["__k"] is not None)
+    if not keys:
+        schema = _man_schema(man)
+        if schema is None:
+            schema = spark.read.parquet(
+                *[f"{table_dir}/{d}" for d in man["dirs"]]
+            ).schema
+        return spark.createDataFrame([], schema)
+    import bisect
+
+    stats = man.get("stats", {})
+    dead = set(man.get("dead_files", []))
+
+    def _has_key_in_range(entry: dict | None) -> bool:
+        if not entry or col not in entry:
+            return True  # no stats: conservative, never prune
+        mn, mx = entry[col]
+        i = bisect.bisect_left(keys, mn)
+        return i < len(keys) and keys[i] <= mx
+
+    keep_dirs: list[str] = []
+    paths_by_dir: dict[str, list[str]] = {}
+    for d in man["dirs"]:
+        files: list[str] = []
+        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
+            rel = _rel_of(fi.path, d)
+            if rel is None or rel in dead:
+                continue
+            if not _has_key_in_range(stats.get(rel)):
+                continue
+            files.append(f"{table_dir}/{rel}")
+        if files:
+            keep_dirs.append(d)
+            paths_by_dir[d] = files
+    if not keep_dirs:
+        schema = _man_schema(man)
+        if schema is None:
+            schema = spark.read.parquet(
+                *[f"{table_dir}/{d}" for d in man["dirs"]]
+            ).schema
+        return spark.createDataFrame([], schema)
+    return _with_residual(
+        _scan_with_deletes(
+            spark, table_dir, man, dirs=keep_dirs, paths_by_dir=paths_by_dir
+        )
+    )
+
+
 def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
     """Non-destructive rollback: commit a NEW version whose manifest
     points at ``to_version``'s data dirs. Zero data movement; the
