@@ -36,6 +36,7 @@ from tms_etl_spark.operators.versioned import (
     read_version,
     read_version_pruned,
     read_version_pruned_multi,
+    read_version_pruned_semijoin,
     read_version_rowdiff,
     write_version,
 )
