@@ -449,6 +449,25 @@ AUDIT = [
         "new hive spec; the scan is the new layout's files via "
         "basePath with the recorded schema",
     ),
+    (
+        "lakehouse_derived_pruning",
+        ["Scan parquet", "partial_count"],
+        "generated-partition predicate DERIVATION: the raw-ts range "
+        "filter derives p_day bounds through the manifest's monotone "
+        "generated-column expr, so the scan's file index holds only "
+        "the boundary-inclusive day dirs (manifest pruning — the "
+        "excluded days never reach the plan); the residual ts filter "
+        "keeps rows exact, then one partial-combined aggregate",
+    ),
+    (
+        "lakehouse_dpp_join",
+        ["LeftSemi", "BroadcastHashJoin", "partial_count"],
+        "manifest-level DPP: the filtered dimension's distinct keys "
+        "prune the fact files driver-side BEFORE listing (the plan "
+        "sees only surviving files), and the residual is a broadcast "
+        "LEFT SEMI against the key set — no shuffle of the fact side "
+        "for the join, one partial-combined aggregate after",
+    ),
 ]
 
 
