@@ -477,3 +477,30 @@ def test_cli_table_analyze_and_maintain(spark, tmp_path, capsys):
     assert main(["table", "maintain", tdir, "--min-file-mb", "1"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["compacted"] is True and out["version"] == 4
+
+
+def test_cli_table_scan_where(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "scanw")
+    write_version(
+        spark.range(0, 100).select(
+            "id",
+            (F.col("id") % 5).cast("string").alias("band"),
+            (F.col("id") * 3).alias("v"),
+        ),
+        tdir,
+        "append",
+        partition_by=["band"],
+    )
+    assert main(
+        ["table", "scan", tdir, "--where",
+         "band = '2' AND v >= 200 AND (id < 80 OR id > 90)", "--limit", "50"]
+    ) == 0
+    out = capsys.readouterr().out
+    # band 2, v>=200 (id>=67 -> 67..79 step 5 plus id>90: 97), id<80 or >90
+    assert "67" in out and "72" in out and "77" in out and "97" in out
+    assert "82" not in out.split()  # filtered by the OR residual

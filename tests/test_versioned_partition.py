@@ -857,3 +857,106 @@ def test_dpp_semijoin_prunes_files_and_matches_plain_join(spark, tmp_path):
     )
     assert goth.count() == 30
     assert all("seg=1" in f for f in goth.inputFiles())
+
+
+def test_where_string_conjunct_parser():
+    from tms_etl_spark.operators.versioned import (
+        _parse_conjunct,
+        _split_conjuncts,
+    )
+    import datetime
+
+    assert _split_conjuncts("a = 1 AND b >= 'x AND y' and c < 2.5") == [
+        "a = 1", "b >= 'x AND y'", "c < 2.5",
+    ]
+    assert _split_conjuncts("f(a, b) > 3 AND (x = 1 OR y = 2)") == [
+        "f(a, b) > 3", "(x = 1 OR y = 2)",
+    ]
+    assert _split_conjuncts("androgynous = 'AND'") == [
+        "androgynous = 'AND'",
+    ]
+    assert _parse_conjunct("a = 1") == ("a", "=", 1)
+    assert _parse_conjunct("a >= -2.5") == ("a", ">=", -2.5)
+    assert _parse_conjunct("s = 'it''s'") == ("s", "=", "it's")
+    assert _parse_conjunct("d < DATE '2024-03-01'") == (
+        "d", "<", datetime.date(2024, 3, 1),
+    )
+    assert _parse_conjunct("t <= timestamp '2024-03-01 10:30:00'") == (
+        "t", "<=", datetime.datetime(2024, 3, 1, 10, 30),
+    )
+    # not simple conjuncts -> residual-only (None)
+    assert _parse_conjunct("(x = 1 OR y = 2)") is None
+    assert _parse_conjunct("f(a) > 3") is None
+    assert _parse_conjunct("a IN (1, 2)") is None
+
+
+def test_read_version_where_prunes_and_is_exact(spark, tmp_path):
+    """The WHERE front door: parseable conjuncts prune files (incl.
+    derived generated-partition predicates from a raw-ts bound);
+    unparseable conjuncts (OR trees, functions) still filter rows —
+    correctness never depends on the parser."""
+    from tms_etl_spark.operators.versioned import read_version_where
+
+    tdir = str(tmp_path / "wherefd")
+    rows = []
+    for d in range(1, 5):
+        for j in range(6):
+            rows.append((d * 10 + j, f"2024-03-0{d} 0{j}:00:00", float(j)))
+    write_version(
+        _ts_df(spark, rows),
+        tdir,
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    got = read_version_where(
+        spark,
+        tdir,
+        "ts >= TIMESTAMP '2024-03-03 00:00:00' AND "
+        "(val = 1.0 OR val = 2.0) AND k < 41",
+    )
+    assert sorted(r["k"] for r in got.collect()) == [31, 32]
+    days = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    # ts bound derived p_day >= 2024-03-03: days 1-2 never scanned
+    assert days <= {"p_day=2024-03-03", "p_day=2024-03-04"}
+    # type-mismatched literal must not raise and must not mis-prune
+    got2 = read_version_where(spark, tdir, "p_day = '2024-03-02'")
+    assert got2.count() == 6
+    assert all("p_day=2024-03-02" in f for f in got2.inputFiles())
+
+
+def test_floor_div_bucket_partition_derivation(spark, tmp_path):
+    """floor(id / N) generated buckets derive range predicates from
+    raw-id filters; a negative divisor would flip ordering and must
+    not match the monotone gate."""
+    from tms_etl_spark.operators.versioned import (
+        _derived_partition_predicates,
+        _manifest_path,
+        _read_json,
+        current_version,
+        read_version_pruned,
+    )
+
+    tdir = str(tmp_path / "floorbucket")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_version(
+        df,
+        tdir,
+        partition_by=["p_b"],
+        partition_exprs={"p_b": "floor(k / 100)"},
+    )
+    got = read_version_pruned(spark, tdir, "k", ">=", 250)
+    assert got.count() == 150
+    buckets = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    assert buckets == {"p_b=2", "p_b=3"}
+
+    man = _read_json(
+        spark, _manifest_path(tdir, current_version(spark, tdir))
+    )
+    assert _derived_partition_predicates(spark, man, [("k", "=", 123)]) == [
+        ("p_b", "=", 1)
+    ]
+    # negative divisor: order-flipping, must NOT derive
+    man2 = dict(man, partition_exprs={"p_b": "floor(k / -100)"})
+    assert _derived_partition_predicates(spark, man2, [("k", "=", 123)]) == []

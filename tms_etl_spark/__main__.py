@@ -190,6 +190,19 @@ def _parser() -> argparse.ArgumentParser:
     tg.add_argument("--col", required=True)
     tg.add_argument("--value", required=True)
     tg.add_argument("--limit", type=int, default=20)
+    tsc = tsub.add_parser(
+        "scan",
+        help="zonemap/partition-pruned snapshot read with a SQL WHERE",
+    )
+    tsc.add_argument("dir")
+    tsc.add_argument(
+        "--where", required=True,
+        help="Spark SQL boolean expr; simple `col op literal` "
+        "conjuncts drive manifest pruning (incl. derived generated-"
+        "partition predicates), the full expr filters rows",
+    )
+    tsc.add_argument("--version", type=int, default=None)
+    tsc.add_argument("--limit", type=int, default=20)
     tti = tsub.add_parser(
         "text-index",
         help="build/extend the inverted token sidecar for keyword search",
@@ -460,6 +473,11 @@ def main(argv: list[str] | None = None) -> int:
             search_token(spark, args.dir, args.col, args.token).show(
                 args.limit, truncate=False
             )
+            return 0
+        if args.table_cmd == "scan":
+            vt.read_version_where(
+                spark, args.dir, args.where, version=args.version
+            ).show(args.limit, truncate=False)
             return 0
         if args.table_cmd == "point":
             from pyspark.sql import functions as F

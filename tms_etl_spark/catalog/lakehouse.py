@@ -38,6 +38,7 @@ from tms_etl_spark.operators.versioned import (
     read_version_pruned_multi,
     read_version_pruned_semijoin,
     read_version_rowdiff,
+    read_version_where,
     write_version,
 )
 from tms_etl_spark.sources.tables import load_table
@@ -579,5 +580,51 @@ def lakehouse_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             dsum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "lakehouse_scan_where",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+      AND (event_type = 'click' OR event_type = 'view')
+      AND value > 10
+    GROUP BY event_type
+    """,
+)
+def lakehouse_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL WHERE front door (`read_version_where`): the raw
+    string's simple conjuncts drive manifest pruning — the ts bound
+    derives a generated-partition predicate, the numeric bound prunes
+    via zonemaps — while the unparseable OR conjunct rides along as
+    residual only. DuckDB checks the whole mixed-predicate path over
+    the original parquet. CLI: ``table scan --where``."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_where_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    write_version(
+        ev,
+        tdir,
+        "append",
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    return (
+        read_version_where(
+            spark,
+            tdir,
+            "ts >= TIMESTAMP '2024-01-20 00:00:00' AND "
+            "(event_type = 'click' OR event_type = 'view') AND value > 10",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
         )
     )

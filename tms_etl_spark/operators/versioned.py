@@ -754,10 +754,13 @@ def _scan_with_deletes(
     scan_dirs = man["dirs"] if dirs is None else dirs
     deletes = man.get("deletes", [])
     dead = set(man.get("dead_files", []))
+    # dirs owning at least one dead file, computed ONCE — the per-dir
+    # membership test is O(1) instead of scanning the dead set per dir
+    dead_dirs = {_rel_dir(df_) for df_ in dead}
 
     def _live_paths(d: str) -> list[str]:
         """Full-dir scan path list, minus this manifest's dead files."""
-        if not any(df_.startswith(d + "/") for df_ in dead):
+        if d not in dead_dirs:
             return [f"{table_dir}/{d}"]
         out = []
         for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
@@ -1116,6 +1119,10 @@ _GEN_MONOTONE = [
         r"^\s*(?i:cast)\(\s*([A-Za-z_]\w*)\s+(?i:as)\s+(?i:date)\s*\)\s*$",
         r"^\s*(?i:date_trunc)\(\s*'(?i:year|quarter|month|week|day|hour)'"
         r"\s*,\s*([A-Za-z_]\w*)\s*\)\s*$",
+        # id-bucket layouts: floor(x / N) for a positive literal N is
+        # non-decreasing (the literal-digits requirement IS the gate —
+        # a negative or column divisor must not match)
+        r"^\s*(?i:floor)\(\s*([A-Za-z_]\w*)\s*/\s*\d+(?:\.\d+)?\s*\)\s*$",
     )
 ]
 
@@ -1179,16 +1186,23 @@ def _file_prunable(entry: dict | None, col: str, op: str, value) -> bool:
     if not entry or col not in entry:
         return False
     mn, mx = entry[col]
-    if op == "=":
-        return value < mn or value > mx
-    if op == "<":
-        return not (mn < value)
-    if op == "<=":
-        return not (mn <= value)
-    if op == ">":
-        return not (mx > value)
-    if op == ">=":
-        return not (mx >= value)
+    try:
+        if op == "=":
+            return value < mn or value > mx
+        if op == "<":
+            return not (mn < value)
+        if op == "<=":
+            return not (mn <= value)
+        if op == ">":
+            return not (mx > value)
+        if op == ">=":
+            return not (mx >= value)
+    except TypeError:
+        # literal/stats type mismatch (e.g. numeric literal against a
+        # string column through the WHERE-string front door): never
+        # prune on a comparison Python can't order — Spark's residual
+        # cast semantics decide the rows
+        return False
     raise ValueError(f"unknown op {op!r} (use one of {_PRUNE_OPS})")
 
 
@@ -1210,79 +1224,26 @@ def read_version_pruned(
     data: a point/range read over a long append history touches the
     few files whose ranges overlap instead of every file of the
     version. Files without stats (legacy manifests, non-orderable
-    columns) are always scanned."""
-    from pyspark.sql import functions as F
-
-    cur = current_version(spark, table_dir)
-    v = version if version is not None else cur
-    if v <= 0 or v > cur:
-        raise ValueError(
-            f"version {v} not committed at {table_dir} (current {cur})"
-        )
-    p = _manifest_path(table_dir, v)
-    if not path_exists(spark, p):
-        raise ValueError(f"version {v} expired at {table_dir}")
-    man = _read_json(spark, p)
-    stats = man.get("stats", {})
-    dead = set(man.get("dead_files", []))
-    pred = {
-        "=": F.col(col) == F.lit(value),
-        "<": F.col(col) < F.lit(value),
-        "<=": F.col(col) <= F.lit(value),
-        ">": F.col(col) > F.lit(value),
-        ">=": F.col(col) >= F.lit(value),
-    }[op]
-    # a filter on a generated column's SOURCE prunes via the derived
-    # partition predicate too (residual stays the user's predicate)
-    prune_preds = [(col, op, value)] + _derived_partition_predicates(
-        spark, man, [(col, op, value)]
+    columns) are always scanned. The single-predicate face of
+    `read_version_pruned_multi` (same pruning, same residual,
+    including derived partition predicates)."""
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"unknown op {op!r} (use one of {_PRUNE_OPS})")
+    return read_version_pruned_multi(
+        spark, table_dir, [(col, op, value)], version
     )
-    keep_dirs: list[str] = []
-    paths_by_dir: dict[str, list[str]] = {}
-    for d in man["dirs"]:
-        files: list[str] = []
-        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
-            rel = _rel_of(fi.path, d)
-            if rel is None or rel in dead:
-                continue
-            if any(
-                _file_prunable(stats.get(rel), c, o, x)
-                for c, o, x in prune_preds
-            ):
-                continue
-            files.append(f"{table_dir}/{rel}")
-        if files:
-            keep_dirs.append(d)
-            paths_by_dir[d] = files
-    if not keep_dirs:
-        schema = _man_schema(man)
-        if schema is None:
-            schema = spark.read.parquet(
-                *[f"{table_dir}/{d}" for d in man["dirs"]]
-            ).schema
-        return spark.createDataFrame([], schema)
-    return _scan_with_deletes(
-        spark, table_dir, man, dirs=keep_dirs, paths_by_dir=paths_by_dir
-    ).where(pred)
 
 
-def read_version_pruned_multi(
+def _pruned_scan(
     spark: SparkSession,
     table_dir: str,
     predicates: list[tuple],
     version: int | None = None,
 ) -> DataFrame:
-    """Conjunctive zonemap pruning: ``predicates`` is a list of
-    (col, op, value) combined with AND — a file is skipped when ANY
-    predicate's zonemap proves it empty (the sound rule for a
-    conjunction), and every surviving row still passes the full
-    residual filter. The multi-column analog of
-    `read_version_pruned`; with range-clustered layout on one column
-    and a selective second predicate this stacks both cuts."""
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
+    """The file-pruned snapshot scan shared by `read_version_pruned`
+    variants: files skipped when ANY conjunct's zonemap (or a derived
+    partition predicate) proves them empty. NO residual applied —
+    callers attach their own row filter."""
     cur = current_version(spark, table_dir)
     v = version if version is not None else cur
     if v <= 0 or v > cur:
@@ -1295,17 +1256,6 @@ def read_version_pruned_multi(
     man = _read_json(spark, p)
     stats = man.get("stats", {})
     dead = set(man.get("dead_files", []))
-    ops = {
-        "=": lambda c, x: F.col(c) == F.lit(x),
-        "<": lambda c, x: F.col(c) < F.lit(x),
-        "<=": lambda c, x: F.col(c) <= F.lit(x),
-        ">": lambda c, x: F.col(c) > F.lit(x),
-        ">=": lambda c, x: F.col(c) >= F.lit(x),
-    }
-    pred = reduce(
-        lambda a, b: a & b,
-        [ops[op](col, val) for col, op, val in predicates],
-    )
     prune_preds = list(predicates) + _derived_partition_predicates(
         spark, man, predicates
     )
@@ -1335,7 +1285,149 @@ def read_version_pruned_multi(
         return spark.createDataFrame([], schema)
     return _scan_with_deletes(
         spark, table_dir, man, dirs=keep_dirs, paths_by_dir=paths_by_dir
-    ).where(pred)
+    )
+
+
+def read_version_pruned_multi(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunctive zonemap pruning: ``predicates`` is a list of
+    (col, op, value) combined with AND — a file is skipped when ANY
+    predicate's zonemap proves it empty (the sound rule for a
+    conjunction), and every surviving row still passes the full
+    residual filter. The multi-column analog of
+    `read_version_pruned`; with range-clustered layout on one column
+    and a selective second predicate this stacks both cuts."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    ops = {
+        "=": lambda c, x: F.col(c) == F.lit(x),
+        "<": lambda c, x: F.col(c) < F.lit(x),
+        "<=": lambda c, x: F.col(c) <= F.lit(x),
+        ">": lambda c, x: F.col(c) > F.lit(x),
+        ">=": lambda c, x: F.col(c) >= F.lit(x),
+    }
+    pred = reduce(
+        lambda a, b: a & b,
+        [ops[op](col, val) for col, op, val in predicates],
+    )
+    return _pruned_scan(spark, table_dir, predicates, version).where(pred)
+
+
+_CONJUNCT_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(>=|<=|=|<|>)\s*(.+?)\s*$"
+)
+_LIT_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+_LIT_STR_RE = re.compile(r"^'((?:[^']|'')*)'$")
+_LIT_TD_RE = re.compile(
+    r"^(?i:(date|timestamp))\s*'([^']+)'$"
+)
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    """Top-level AND-separated conjuncts of a WHERE string — quote-
+    and paren-aware, so an AND inside a string literal or a nested
+    expression never splits. Anything this can't see as a plain
+    conjunct stays intact (and simply won't parse → residual-only)."""
+    out, buf, depth, in_str = [], [], 0, False
+    i, n = 0, len(where)
+    while i < n:
+        ch = where[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and where[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif (
+            depth == 0
+            and ch in "aA"
+            and where[i : i + 3].upper() == "AND"
+            and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_"))
+            and (
+                i + 3 >= n
+                or not (where[i + 3].isalnum() or where[i + 3] == "_")
+            )
+        ):
+            out.append("".join(buf))
+            buf = []
+            i += 2
+        else:
+            buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return [c.strip() for c in out if c.strip()]
+
+
+def _parse_conjunct(conjunct: str):
+    """(col, op, value) for a simple ``col op literal`` conjunct, else
+    None. Literals: numbers, 'strings' ('' unescapes), DATE '...',
+    TIMESTAMP '...' — the types zonemaps and derived partition
+    predicates can act on."""
+    import datetime as _dt
+
+    m = _CONJUNCT_RE.match(conjunct)
+    if not m:
+        return None
+    col, op, lit = m.groups()
+    lit = lit.strip()
+    if _LIT_NUM_RE.match(lit):
+        return (col, op, float(lit) if "." in lit else int(lit))
+    m2 = _LIT_TD_RE.match(lit)
+    if m2:
+        kind, s = m2.group(1).lower(), m2.group(2)
+        try:
+            if kind == "date":
+                return (col, op, _dt.date.fromisoformat(s))
+            return (col, op, _dt.datetime.fromisoformat(s))
+        except ValueError:
+            return None
+    m3 = _LIT_STR_RE.match(lit)
+    if m3:
+        return (col, op, m3.group(1).replace("''", "'"))
+    return None
+
+
+def read_version_where(
+    spark: SparkSession,
+    table_dir: str,
+    where: str,
+    version: int | None = None,
+) -> DataFrame:
+    """SQL front door for pruned snapshot reads: ``where`` is an
+    arbitrary Spark SQL boolean expression; its top-level
+    ``col op literal`` conjuncts drive manifest zonemap pruning (plus
+    derived partition predicates for generated columns) while the
+    ENTIRE string applies as the row filter. Conjuncts the simple
+    parser can't see (functions, OR trees, IN lists) cost nothing in
+    correctness — they just don't prune. This is what a lakehouse
+    format's data-skipping layer does with a query's predicates
+    before handing Spark the surviving files; `register_versioned`
+    views can't do it (a view is a fixed file list), so the CLI's
+    ``table scan --where`` routes here."""
+    from pyspark.sql import functions as F
+
+    preds = [
+        p for c in _split_conjuncts(where) if (p := _parse_conjunct(c))
+    ]
+    base = _pruned_scan(spark, table_dir, preds, version)
+    return base.where(F.expr(where))
 
 
 def read_version_pruned_semijoin(
@@ -1409,8 +1501,11 @@ def read_version_pruned_semijoin(
         if not entry or col not in entry:
             return True  # no stats: conservative, never prune
         mn, mx = entry[col]
-        i = bisect.bisect_left(keys, mn)
-        return i < len(keys) and keys[i] <= mx
+        try:
+            i = bisect.bisect_left(keys, mn)
+            return i < len(keys) and keys[i] <= mx
+        except TypeError:
+            return True  # key/stats type mismatch: never prune
 
     keep_dirs: list[str] = []
     paths_by_dir: dict[str, list[str]] = {}
