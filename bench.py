@@ -267,6 +267,13 @@ HEADLINE = [
     # per run, same posture as the other lakehouse entries).
     "lakehouse_partition_pruned",
     "lakehouse_schema_evolution",
+    # round-14 additions: metadata that does work — the derived
+    # generated-partition pruning read, manifest-level DPP through a
+    # filtered dimension, and the SQL WHERE front door (all build
+    # their versioned table per run, so the write path is timed too)
+    "lakehouse_derived_pruning",
+    "lakehouse_dpp_join",
+    "lakehouse_scan_where",
 ]
 
 

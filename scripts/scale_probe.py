@@ -116,6 +116,10 @@ DEFAULT_QUERIES = [
     "feature_quantile_bin",
     "eval_auc",
     "eval_regression_metrics",
+    # round-14 headliners: DPP through a filtered dimension and the
+    # WHERE front door (derived_pruning is listed above)
+    "lakehouse_dpp_join",
+    "lakehouse_scan_where",
 ]
 
 # SCALE_GRAPH_KEYS=1: also shift l_partkey so the co-purchase GRAPH

@@ -2294,3 +2294,27 @@ def test_broadcast_threshold_parsing_and_size_estimate(spark):
     st = {"n_rows": 100, "columns": {"s": {"avg_len": 12}}}
     assert estimated_size_bytes(st, schema) == 100 * ((8 + 8) + (12 + 16))
     assert estimated_size_bytes({"columns": {}}, schema) is None
+
+
+def test_maintain_table_analyze_refreshes_stats(spark, tdir):
+    """maintain_table(analyze=True) leaves a fresh _stats sidecar for
+    the POST-maintenance version, so stats-driven broadcast planning
+    keeps working across compactions without a separate ANALYZE job."""
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        maintain_table,
+        read_table_stats,
+        write_version,
+    )
+
+    for lo in (0, 50):
+        write_version(_df(spark, lo, lo + 50).repartition(2), tdir, "append")
+    out = maintain_table(spark, tdir, min_file_bytes=1 << 30, analyze=True)
+    assert out["analyzed"] == 100
+    v = current_version(spark, tdir)
+    st = read_table_stats(spark, tdir, v)
+    assert st is not None and st["version"] == v and st["n_rows"] == 100
+    # default stays opt-out: no sidecar for a fresh version
+    write_version(_df(spark, 100, 110), tdir, "append")
+    out2 = maintain_table(spark, tdir, min_file_bytes=1 << 30)
+    assert "analyzed" not in out2

@@ -113,6 +113,11 @@ def _parser() -> argparse.ArgumentParser:
     tmn.add_argument("--keep-last", type=int, default=None)
     tmn.add_argument("--min-file-mb", type=float, default=32.0)
     tmn.add_argument("--target-file-mb", type=float, default=128.0)
+    tmn.add_argument(
+        "--analyze", action="store_true",
+        help="refresh the column-statistics sidecar afterwards (the "
+        "one O(table) step; feeds stats-driven broadcast planning)",
+    )
     te = tsub.add_parser("expire")
     te.add_argument("dir")
     te.add_argument("--keep-last", type=int, default=7)
@@ -379,6 +384,7 @@ def main(argv: list[str] | None = None) -> int:
                 target_file_bytes=int(args.target_file_mb * 1024 * 1024),
                 min_file_bytes=int(args.min_file_mb * 1024 * 1024),
                 keep_last=args.keep_last,
+                analyze=args.analyze,
             )
             print(_json.dumps(out))
             return 0

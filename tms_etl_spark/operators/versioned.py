@@ -2882,6 +2882,7 @@ def maintain_table(
     orphan_grace_hours: float = 24.0,
     stale_lock_seconds: float = 3600.0,
     index_keep_last: int = 2,
+    analyze: bool = False,
 ) -> dict:
     """One-call nightly maintenance — the Delta "OPTIMIZE + VACUUM"
     window as a single idempotent entrypoint, each step already
@@ -2893,7 +2894,12 @@ def maintain_table(
        there is no debt); hive layouts preserved;
     3. `expire_versions` (only when ``keep_last`` is given — version
        retention is a policy decision, not a default);
-    4. `vacuum_indexes` — superseded sidecar generations.
+    4. `vacuum_indexes` — superseded sidecar generations;
+    5. `analyze_table` (only when ``analyze=True`` — the single
+       statistics pass is the one O(table) step here, so it is
+       opt-in): refreshes the `_stats` sidecar for the
+       post-maintenance version, keeping `register_versioned`'s
+       stats-driven broadcast planning fed without a separate job.
 
     Safe while readers are live (readers pin manifests, expire keeps
     the newest ``keep_last``); run in a writer-quiet window like any
@@ -2920,6 +2926,8 @@ def maintain_table(
     out["vacuumed_indexes"] = vacuum_indexes(
         spark, table_dir, keep_last=index_keep_last
     )
+    if analyze:
+        out["analyzed"] = analyze_table(spark, table_dir)["n_rows"]
     return out
 
 
