@@ -960,3 +960,28 @@ def test_floor_div_bucket_partition_derivation(spark, tmp_path):
     # negative divisor: order-flipping, must NOT derive
     man2 = dict(man, partition_exprs={"p_b": "floor(k / -100)"})
     assert _derived_partition_predicates(spark, man2, [("k", "=", 123)]) == []
+
+
+def test_register_versioned_where_prunes_view(spark, tmp_path):
+    """register_versioned(where=...) registers a MANIFEST-pruned view:
+    the view's file list holds only surviving partitions — a filter
+    on a plain view can't do that (its file list is already fixed)."""
+    from tms_etl_spark.operators.versioned import register_versioned
+
+    tdir = str(tmp_path / "regwhere")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("seg"),
+    )
+    write_version(df, tdir, "append", partition_by=["seg"])
+    register_versioned(spark, tdir, "vw_pruned", where="seg = '1' AND k < 31")
+    got = spark.table("vw_pruned")
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(31) if k % 3 == 1
+    ]
+    assert all("seg=1" in f for f in got.inputFiles())
+    # plain view over the same snapshot lists every partition
+    register_versioned(spark, tdir, "vw_plain")
+    assert len(
+        {f.rsplit("/", 2)[1] for f in spark.table("vw_plain").inputFiles()}
+    ) == 3

@@ -947,6 +947,7 @@ def register_versioned(
     version: int | None = None,
     asof=None,
     use_stats: bool = True,
+    where: str | None = None,
 ) -> None:
     """SQL front door for the versioned layer: register the chosen
     snapshot as temp view ``name`` (time travel via ``version`` or
@@ -955,6 +956,12 @@ def register_versioned(
     DESCRIBE-HISTORY equivalent without touching the Python API. The
     view holds the snapshot's PLAN, not its data: queries against it
     still push filters into the manifest-selected file scan.
+
+    ``where``: register a MANIFEST-PRUNED view — the predicate's
+    simple conjuncts skip files/partitions through the zonemaps and
+    derived generated-partition predicates (`read_version_where`)
+    before the view's file list is fixed, which a filter applied ON
+    a plain view can never do (the view already lists every file).
 
     ``use_stats``: when the snapshot has an ANALYZE sidecar proving
     it under `spark.sql.autoBroadcastJoinThreshold`
@@ -970,7 +977,11 @@ def register_versioned(
         version = version_asof(spark, table_dir, asof)
     if version is None:
         version = current_version(spark, table_dir)
-    df = read_version(spark, table_dir, version)
+    df = (
+        read_version_where(spark, table_dir, where, version)
+        if where is not None
+        else read_version(spark, table_dir, version)
+    )
     if use_stats:
         stats = read_table_stats(spark, table_dir, version)
         if stats is not None:
