@@ -985,3 +985,33 @@ def test_register_versioned_where_prunes_view(spark, tmp_path):
     assert len(
         {f.rsplit("/", 2)[1] for f in spark.table("vw_plain").inputFiles()}
     ) == 3
+
+
+def test_where_front_door_stacks_bloom_with_zonemaps(spark, tmp_path):
+    """An equality conjunct consults the Bloom sidecar ON TOP of
+    zonemap pruning: with a random (non-clustered) layout the
+    zonemaps admit every file for a point read, but the bloom cut
+    scans only the admitting file(s) — and values absent from the
+    table scan nothing."""
+    from tms_etl_spark.operators.bloomindex import build_bloom_index
+    from tms_etl_spark.operators.versioned import read_version_where
+
+    tdir = str(tmp_path / "bloomwhere")
+    # 4 single-file commits with INTERLEAVED v ranges (zonemaps wide)
+    # but disjoint id membership (bloom selective)
+    for i in range(4):
+        df = spark.range(0, 1000).select(
+            (F.col("id") * 4 + i).alias("uid"),
+            (F.col("id") % 7).alias("grp"),
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+    build_bloom_index(spark, tdir, "uid")
+
+    got = read_version_where(spark, tdir, "uid = 402 AND grp >= 0")
+    assert [r["uid"] for r in got.collect()] == [402]
+    assert len(got.inputFiles()) < 4  # bloom skipped non-member files
+
+    # absent value: bloom proves no file can match
+    none = read_version_where(spark, tdir, "uid = 999983")
+    assert none.count() == 0
+    assert len(none.inputFiles()) == 0

@@ -210,30 +210,28 @@ def extend_bloom_index(
     return out
 
 
-def read_version_point(
+def bloom_admitted_files(
     spark: SparkSession,
     table_dir: str,
+    man: dict,
     col: str,
     value,
-    version: int | None = None,
-) -> DataFrame:
-    """Point read `col = value` using the Bloom sidecar for file
-    skipping. Exact: bloom-admitted files still pass through the
-    residual filter; files not covered by the sidecar (added after
-    the index build) are conservatively scanned. Falls back to a
-    plain filtered scan when no index exists. The sidecar probe is a
-    metadata-scale aggregate (k words per file), collected as one
-    file list — the same plan-time footprint as zonemap pruning."""
-    cur = current_version(spark, table_dir)
-    v = version if version is not None else cur
-    man = _read_json(spark, _manifest_path(table_dir, v))
-    pred_scan = _scan_with_deletes(spark, table_dir, man)
-    idx = _index_dir(table_dir, col, v)
+    version: int,
+    col_type: str,
+) -> set[str] | None:
+    """The set of canon file paths of version ``version`` that MAY
+    contain ``col = value`` per the Bloom sidecar: bloom-admitted
+    files plus every live-but-unindexed file (conservative). None
+    when no sidecar exists for the column. This is the reusable
+    skipping primitive behind `read_version_point`; the WHERE front
+    door (`versioned.read_version_where`) intersects it with zonemap
+    pruning so equality conjuncts stack both cuts."""
+    idx = _index_dir(table_dir, col, version)
     if not path_exists(spark, idx):
-        return pred_scan.where(F.col(col) == F.lit(value))
+        return None
     # xxhash64 is TYPE-sensitive: probe with the column's exact type
     # or a long column never matches an int literal's hashes
-    lit = F.lit(value).cast(dict(pred_scan.dtypes)[col])
+    lit = F.lit(value).cast(col_type)
     probes = [
         (
             int(r["word"]),
@@ -286,7 +284,35 @@ def read_version_point(
         for rel in rels
     ]
     unindexed = [f for f in all_files if f not in indexed]
-    scan_files = sorted(set(keep) | set(unindexed))
+    return set(keep) | set(unindexed)
+
+
+def read_version_point(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point read `col = value` using the Bloom sidecar for file
+    skipping. Exact: bloom-admitted files still pass through the
+    residual filter; files not covered by the sidecar (added after
+    the index build) are conservatively scanned. Falls back to a
+    plain filtered scan when no index exists. The sidecar probe is a
+    metadata-scale aggregate (k words per file), collected as one
+    file list — the same plan-time footprint as zonemap pruning."""
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    man = _read_json(spark, _manifest_path(table_dir, v))
+    pred_scan = _scan_with_deletes(spark, table_dir, man)
+    lit = F.lit(value).cast(dict(pred_scan.dtypes)[col])
+    admitted = bloom_admitted_files(
+        spark, table_dir, man, col, value, v,
+        dict(pred_scan.dtypes)[col],
+    )
+    if admitted is None:
+        return pred_scan.where(F.col(col) == lit)
+    scan_files = sorted(admitted)
     if not scan_files:
         return pred_scan.where(F.col(col) == lit).limit(0)
     if man.get("deletes"):

@@ -1250,11 +1250,14 @@ def _pruned_scan(
     table_dir: str,
     predicates: list[tuple],
     version: int | None = None,
+    allowed_files: set[str] | None = None,
 ) -> DataFrame:
     """The file-pruned snapshot scan shared by `read_version_pruned`
     variants: files skipped when ANY conjunct's zonemap (or a derived
-    partition predicate) proves them empty. NO residual applied —
-    callers attach their own row filter."""
+    partition predicate) proves them empty. ``allowed_files`` (canon
+    paths) intersects an EXTERNAL admission set — e.g. Bloom-sidecar
+    hits — on top of the zonemap cut. NO residual applied — callers
+    attach their own row filter."""
     cur = current_version(spark, table_dir)
     v = version if version is not None else cur
     if v <= 0 or v > cur:
@@ -1283,7 +1286,11 @@ def _pruned_scan(
                 for col, op, val in prune_preds
             ):
                 continue
-            files.append(f"{table_dir}/{rel}")
+            full = f"{table_dir}/{rel}"
+            if allowed_files is not None:
+                if re.sub(r"^file:/+", "/", full) not in allowed_files:
+                    continue
+            files.append(full)
         if files:
             keep_dirs.append(d)
             paths_by_dir[d] = files
@@ -1431,13 +1438,43 @@ def read_version_where(
     format's data-skipping layer does with a query's predicates
     before handing Spark the surviving files; `register_versioned`
     views can't do it (a view is a fixed file list), so the CLI's
-    ``table scan --where`` routes here."""
+    ``table scan --where`` routes here.
+
+    Equality conjuncts additionally consult the column's Bloom
+    sidecar when one exists (and the snapshot carries no deletion
+    vectors): the admitted-file set INTERSECTS the zonemap cut, so a
+    point predicate on a randomly-laid-out column still skips files
+    zonemaps alone cannot."""
     from pyspark.sql import functions as F
 
     preds = [
         p for c in _split_conjuncts(where) if (p := _parse_conjunct(c))
     ]
-    base = _pruned_scan(spark, table_dir, preds, version)
+    allowed: set[str] | None = None
+    eq_preds = [(c, x) for c, op, x in preds if op == "="]
+    if eq_preds:
+        cur = current_version(spark, table_dir)
+        v = version if version is not None else cur
+        if 0 < v <= cur and path_exists(spark, _manifest_path(table_dir, v)):
+            man = _read_json(spark, _manifest_path(table_dir, v))
+            schema = _man_schema(man)
+            if not man.get("deletes") and schema is not None:
+                from tms_etl_spark.operators.bloomindex import (
+                    bloom_admitted_files,
+                )
+
+                types = {f.name: f.dataType.simpleString() for f in schema}
+                for c, x in eq_preds:
+                    if c not in types:
+                        continue
+                    adm = bloom_admitted_files(
+                        spark, table_dir, man, c, x, v, types[c]
+                    )
+                    if adm is not None:
+                        allowed = adm if allowed is None else allowed & adm
+    base = _pruned_scan(
+        spark, table_dir, preds, version, allowed_files=allowed
+    )
     return base.where(F.expr(where))
 
 
