@@ -1015,3 +1015,85 @@ def test_where_front_door_stacks_bloom_with_zonemaps(spark, tmp_path):
     none = read_version_where(spark, tdir, "uid = 999983")
     assert none.count() == 0
     assert len(none.inputFiles()) == 0
+
+
+def test_where_between_and_in_parse_and_prune(spark, tmp_path):
+    """BETWEEN binds its own AND (splitter) and yields both bounds;
+    IN yields a value-set predicate — both prune files and both also
+    derive generated-partition predicates."""
+    from tms_etl_spark.operators.versioned import (
+        _parse_conjunct_multi,
+        _split_conjuncts,
+        read_version_where,
+    )
+
+    assert _split_conjuncts("a BETWEEN 1 AND 5 AND b = 'x'") == [
+        "a BETWEEN 1 AND 5", "b = 'x'",
+    ]
+    assert _parse_conjunct_multi("a BETWEEN 1 AND 5") == [
+        ("a", ">=", 1), ("a", "<=", 5),
+    ]
+    assert _parse_conjunct_multi("s IN ('x', 'y,z', 'it''s')") == [
+        ("s", "in", ("x", "y,z", "it's")),
+    ]
+    assert _parse_conjunct_multi("k in (1,2,3)") == [("k", "in", (1, 2, 3))]
+    assert _parse_conjunct_multi("k IN (1, other_col)") == []  # not literal
+
+    tdir = str(tmp_path / "betweenin")
+    rows = []
+    for d in range(1, 5):
+        for j in range(4):
+            rows.append((d * 10 + j, f"2024-03-0{d} 0{j}:00:00", float(j)))
+    write_version(
+        _ts_df(spark, rows),
+        tdir,
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    got = read_version_where(
+        spark,
+        tdir,
+        "ts BETWEEN TIMESTAMP '2024-03-02 00:00:00' "
+        "AND TIMESTAMP '2024-03-03 23:00:00'",
+    )
+    assert sorted(r["k"] for r in got.collect()) == [
+        20, 21, 22, 23, 30, 31, 32, 33,
+    ]
+    days = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    assert days == {"p_day=2024-03-02", "p_day=2024-03-03"}
+
+    got2 = read_version_where(
+        spark, tdir, "p_day IN ('2024-03-01', '2024-03-04') AND val >= 2"
+    )
+    assert sorted(r["k"] for r in got2.collect()) == [12, 13, 42, 43]
+    days2 = {f.rsplit("/", 2)[1] for f in got2.inputFiles()}
+    assert days2 == {"p_day=2024-03-01", "p_day=2024-03-04"}
+
+    # IN on the SOURCE column derives the partition images
+    got3 = read_version_where(
+        spark,
+        tdir,
+        "ts IN (TIMESTAMP '2024-03-01 01:00:00', "
+        "TIMESTAMP '2024-03-03 02:00:00')",
+    )
+    assert sorted(r["k"] for r in got3.collect()) == [11, 32]
+    days3 = {f.rsplit("/", 2)[1] for f in got3.inputFiles()}
+    assert days3 == {"p_day=2024-03-01", "p_day=2024-03-03"}
+
+
+def test_where_in_probes_bloom_per_value(spark, tmp_path):
+    """A small IN list unions per-value Bloom admissions: files
+    holding neither value are skipped even with wide zonemaps."""
+    from tms_etl_spark.operators.bloomindex import build_bloom_index
+    from tms_etl_spark.operators.versioned import read_version_where
+
+    tdir = str(tmp_path / "bloomin")
+    for i in range(4):
+        df = spark.range(0, 500).select(
+            (F.col("id") * 4 + i).alias("uid")
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+    build_bloom_index(spark, tdir, "uid")
+    got = read_version_where(spark, tdir, "uid IN (402, 403)")
+    assert sorted(r["uid"] for r in got.collect()) == [402, 403]
+    assert len(got.inputFiles()) <= 2  # the two member files (+FP slack)

@@ -1137,7 +1137,9 @@ _GEN_MONOTONE = [
     )
 ]
 
-_DERIVED_OP = {"=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+_DERIVED_OP = {
+    "=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">=", "in": "in",
+}
 
 
 def _derived_partition_predicates(
@@ -1169,21 +1171,31 @@ def _derived_partition_predicates(
             if m:
                 by_src.setdefault(m.group(1), []).append((pcol, expr))
                 break
+    def _f_of(col: str, expr: str, value):
+        src_t = schema[col].dataType if schema is not None else None
+        lit = F.lit(value)
+        if src_t is not None:
+            lit = lit.cast(src_t)
+        return (
+            spark.range(1)
+            .select(lit.alias(col))
+            .selectExpr(f"({expr}) AS __p")
+            .head()["__p"]
+        )
+
     derived: list[tuple] = []
     for col, op, value in predicates:
         for pcol, expr in by_src.get(col, []):
-            src_t = (
-                schema[col].dataType if schema is not None else None
-            )
-            lit = F.lit(value)
-            if src_t is not None:
-                lit = lit.cast(src_t)
-            fv = (
-                spark.range(1)
-                .select(lit.alias(col))
-                .selectExpr(f"({expr}) AS __p")
-                .head()["__p"]
-            )
+            if op == "in":
+                fvs = tuple(
+                    fv
+                    for fv in (_f_of(col, expr, v) for v in value)
+                    if fv is not None
+                )
+                if fvs and len(fvs) == len(value):
+                    derived.append((pcol, "in", fvs))
+                continue
+            fv = _f_of(col, expr, value)
             if fv is not None:
                 derived.append((pcol, _DERIVED_OP[op], fv))
     return derived
@@ -1198,6 +1210,8 @@ def _file_prunable(entry: dict | None, col: str, op: str, value) -> bool:
         return False
     mn, mx = entry[col]
     try:
+        if op == "in":
+            return not any(mn <= v <= mx for v in value)
         if op == "=":
             return value < mn or value > mx
         if op == "<":
@@ -1350,9 +1364,27 @@ _LIT_TD_RE = re.compile(
 def _split_conjuncts(where: str) -> list[str]:
     """Top-level AND-separated conjuncts of a WHERE string — quote-
     and paren-aware, so an AND inside a string literal or a nested
-    expression never splits. Anything this can't see as a plain
-    conjunct stays intact (and simply won't parse → residual-only)."""
+    expression never splits; the AND that belongs to a pending
+    BETWEEN binds to the BETWEEN, not the conjunction. Anything this
+    can't see as a plain conjunct stays intact (and simply won't
+    parse → residual-only)."""
+
+    def _kw_at(i: int, kw: str) -> bool:
+        n = len(where)
+        return (
+            where[i : i + len(kw)].upper() == kw
+            and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_"))
+            and (
+                i + len(kw) >= n
+                or not (
+                    where[i + len(kw)].isalnum()
+                    or where[i + len(kw)] == "_"
+                )
+            )
+        )
+
     out, buf, depth, in_str = [], [], 0, False
+    pending_between = False
     i, n = 0, len(where)
     while i < n:
         ch = where[i]
@@ -1373,18 +1405,17 @@ def _split_conjuncts(where: str) -> list[str]:
         elif ch in ")]":
             depth -= 1
             buf.append(ch)
-        elif (
-            depth == 0
-            and ch in "aA"
-            and where[i : i + 3].upper() == "AND"
-            and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_"))
-            and (
-                i + 3 >= n
-                or not (where[i + 3].isalnum() or where[i + 3] == "_")
-            )
-        ):
-            out.append("".join(buf))
-            buf = []
+        elif depth == 0 and ch in "bB" and _kw_at(i, "BETWEEN"):
+            pending_between = True
+            buf.append(where[i : i + 7])
+            i += 6
+        elif depth == 0 and ch in "aA" and _kw_at(i, "AND"):
+            if pending_between:
+                pending_between = False
+                buf.append(where[i : i + 3])
+            else:
+                out.append("".join(buf))
+                buf = []
             i += 2
         else:
             buf.append(ch)
@@ -1393,33 +1424,103 @@ def _split_conjuncts(where: str) -> list[str]:
     return [c.strip() for c in out if c.strip()]
 
 
-def _parse_conjunct(conjunct: str):
-    """(col, op, value) for a simple ``col op literal`` conjunct, else
-    None. Literals: numbers, 'strings' ('' unescapes), DATE '...',
-    TIMESTAMP '...' — the types zonemaps and derived partition
-    predicates can act on."""
+_BETWEEN_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+(?i:between)\s+(.+?)\s+(?i:and)\s+(.+?)\s*$"
+)
+_IN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s+(?i:in)\s*\((.+)\)\s*$")
+
+
+def _parse_literal(lit: str):
+    """The Python value of a SQL literal, or None when it isn't one
+    this parser knows. Literals: numbers, 'strings' ('' unescapes),
+    DATE '...', TIMESTAMP '...' — the types zonemaps and derived
+    partition predicates can act on."""
     import datetime as _dt
 
-    m = _CONJUNCT_RE.match(conjunct)
-    if not m:
-        return None
-    col, op, lit = m.groups()
     lit = lit.strip()
     if _LIT_NUM_RE.match(lit):
-        return (col, op, float(lit) if "." in lit else int(lit))
+        return float(lit) if "." in lit else int(lit)
     m2 = _LIT_TD_RE.match(lit)
     if m2:
         kind, s = m2.group(1).lower(), m2.group(2)
         try:
             if kind == "date":
-                return (col, op, _dt.date.fromisoformat(s))
-            return (col, op, _dt.datetime.fromisoformat(s))
+                return _dt.date.fromisoformat(s)
+            return _dt.datetime.fromisoformat(s)
         except ValueError:
             return None
     m3 = _LIT_STR_RE.match(lit)
     if m3:
-        return (col, op, m3.group(1).replace("''", "'"))
+        return m3.group(1).replace("''", "'")
     return None
+
+
+def _split_in_items(body: str) -> list[str]:
+    """Comma-split an IN list body, quote-aware (commas inside string
+    literals don't split)."""
+    items, buf, in_str = [], [], False
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and body[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ",":
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    items.append("".join(buf))
+    return items
+
+
+def _parse_conjunct(conjunct: str):
+    """(col, op, value) for a simple ``col op literal`` conjunct, else
+    None (see `_parse_literal` for the literal forms)."""
+    m = _CONJUNCT_RE.match(conjunct)
+    if not m:
+        return None
+    col, op, lit = m.groups()
+    v = _parse_literal(lit)
+    return None if v is None else (col, op, v)
+
+
+def _parse_conjunct_multi(conjunct: str) -> list[tuple]:
+    """All pruning predicates a conjunct yields: a simple comparison
+    gives one triple; ``col BETWEEN a AND b`` gives the two bounds;
+    ``col IN (v, ...)`` gives one ('in', tuple-of-values) predicate
+    (prunable iff NO value falls inside a file's [min, max] — the
+    same admission rule as the DPP key check). Unknown shapes give
+    [] — residual-only."""
+    p = _parse_conjunct(conjunct)
+    if p is not None:
+        return [p]
+    m = _BETWEEN_RE.match(conjunct)
+    if m:
+        col, lo, hi = m.groups()
+        vlo, vhi = _parse_literal(lo), _parse_literal(hi)
+        out = []
+        if vlo is not None:
+            out.append((col, ">=", vlo))
+        if vhi is not None:
+            out.append((col, "<=", vhi))
+        return out
+    m = _IN_RE.match(conjunct)
+    if m:
+        col, body = m.groups()
+        vals = [_parse_literal(s) for s in _split_in_items(body)]
+        if vals and all(v is not None for v in vals):
+            return [(col, "in", tuple(vals))]
+    return []
 
 
 def read_version_where(
@@ -1448,10 +1549,18 @@ def read_version_where(
     from pyspark.sql import functions as F
 
     preds = [
-        p for c in _split_conjuncts(where) if (p := _parse_conjunct(c))
+        p
+        for c in _split_conjuncts(where)
+        for p in _parse_conjunct_multi(c)
     ]
     allowed: set[str] | None = None
-    eq_preds = [(c, x) for c, op, x in preds if op == "="]
+    # '=' probes the Bloom sidecar directly; a small IN list probes
+    # once per value and unions the admissions (a file may hold any
+    # of the values) — capped so a huge list can't turn plan time
+    # into a probe storm
+    eq_preds = [(c, (x,)) for c, op, x in preds if op == "="] + [
+        (c, x) for c, op, x in preds if op == "in" and len(x) <= 16
+    ]
     if eq_preds:
         cur = current_version(spark, table_dir)
         v = version if version is not None else cur
@@ -1464,14 +1573,26 @@ def read_version_where(
                 )
 
                 types = {f.name: f.dataType.simpleString() for f in schema}
-                for c, x in eq_preds:
+                for c, xs in eq_preds:
                     if c not in types:
                         continue
-                    adm = bloom_admitted_files(
-                        spark, table_dir, man, c, x, v, types[c]
-                    )
-                    if adm is not None:
-                        allowed = adm if allowed is None else allowed & adm
+                    adm_union: set[str] | None = None
+                    for x in xs:
+                        adm = bloom_admitted_files(
+                            spark, table_dir, man, c, x, v, types[c]
+                        )
+                        if adm is None:
+                            adm_union = None
+                            break
+                        adm_union = (
+                            adm if adm_union is None else adm_union | adm
+                        )
+                    if adm_union is not None:
+                        allowed = (
+                            adm_union
+                            if allowed is None
+                            else allowed & adm_union
+                        )
     base = _pruned_scan(
         spark, table_dir, preds, version, allowed_files=allowed
     )
