@@ -1097,3 +1097,39 @@ def test_where_in_probes_bloom_per_value(spark, tmp_path):
     got = read_version_where(spark, tdir, "uid IN (402, 403)")
     assert sorted(r["uid"] for r in got.collect()) == [402, 403]
     assert len(got.inputFiles()) <= 2  # the two member files (+FP slack)
+
+
+def test_dpp_composes_with_generated_partitions(spark, tmp_path):
+    """DPP on the raw TIMESTAMP column prunes generated p_day dirs:
+    the key set maps through the monotone expression in one job and
+    the image set skips every non-matching day — timestamps
+    themselves carry no zonemap, so without the composition nothing
+    would prune."""
+    import datetime
+
+    from tms_etl_spark.operators.versioned import (
+        read_version_pruned_semijoin,
+    )
+
+    tdir = str(tmp_path / "dppgen")
+    rows = []
+    for d in range(1, 5):
+        for j in range(4):
+            rows.append((d * 10 + j, f"2024-03-0{d} 0{j}:00:00", float(j)))
+    write_version(
+        _ts_df(spark, rows),
+        tdir,
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    dim = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 3, 2, 1, 0),),
+            (datetime.datetime(2024, 3, 4, 3, 0),),
+        ],
+        "ts timestamp",
+    )
+    got = read_version_pruned_semijoin(spark, tdir, "ts", dim)
+    assert sorted(r["k"] for r in got.collect()) == [21, 43]
+    days = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    assert days == {"p_day=2024-03-02", "p_day=2024-03-04"}

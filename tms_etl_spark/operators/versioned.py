@@ -1627,9 +1627,14 @@ def read_version_pruned_semijoin(
     it the collect is abandoned and the full snapshot returns with
     the same residual (correct, just unpruned — the documented
     degradation, mirroring Spark falling back to a plain join when
-    the DPP subquery is too big). Derived partition predicates do not
-    apply here (keys are a set, not a range); generated columns
-    still prune when ``col`` IS the partition column."""
+    the DPP subquery is too big).
+
+    Generated partitions compose: when ``col`` is the SOURCE of a
+    monotone generated partition column, the collected keys are
+    mapped through the expression IN ONE Spark job (never per key)
+    and the image set prunes partition dirs too — DPP on a raw
+    timestamp column skips day dirs even though timestamps carry no
+    zonemap of their own."""
     from pyspark.sql import functions as F
 
     cur = current_version(spark, table_dir)
@@ -1666,6 +1671,41 @@ def read_version_pruned_semijoin(
     stats = man.get("stats", {})
     dead = set(man.get("dead_files", []))
 
+    # map the key set through each monotone generated-column expr in
+    # ONE job: the images prune partition dirs on top of the raw-key
+    # zonemap check (a file must admit BOTH to hold a matching row)
+    image_preds: list[tuple] = []
+    exprs = man.get("partition_exprs") or {}
+    for pcol, expr in exprs.items():
+        src = None
+        for pat in _GEN_MONOTONE:
+            m = pat.match(expr)
+            if m:
+                src = m.group(1)
+                break
+        if src != col:
+            continue
+        from pyspark.sql import types as T
+
+        schema = _man_schema(man)
+        if schema is not None and col in schema.fieldNames():
+            kdf = spark.createDataFrame(
+                [(k,) for k in keys], T.StructType([schema[col]])
+            )
+        else:
+            kdf = spark.createDataFrame([(k,) for k in keys], [col])
+        imgs = tuple(
+            sorted(
+                {
+                    r["__p"]
+                    for r in kdf.selectExpr(f"({expr}) AS __p").collect()
+                    if r["__p"] is not None
+                }
+            )
+        )
+        if imgs:
+            image_preds.append((pcol, "in", imgs))
+
     def _has_key_in_range(entry: dict | None) -> bool:
         if not entry or col not in entry:
             return True  # no stats: conservative, never prune
@@ -1685,6 +1725,11 @@ def read_version_pruned_semijoin(
             if rel is None or rel in dead:
                 continue
             if not _has_key_in_range(stats.get(rel)):
+                continue
+            if any(
+                _file_prunable(stats.get(rel), pc, op, imgs)
+                for pc, op, imgs in image_preds
+            ):
                 continue
             files.append(f"{table_dir}/{rel}")
         if files:
