@@ -504,3 +504,24 @@ def test_cli_table_scan_where(spark, tmp_path, capsys):
     # band 2, v>=200 (id>=67 -> 67..79 step 5 plus id>90: 97), id<80 or >90
     assert "67" in out and "72" in out and "77" in out and "97" in out
     assert "82" not in out.split()  # filtered by the OR residual
+
+
+def test_cli_table_scan_asof(spark, tmp_path, capsys):
+    import time
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "scanasof")
+    write_version(spark.range(0, 5).select("id"), tdir, "append")
+    t1 = time.time()
+    write_version(spark.range(100, 105).select("id"), tdir, "append")
+    assert main(
+        ["table", "scan", tdir, "--where", "id >= 0", "--asof", str(t1)]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "4" in out and "103" not in out  # v1 snapshot only
+    assert main(
+        ["table", "scan", tdir, "--where", "id >= 0",
+         "--version", "1", "--asof", str(t1)]
+    ) == 2  # mutually exclusive

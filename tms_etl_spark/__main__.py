@@ -207,6 +207,11 @@ def _parser() -> argparse.ArgumentParser:
         "partition predicates), the full expr filters rows",
     )
     tsc.add_argument("--version", type=int, default=None)
+    tsc.add_argument(
+        "--asof", default=None,
+        help="TIMESTAMP AS OF (epoch seconds or ISO-8601, UTC); "
+        "mutually exclusive with --version",
+    )
     tsc.add_argument("--limit", type=int, default=20)
     tti = tsub.add_parser(
         "text-index",
@@ -481,8 +486,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         if args.table_cmd == "scan":
+            ver = args.version
+            if args.asof is not None:
+                if ver is not None:
+                    print(
+                        "--version and --asof are mutually exclusive",
+                        file=sys.stderr,
+                    )
+                    return 2
+                try:
+                    ts = float(args.asof)
+                except ValueError:
+                    ts = args.asof
+                ver = vt.version_asof(spark, args.dir, ts)
             vt.read_version_where(
-                spark, args.dir, args.where, version=args.version
+                spark, args.dir, args.where, version=ver
             ).show(args.limit, truncate=False)
             return 0
         if args.table_cmd == "point":
