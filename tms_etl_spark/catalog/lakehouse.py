@@ -592,7 +592,7 @@ def lakehouse_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum("value", "total_value")}
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
-      AND (event_type = 'click' OR event_type = 'view')
+      AND event_type IN ('click', 'view')
       AND value > 10
     GROUP BY event_type
     """,
@@ -600,10 +600,11 @@ def lakehouse_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lakehouse_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL WHERE front door (`read_version_where`): the raw
     string's simple conjuncts drive manifest pruning — the ts bound
-    derives a generated-partition predicate, the numeric bound prunes
-    via zonemaps — while the unparseable OR conjunct rides along as
-    residual only. DuckDB checks the whole mixed-predicate path over
-    the original parquet. CLI: ``table scan --where``."""
+    derives a generated-partition predicate, the IN list and the
+    numeric bound prune via zonemaps (and the IN list would probe a
+    Bloom sidecar when one exists). DuckDB checks the whole
+    mixed-predicate path over the original parquet.
+    CLI: ``table scan --where``."""
     tdir = tempfile.mkdtemp(prefix="lakehouse_where_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
@@ -620,7 +621,7 @@ def lakehouse_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             tdir,
             "ts >= TIMESTAMP '2024-01-20 00:00:00' AND "
-            "(event_type = 'click' OR event_type = 'view') AND value > 10",
+            "event_type IN ('click', 'view') AND value > 10",
         )
         .groupBy("event_type")
         .agg(
