@@ -1133,3 +1133,69 @@ def test_dpp_composes_with_generated_partitions(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [21, 43]
     days = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
     assert days == {"p_day=2024-03-02", "p_day=2024-03-04"}
+
+
+def test_where_front_door_never_misprunes_randomized(spark, tmp_path):
+    """Seeded randomized safety net: for random predicate strings over
+    a generated-partition table (mixed =, ranges, BETWEEN, IN, OR
+    residuals), read_version_where must return exactly the rows of
+    the full snapshot filtered by the same expression — pruning can
+    only skip, never lose."""
+    import random
+
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        read_version_where,
+    )
+
+    rng = random.Random(1407)
+    tdir = str(tmp_path / "fuzzwhere")
+    rows = []
+    for d in range(1, 6):
+        for j in range(5):
+            rows.append(
+                (d * 100 + j, f"2024-03-0{d} 0{j}:15:00", float(d * j))
+            )
+    write_version(
+        _ts_df(spark, rows),
+        tdir,
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    full = read_version(spark, tdir)
+    preds = []
+    for _ in range(12):
+        d = rng.randint(1, 6)
+        j = rng.randint(0, 5)
+        choice = rng.randint(0, 5)
+        if choice == 0:
+            preds.append(f"k {rng.choice(['<', '<=', '>', '>=', '='])} {d * 100 + j}")
+        elif choice == 1:
+            preds.append(
+                f"ts BETWEEN TIMESTAMP '2024-03-0{d} 00:00:00' "
+                f"AND TIMESTAMP '2024-03-0{min(d + rng.randint(0, 2), 6)} 23:00:00'"
+            )
+        elif choice == 2:
+            days = ", ".join(
+                f"'2024-03-0{rng.randint(1, 6)}'" for _ in range(rng.randint(1, 3))
+            )
+            preds.append(f"p_day IN ({days})")
+        elif choice == 3:
+            preds.append(f"ts >= TIMESTAMP '2024-03-0{d} 0{j}:00:00'")
+        elif choice == 4:
+            preds.append(f"(val > {d} OR k = {d * 100})")
+        else:
+            preds.append(f"val <= {float(d * j)}")
+    # single conjuncts and random 2-3 way conjunctions
+    cases = preds + [
+        " AND ".join(rng.sample(preds, rng.randint(2, 3))) for _ in range(10)
+    ]
+    for w in cases:
+        want = sorted(
+            (r["k"],) for r in full.where(w).select("k").collect()
+        )
+        got = sorted(
+            (r["k"],)
+            for r in read_version_where(spark, tdir, w).select("k").collect()
+        )
+        assert got == want, w
