@@ -525,3 +525,32 @@ def test_cli_table_scan_asof(spark, tmp_path, capsys):
         ["table", "scan", tdir, "--where", "id >= 0",
          "--version", "1", "--asof", str(t1)]
     ) == 2  # mutually exclusive
+
+
+def test_cli_table_scan_asof_compact_iso_date(spark, tmp_path, capsys):
+    """ADVICE repro: '20990101' is a compact ISO date (year 2099 —
+    resolves the current snapshot), not ~epoch-1970 seconds (which
+    would error with 'no version committed at or before'). ISO parses
+    first; a non-ISO numeric still works as epoch seconds."""
+    import time
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "scanasofiso")
+    write_version(spark.range(0, 3).select("id"), tdir, "append")
+    t1 = time.time()
+    write_version(spark.range(100, 103).select("id"), tdir, "append")
+    assert main(
+        ["table", "scan", tdir, "--where", "id >= 0",
+         "--asof", "20990101"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "101" in out  # resolved to the CURRENT (2099 ≥ now) snapshot
+    # ten-digit epoch strings are not ISO and still parse as seconds
+    assert main(
+        ["table", "scan", tdir, "--where", "id >= 0",
+         "--asof", f"{t1:.3f}"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "2" in out and "101" not in out  # v1 snapshot only

@@ -1154,7 +1154,13 @@ def test_where_front_door_never_misprunes_randomized(spark, tmp_path):
     for d in range(1, 6):
         for j in range(5):
             rows.append(
-                (d * 100 + j, f"2024-03-0{d} 0{j}:15:00", float(d * j))
+                (
+                    d * 100 + j,
+                    # NULL timestamps land in the default partition;
+                    # NULL vals exercise the null-count pruning rules
+                    None if (d + j) % 7 == 0 else f"2024-03-0{d} 0{j}:15:00",
+                    None if (d * j) % 5 == 4 else float(d * j),
+                )
             )
     write_version(
         _ts_df(spark, rows),
@@ -1167,7 +1173,7 @@ def test_where_front_door_never_misprunes_randomized(spark, tmp_path):
     for _ in range(12):
         d = rng.randint(1, 6)
         j = rng.randint(0, 5)
-        choice = rng.randint(0, 5)
+        choice = rng.randint(0, 6)
         if choice == 0:
             preds.append(f"k {rng.choice(['<', '<=', '>', '>=', '='])} {d * 100 + j}")
         elif choice == 1:
@@ -1184,11 +1190,28 @@ def test_where_front_door_never_misprunes_randomized(spark, tmp_path):
             preds.append(f"ts >= TIMESTAMP '2024-03-0{d} 0{j}:00:00'")
         elif choice == 4:
             preds.append(f"(val > {d} OR k = {d * 100})")
+        elif choice == 5:
+            col = rng.choice(["val", "ts", "p_day"])
+            neg = rng.choice(["", "NOT "])
+            preds.append(f"{col} IS {neg}NULL")
         else:
             preds.append(f"val <= {float(d * j)}")
     # single conjuncts and random 2-3 way conjunctions
     cases = preds + [
         " AND ".join(rng.sample(preds, rng.randint(2, 3))) for _ in range(10)
+    ]
+    # the common parenthesized style: every conjunct wrapped
+    cases += [
+        " AND ".join(f"({p})" for p in rng.sample(preds, rng.randint(2, 3)))
+        for _ in range(6)
+    ]
+    # TOP-LEVEL OR and AND-OR mixes: AND binds tighter, so no piece
+    # may prune — these must all go residual-only (the ADVICE repro:
+    # 'a = 1 AND b = 2 OR c = 3' once pruned on a = 1 alone)
+    cases += [" OR ".join(rng.sample(preds, 2)) for _ in range(4)]
+    cases += [
+        f"{rng.choice(preds)} AND {rng.choice(preds)} OR {rng.choice(preds)}"
+        for _ in range(6)
     ]
     for w in cases:
         want = sorted(
@@ -1199,3 +1222,301 @@ def test_where_front_door_never_misprunes_randomized(spark, tmp_path):
             for r in read_version_where(spark, tdir, w).select("k").collect()
         )
         assert got == want, w
+
+
+def test_split_conjuncts_top_level_or_refuses_pruning():
+    """SQL binds AND tighter than OR: 'a = 1 AND b = 2 OR c = 3' means
+    (a=1 AND b=2) OR c=3 — no piece may prune alone, so the splitter
+    returns ZERO conjuncts (everything residual). Parenthesized ORs
+    stay inside their conjunct and split normally."""
+    from tms_etl_spark.operators.versioned import _split_conjuncts
+
+    assert _split_conjuncts("a = 1 AND b = 2 OR c = 3") == []
+    assert _split_conjuncts("a BETWEEN 1 AND 5 OR b = 2") == []
+    assert _split_conjuncts("a = 1 OR b = 2") == []
+    assert _split_conjuncts("x = 'a OR b' AND y = 2") == [
+        "x = 'a OR b'", "y = 2",
+    ]
+    # identifiers containing 'or' are not the keyword
+    assert _split_conjuncts("orders = 1 AND majors >= 2") == [
+        "orders = 1", "majors >= 2",
+    ]
+    assert _split_conjuncts("(a = 1 OR b = 2) AND c = 3") == [
+        "(a = 1 OR b = 2)", "c = 3",
+    ]
+
+
+def test_parse_conjunct_multi_paren_tolerant():
+    """Balanced outer parens unwrap before parsing — wrapped
+    point/range/BETWEEN/IN conjuncts prune like the bare forms; a
+    wrapped DISJUNCTION stays residual-only (the unwrapped text
+    re-routes through the splitter's OR refusal), and a wrapped
+    nested CONJUNCTION contributes every inner conjunct."""
+    from tms_etl_spark.operators.versioned import (
+        _parse_conjunct_multi,
+        _strip_outer_parens,
+    )
+
+    assert _strip_outer_parens("((a = 1))") == "a = 1"
+    # first paren closes mid-string: NOT a wrapper
+    assert _strip_outer_parens("(a = 1) OR (b = 2)") == "(a = 1) OR (b = 2)"
+    assert _parse_conjunct_multi("(a = 1)") == [("a", "=", 1)]
+    assert _parse_conjunct_multi("( a >= 2.5 )") == [("a", ">=", 2.5)]
+    assert _parse_conjunct_multi("(a BETWEEN 1 AND 5)") == [
+        ("a", ">=", 1), ("a", "<=", 5),
+    ]
+    assert _parse_conjunct_multi("(a IN (1, 2))") == [("a", "in", (1, 2))]
+    assert _parse_conjunct_multi("(a = 1 AND b = 2)") == [
+        ("a", "=", 1), ("b", "=", 2),
+    ]
+    # the misprune hazards: no bound may leak out of a disjunction
+    assert _parse_conjunct_multi("(a BETWEEN 1 AND 5 OR b = 2)") == []
+    assert _parse_conjunct_multi("(a = 1 OR b = 2)") == []
+
+
+def test_where_top_level_or_is_exact_and_unpruned(spark, tmp_path):
+    """End-to-end ADVICE repro: a file holding (a=7, c=3) must survive
+    'a = 1 AND b = 2 OR c = 3' — before the OR refusal the splitter
+    emitted a=1 as a pruning predicate and dropped the file."""
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        read_version_where,
+    )
+
+    tdir = str(tmp_path / "orfix")
+    df = spark.createDataFrame(
+        [(1, 2, 0), (7, 0, 3), (5, 5, 5)], "a int, b int, c int"
+    )
+    # one file per row so zonemaps are per-row tight
+    write_version(df.repartitionByRange(3, "a"), tdir)
+    for w in (
+        "a = 1 AND b = 2 OR c = 3",
+        "a BETWEEN 1 AND 5 OR c = 3",
+        "a = 1 OR c = 3",
+    ):
+        want = sorted(
+            tuple(r) for r in read_version(spark, tdir).where(w).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in read_version_where(spark, tdir, w).collect()
+        )
+        assert got == want, w
+        assert (7, 0, 3) in got, w
+
+
+def test_where_paren_conjuncts_prune_files(spark, tmp_path):
+    """The common SQL style '(a >= x) AND (b = y)' prunes exactly like
+    the unwrapped form — same surviving files, same rows."""
+    from tms_etl_spark.operators.versioned import read_version_where
+
+    tdir = str(tmp_path / "parenprune")
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+    bare = read_version_where(spark, tdir, "k >= 200 AND m = 3")
+    wrapped = read_version_where(spark, tdir, "(k >= 200) AND (m = 3)")
+    assert sorted(r["k"] for r in wrapped.collect()) == sorted(
+        r["k"] for r in bare.collect()
+    )
+    assert set(wrapped.inputFiles()) == set(bare.inputFiles())
+    assert len(wrapped.inputFiles()) == 1  # only the k>=200 file
+
+
+def test_dpp_over_cap_fallback_joins_unhinted(spark, tmp_path):
+    """Past max_keys the residual semi-join must NOT carry a broadcast
+    hint: with auto-broadcast disabled the over-cap plan is a
+    shuffled/sort-merge semi-join (Spark's size-based choice), while
+    the under-cap plan still broadcasts via the explicit hint — and
+    both return exactly the plain-join rows."""
+    from tms_etl_spark.operators.versioned import (
+        read_version_pruned_semijoin,
+    )
+
+    tdir = str(tmp_path / "dppcap")
+    fact = spark.range(0, 200).select(
+        F.col("id").alias("fk"), (F.col("id") * 2).alias("v")
+    )
+    write_version(fact, tdir)
+    dim = spark.range(0, 50).select((F.col("id") * 4).alias("fk"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe_thresh = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        over = read_version_pruned_semijoin(
+            spark, tdir, "fk", dim, max_keys=10
+        )
+        over_plan = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in over_plan
+        assert "BroadcastExchange" not in over_plan
+        under = read_version_pruned_semijoin(
+            spark, tdir, "fk", dim, max_keys=1000
+        )
+        under_plan = under._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in under_plan  # hint still applies
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_thresh
+        )
+    want = sorted(r["fk"] for r in fact.join(dim, "fk", "left_semi").collect())
+    assert sorted(r["fk"] for r in over.collect()) == want
+    assert sorted(r["fk"] for r in under.collect()) == want
+
+
+def test_version_asof_naive_datetime_matches_string(spark, tmp_path):
+    """A naive datetime OBJECT and the same instant as an ISO string
+    must resolve to the same version regardless of the host zone —
+    both normalize to UTC before .timestamp()."""
+    import datetime
+    import os
+    import time
+
+    from tms_etl_spark.operators.versioned import version_asof
+
+    tdir = str(tmp_path / "asofdt")
+    write_version(spark.range(3).select(F.col("id")), tdir)
+    time.sleep(0.05)
+    # an instant BETWEEN the two commits, expressed as a naive UTC
+    # wall time: on a UTC-4 host a local interpretation would inflate
+    # the epoch by 4 h and resolve PAST the second commit
+    mid = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    write_version(spark.range(3).select(F.col("id")), tdir, "append")
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        via_str = version_asof(spark, tdir, mid.isoformat())
+        via_dt = version_asof(spark, tdir, mid)
+        assert via_str == via_dt == 1
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_null_count_stats_prune_files(spark, tmp_path):
+    """Per-file null counts recorded at commit drive IS [NOT] NULL
+    pruning: IS NOT NULL skips all-null files, IS NULL skips
+    null-free files — file counts pinned, rows exact."""
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        read_version_pruned,
+        read_version_where,
+    )
+
+    tdir = str(tmp_path / "nullstats")
+    # file A: no nulls; file B: all null; file C: mixed
+    a = spark.createDataFrame([(i, float(i)) for i in range(5)],
+                              "k int, v double").coalesce(1)
+    b = spark.createDataFrame([(i, None) for i in range(10, 15)],
+                              "k int, v double").coalesce(1)
+    c = spark.createDataFrame(
+        [(i, float(i) if i % 2 else None) for i in range(20, 25)],
+        "k int, v double",
+    ).coalesce(1)
+    for df in (a, b, c):
+        write_version(df, tdir, "append")
+    full = read_version(spark, tdir)
+
+    notnull = read_version_where(spark, tdir, "v IS NOT NULL")
+    assert sorted(r["k"] for r in notnull.collect()) == sorted(
+        r["k"] for r in full.where("v IS NOT NULL").collect()
+    )
+    assert len(notnull.inputFiles()) == 2  # the all-null file skipped
+
+    isnull = read_version_where(spark, tdir, "v IS NULL")
+    assert sorted(r["k"] for r in isnull.collect()) == sorted(
+        r["k"] for r in full.where("v IS NULL").collect()
+    )
+    assert len(isnull.inputFiles()) == 2  # the null-free file skipped
+
+    # Python-API face: same pruning through read_version_pruned
+    api = read_version_pruned(spark, tdir, "v", "notnull", None)
+    assert len(api.inputFiles()) == 2
+    assert api.count() == 7
+
+
+def test_schema_evolution_null_backfill_prunes(spark, tmp_path):
+    """The evolution commit backfills the added column's null count
+    on every carried entry by metadata alone — IS NOT NULL on the
+    added column then skips every pre-evolution file at plan time."""
+    import json
+
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        read_version_where,
+    )
+
+    tdir = str(tmp_path / "evonulls")
+    v1 = spark.createDataFrame(
+        [(i, "x") for i in range(10)], "k int, s string"
+    ).coalesce(1)
+    write_version(v1, tdir)
+    v2 = spark.createDataFrame(
+        [(i, "y", float(i)) for i in range(10, 20)],
+        "k int, s string, extra double",
+    ).coalesce(1)
+    write_version(v2, tdir, "append", merge_schema=True)
+
+    man = json.load(open(f"{tdir}/_manifests/v000002.json"))
+    v1_entries = [
+        e for rel, e in man["stats"].items() if "/v000001-" in f"/{rel}"
+    ]
+    assert v1_entries and all(
+        e["__nulls"]["extra"] == e["__rows"] for e in v1_entries
+    )
+
+    got = read_version_where(spark, tdir, "extra IS NOT NULL")
+    want = read_version(spark, tdir).where("extra IS NOT NULL")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    assert len(got.inputFiles()) == 1  # v1 file gone by metadata
+
+
+def test_generated_partition_isnull_derivation(spark, tmp_path):
+    """src IS NULL derives p IS NULL (gated exprs are null-intolerant)
+    — the read plans only the __HIVE_DEFAULT_PARTITION__ dir; the
+    unsound reverse (notnull) is NOT derived but still prunes
+    per-file through the null counts."""
+    from tms_etl_spark.operators.versioned import (
+        _derived_partition_predicates,
+        read_version_where,
+    )
+
+    tdir = str(tmp_path / "gennull")
+    rows = [(1, "2024-03-01 10:00:00", 1.0), (2, None, 2.0),
+            (3, "2024-03-02 11:00:00", 3.0), (4, None, 4.0)]
+    write_version(
+        _ts_df(spark, rows),
+        tdir,
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    man = {"partition_exprs": {"p_day": "date_format(ts, 'yyyy-MM-dd')"}}
+    assert _derived_partition_predicates(
+        spark, man, [("ts", "isnull", None)]
+    ) == [("p_day", "isnull", None)]
+    assert _derived_partition_predicates(
+        spark, man, [("ts", "notnull", None)]
+    ) == []
+
+    got = read_version_where(spark, tdir, "ts IS NULL")
+    assert sorted(r["k"] for r in got.collect()) == [2, 4]
+    assert all(
+        "__HIVE_DEFAULT_PARTITION__" in f for f in got.inputFiles()
+    )
+    got2 = read_version_where(spark, tdir, "ts IS NOT NULL")
+    assert sorted(r["k"] for r in got2.collect()) == [1, 3]
+    assert not any(
+        "__HIVE_DEFAULT_PARTITION__" in f for f in got2.inputFiles()
+    )

@@ -494,10 +494,21 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 2
+                import datetime as _dt
+
+                # ISO-8601 first, mirroring version_asof's parsing
+                # order: float-first would read compact dates like
+                # '20240101' as ~epoch-1970 seconds and silently
+                # resolve the wrong snapshot. Only a non-ISO value is
+                # tried as epoch seconds.
+                ts: object = args.asof
                 try:
-                    ts = float(args.asof)
+                    _dt.datetime.fromisoformat(args.asof)
                 except ValueError:
-                    ts = args.asof
+                    try:
+                        ts = float(args.asof)
+                    except ValueError:
+                        pass  # version_asof raises its clear error
                 ver = vt.version_asof(spark, args.dir, ts)
             vt.read_version_where(
                 spark, args.dir, args.where, version=ver

@@ -488,6 +488,56 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_null_pruning",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_with_bal,
+           {sql_dsum("c_acctbal", "total_bal")}
+    FROM customer
+    WHERE c_custkey % 2 = 1 AND c_acctbal IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_null_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NOT NULL pruning from per-file null counts: v1 commits half
+    of customer WITHOUT a balance column, v2 appends the other half
+    WITH one (schema evolution) — the evolution commit backfills the
+    added column's null count on every pre-evolution file by metadata
+    (null count = row count, zero file reads), so the WHERE front
+    door's ``bal IS NOT NULL`` skips every v1 file at PLAN time
+    (`operators/versioned.py:_file_prunable` null-count rule; the
+    file-count claim is pinned by
+    `test_schema_evolution_null_backfill_prunes`). The oracle is the
+    equivalent residue-class filter over the original table — the
+    added column is null exactly on the v1 rows."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_nulls_")
+    c = load_table(spark, sf_dir, "customer")
+    write_version(
+        c.where(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_mktsegment"
+        ),
+        tdir,
+        "append",
+    )
+    write_version(
+        c.where(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal")
+        ),
+        tdir,
+        "append",
+        merge_schema=True,
+    )
+    return (
+        read_version_where(spark, tdir, "bal IS NOT NULL")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_with_bal"),
+            dsum("bal", "total_bal"),
+        )
+    )
+
+
+@query(
     "lakehouse_derived_pruning",
     oracle=f"""
     SELECT event_type,

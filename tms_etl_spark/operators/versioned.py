@@ -265,9 +265,21 @@ def _dir_file_stats(
     # deletion vectors is then answerable from manifest metadata
     # alone (`count_rows`) — the Delta stats-only-count move
     aggs = [F.count(F.lit(1)).alias("__nrows")]
+    # per-file NULL counts for EVERY column (not just orderable ones:
+    # IS NULL is type-agnostic) ride along too, under the reserved
+    # "__nulls" map — they are what lets `IS [NOT] NULL` conjuncts
+    # prune by metadata (Delta records nullCount per file the same
+    # way): IS NOT NULL skips all-null files, IS NULL skips null-free
+    # ones — the common predicates on evolved-schema tables where old
+    # files null-fill added columns
+    null_cols = [f.name for f in df.schema.fields]
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
+    for c in null_cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nl_{c}")
+        )
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
@@ -282,7 +294,10 @@ def _dir_file_stats(
         rel = _rel_of(r["__f"], rel_dir)
         if rel is None:
             rel = f"{rel_dir}/{r['__f'].rsplit('/', 1)[-1]}"
-        entry = {"__rows": int(r["__nrows"])}
+        entry = {
+            "__rows": int(r["__nrows"]),
+            "__nulls": {c: int(r[f"__nl_{c}"]) for c in null_cols},
+        }
         for c in cols:
             mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
             if mn is None:
@@ -690,7 +705,31 @@ def write_version(
     if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
         # keep only stats for dirs still referenced (overwrite drops)
-        stats = {**prev.get("stats", {}), **stats}
+        prev_stats = prev.get("stats", {})
+        # schema evolution backfills null counts for the ADDED columns
+        # on every carried entry — zero file reads: an old file
+        # null-fills an added column by definition, so its null count
+        # IS its row count. This is what makes `x IS NOT NULL` on an
+        # evolved column skip every pre-evolution file by metadata.
+        old_schema = _man_schema(prev)
+        if old_schema is not None:
+            added_cols = [
+                f.name
+                for f in rec_schema.fields
+                if f.name not in old_schema.fieldNames()
+            ]
+            if added_cols:
+                backfilled = {}
+                for rel, e in prev_stats.items():
+                    n = e.get("__rows")
+                    if isinstance(n, int):
+                        nl = dict(e.get("__nulls", {}))
+                        for c in added_cols:
+                            nl.setdefault(c, n)
+                        e = {**e, "__nulls": nl}
+                    backfilled[rel] = e
+                prev_stats = backfilled
+        stats = {**prev_stats, **stats}
         # tombstones carry forward with their original covers, so the
         # NEW dir is outside them — an append can re-insert a deleted
         # key (overwrite starts a fresh snapshot: deletes drop)
@@ -852,6 +891,12 @@ def version_asof(spark: SparkSession, table_dir: str, ts) -> int:
             parsed = parsed.replace(tzinfo=_dt.timezone.utc)
         ts = parsed.timestamp()
     elif isinstance(ts, _dt.datetime):
+        # same normalization for datetime OBJECTS: a naive datetime
+        # through .timestamp() would use the host's local zone, so the
+        # same instant as a string vs a datetime would resolve to
+        # different versions on non-UTC hosts
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
         ts = ts.timestamp()
     ts = float(ts)
     root = f"{table_dir}/{_MANIFESTS}"
@@ -932,7 +977,7 @@ def describe_detail(
                 c
                 for e in man.get("stats", {}).values()
                 for c in e
-                if c != "__rows"
+                if c not in ("__rows", "__nulls")
             }
         ),
         "n_rows_metadata": count_rows_metadata(man),
@@ -1111,7 +1156,7 @@ def delete_rows(
     return v
 
 
-_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "isnull", "notnull")
 
 
 # Generated-column expressions recognized as NON-DECREASING in their
@@ -1186,6 +1231,18 @@ def _derived_partition_predicates(
     derived: list[tuple] = []
     for col, op, value in predicates:
         for pcol, expr in by_src.get(col, []):
+            if op == "isnull":
+                # every gated expression is null-intolerant (NULL in →
+                # NULL out), so src IS NULL implies p IS NULL — prunes
+                # to the __HIVE_DEFAULT_PARTITION__ dirs by metadata
+                derived.append((pcol, "isnull", None))
+                continue
+            if op == "notnull":
+                # NOT derivable: a non-null source can still map to a
+                # NULL partition value (cast('garbage' AS date),
+                # to_date on an unparseable string) — deriving
+                # p IS NOT NULL would misprune those rows' files
+                continue
             if op == "in":
                 fvs = tuple(
                     fv
@@ -1205,7 +1262,21 @@ def _file_prunable(entry: dict | None, col: str, op: str, value) -> bool:
     """True iff the zonemap PROVES no row of the file can satisfy
     ``col op value``. Missing stats → not prunable (conservative).
     String bounds compare with Python's ordering, which matches
-    Spark's binary UTF-8 ordering on the code-point level."""
+    Spark's binary UTF-8 ordering on the code-point level.
+
+    ``isnull``/``notnull`` (value ignored) prune from the per-file
+    null counts recorded at commit: IS NULL skips null-free files,
+    IS NOT NULL skips all-null files — which is every pre-evolution
+    file for a schema-evolution-added column, since the evolution
+    commit backfills their counts by metadata alone."""
+    if op in ("isnull", "notnull"):
+        nulls = (entry or {}).get("__nulls")
+        if not isinstance(nulls, dict) or col not in nulls:
+            return False  # no null stats: conservative, never prune
+        if op == "isnull":
+            return nulls[col] == 0
+        n = (entry or {}).get("__rows")
+        return isinstance(n, int) and nulls[col] == n
     if not entry or col not in entry:
         return False
     mn, mx = entry[col]
@@ -1343,6 +1414,8 @@ def read_version_pruned_multi(
         "<=": lambda c, x: F.col(c) <= F.lit(x),
         ">": lambda c, x: F.col(c) > F.lit(x),
         ">=": lambda c, x: F.col(c) >= F.lit(x),
+        "isnull": lambda c, x: F.col(c).isNull(),
+        "notnull": lambda c, x: F.col(c).isNotNull(),
     }
     pred = reduce(
         lambda a, b: a & b,
@@ -1367,7 +1440,14 @@ def _split_conjuncts(where: str) -> list[str]:
     expression never splits; the AND that belongs to a pending
     BETWEEN binds to the BETWEEN, not the conjunction. Anything this
     can't see as a plain conjunct stays intact (and simply won't
-    parse → residual-only)."""
+    parse → residual-only).
+
+    A top-level OR makes the WHOLE string a disjunction — SQL binds
+    AND tighter than OR, so ``a = 1 AND b = 2 OR c = 3`` means
+    ``(a = 1 AND b = 2) OR c = 3`` and NONE of its pieces may prune
+    alone (a file failing ``a = 1`` can still hold ``c = 3`` rows).
+    Returns [] in that case: zero pruning conjuncts, everything
+    residual. ORs nested in parentheses stay inside their conjunct."""
 
     def _kw_at(i: int, kw: str) -> bool:
         n = len(where)
@@ -1405,6 +1485,8 @@ def _split_conjuncts(where: str) -> list[str]:
         elif ch in ")]":
             depth -= 1
             buf.append(ch)
+        elif depth == 0 and ch in "oO" and _kw_at(i, "OR"):
+            return []  # top-level disjunction: nothing may prune
         elif depth == 0 and ch in "bB" and _kw_at(i, "BETWEEN"):
             pending_between = True
             buf.append(where[i : i + 7])
@@ -1428,6 +1510,9 @@ _BETWEEN_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s+(?i:between)\s+(.+?)\s+(?i:and)\s+(.+?)\s*$"
 )
 _IN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s+(?i:in)\s*\((.+)\)\s*$")
+_NULL_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+(?i:is)\s+((?i:not)\s+)?(?i:null)\s*$"
+)
 
 
 def _parse_literal(lit: str):
@@ -1483,6 +1568,36 @@ def _split_in_items(body: str) -> list[str]:
     return items
 
 
+def _strip_outer_parens(conjunct: str) -> str:
+    """Peel balanced OUTER parentheses off a conjunct — quote-aware,
+    and only when the opening paren really wraps the whole string
+    (``(a = 1) AND (b = 2)`` post-split gives ``(a = 1)``, which the
+    grammar should see as ``a = 1``; ``(a = 1) OR (b = 2)`` as one
+    conjunct is NOT wrapped — its first paren closes mid-string — and
+    stays intact/residual)."""
+    s = conjunct.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth, in_str = 0, False
+        wraps = True
+        for i, ch in enumerate(s):
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    wraps = False
+                    break
+        if not wraps or depth != 0:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
 def _parse_conjunct(conjunct: str):
     """(col, op, value) for a simple ``col op literal`` conjunct, else
     None (see `_parse_literal` for the literal forms)."""
@@ -1500,7 +1615,22 @@ def _parse_conjunct_multi(conjunct: str) -> list[tuple]:
     ``col IN (v, ...)`` gives one ('in', tuple-of-values) predicate
     (prunable iff NO value falls inside a file's [min, max] — the
     same admission rule as the DPP key check). Unknown shapes give
-    [] — residual-only."""
+    [] — residual-only.
+
+    A parenthesized conjunct — the single most common SQL style,
+    ``(a >= x) AND (b IN (…))`` — is unwrapped and re-routed through
+    the splitter, so it prunes exactly like the bare form (and a
+    paren-wrapped nested conjunction contributes every inner
+    conjunct); the splitter's top-level-OR refusal applies to the
+    unwrapped text too, so ``(a BETWEEN 1 AND 5 OR b = 2)`` stays
+    residual-only instead of leaking its lower bound."""
+    stripped = _strip_outer_parens(conjunct)
+    if stripped != conjunct.strip():
+        return [
+            p
+            for c in _split_conjuncts(stripped)
+            for p in _parse_conjunct_multi(c)
+        ]
     p = _parse_conjunct(conjunct)
     if p is not None:
         return [p]
@@ -1520,6 +1650,9 @@ def _parse_conjunct_multi(conjunct: str) -> list[tuple]:
         vals = [_parse_literal(s) for s in _split_in_items(body)]
         if vals and all(v is not None for v in vals):
             return [(col, "in", tuple(vals))]
+    m = _NULL_RE.match(conjunct)
+    if m:
+        return [(m.group(1), "notnull" if m.group(2) else "isnull", None)]
     return []
 
 
@@ -1627,7 +1760,10 @@ def read_version_pruned_semijoin(
     it the collect is abandoned and the full snapshot returns with
     the same residual (correct, just unpruned — the documented
     degradation, mirroring Spark falling back to a plain join when
-    the DPP subquery is too big).
+    the DPP subquery is too big). The residual's broadcast hint
+    follows the same split: proven-small key sets broadcast; an
+    over-cap dimension joins unhinted so Spark's size-based planning
+    (not a forced hint) chooses the strategy.
 
     Generated partitions compose: when ``col`` is the SOURCE of a
     monotone generated partition column, the collected keys are
@@ -1652,12 +1788,25 @@ def read_version_pruned_semijoin(
     rows = distinct_keys.limit(max_keys + 1).collect()
     residual_keys = keys_df.select(F.col(kc).alias(col)).distinct()
 
-    def _with_residual(df: DataFrame) -> DataFrame:
-        return df.join(F.broadcast(residual_keys), on=col, how="left_semi")
+    def _with_residual(df: DataFrame, hint: bool = True) -> DataFrame:
+        # the residual semi-join is hinted broadcast ONLY on the
+        # ≤max_keys path, where the key set is proven collect-sized;
+        # past the cap the dimension is by definition too wide to
+        # force into executors (a 50M-key dim under an explicit hint
+        # would override autoBroadcastJoinThreshold and OOM exactly
+        # where the cap exists to protect) — Catalyst/AQE pick the
+        # strategy from its actual size instead
+        right = F.broadcast(residual_keys) if hint else residual_keys
+        return df.join(right, on=col, how="left_semi")
 
     if len(rows) > max_keys:
-        # dimension side too wide to collect: unpruned but exact
-        return _with_residual(_scan_with_deletes(spark, table_dir, man))
+        # dimension side too wide to collect: unpruned but exact,
+        # and unhinted — the two documented degradation regimes are
+        # (≤cap: pruned scan + broadcast residual) and (>cap: full
+        # scan + size-planned semi-join)
+        return _with_residual(
+            _scan_with_deletes(spark, table_dir, man), hint=False
+        )
     keys = sorted(r["__k"] for r in rows if r["__k"] is not None)
     if not keys:
         schema = _man_schema(man)

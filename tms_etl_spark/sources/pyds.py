@@ -297,11 +297,22 @@ def _commit_pending_pure_python(
         # per-file row count (same "__rows" key the JVM path records)
         # keeps metadata-only COUNT(*) exact across writer mixes
         entry: dict = {"__rows": meta.num_rows}
+        # per-column null counts (same "__nulls" key): parquet column
+        # chunks carry null_count natively, so IS [NOT] NULL pruning
+        # works on pure-Python commits too; a chunk without the stat
+        # poisons that column's count (absent = unknown, never 0)
+        nulls: dict[str, int] = {}
+        null_unknown: set[str] = set()
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 st = col.statistics
+                name = col.path_in_schema
+                if st is None or st.null_count is None:
+                    null_unknown.add(name)
+                else:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
                 if st is None or not st.has_min_max:
                     continue
                 mn, mx = st.min, st.max
@@ -326,6 +337,11 @@ def _commit_pending_pure_python(
                                    max(entry[name][1], mx)]
                 else:
                     entry[name] = [mn, mx]
+        known_nulls = {
+            k: n for k, n in nulls.items() if k not in null_unknown
+        }
+        if known_nulls:
+            entry["__nulls"] = known_nulls
         rel = f"{pending_rel}/{os.path.basename(fp)}"
         stats[rel] = entry
 
