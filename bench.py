@@ -274,6 +274,10 @@ HEADLINE = [
     "lakehouse_derived_pruning",
     "lakehouse_dpp_join",
     "lakehouse_scan_where",
+    # round-15 addition: schema-evolution null-count pruning through
+    # the WHERE front door (builds its versioned table per run — the
+    # evolution commit's metadata backfill is inside the timing)
+    "lakehouse_null_pruning",
 ]
 
 

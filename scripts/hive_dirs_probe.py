@@ -83,6 +83,7 @@ def probe(spark, n_dirs: int) -> dict:
     from tms_etl_spark.operators.versioned import (
         optimize_version,
         read_version,
+        read_version_pruned,
     )
 
     root = tempfile.mkdtemp(prefix=f"hivedirs{n_dirs}_")
@@ -96,6 +97,19 @@ def probe(spark, n_dirs: int) -> dict:
     got = df.count()
     count_s = time.perf_counter() - t0
     assert got == expect, (got, expect)
+
+    # PRUNED read at high dir count: plan-time file lists come from
+    # the manifest's stats keys (r8), so a selective read never lists
+    # the store — this should stay near-constant in n_dirs, and the
+    # point read touches exactly one file
+    t0 = time.perf_counter()
+    pruned = read_version_pruned(spark, t, "id", "=", expect - 1)
+    n_files = len(pruned.inputFiles())
+    plan_pruned_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got_p = pruned.count()
+    count_pruned_s = time.perf_counter() - t0
+    assert got_p == 1 and n_files == 1, (got_p, n_files)
 
     optimize_version(spark, t, partition_by=["p_k"])
     t0 = time.perf_counter()
@@ -111,6 +125,8 @@ def probe(spark, n_dirs: int) -> dict:
         "rows": expect,
         "plan_s": round(plan_s, 3),
         "count_s": round(count_s, 3),
+        "plan_pruned_s": round(plan_pruned_s, 3),
+        "count_pruned_s": round(count_pruned_s, 3),
         "plan_compacted_s": round(plan_compacted_s, 3),
         "count_compacted_s": round(count_compacted_s, 3),
     }

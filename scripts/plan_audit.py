@@ -468,7 +468,42 @@ AUDIT = [
         "LEFT SEMI against the key set — no shuffle of the fact side "
         "for the join, one partial-combined aggregate after",
     ),
+    (
+        "lakehouse_scan_where",
+        ["PushedFilters", "HashAggregate", "partial_count"],
+        "SQL WHERE front door: simple conjuncts fix the file list at "
+        "plan time (derived p_day predicate + zonemap + Bloom "
+        "admission — pruned files never appear in the scan), the "
+        "full predicate remains pushed as the row filter, and the "
+        "aggregate partial-combines map-side",
+    ),
+    (
+        "lakehouse_null_pruning",
+        ["PushedFilters", "HashAggregate", "partial_count"],
+        "IS NOT NULL over an evolved column: the backfilled per-file "
+        "null counts drop every pre-evolution file from the plan's "
+        "file index by metadata; the IsNotNull residual is pushed to "
+        "the surviving scan, then one partial-combined aggregate",
+    ),
 ]
+
+
+def audit_list() -> list[tuple[str, list[str], str]]:
+    """The audited query list, DERIVED from bench.py's HEADLINE (so a
+    new headliner can never skip audit — the r7 lakehouse_scan_where
+    gap) plus every additionally-annotated non-headline query. Names
+    with no annotation get an empty needle list: their plan is still
+    dumped for review."""
+    import bench
+
+    by_name = {name: (needles, why) for name, needles, why in AUDIT}
+    names = list(bench.HEADLINE)
+    names += [n for n, _, _ in AUDIT if n not in set(names)]
+    default = (
+        [],
+        "headliner without annotated plan properties — dumped for review",
+    )
+    return [(n, *by_name.get(n, default)) for n in names]
 
 
 def main() -> None:
@@ -477,14 +512,23 @@ def main() -> None:
     catalog.load_all()
     spark = get_spark(app_name="plan_audit")
 
+    import bench
+
+    audits = audit_list()
+    unknown = [n for n, _, _ in audits if n not in catalog.QUERIES]
+    if unknown:
+        raise SystemExit(f"audit names not in catalog: {unknown}")
+
     out = [
         f"# PLANS_r{round_tag} — physical-plan audit at {sf_dir}",
         "",
-        "Checklist: each headline query's formatted plan plus the scale",
-        "properties it must exhibit (asserted in tests/test_plans.py).",
+        "Checklist: every bench HEADLINE query (list derived from",
+        "bench.py, so coverage is structural) plus additional",
+        "annotated queries; scale properties asserted in",
+        "tests/test_plans.py.",
         "",
     ]
-    for name, needles, why in AUDIT:
+    for name, needles, why in audits:
         df = catalog.QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -509,8 +553,14 @@ def main() -> None:
     path = f"PLANS_r{round_tag}.md"
     with open(path, "w") as f:
         f.write("\n".join(out))
+    # self-check: every headliner has a section (structural, but
+    # verified against the artifact so a regression is loud)
+    body = "\n".join(out)
+    unsectioned = [
+        n for n in bench.HEADLINE if f"## {n}" not in body
+    ]
     missing = []
-    for name, needles, _ in AUDIT:
+    for name, needles, _ in audits:
         df = catalog.QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -518,7 +568,12 @@ def main() -> None:
             )
         )
         missing += [f"{name}:{n}" for n in needles if n not in plan]
-    print(f"wrote {path}; missing properties: {missing or 'none'}")
+    print(
+        f"wrote {path}; missing properties: {missing or 'none'}; "
+        f"headliners without a section: {unsectioned or 'none'}"
+    )
+    if unsectioned:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

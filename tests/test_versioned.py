@@ -2318,3 +2318,149 @@ def test_maintain_table_analyze_refreshes_stats(spark, tdir):
     write_version(_df(spark, 100, 110), tdir, "append")
     out2 = maintain_table(spark, tdir, min_file_bytes=1 << 30)
     assert "analyzed" not in out2
+
+
+def test_merge_source_broadcast_decision(spark, tmp_path):
+    """Stats-driven broadcast for MERGE's source/target joins: the
+    exact distinct count × key width proves the key side small —
+    fixed-width keys hint immediately, string keys only with an
+    ANALYZE sidecar providing avg_len (a guessed width could
+    force-broadcast a huge set), and a disabled threshold never
+    hints. End to end, a deletion-vectored merge commits the same
+    state with the hint on or off."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        _source_keys_broadcastable,
+        analyze_table,
+        delete_rows,
+        merge_version,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "mergestats")
+    df = spark.createDataFrame(
+        [(i, f"name-{i}", float(i)) for i in range(100)],
+        "k int, s string, v double",
+    )
+    write_version(df, tdir)
+    ikey = read_version(spark, tdir).schema["k"]
+    skey = read_version(spark, tdir).schema["s"]
+    assert _source_keys_broadcastable(spark, tdir, ikey, 1000)
+    assert not _source_keys_broadcastable(spark, tdir, ikey, 10**9)
+    # string key: refused without a sidecar, allowed with one
+    assert not _source_keys_broadcastable(spark, tdir, skey, 1000)
+    analyze_table(spark, tdir)
+    assert _source_keys_broadcastable(spark, tdir, skey, 1000)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not _source_keys_broadcastable(spark, tdir, ikey, 10)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # deletion-vectored target, then merge with/without the hint
+    delete_rows(
+        spark, tdir, spark.range(0, 50).select(F.col("id").alias("k"))
+    )
+    src = spark.createDataFrame(
+        [(i, f"upd-{i}", -1.0) for i in range(40, 60)],
+        "k int, s string, v double",
+    )
+    merge_version(spark, tdir, src, key="k", use_stats=True)
+    hinted = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    tdir2 = str(tmp_path / "mergestats2")
+    write_version(df, tdir2)
+    delete_rows(
+        spark, tdir2, spark.range(0, 50).select(F.col("id").alias("k"))
+    )
+    merge_version(spark, tdir2, src, key="k", use_stats=False)
+    plain = sorted(tuple(r) for r in read_version(spark, tdir2).collect())
+    assert hinted == plain
+    assert (45, "upd-45", -1.0) in hinted  # deleted key re-inserted
+    assert (99, "name-99", 99.0) in hinted  # untouched row survives
+
+
+def test_register_history_limit_bounds_manifest_reads(spark, tmp_path):
+    """`register_versioned` reads O(history_limit) manifests, newest
+    first — not O(versions) — and the __history view holds exactly
+    the newest surviving entries."""
+    from tms_etl_spark.operators import versioned as V
+
+    tdir = str(tmp_path / "histcap")
+    for i in range(8):
+        V.write_version(spark.range(i, i + 3).select("id"), tdir, "append")
+
+    calls = {"n": 0}
+    orig = V._read_json
+
+    def counting(spark_, path):
+        calls["n"] += 1
+        return orig(spark_, path)
+
+    V._read_json = counting
+    try:
+        V.register_versioned(
+            spark, tdir, "histcap_t", use_stats=False, history_limit=3
+        )
+    finally:
+        V._read_json = orig
+    got = [
+        r["version"]
+        for r in spark.sql(
+            "SELECT version FROM histcap_t__history ORDER BY version"
+        ).collect()
+    ]
+    assert got == [6, 7, 8]
+    # 1 snapshot manifest (read_version) + 3 history manifests
+    assert calls["n"] <= 5, calls["n"]
+    spark.catalog.dropTempView("histcap_t")
+    spark.catalog.dropTempView("histcap_t__history")
+
+
+def test_pruned_reads_plan_from_manifest_file_lists(spark, tmp_path):
+    """Plan-time file lists come from the manifest's stats keys — a
+    pruned read (zonemap and DPP alike) never calls `list_files` on a
+    stats-bearing table; a legacy stat-less manifest falls back to
+    listing and still answers."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators import versioned as V
+
+    tdir = str(tmp_path / "manlist")
+    for lo in (0, 100):
+        V.write_version(
+            spark.range(lo, lo + 100).select(F.col("id").alias("k")),
+            tdir,
+            "append",
+        )
+
+    def boom(spark_, path, *a, **kw):
+        # version resolution legitimately lists _manifests; DATA
+        # listings are what the manifest file lists must eliminate
+        if "/data" in path.replace(tdir, ""):
+            raise AssertionError(f"pruned read listed data: {path}")
+        return orig(spark_, path, *a, **kw)
+
+    orig = V.list_files
+    V.list_files = boom
+    try:
+        got = V.read_version_pruned(spark, tdir, "k", ">=", 150)
+        assert got.count() == 50
+        dim = spark.createDataFrame([(5,), (105,)], "k int")
+        semi = V.read_version_pruned_semijoin(spark, tdir, "k", dim)
+        assert sorted(r["k"] for r in semi.collect()) == [5, 105]
+    finally:
+        V.list_files = orig
+
+    # legacy manifest: strip stats → fallback listing still exact
+    man_path = f"{tdir}/_manifests/v000002.json"
+    man = json.load(open(man_path))
+    man["stats"] = {}
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+    got2 = V.read_version_pruned(spark, tdir, "k", ">=", 150)
+    assert got2.count() == 50

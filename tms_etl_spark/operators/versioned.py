@@ -797,10 +797,17 @@ def _scan_with_deletes(
     # membership test is O(1) instead of scanning the dead set per dir
     dead_dirs = {_rel_dir(df_) for df_ in dead}
 
+    by_stats = _stats_rel_files(man)
+
     def _live_paths(d: str) -> list[str]:
-        """Full-dir scan path list, minus this manifest's dead files."""
+        """Full-dir scan path list, minus this manifest's dead files —
+        from the manifest's own file list when recorded, one listing
+        for legacy stat-less dirs."""
         if d not in dead_dirs:
             return [f"{table_dir}/{d}"]
+        rels = by_stats.get(d)
+        if rels is not None:
+            return [f"{table_dir}/{rel}" for rel in rels]
         out = []
         for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
             rel = _rel_of(fi.path, d)
@@ -993,6 +1000,7 @@ def register_versioned(
     asof=None,
     use_stats: bool = True,
     where: str | None = None,
+    history_limit: int | None = 100,
 ) -> None:
     """SQL front door for the versioned layer: register the chosen
     snapshot as temp view ``name`` (time travel via ``version`` or
@@ -1015,7 +1023,11 @@ def register_versioned(
     Catalyst cannot see the size itself: a snapshot with deletion
     vectors reads through an anti-join, whose output size estimate is
     opaque, so an actually-tiny dimension table would otherwise
-    sort-merge every join against it."""
+    sort-merge every join against it.
+
+    ``history_limit``: the ``__history`` view keeps the newest N
+    surviving versions (default 100; None = all) — registration cost
+    is O(limit) manifest reads even against a years-old table."""
     if asof is not None and version is not None:
         raise ValueError("version and asof are mutually exclusive")
     if asof is not None:
@@ -1038,12 +1050,26 @@ def register_versioned(
                 df = F.broadcast(df)
     df.createOrReplaceTempView(name)
     cur = current_version(spark, table_dir)
+    # the history view walks manifests NEWEST-first and stops at
+    # ``history_limit`` surviving entries (None = full history) — a
+    # registration against a long-lived table costs O(limit) JSON
+    # reads, not O(versions); each manifest is read exactly once
     rows = []
-    for h in history(spark, table_dir):
-        man = _read_json(spark, _manifest_path(table_dir, h.version))
-        rows.append(
-            (h.version, h.n_dirs, h.op, man.get("committed_at"))
-        )
+    v = cur
+    while v >= 1 and (history_limit is None or len(rows) < history_limit):
+        p = _manifest_path(table_dir, v)
+        if path_exists(spark, p):
+            man_h = _read_json(spark, p)
+            rows.append(
+                (
+                    v,
+                    len(man_h["dirs"]),
+                    man_h.get("op", "?"),
+                    man_h.get("committed_at"),
+                )
+            )
+        v -= 1
+    rows.reverse()
     spark.createDataFrame(
         rows or [(0, 0, "none", None)],
         "version int, n_dirs int, op string, committed_at double",
@@ -1354,18 +1380,18 @@ def _pruned_scan(
         raise ValueError(f"version {v} expired at {table_dir}")
     man = _read_json(spark, p)
     stats = man.get("stats", {})
-    dead = set(man.get("dead_files", []))
     prune_preds = list(predicates) + _derived_partition_predicates(
         spark, man, predicates
     )
+    # file lists come from the manifest itself (stats keys), not
+    # filesystem listings — plan time is O(manifest), independent of
+    # dir/file count; only legacy stat-less dirs pay one listing each
+    live = _live_rel_files(spark, table_dir, man)
     keep_dirs: list[str] = []
     paths_by_dir: dict[str, list[str]] = {}
     for d in man["dirs"]:
         files: list[str] = []
-        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
-            rel = _rel_of(fi.path, d)
-            if rel is None or rel in dead:
-                continue
+        for rel in live[d]:
             if any(
                 _file_prunable(stats.get(rel), col, op, val)
                 for col, op, val in prune_preds
@@ -1818,7 +1844,6 @@ def read_version_pruned_semijoin(
     import bisect
 
     stats = man.get("stats", {})
-    dead = set(man.get("dead_files", []))
 
     # map the key set through each monotone generated-column expr in
     # ONE job: the images prune partition dirs on top of the raw-key
@@ -1865,14 +1890,12 @@ def read_version_pruned_semijoin(
         except TypeError:
             return True  # key/stats type mismatch: never prune
 
+    live = _live_rel_files(spark, table_dir, man)
     keep_dirs: list[str] = []
     paths_by_dir: dict[str, list[str]] = {}
     for d in man["dirs"]:
         files: list[str] = []
-        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
-            rel = _rel_of(fi.path, d)
-            if rel is None or rel in dead:
-                continue
+        for rel in live[d]:
             if not _has_key_in_range(stats.get(rel)):
                 continue
             if any(
@@ -2169,20 +2192,49 @@ def _canon_file_path(p: str) -> str:
     return os.path.normpath(os.path.abspath(p))
 
 
+def _stats_rel_files(man: dict) -> dict[str, list[str]]:
+    """Per referenced dir, the LIVE rel file paths recorded in the
+    manifest's own stats map — zero filesystem calls. Complete by
+    construction for stats-bearing commits: every commit path records
+    one stats entry per file of its new dir (zero-row part files
+    excepted — nothing to scan in those), dirs are immutable once
+    committed, and physical cleanup is whole-dir only
+    (`expire_versions`). Dirs with no entry (legacy stat-less
+    manifests) are absent from the result — callers fall back to one
+    listing for those."""
+    dead = set(man.get("dead_files", []))
+    known = set(man["dirs"])
+    out: dict[str, list[str]] = {}
+    for rel in man.get("stats", {}):
+        d = _rel_dir(rel)
+        if d in known and rel not in dead:
+            out.setdefault(d, []).append(rel)
+    for rels in out.values():
+        rels.sort()
+    return out
+
+
 def _live_rel_files(
     spark: SparkSession, table_dir: str, man: dict
 ) -> dict[str, list[str]]:
-    """Per referenced dir, the rel paths of its LIVE parquet files
-    (listing metadata minus this manifest's dead set)."""
+    """Per referenced dir, the rel paths of its LIVE parquet files —
+    manifest metadata when the dir's commit recorded per-file stats
+    (plan time independent of file count; the Delta/Iceberg move of
+    planning from the log, never the store), one listing per
+    stat-less legacy dir otherwise."""
     dead = set(man.get("dead_files", []))
+    by_stats = _stats_rel_files(man)
     out: dict[str, list[str]] = {}
     for d in man["dirs"]:
-        files = []
-        for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet"):
-            rel = _rel_of(fi.path, d)
-            if rel is not None and rel not in dead:
-                files.append(rel)
-        out[d] = files
+        rels = by_stats.get(d)
+        if rels is None:
+            rels = sorted(
+                rel
+                for fi in list_files(spark, f"{table_dir}/{d}", "*.parquet")
+                if (rel := _rel_of(fi.path, d)) is not None
+                and rel not in dead
+            )
+        out[d] = rels
     return out
 
 
@@ -2195,6 +2247,45 @@ def _dir_has_parquet(spark: SparkSession, path: str) -> bool:
     )
 
 
+def _source_keys_broadcastable(
+    spark: SparkSession,
+    table_dir: str,
+    key_field,
+    n_distinct: int,
+) -> bool:
+    """Whether MERGE's distinct-source-key side is PROVEN under the
+    broadcast threshold: exact distinct count (already computed for
+    the duplicate check — free) × per-key width. Fixed-width types
+    carry their Catalyst width; a string key needs the TARGET's
+    ANALYZE sidecar for the column's avg byte length (the key column
+    is shared by construction, so the target's average is an honest
+    prior) — without a sidecar a string key is never hinted, because
+    a guessed width could force-broadcast a secretly-huge key set.
+    This closes the estimate blindness `register_versioned` closes
+    for reads: a MERGE source that is itself a deletion-vectored
+    snapshot (CDC-style pipelines) reads through an anti-join whose
+    size Catalyst overestimates from file bytes, so the probe
+    semi-join and the CoW anti-join would sort-merge a provably tiny
+    key set."""
+    thresh = _broadcast_threshold_bytes(spark)
+    if thresh <= 0:
+        return False
+    t = key_field.dataType.simpleString()
+    if t in _FIXED_WIDTHS:
+        width = _FIXED_WIDTHS[t] + 8
+    elif t.startswith("decimal"):
+        width = 16 + 8
+    elif t == "string":
+        sidecar = read_table_stats(spark, table_dir)
+        col = (sidecar or {}).get("columns", {}).get(key_field.name, {})
+        if "avg_len" not in col:
+            return False
+        width = int(col["avg_len"]) + 8 + 8
+    else:
+        return False  # nested/unknown key type: never hint
+    return n_distinct * width <= thresh
+
+
 def merge_version(
     spark: SparkSession,
     table_dir: str,
@@ -2204,6 +2295,7 @@ def merge_version(
     txn_id: str | None = None,
     cluster_by: str | None = None,
     cluster_partitions: int | None = None,
+    use_stats: bool = True,
 ) -> int:
     """MERGE INTO for the versioned layer — copy-on-write upsert
     (``when_matched="update"``: matched target rows are replaced by
@@ -2237,7 +2329,15 @@ def merge_version(
     by definition) and, for "update", the table's schema. Same
     txn-idempotence and conditional-commit protocol as
     `write_version`; generalizes the reference's per-row upsert loop
-    (/root/reference/src/main_01.py) to a file-skipping bulk MERGE."""
+    (/root/reference/src/main_01.py) to a file-skipping bulk MERGE.
+
+    ``use_stats``: when the exact distinct-key count (computed above
+    anyway) × key width — ANALYZE-sidecar avg_len for string keys —
+    proves the source-key side under the broadcast threshold, both
+    source/target joins carry a broadcast hint on it, closing the
+    same size-estimate blindness `register_versioned(use_stats=True)`
+    closes for reads (an opaque/deletion-vectored source would
+    otherwise sort-merge the discovery probe AND the CoW anti-join)."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -2288,6 +2388,16 @@ def merge_version(
         F.min(key).alias("mn"), F.max(key).alias("mx")
     ).head()
     src_keys = source_df.select(key).distinct()
+    # stats-driven broadcast for BOTH source/target joins (the probe
+    # semi-join and the CoW anti-join): the exact distinct count from
+    # the duplicate check above × key width (ANALYZE sidecar for
+    # string avg_len) proves the key side small even when Catalyst's
+    # estimate of an opaque source (post-shuffle, deletion-vectored
+    # snapshot) says otherwise — see `_source_keys_broadcastable`
+    if use_stats and _source_keys_broadcastable(
+        spark, table_dir, source_df.schema[key], int(nd["d"])
+    ):
+        src_keys = F.broadcast(src_keys)
 
     # 1. zonemap skip + 2. exact discovery
     stats = man.get("stats", {})
