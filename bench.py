@@ -274,10 +274,13 @@ HEADLINE = [
     "lakehouse_derived_pruning",
     "lakehouse_dpp_join",
     "lakehouse_scan_where",
-    # round-15 addition: schema-evolution null-count pruning through
-    # the WHERE front door (builds its versioned table per run — the
-    # evolution commit's metadata backfill is inside the timing)
+    # round-15 additions: schema-evolution null-count pruning through
+    # the WHERE front door, disjunction-aware data skipping, and
+    # tag-protected retention (each builds its versioned table per
+    # run — commit/expire metadata work is inside the timing)
     "lakehouse_null_pruning",
+    "lakehouse_scan_where_or",
+    "lakehouse_tag_retention",
 ]
 
 

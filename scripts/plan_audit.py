@@ -478,6 +478,14 @@ AUDIT = [
         "aggregate partial-combines map-side",
     ),
     (
+        "lakehouse_scan_where_or",
+        ["PushedFilters", "HashAggregate", "partial_count"],
+        "disjunction-aware skipping: a file is pruned only when EVERY "
+        "disjunct group proves it empty, so the time-complement OR "
+        "drops the middle day dirs from the plan's file index while "
+        "the full OR predicate stays pushed as the row filter",
+    ),
+    (
         "lakehouse_null_pruning",
         ["PushedFilters", "HashAggregate", "partial_count"],
         "IS NOT NULL over an evolved column: the backfilled per-file "

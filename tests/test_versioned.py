@@ -2464,3 +2464,73 @@ def test_pruned_reads_plan_from_manifest_file_lists(spark, tmp_path):
         json.dump(man, fh)
     got2 = V.read_version_pruned(spark, tdir, "k", ">=", 150)
     assert got2.count() == 50
+
+
+def test_tags_protect_snapshots_from_expire(spark, tmp_path):
+    """Iceberg-style tags: immutable named refs, protected from
+    retention — the tagged snapshot's manifest AND data dirs survive
+    expire_versions(keep_last=1) with zero grace; deleting the tag
+    releases them."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators import versioned as V
+
+    tdir = str(tmp_path / "tags")
+    V.write_version(
+        spark.range(0, 10).select(F.col("id").alias("k")), tdir
+    )
+    assert V.tag_version(spark, tdir, "baseline") == 1
+    # immutable: re-tagging refuses; move = delete + re-tag
+    with _pytest.raises(Exception):
+        V.tag_version(spark, tdir, "baseline", version=1)
+    V.write_version(
+        spark.range(100, 110).select(F.col("id").alias("k")),
+        tdir,
+        "overwrite",
+    )
+    V.expire_versions(spark, tdir, keep_last=1, orphan_grace_hours=0)
+    assert V.list_tags(spark, tdir) == {"baseline": 1}
+    got = V.read_tag(spark, tdir, "baseline")
+    assert sorted(r["k"] for r in got.collect()) == list(range(10))
+    # head unaffected
+    assert V.read_version(spark, tdir).count() == 10
+    # untag releases: the next expire removes manifest + dir
+    assert V.delete_tag(spark, tdir, "baseline")
+    assert not V.delete_tag(spark, tdir, "baseline")
+    V.expire_versions(spark, tdir, keep_last=1, orphan_grace_hours=0)
+    with _pytest.raises(ValueError):
+        V.read_version(spark, tdir, version=1)
+    with _pytest.raises(ValueError):
+        V.resolve_tag(spark, tdir, "baseline")
+    # invalid names refused
+    with _pytest.raises(ValueError):
+        V.tag_version(spark, tdir, "../escape")
+
+
+def test_cli_tag_roundtrip(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import write_version
+
+    tdir = str(tmp_path / "clitags")
+    write_version(spark.range(0, 5).select(F.col("id").alias("k")), tdir)
+    write_version(
+        spark.range(5, 9).select(F.col("id").alias("k")), tdir, "append"
+    )
+    assert main(["table", "tag", tdir, "rel-1", "--version", "1"]) == 0
+    assert main(["table", "tags", tdir]) == 0
+    assert "rel-1\tv1" in capsys.readouterr().out
+    assert main(
+        ["table", "scan", tdir, "--where", "k >= 0", "--tag", "rel-1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "4" in out and "7" not in out  # v1 snapshot only
+    assert main(
+        ["table", "scan", tdir, "--where", "k >= 0",
+         "--tag", "rel-1", "--version", "1"]
+    ) == 2  # mutually exclusive
+    assert main(["table", "untag", tdir, "rel-1"]) == 0
+    assert main(["table", "untag", tdir, "rel-1"]) == 2

@@ -1520,3 +1520,82 @@ def test_generated_partition_isnull_derivation(spark, tmp_path):
     assert not any(
         "__HIVE_DEFAULT_PARTITION__" in f for f in got2.inputFiles()
     )
+
+
+def test_where_or_disjunction_pruning(spark, tmp_path):
+    """Sound OR skipping: a file is pruned only when EVERY disjunct
+    proves it empty — the time/key complement shape prunes the
+    middle, and a disjunct the parser can't see disables pruning
+    entirely (rows always exact)."""
+    from tms_etl_spark.operators.versioned import (
+        _where_pruning_groups,
+        read_version,
+        read_version_where,
+    )
+
+    assert _where_pruning_groups("k < 50 OR k >= 250") == [
+        [("k", "<", 50)], [("k", ">=", 250)],
+    ]
+    assert _where_pruning_groups("a = 1 AND b = 2 OR c = 3") == [
+        [("a", "=", 1), ("b", "=", 2)], [("c", "=", 3)],
+    ]
+    # unparseable disjunct -> its empty group disables pruning
+    assert _where_pruning_groups("k < 50 OR abs(k - 299) = 0") == [
+        [("k", "<", 50)], [],
+    ]
+
+    tdir = str(tmp_path / "ordnf")
+    for lo in (0, 100, 200):
+        write_version(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("k"))
+            .coalesce(1),
+            tdir,
+            "append",
+        )
+    full = read_version(spark, tdir)
+    for w, nfiles in (
+        ("k < 50 OR k >= 250", 2),         # middle file skipped
+        ("k < 50 AND k > 10 OR k = 150", 2),  # ADVICE misprune shape
+        ("k < 50 OR abs(k - 299) = 0", 3),  # opaque disjunct: no prune
+    ):
+        got = read_version_where(spark, tdir, w)
+        assert sorted(r["k"] for r in got.collect()) == sorted(
+            r["k"] for r in full.where(w).collect()
+        ), w
+        assert len(got.inputFiles()) == nfiles, w
+
+
+def test_where_or_prunes_middle_days(spark, tmp_path):
+    """The lakehouse_scan_where_or shape: per-disjunct derived
+    partition bounds skip every middle day dir of a generated
+    layout."""
+    from tms_etl_spark.operators.versioned import read_version_where
+
+    tdir = str(tmp_path / "ordays")
+    rows = []
+    for d in range(1, 10):
+        for j in range(3):
+            rows.append((d * 10 + j, f"2024-03-0{d} 0{j}:00:00", float(j)))
+    write_version(
+        _ts_df(spark, rows),
+        tdir,
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    got = read_version_where(
+        spark,
+        tdir,
+        "(ts < TIMESTAMP '2024-03-02 00:00:00' AND val > 0) "
+        "OR ts >= TIMESTAMP '2024-03-08 00:00:00'",
+    )
+    assert sorted(r["k"] for r in got.collect()) == [
+        11, 12, 80, 81, 82, 90, 91, 92,
+    ]
+    days = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    # boundary-inclusive: day 02 scanned (derived < relaxes to <=),
+    # days 03..07 never reach the plan
+    assert days == {
+        "p_day=2024-03-01", "p_day=2024-03-02",
+        "p_day=2024-03-08", "p_day=2024-03-09",
+    }

@@ -212,7 +212,25 @@ def _parser() -> argparse.ArgumentParser:
         help="TIMESTAMP AS OF (epoch seconds or ISO-8601, UTC); "
         "mutually exclusive with --version",
     )
+    tsc.add_argument(
+        "--tag", default=None,
+        help="named snapshot ref (see `table tag`); mutually "
+        "exclusive with --version/--asof",
+    )
     tsc.add_argument("--limit", type=int, default=20)
+    ttag = tsub.add_parser(
+        "tag",
+        help="create an immutable named snapshot ref "
+        "(protected from expire until untagged)",
+    )
+    ttag.add_argument("dir")
+    ttag.add_argument("name")
+    ttag.add_argument("--version", type=int, default=None)
+    ttags = tsub.add_parser("tags", help="list tags (name -> version)")
+    ttags.add_argument("dir")
+    tuntag = tsub.add_parser("untag", help="delete a tag")
+    tuntag.add_argument("dir")
+    tuntag.add_argument("name")
     tti = tsub.add_parser(
         "text-index",
         help="build/extend the inverted token sidecar for keyword search",
@@ -485,8 +503,29 @@ def main(argv: list[str] | None = None) -> int:
                 args.limit, truncate=False
             )
             return 0
+        if args.table_cmd == "tag":
+            v = vt.tag_version(spark, args.dir, args.name, args.version)
+            print(f"tag {args.name} -> v{v}")
+            return 0
+        if args.table_cmd == "tags":
+            for nm, v in sorted(vt.list_tags(spark, args.dir).items()):
+                print(f"{nm}\tv{v}")
+            return 0
+        if args.table_cmd == "untag":
+            gone = vt.delete_tag(spark, args.dir, args.name)
+            print(f"{'deleted' if gone else 'no such tag'} {args.name}")
+            return 0 if gone else 2
         if args.table_cmd == "scan":
             ver = args.version
+            if args.tag is not None:
+                if ver is not None or args.asof is not None:
+                    print(
+                        "--tag is mutually exclusive with "
+                        "--version/--asof",
+                        file=sys.stderr,
+                    )
+                    return 2
+                ver = vt.resolve_tag(spark, args.dir, args.tag)
             if args.asof is not None:
                 if ver is not None:
                     print(

@@ -488,6 +488,100 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_tag_retention",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style TAGS under retention (r8, `operators/versioned.py:
+    tag_version`): v1 commits the even orders and gets tagged, v2
+    OVERWRITES with the odd half, and `expire_versions(keep_last=1,
+    orphan_grace_hours=0)` then deletes everything the head doesn't
+    reference — EXCEPT the tagged snapshot, whose manifest, sidecars
+    and data dirs are protected refs. The tag-resolved read must still
+    return exactly the pre-overwrite rows; without the protection the
+    v1 data dir is physically gone and this query could not answer.
+    DuckDB checks the snapshot's values over the original parquet."""
+    from tms_etl_spark.operators.versioned import (
+        expire_versions,
+        read_tag,
+        tag_version,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_tag_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_version(o.where(F.col("o_orderkey") % 2 == 0), tdir, "append")
+    tag_version(spark, tdir, "baseline")
+    write_version(o.where(F.col("o_orderkey") % 2 == 1), tdir, "overwrite")
+    expire_versions(spark, tdir, keep_last=1, orphan_grace_hours=0)
+    return (
+        read_tag(spark, tdir, "baseline")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "lakehouse_scan_where_or",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE (ts < TIMESTAMP '2024-01-05 00:00:00' AND value > 20)
+       OR ts >= TIMESTAMP '2024-01-27 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def lakehouse_scan_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISJUNCTION-aware data skipping through the WHERE front door
+    (r8, `operators/versioned.py:_where_pruning_groups`): a
+    time-complement predicate — early-window rows above a value bound
+    OR late-window rows — skips a file only when EVERY disjunct
+    proves it empty, so the middle three weeks of the generated
+    ``p_day`` layout never reach the plan (each disjunct derives its
+    own partition bound through the monotone expression). Neither
+    residual-only OR handling nor a naive AND split could prune this
+    shape soundly; DuckDB checks the values, `test_where_or_prunes_
+    middle_days` pins the file-count claim."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_whereor_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    write_version(
+        ev,
+        tdir,
+        "append",
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    return (
+        read_version_where(
+            spark,
+            tdir,
+            "(ts < TIMESTAMP '2024-01-05 00:00:00' AND value > 20) "
+            "OR ts >= TIMESTAMP '2024-01-27 00:00:00'",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
     "lakehouse_null_pruning",
     oracle=f"""
     SELECT c_mktsegment,

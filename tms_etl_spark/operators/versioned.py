@@ -1362,13 +1362,21 @@ def _pruned_scan(
     predicates: list[tuple],
     version: int | None = None,
     allowed_files: set[str] | None = None,
+    groups: list[list[tuple]] | None = None,
 ) -> DataFrame:
     """The file-pruned snapshot scan shared by `read_version_pruned`
     variants: files skipped when ANY conjunct's zonemap (or a derived
     partition predicate) proves them empty. ``allowed_files`` (canon
     paths) intersects an EXTERNAL admission set — e.g. Bloom-sidecar
     hits — on top of the zonemap cut. NO residual applied — callers
-    attach their own row filter."""
+    attach their own row filter.
+
+    ``groups`` (overrides ``predicates``): DNF disjunct groups from
+    `_where_pruning_groups` — a file is skipped only when EVERY group
+    proves it empty (per group: any predicate suffices), the sound
+    rule for ``(…) OR (…)``; an unparseable group disables pruning by
+    construction (its empty any() never proves anything). Each group
+    derives its own generated-partition predicates."""
     cur = current_version(spark, table_dir)
     v = version if version is not None else cur
     if v <= 0 or v > cur:
@@ -1380,9 +1388,10 @@ def _pruned_scan(
         raise ValueError(f"version {v} expired at {table_dir}")
     man = _read_json(spark, p)
     stats = man.get("stats", {})
-    prune_preds = list(predicates) + _derived_partition_predicates(
-        spark, man, predicates
-    )
+    prune_groups = [
+        list(g) + _derived_partition_predicates(spark, man, g)
+        for g in (groups if groups is not None else [list(predicates)])
+    ]
     # file lists come from the manifest itself (stats keys), not
     # filesystem listings — plan time is O(manifest), independent of
     # dir/file count; only legacy stat-less dirs pay one listing each
@@ -1392,9 +1401,12 @@ def _pruned_scan(
     for d in man["dirs"]:
         files: list[str] = []
         for rel in live[d]:
-            if any(
-                _file_prunable(stats.get(rel), col, op, val)
-                for col, op, val in prune_preds
+            if all(
+                any(
+                    _file_prunable(stats.get(rel), col, op, val)
+                    for col, op, val in g
+                )
+                for g in prune_groups
             ):
                 continue
             full = f"{table_dir}/{rel}"
@@ -1530,6 +1542,78 @@ def _split_conjuncts(where: str) -> list[str]:
         i += 1
     out.append("".join(buf))
     return [c.strip() for c in out if c.strip()]
+
+
+def _split_disjuncts(where: str) -> list[str]:
+    """Top-level OR-separated pieces of a WHERE string — quote- and
+    paren-aware like `_split_conjuncts`. AND binds tighter than OR, so
+    each piece is a self-contained conjunction: ``a = 1 AND b = 2 OR
+    c = 3`` gives [``a = 1 AND b = 2``, ``c = 3``]. Returns [where]
+    when there is no top-level OR."""
+
+    def _kw_at(i: int) -> bool:
+        n = len(where)
+        return (
+            where[i : i + 2].upper() == "OR"
+            and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_"))
+            and (
+                i + 2 >= n
+                or not (where[i + 2].isalnum() or where[i + 2] == "_")
+            )
+        )
+
+    out, buf, depth, in_str = [], [], 0, False
+    i, n = 0, len(where)
+    while i < n:
+        ch = where[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and where[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch in "oO" and _kw_at(i):
+            out.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return [d.strip() for d in out if d.strip()]
+
+
+def _where_pruning_groups(where: str) -> list[list[tuple]]:
+    """The DNF pruning structure of a WHERE string: a list of
+    disjunct groups, each a conjunctive (col, op, value) list. The
+    sound skipping rule for ``g1 OR g2 OR …`` is: a file is prunable
+    iff EVERY group independently proves it empty (any predicate of
+    the group suffices per group — conjunction rule); a group that
+    parses to nothing can admit anything, and its empty list makes
+    the any() false, disabling pruning automatically. A plain
+    conjunction is the single-group case — same rule, unchanged
+    behavior. This is the disjunction handling a lakehouse format's
+    data-skipping layer applies (Delta/Iceberg evaluate OR trees over
+    file stats the same way)."""
+    return [
+        [
+            p
+            for c in _split_conjuncts(d)
+            for p in _parse_conjunct_multi(c)
+        ]
+        for d in _split_disjuncts(where)
+    ]
 
 
 _BETWEEN_RE = re.compile(
@@ -1704,14 +1788,20 @@ def read_version_where(
     sidecar when one exists (and the snapshot carries no deletion
     vectors): the admitted-file set INTERSECTS the zonemap cut, so a
     point predicate on a randomly-laid-out column still skips files
-    zonemaps alone cannot."""
+    zonemaps alone cannot.
+
+    TOP-LEVEL ORs prune too (r8): the predicate is split into
+    disjunct groups and a file is skipped only when EVERY group
+    proves it empty — ``ts < a OR ts > b`` skips the middle of a
+    time-clustered table, which neither conjunct-only parsing (the
+    whole string residual) nor a naive AND-split (unsound — the r8
+    ADVICE misprune) could. Bloom admission stays conjunction-only:
+    a per-disjunct admission union is future work, and skipping it
+    costs only pruning, never rows."""
     from pyspark.sql import functions as F
 
-    preds = [
-        p
-        for c in _split_conjuncts(where)
-        for p in _parse_conjunct_multi(c)
-    ]
+    groups = _where_pruning_groups(where)
+    preds = groups[0] if len(groups) == 1 else []
     allowed: set[str] | None = None
     # '=' probes the Bloom sidecar directly; a small IN list probes
     # once per value and unions the admissions (a file may hold any
@@ -1753,7 +1843,8 @@ def read_version_where(
                             else allowed & adm_union
                         )
     base = _pruned_scan(
-        spark, table_dir, preds, version, allowed_files=allowed
+        spark, table_dir, preds, version,
+        allowed_files=allowed, groups=groups,
     )
     return base.where(F.expr(where))
 
@@ -1954,6 +2045,85 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
     return v
 
 
+_TAGS = "_tags"
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def tag_version(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    version: int | None = None,
+) -> int:
+    """Iceberg-style TAG: a named, immutable reference to a snapshot
+    (``_tags/<name>.json`` → version). Tags survive retention —
+    `expire_versions` keeps a tagged version's manifest, stats
+    sidecar, and data dirs alive past ``keep_last`` — so an audit/
+    reproducibility snapshot ('training-run-2024-06') stays readable
+    for exactly as long as the tag exists, at zero data cost (a tag
+    is one small JSON). Creating an existing tag refuses (conditional
+    write — a ref silently retargeting is how reproducibility
+    breaks); `delete_tag` then re-tag to move one deliberately.
+    Returns the resolved version."""
+    import time
+
+    if not _TAG_NAME_RE.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+    cur = current_version(spark, table_dir)
+    v = version if version is not None else cur
+    if v <= 0 or v > cur:
+        raise ValueError(
+            f"version {v} not committed at {table_dir} (current {cur})"
+        )
+    if not path_exists(spark, _manifest_path(table_dir, v)):
+        raise ValueError(f"version {v} expired at {table_dir}")
+    _write_json_atomic(
+        spark,
+        f"{table_dir}/{_TAGS}/{name}.json",
+        {"name": name, "version": v, "created_at": time.time()},
+    )
+    return v
+
+
+def list_tags(spark: SparkSession, table_dir: str) -> dict[str, int]:
+    """All tags of a table: name → version. One listing of the tag
+    dir + one tiny JSON read per tag."""
+    root = f"{table_dir}/{_TAGS}"
+    if not path_exists(spark, root):
+        return {}
+    out: dict[str, int] = {}
+    for fi in list_files(spark, root, "*.json"):
+        fname = fi.path.rsplit("/", 1)[-1]
+        doc = _read_json(spark, f"{root}/{fname}")
+        out[doc.get("name", fname[:-5])] = int(doc["version"])
+    return out
+
+
+def resolve_tag(spark: SparkSession, table_dir: str, name: str) -> int:
+    """The version a tag points at (raises on an unknown tag)."""
+    p = f"{table_dir}/{_TAGS}/{name}.json"
+    if not path_exists(spark, p):
+        raise ValueError(f"unknown tag {name!r} at {table_dir}")
+    return int(_read_json(spark, p)["version"])
+
+
+def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Time travel by TAG — ``VERSION AS OF <ref>`` with a name."""
+    return read_version(spark, table_dir, resolve_tag(spark, table_dir, name))
+
+
+def delete_tag(spark: SparkSession, table_dir: str, name: str) -> bool:
+    """Remove a tag (returns False when it did not exist). The
+    snapshot it protected becomes expirable at the next
+    `expire_versions`."""
+    p = f"{table_dir}/{_TAGS}/{name}.json"
+    if not path_exists(spark, p):
+        return False
+    fs, hp, _ = _fs(spark, p)
+    fs.delete(hp, False)
+    return True
+
+
 def history(spark: SparkSession, table_dir: str) -> list[VersionInfo]:
     """Commit log, oldest SURVIVING version first — manifests only,
     no data access (expired versions drop out of the log)."""
@@ -1978,7 +2148,8 @@ def expire_versions(
     Same listing-metadata posture as `fs.py:expire_files` — the data
     pass is a directory delete, never a rewrite. Returns the number
     of data dirs removed. Time travel reaches only kept versions
-    afterwards.
+    afterwards — plus TAGGED versions (`tag_version`), which stay
+    fully readable past the window until their tag is deleted.
 
     ``orphan_grace_hours``: an unreferenced dir younger than this is
     SKIPPED. "Unreferenced" has two causes: expired history (safe to
@@ -1995,9 +2166,21 @@ def expire_versions(
 
     cur = current_version(spark, table_dir)
     first_kept = max(1, cur - keep_last + 1)
+    # tagged versions are PROTECTED refs (Iceberg tag semantics):
+    # their manifests, stats sidecars, and data dirs survive past the
+    # keep_last window until the tag is deleted
+    tagged = {
+        v
+        for v in list_tags(spark, table_dir).values()
+        if 1 <= v <= cur
+    }
+    kept_versions = set(range(first_kept, cur + 1)) | tagged
     referenced: set[str] = set()
-    for v in range(first_kept, cur + 1):
-        man = _read_json(spark, _manifest_path(table_dir, v))
+    for v in sorted(kept_versions):
+        p = _manifest_path(table_dir, v)
+        if not path_exists(spark, p):
+            continue  # already expired before it was tagged
+        man = _read_json(spark, p)
         referenced.update(man["dirs"])
         referenced.update(de["dir"] for de in man.get("deletes", []))
     fs, data_root, jvm = _fs(spark, f"{table_dir}/{_DATA}")
@@ -2013,6 +2196,8 @@ def expire_versions(
             fs.delete(status.getPath(), True)
             removed += 1
     for v in range(1, first_kept):
+        if v in tagged:
+            continue  # tag keeps the manifest + sidecar readable
         p = _manifest_path(table_dir, v)
         fs2, hp, _ = _fs(spark, p)
         if fs2.exists(hp):
