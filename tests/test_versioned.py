@@ -2534,3 +2534,87 @@ def test_cli_tag_roundtrip(spark, tmp_path, capsys):
     ) == 2  # mutually exclusive
     assert main(["table", "untag", tdir, "rel-1"]) == 0
     assert main(["table", "untag", tdir, "rel-1"]) == 2
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    """Delta-style CHECK constraints: a table property appends
+    inherit; every commit (write and MERGE) validates its new data
+    and refuses violations pre-manifest — the table is untouched and
+    the rejected data dir is cleaned up. NULL passes (SQL CHECK);
+    adding a constraint to a non-empty table validates existing rows
+    first."""
+    import glob
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        describe_detail,
+        merge_version,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "checked")
+    ok = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "k int, v double"  # NULL must pass
+    )
+    write_version(ok, tdir, constraints={"v_nonneg": "v >= 0"})
+    assert describe_detail(spark, tdir)["constraints"] == {
+        "v_nonneg": "v >= 0"
+    }
+
+    bad = spark.createDataFrame([(3, -5.0)], "k int, v double")
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        write_version(bad, tdir, "append")  # inherited constraint
+    assert read_version(spark, tdir).count() == 2  # untouched
+    # the rejected dir was deleted — only v1's data remains
+    assert len(glob.glob(f"{tdir}/data/*")) == 1
+
+    # MERGE enforces too
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        merge_version(spark, tdir, bad, key="k")
+    assert read_version(spark, tdir).count() == 2
+    merge_version(
+        spark,
+        tdir,
+        spark.createDataFrame([(1, 99.0)], "k int, v double"),
+        key="k",
+    )
+    got = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert got[1] == 99.0
+
+    # ALTER ADD on a non-empty table: violated by existing rows
+    with _pytest.raises(ValueError, match="EXISTING"):
+        write_version(
+            spark.createDataFrame([(9, 1.0)], "k int, v double"),
+            tdir,
+            "append",
+            constraints={"v_small": "v <= 50"},  # row v=99 violates
+        )
+    # a satisfiable new constraint lands and is enforced afterwards
+    write_version(
+        spark.createDataFrame([(9, 1.0)], "k int, v double"),
+        tdir,
+        "append",
+        constraints={"k_pos": "k > 0"},
+    )
+    with _pytest.raises(ValueError, match="k_pos"):
+        write_version(
+            spark.createDataFrame([(0, 1.0)], "k int, v double"),
+            tdir,
+            "append",
+        )
+    # overwrite keeps the table property
+    write_version(
+        spark.createDataFrame([(5, 5.0)], "k int, v double"),
+        tdir,
+        "overwrite",
+    )
+    assert describe_detail(spark, tdir)["constraints"] == {
+        "v_nonneg": "v >= 0",
+        "k_pos": "k > 0",
+    }
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        write_version(bad, tdir, "append")

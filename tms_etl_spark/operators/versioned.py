@@ -406,11 +406,46 @@ def _evolve_schema(prev, new, allow: bool):
     )
 
 
+def _check_constraints(
+    spark: SparkSession, dir_path: str, constraints: dict[str, str], schema
+) -> None:
+    """Enforce CHECK constraints on a JUST-WRITTEN data dir — one
+    aggregate pass over the new files (columnar, projection-pruned to
+    the constraint columns), all constraints counted together. On
+    violation the dir is deleted and the commit refused BEFORE any
+    manifest exists, so a failed write leaves the table untouched —
+    the Delta CHECK-constraint contract, validated post-write instead
+    of per-row because recomputing an arbitrary input plan twice is
+    the alternative. NULL results don't violate (SQL CHECK
+    semantics: only FALSE fails)."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(dir_path)
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), F.lit(1))
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    r = df.agg(*aggs).head()
+    bad = {name: int(r[name]) for name in constraints if r[name]}
+    if bad:
+        fs, hp, _ = _fs(spark, dir_path)
+        fs.delete(hp, True)
+        raise ValueError(
+            f"CHECK constraint violation — commit refused: {bad} "
+            f"(rows failing {sorted(bad)})"
+        )
+
+
 def _carry_props(src: dict | None, payload: dict) -> None:
     """Carry table-level properties (recorded schema, partition spec,
-    hive-layout dirs) from a source manifest onto a new one. Hive dirs
-    are intersected with the dirs the new manifest references; a
-    caller that pre-set a property wins."""
+    hive-layout dirs, CHECK constraints) from a source manifest onto
+    a new one. Hive dirs are intersected with the dirs the new
+    manifest references; a caller that pre-set a property wins."""
     if not src:
         return
     if src.get("schema") and "schema" not in payload:
@@ -419,6 +454,8 @@ def _carry_props(src: dict | None, payload: dict) -> None:
         payload["partition_by"] = src["partition_by"]
     if src.get("partition_exprs") and "partition_exprs" not in payload:
         payload["partition_exprs"] = src["partition_exprs"]
+    if src.get("constraints") and "constraints" not in payload:
+        payload["constraints"] = src["constraints"]
     if src.get("hive_dirs"):
         keep = set(payload["dirs"]) & set(src["hive_dirs"])
         merged = sorted(keep | set(payload.get("hive_dirs", [])))
@@ -571,6 +608,7 @@ def write_version(
     partition_by: list[str] | None = None,
     partition_exprs: dict[str, str] | None = None,
     merge_schema: bool = False,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next table version.
 
@@ -628,7 +666,17 @@ def write_version(
     them), columns missing from the batch are null-filled for its
     rows, and a type change on a shared column is always refused. Each
     manifest records the schema AS OF that version, so time travel
-    returns the historical shape."""
+    returns the historical shape.
+
+    ``constraints``: CHECK constraints (Delta's ``ADD CONSTRAINT``) —
+    name → boolean SQL expr, a TABLE property appends inherit. Every
+    commit validates its new data in one aggregate pass over the
+    written files (NULL passes, per SQL CHECK); a violating commit is
+    REFUSED with the per-constraint violation counts and leaves the
+    table untouched. Adding a NEW constraint to a non-empty table
+    validates the existing snapshot first (the ALTER ADD contract),
+    one O(table) scan — MERGE and every other commit path then
+    enforce and carry the property."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -691,12 +739,46 @@ def write_version(
                     break  # older manifests expired — ids gone too
                 if _read_json(spark, p).get("txn_id") == txn_id:
                     return past
+    tbl_constraints = dict(prev.get("constraints") or {}) if prev else {}
+    new_constraints = dict(constraints) if constraints else {}
+    added_constraints = {
+        n: e
+        for n, e in new_constraints.items()
+        if tbl_constraints.get(n) != e
+    }
+    all_constraints = {**tbl_constraints, **new_constraints}
+    if (
+        added_constraints
+        and mode == "append"
+        and prev is not None
+        and prev.get("dirs")
+    ):
+        # ALTER ADD CONSTRAINT contract: a new constraint must hold
+        # on the EXISTING rows too — one scan of the current snapshot
+        old_df = _scan_with_deletes(spark, table_dir, prev)
+        r = old_df.agg(
+            *[
+                F.count(
+                    F.when(~F.coalesce(F.expr(e), F.lit(True)), F.lit(1))
+                ).alias(n)
+                for n, e in added_constraints.items()
+            ]
+        ).head()
+        bad = {n: int(r[n]) for n in added_constraints if r[n]}
+        if bad:
+            raise ValueError(
+                "CHECK constraint violated by EXISTING rows — "
+                f"constraint not added, commit refused: {bad}"
+            )
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(f"{table_dir}/{new_dir}")
+    _check_constraints(
+        spark, f"{table_dir}/{new_dir}", all_constraints, rec_schema
+    )
     stats = _dir_file_stats(spark, table_dir, new_dir, schema=rec_schema)
     dirs = [new_dir]
     deletes: list = []
@@ -751,6 +833,8 @@ def write_version(
         payload["partition_by"] = part_cols
     if part_exprs:
         payload["partition_exprs"] = part_exprs
+    if all_constraints:
+        payload["constraints"] = all_constraints
     if hive_dirs:
         payload["hive_dirs"] = hive_dirs
     if deletes:
@@ -973,6 +1057,7 @@ def describe_detail(
         "committed_at": man.get("committed_at"),
         "partition_by": man.get("partition_by"),
         "partition_exprs": man.get("partition_exprs"),
+        "constraints": man.get("constraints"),
         "n_dirs": len(man["dirs"]),
         "n_live_files": len(live_rels),
         "n_dead_files": len(man.get("dead_files", [])),
@@ -2702,6 +2787,15 @@ def merge_version(
             writer = writer.partitionBy(*part_cols)
         writer.parquet(f"{table_dir}/{new_dir}")
         if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
+            # table CHECK constraints hold across MERGE too: the CoW
+            # output (rewritten survivors + source rows) validates in
+            # one pass; a violating merge is refused pre-manifest
+            _check_constraints(
+                spark,
+                f"{table_dir}/{new_dir}",
+                man.get("constraints") or {},
+                _man_schema(man),
+            )
             new_stats = _dir_file_stats(
                 spark, table_dir, new_dir, schema=_man_schema(man)
             )
