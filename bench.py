@@ -281,6 +281,7 @@ HEADLINE = [
     "lakehouse_null_pruning",
     "lakehouse_scan_where_or",
     "lakehouse_tag_retention",
+    "lakehouse_constraints",
 ]
 
 

@@ -2618,3 +2618,24 @@ def test_check_constraints_enforced(spark, tmp_path):
     }
     with _pytest.raises(ValueError, match="v_nonneg"):
         write_version(bad, tdir, "append")
+
+
+def test_register_versioned_by_tag(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators import versioned as V
+
+    tdir = str(tmp_path / "regtag")
+    V.write_version(spark.range(0, 4).select(F.col("id").alias("k")), tdir)
+    V.tag_version(spark, tdir, "gold")
+    V.write_version(
+        spark.range(10, 14).select(F.col("id").alias("k")), tdir, "append"
+    )
+    V.register_versioned(spark, tdir, "regtag_t", tag="gold")
+    assert spark.sql("SELECT COUNT(*) n FROM regtag_t").head()["n"] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        V.register_versioned(spark, tdir, "regtag_t", tag="gold", version=1)
+    spark.catalog.dropTempView("regtag_t")
+    spark.catalog.dropTempView("regtag_t__history")

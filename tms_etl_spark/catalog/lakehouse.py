@@ -488,6 +488,56 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_constraints",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def lakehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end to end (r8, `operators/versioned.py:
+    _check_constraints`): the commit carries ``price_pos`` and
+    ``status_known`` table constraints, validated in one aggregate
+    pass over the written files before the manifest lands; a second,
+    violating append must REFUSE and leave the snapshot untouched —
+    the read the oracle checks is the constrained v1 exactly (a leak
+    of the bad batch would change every group's count). Enforcement
+    mechanics (refusal message, dir cleanup, ALTER ADD validation)
+    are pinned by `test_check_constraints_enforced`."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_check_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    write_version(
+        o,
+        tdir,
+        "append",
+        constraints={
+            "price_pos": "o_totalprice > 0",
+            "status_known": "o_orderstatus IN ('O', 'F', 'P')",
+        },
+    )
+    bad = o.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    try:
+        write_version(bad, tdir, "append")
+        raise AssertionError("violating commit was not refused")
+    except ValueError:
+        pass  # refused, table untouched
+    return (
+        read_version(spark, tdir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+@query(
     "lakehouse_tag_retention",
     oracle=f"""
     SELECT o_orderstatus,

@@ -1086,6 +1086,7 @@ def register_versioned(
     use_stats: bool = True,
     where: str | None = None,
     history_limit: int | None = 100,
+    tag: str | None = None,
 ) -> None:
     """SQL front door for the versioned layer: register the chosen
     snapshot as temp view ``name`` (time travel via ``version`` or
@@ -1113,8 +1114,10 @@ def register_versioned(
     ``history_limit``: the ``__history`` view keeps the newest N
     surviving versions (default 100; None = all) — registration cost
     is O(limit) manifest reads even against a years-old table."""
-    if asof is not None and version is not None:
-        raise ValueError("version and asof are mutually exclusive")
+    if sum(x is not None for x in (version, asof, tag)) > 1:
+        raise ValueError("version, asof and tag are mutually exclusive")
+    if tag is not None:
+        version = resolve_tag(spark, table_dir, tag)
     if asof is not None:
         version = version_asof(spark, table_dir, asof)
     if version is None:
