@@ -1599,3 +1599,35 @@ def test_where_or_prunes_middle_days(spark, tmp_path):
         "p_day=2024-03-01", "p_day=2024-03-02",
         "p_day=2024-03-08", "p_day=2024-03-09",
     }
+
+
+def test_where_or_bloom_admission_unions(spark, tmp_path):
+    """Bloom admission under disjunctions: per-group admissions union
+    across OR branches (uid = a OR uid = b touches ≤2 files on an
+    interleaved layout), and a branch without a probeable equality
+    disables the file constraint — rows exact in every case."""
+    from tms_etl_spark.operators.bloomindex import build_bloom_index
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        read_version_where,
+    )
+
+    tdir = str(tmp_path / "bloomor")
+    for i in range(4):
+        df = spark.range(0, 500).select(
+            (F.col("id") * 4 + i).alias("uid")
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+    build_bloom_index(spark, tdir, "uid")
+    full = read_version(spark, tdir)
+
+    got = read_version_where(spark, tdir, "uid = 402 OR uid = 403")
+    assert sorted(r["uid"] for r in got.collect()) == [402, 403]
+    assert len(got.inputFiles()) <= 2  # two member files (+FP slack)
+
+    # one branch not probeable (range) -> no file constraint, exact
+    w = "uid = 402 OR uid > 1995"
+    got2 = read_version_where(spark, tdir, w)
+    assert sorted(r["uid"] for r in got2.collect()) == sorted(
+        r["uid"] for r in full.where(w).collect()
+    )

@@ -1883,9 +1883,11 @@ def read_version_where(
     proves it empty — ``ts < a OR ts > b`` skips the middle of a
     time-clustered table, which neither conjunct-only parsing (the
     whole string residual) nor a naive AND-split (unsound — the r8
-    ADVICE misprune) could. Bloom admission stays conjunction-only:
-    a per-disjunct admission union is future work, and skipping it
-    costs only pruning, never rows."""
+    ADVICE misprune) could. Bloom admission composes with
+    disjunctions too: the per-group admissions (each an intersection
+    over that group's equality conjuncts) union across groups, and
+    any group without a probeable admission drops the file
+    constraint entirely — sound in both directions."""
     from pyspark.sql import functions as F
 
     groups = _where_pruning_groups(where)
@@ -1894,11 +1896,16 @@ def read_version_where(
     # '=' probes the Bloom sidecar directly; a small IN list probes
     # once per value and unions the admissions (a file may hold any
     # of the values) — capped so a huge list can't turn plan time
-    # into a probe storm
-    eq_preds = [(c, (x,)) for c, op, x in preds if op == "="] + [
-        (c, x) for c, op, x in preds if op == "in" and len(x) <= 16
-    ]
-    if eq_preds:
+    # into a probe storm. Disjunctions compose: each group's
+    # admission (intersection over its equality conjuncts) UNIONS
+    # across groups, and a group with no probeable admission makes
+    # the whole set unconstrained (it may admit any file).
+    has_eq = any(
+        op == "=" or (op == "in" and len(val) <= 16)
+        for g in groups
+        for _, op, val in g
+    )
+    if has_eq:
         cur = current_version(spark, table_dir)
         v = version if version is not None else cur
         if 0 < v <= cur and path_exists(spark, _manifest_path(table_dir, v)):
@@ -1910,26 +1917,42 @@ def read_version_where(
                 )
 
                 types = {f.name: f.dataType.simpleString() for f in schema}
-                for c, xs in eq_preds:
-                    if c not in types:
-                        continue
-                    adm_union: set[str] | None = None
-                    for x in xs:
-                        adm = bloom_admitted_files(
-                            spark, table_dir, man, c, x, v, types[c]
-                        )
-                        if adm is None:
-                            adm_union = None
-                            break
-                        adm_union = (
-                            adm if adm_union is None else adm_union | adm
-                        )
-                    if adm_union is not None:
-                        allowed = (
-                            adm_union
-                            if allowed is None
-                            else allowed & adm_union
-                        )
+
+                def _group_admission(g: list[tuple]) -> set[str] | None:
+                    acc: set[str] | None = None
+                    for c, op, val in g:
+                        if op == "=":
+                            xs = (val,)
+                        elif op == "in" and len(val) <= 16:
+                            xs = val
+                        else:
+                            continue
+                        if c not in types:
+                            continue
+                        adm_union: set[str] | None = None
+                        for x in xs:
+                            adm = bloom_admitted_files(
+                                spark, table_dir, man, c, x, v, types[c]
+                            )
+                            if adm is None:
+                                adm_union = None
+                                break
+                            adm_union = (
+                                adm
+                                if adm_union is None
+                                else adm_union | adm
+                            )
+                        if adm_union is not None:
+                            acc = (
+                                adm_union
+                                if acc is None
+                                else acc & adm_union
+                            )
+                    return acc
+
+                adms = [_group_admission(g) for g in groups]
+                if all(a is not None for a in adms):
+                    allowed = set().union(*adms)
     base = _pruned_scan(
         spark, table_dir, preds, version,
         allowed_files=allowed, groups=groups,
