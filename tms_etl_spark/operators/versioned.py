@@ -1480,6 +1480,10 @@ def _pruned_scan(
         list(g) + _derived_partition_predicates(spark, man, g)
         for g in (groups if groups is not None else [list(predicates)])
     ]
+    if not prune_groups:
+        # an all-whitespace WHERE yields zero groups; all() over an
+        # empty group list would vacuously prune EVERY file
+        prune_groups = [[]]
     # file lists come from the manifest itself (stats keys), not
     # filesystem listings — plan time is O(manifest), independent of
     # dir/file count; only legacy stat-less dirs pay one listing each
