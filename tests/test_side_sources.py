@@ -512,3 +512,33 @@ def test_python_writer_rejects_missing_partition_column(spark, tmp_path):
     assert (
         got.where(F.col("p_month").isNull()).count() == 0
     )  # no silent NULL partition values
+
+
+def test_python_writer_refuses_constrained_tables(spark, tmp_path):
+    """The pure-Python writer has no expression engine — committing
+    onto a table with CHECK constraints would either land unvalidated
+    rows or drop the property, so it must refuse outright; the JVM
+    path remains the constrained write front door."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        write_version,
+    )
+    from tms_etl_spark.sources.pyds import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = str(tmp_path / "vtc")
+    write_version(
+        spark.range(0, 4).select(F.col("id")),
+        t,
+        constraints={"id_nonneg": "id >= 0"},
+    )
+    batch = spark.range(4, 6).select(F.col("id"))
+    with _pytest.raises(Exception) as ei:
+        batch.write.format("tms_versioned").option("path", t).mode(
+            "append"
+        ).save()
+    assert "CHECK constraints" in str(ei.value)
+    assert current_version(spark, t) == 1  # nothing committed

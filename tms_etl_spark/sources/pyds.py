@@ -350,6 +350,17 @@ def _commit_pending_pure_python(
     deletes: list = []
     dead_files: list = []
     carry: dict = {}
+    if prev is not None and prev.get("constraints"):
+        # this writer has no expression engine to validate CHECK
+        # constraints — committing unvalidated rows (or silently
+        # dropping the table property) would break the constraint
+        # contract for every later reader, so refuse outright
+        raise ValueError(
+            "table carries CHECK constraints "
+            f"({sorted(prev['constraints'])}) — the pure-Python "
+            "writer cannot validate them; commit through the JVM "
+            "path (write_version)"
+        )
     if mode == "append" and prev is not None:
         dirs = list(prev["dirs"]) + dirs
         stats = {**prev.get("stats", {}), **stats}
