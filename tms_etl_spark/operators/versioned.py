@@ -676,7 +676,11 @@ def write_version(
     table untouched. Adding a NEW constraint to a non-empty table
     validates the existing snapshot first (the ALTER ADD contract),
     one O(table) scan — MERGE and every other commit path then
-    enforce and carry the property."""
+    enforce and carry the property. Complements
+    `write_version_checked`: that is the per-CALL gate (caller-
+    supplied expressions, quarantine split, schema policy) for one
+    batch; this is the persistent per-TABLE contract every writer
+    hits, including MERGE and inherited appends."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -3565,7 +3569,11 @@ def write_version_checked(
       nulls); removals/type changes always refuse.
 
     Raises ExpectationViolation BEFORE any data lands — the commit
-    protocol's all-or-nothing property extends to constraints."""
+    protocol's all-or-nothing property extends to constraints.
+
+    Per-CALL gates only: for a constraint every writer must satisfy
+    on every future commit (including MERGE), persist it as a table
+    property via ``write_version(constraints=...)`` instead."""
     from tms_etl_spark.operators.expectations import (
         quarantine_split,
         schema_drift,
