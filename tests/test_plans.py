@@ -534,3 +534,21 @@ def test_hard_negatives_broadcast_anchors_no_corpus_window(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_round8_lakehouse_entries_plan_properties(spark, sf_dir):
+    """The round-8 lakehouse entries' 100 TB properties, pinned in CI
+    (the same needles scripts/plan_audit.py checks at artifact time):
+    the WHERE-front-door reads keep the full predicate pushed to the
+    surviving scan and partial-aggregate before their exchange."""
+    for name in (
+        "lakehouse_scan_where_or",
+        "lakehouse_null_pruning",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "PushedFilters" in p, name
+        assert "partial_count" in p, name
+    # tag-resolved and constraint-checked reads aggregate partial too
+    for name in ("lakehouse_tag_retention", "lakehouse_constraints"):
+        p = _plan(spark, sf_dir, name)
+        assert "HashAggregate" in p and "partial_count" in p, name
