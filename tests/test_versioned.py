@@ -2639,3 +2639,21 @@ def test_register_versioned_by_tag(spark, tmp_path):
         V.register_versioned(spark, tdir, "regtag_t", tag="gold", version=1)
     spark.catalog.dropTempView("regtag_t")
     spark.catalog.dropTempView("regtag_t__history")
+
+
+def test_describe_detail_reports_tags(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators import versioned as V
+
+    tdir = str(tmp_path / "desctags")
+    V.write_version(spark.range(3).select(F.col("id")), tdir)
+    V.write_version(
+        spark.range(3, 6).select(F.col("id")), tdir, "append"
+    )
+    V.tag_version(spark, tdir, "first", version=1)
+    V.tag_version(spark, tdir, "head")
+    assert V.describe_detail(spark, tdir)["tags"] == {"head": 2}
+    assert V.describe_detail(spark, tdir, version=1)["tags"] == {
+        "first": 1
+    }

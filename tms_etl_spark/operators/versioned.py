@@ -1078,6 +1078,11 @@ def describe_detail(
         ),
         "n_rows_metadata": count_rows_metadata(man),
         "indexes": indexes,
+        "tags": {
+            nm: tv
+            for nm, tv in sorted(list_tags(spark, table_dir).items())
+            if tv == v
+        },
     }
 
 
