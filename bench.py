@@ -282,6 +282,7 @@ HEADLINE = [
     "lakehouse_scan_where_or",
     "lakehouse_tag_retention",
     "lakehouse_constraints",
+    "lakehouse_optimize_where",
 ]
 
 

@@ -486,6 +486,15 @@ AUDIT = [
         "the full OR predicate stays pushed as the row filter",
     ),
     (
+        "lakehouse_optimize_where",
+        ["HashAggregate", "partial_count"],
+        "read after partition-scoped OPTIMIZE: the compacted "
+        "partition scans its one new dir physically purged while the "
+        "untouched partitions still read through the deletion "
+        "vector's anti-join — mixed regimes in one scan, then one "
+        "partial-combined aggregate",
+    ),
+    (
         "lakehouse_null_pruning",
         ["PushedFilters", "HashAggregate", "partial_count"],
         "IS NOT NULL over an evolved column: the backfilled per-file "

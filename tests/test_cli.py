@@ -554,3 +554,23 @@ def test_cli_table_scan_asof_compact_iso_date(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "2" in out and "101" not in out  # v1 snapshot only
+
+
+def test_cli_optimize_where(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import read_version, write_version
+
+    tdir = str(tmp_path / "cliow")
+    for lo in (0, 30):
+        df = spark.range(lo, lo + 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("seg"),
+        )
+        write_version(df, tdir, "append", partition_by=["seg"])
+    assert main(
+        ["table", "optimize-where", tdir, "--col", "seg", "--value", "1"]
+    ) == 0
+    assert "version 3" in capsys.readouterr().out
+    assert read_version(spark, tdir).count() == 60

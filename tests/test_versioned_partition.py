@@ -1631,3 +1631,61 @@ def test_where_or_bloom_admission_unions(spark, tmp_path):
     assert sorted(r["uid"] for r in got2.collect()) == sorted(
         r["uid"] for r in full.where(w).collect()
     )
+
+
+def test_optimize_where_scoped_compaction(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only the files proven wholly inside the
+    predicate rewrite — the other partitions' files keep their exact
+    paths; tombstoned rows purge physically inside the scope and keep
+    reading through their vectors outside it; time travel to the
+    pre-optimize version is intact."""
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        describe_detail,
+        optimize_where,
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "optw")
+    rows = [(i, ["A", "B"][i % 2], float(i)) for i in range(40)]
+    for lo in (0, 20):  # two appends -> small files per partition
+        write_version(
+            _mkdf(spark, rows[lo : lo + 20]),
+            tdir,
+            "append",
+            partition_by=["seg"],
+        )
+    # tombstone some rows in BOTH partitions
+    doomed = spark.createDataFrame([(0,), (1,), (2,), (3,)], "k int")
+    delete_rows(spark, tdir, doomed)
+    before = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    b_files_before = {
+        f
+        for f in read_version_pruned(
+            spark, tdir, "seg", "=", "B"
+        ).inputFiles()
+    }
+
+    v = optimize_where(spark, tdir, "seg", "=", "A")
+    assert v == 4
+    after = read_version(spark, tdir)
+    assert sorted(tuple(r) for r in after.collect()) == before
+    # A's rows consolidated into the new dir; B's files byte-identical
+    a_files = set(
+        read_version_pruned(spark, tdir, "seg", "=", "A").inputFiles()
+    )
+    b_files = set(
+        read_version_pruned(spark, tdir, "seg", "=", "B").inputFiles()
+    )
+    assert all("-optw-" in f for f in a_files)
+    assert b_files == b_files_before
+    # scoped purge: the A-side tombstone subtraction became physical
+    # (new dir uncovered), B still reads through its vector
+    d = describe_detail(spark, tdir)
+    assert d["n_delete_vectors"] == 1
+    # time travel intact
+    assert read_version(spark, tdir, version=2).count() == 40
+    # idempotent-ish: nothing left to do in scope -> no empty commit
+    assert optimize_where(spark, tdir, "seg", "=", "A") == 4

@@ -226,6 +226,18 @@ def _parser() -> argparse.ArgumentParser:
     ttag.add_argument("dir")
     ttag.add_argument("name")
     ttag.add_argument("--version", type=int, default=None)
+    tow = tsub.add_parser(
+        "optimize-where",
+        help="partition-scoped compaction: rewrite only files proven "
+        "wholly inside `col op value` (Delta's OPTIMIZE ... WHERE)",
+    )
+    tow.add_argument("dir")
+    tow.add_argument("--col", required=True)
+    tow.add_argument(
+        "--op", default="=", choices=["=", "<", "<=", ">", ">="]
+    )
+    tow.add_argument("--value", required=True)
+    tow.add_argument("--target-file-mb", type=float, default=128.0)
     ttags = tsub.add_parser("tags", help="list tags (name -> version)")
     ttags.add_argument("dir")
     tuntag = tsub.add_parser("untag", help="delete a tag")
@@ -502,6 +514,29 @@ def main(argv: list[str] | None = None) -> int:
             search_token(spark, args.dir, args.col, args.token).show(
                 args.limit, truncate=False
             )
+            return 0
+        if args.table_cmd == "optimize-where":
+            cur = vt.read_version(spark, args.dir)
+            if args.col not in cur.columns:
+                print(f"unknown column: {args.col!r}", file=sys.stderr)
+                return 2
+            from pyspark.sql import functions as F
+
+            ktype = dict(cur.dtypes)[args.col]
+            val = (
+                spark.createDataFrame([(args.value,)], "v string")
+                .select(F.col("v").cast(ktype))
+                .head()[0]
+            )
+            v = vt.optimize_where(
+                spark,
+                args.dir,
+                args.col,
+                args.op,
+                val,
+                target_file_bytes=int(args.target_file_mb * 1024 * 1024),
+            )
+            print(f"version {v}")
             return 0
         if args.table_cmd == "tag":
             v = vt.tag_version(spark, args.dir, args.name, args.version)

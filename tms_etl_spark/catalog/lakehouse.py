@@ -488,6 +488,58 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_optimize_where",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE NOT (event_type = 'error' AND value < 50)
+    GROUP BY event_type
+    """,
+)
+def lakehouse_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction (r8, `operators/versioned.py:
+    optimize_where` — Delta's ``OPTIMIZE … WHERE``): events land
+    hive-partitioned in two small-file appends, low-value error rows
+    get a deletion vector, then ONLY the error partition compacts —
+    its tombstoned rows purge physically while every other
+    partition's files stay byte-identical and keep reading through
+    the vector. The full-table read after the scoped rewrite must
+    match the plain NOT(...) oracle exactly — mixed
+    physically-purged / vector-subtracted partitions in one scan.
+    File-path scoping is pinned by
+    `test_optimize_where_scoped_compaction`. CLI:
+    ``table optimize-where``."""
+    from tms_etl_spark.operators.versioned import optimize_where
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_optw_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for m in (0, 1):  # two appends -> small-file debt per partition
+        write_version(
+            ev.where(F.col("event_id") % 2 == m),
+            tdir,
+            "append",
+            partition_by=["event_type"],
+        )
+    doomed = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") < 50)
+    ).select("event_id")
+    delete_rows(spark, tdir, doomed)
+    optimize_where(spark, tdir, "event_type", "=", "error")
+    return (
+        read_version(spark, tdir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
     "lakehouse_constraints",
     oracle=f"""
     SELECT o_orderpriority,

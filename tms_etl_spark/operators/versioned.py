@@ -3003,6 +3003,145 @@ def optimize_incremental(
     return v
 
 
+def optimize_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    op: str,
+    value,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Partition-scoped compaction — Delta's ``OPTIMIZE … WHERE``:
+    rewrite ONLY the files PROVEN wholly inside ``col op value`` by
+    their zonemaps (a partition-pure file has min == max on the
+    partition column, so "not prunable" means "every row matches"),
+    leaving every other file byte-untouched. At 100 TB you compact
+    the hot partition a stream is landing into — today's day dir —
+    never the cold petabyte next to it; combined with
+    `optimize_incremental` (small-file debt anywhere) this is the
+    whole nightly story.
+
+    The scoped rewrite applies covering tombstones and dead files for
+    the files it touches (physical purge inside the scope); rows
+    outside the scope keep reading through their tombstones until
+    their own compaction. The hive layout is preserved, file count
+    targeted from listing metadata. Returns the new version, or the
+    current one when the scope has nothing to do (≤1 live file and no
+    purge debt — no empty commit). Files without tight stats on
+    ``col`` are never selected (they are not partition-pure; use the
+    unscoped optimizers for those)."""
+    from math import ceil
+
+    import uuid
+
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"unknown op {op!r} (use one of {_PRUNE_OPS})")
+    cur = current_version(spark, table_dir)
+    if cur <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, cur))
+    stats = man.get("stats", {})
+    live = _live_rel_files(spark, table_dir, man)
+    covered = set()
+    for de in man.get("deletes", []):
+        covered.update(de["covers"])
+
+    def _pure_in_scope(rel: str) -> bool:
+        e = stats.get(rel)
+        if not e or col not in e:
+            return False
+        mn, mx = e[col]
+        if mn != mx:
+            return False  # not partition-pure on col
+        return not _file_prunable(e, col, op, value)
+
+    scope_by_dir: dict[str, list[str]] = {}
+    for d, rels in live.items():
+        sel = [rel for rel in rels if _pure_in_scope(rel)]
+        if sel:
+            scope_by_dir[d] = sel
+    scope = [rel for rels in scope_by_dir.values() for rel in rels]
+    dead_dirs_now = {_rel_dir(r) for r in man.get("dead_files", [])}
+    purge_debt = any(
+        d in covered or d in dead_dirs_now for d in scope_by_dir
+    )
+    if len(scope) <= 1 and not (scope and purge_debt):
+        return cur  # nothing to consolidate or purge in scope
+
+    fs, _, jvm = _fs(spark, table_dir)
+    scope_bytes = sum(
+        fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{rel}")
+        ).getLen()
+        for rel in scope
+    )
+    df = _scan_with_deletes(
+        spark,
+        table_dir,
+        man,
+        dirs=sorted(scope_by_dir),
+        paths_by_dir={
+            d: [f"{table_dir}/{rel}" for rel in rels]
+            for d, rels in scope_by_dir.items()
+        },
+    )
+    v = cur + 1
+    new_dir = f"{_DATA}/v{v:06d}-optw-{uuid.uuid4().hex[:8]}"
+    n_files = max(1, ceil(scope_bytes / max(1, target_file_bytes)))
+    part_cols = man.get("partition_by") or []
+    out = df.coalesce(n_files)
+    writer = out.write.mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(f"{table_dir}/{new_dir}")
+    new_stats: dict = {}
+    dirs = list(man["dirs"])
+    if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
+        new_stats = _dir_file_stats(
+            spark, table_dir, new_dir, schema=_man_schema(man)
+        )
+        dirs = dirs + [new_dir]
+
+    # manifest mechanics mirror merge_version's step 4: scoped files
+    # die, fully-dead dirs drop out, tombstones survive only while
+    # they still cover a kept dir
+    dead = set(man.get("dead_files", [])) | set(scope)
+    kept_dirs = []
+    for d in dirs:
+        if d in live and all(rel in dead for rel in live[d]):
+            dead.difference_update(live[d])
+            continue
+        kept_dirs.append(d)
+    kept_set = set(kept_dirs)
+    deletes = [
+        de
+        for de in man.get("deletes", [])
+        if any(c in kept_set for c in de["covers"])
+    ]
+    surviving_stats = {
+        rel: s
+        for rel, s in stats.items()
+        if rel not in dead and _rel_dir(rel) in kept_set
+    }
+    payload = {
+        "version": v,
+        "dirs": kept_dirs,
+        "op": f"optimize:where:{col}{op}{value!r}",
+        "stats": {**surviving_stats, **new_stats},
+        "recent_txns": _carry_txns(man, None, v),
+    }
+    if deletes:
+        payload["deletes"] = deletes
+    dead = {rel for rel in dead if _rel_dir(rel) in kept_set}
+    if dead:
+        payload["dead_files"] = sorted(dead)
+    if part_cols and new_stats:
+        payload["hive_dirs"] = [new_dir]
+    _carry_props(man, payload)
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    return v
+
+
 def stream_write_versioned(
     sdf,
     table_dir: str,
