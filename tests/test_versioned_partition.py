@@ -1689,3 +1689,88 @@ def test_optimize_where_scoped_compaction(spark, tmp_path):
     assert read_version(spark, tdir, version=2).count() == 40
     # idempotent-ish: nothing left to do in scope -> no empty commit
     assert optimize_where(spark, tdir, "seg", "=", "A") == 4
+
+
+def test_partitioned_model_based_random_ops(spark, tmp_path):
+    """Model-based randomized check of the PARTITIONED mutation
+    surface: random append / merge / delete / scoped-OPTIMIZE steps
+    against a hive table and a plain dict in lockstep — plus TAGS
+    dropped at random steps, each verified at the END against the
+    model as it was when tagged (time-travel exactness must survive
+    every later mutation and scoped rewrite)."""
+    import random
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        delete_rows,
+        merge_version,
+        optimize_where,
+        read_tag,
+        read_version,
+        tag_version,
+        write_version,
+    )
+
+    rng = random.Random(808)
+    tdir = str(tmp_path / "pmodel")
+    model: dict[int, tuple[str, float]] = {}
+    segs = ["A", "B", "C"]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k int, seg string, val double")
+
+    def check():
+        got = {
+            r["k"]: (r["seg"], r["val"])
+            for r in read_version(spark, tdir).collect()
+        }
+        assert got == model
+
+    rows = [(i, segs[i % 3], float(i)) for i in range(15)]
+    model.update({k: (s, v) for k, s, v in rows})
+    write_version(df_of(rows), tdir, "append", partition_by=["seg"])
+    check()
+
+    tagged: dict[str, dict] = {}
+    nextk = 100
+    for step in range(10):
+        op = rng.choice(["append", "merge", "delete", "optw", "tag"])
+        if op == "append":
+            rows = [
+                (nextk + j, rng.choice(segs), float(rng.randrange(100)))
+                for j in range(3)
+            ]
+            nextk += 10
+            model.update({k: (s, v) for k, s, v in rows})
+            write_version(df_of(rows), tdir, "append")
+        elif op == "merge" and model:
+            keys = rng.sample(sorted(model), min(3, len(model)))
+            rows = [
+                (k, rng.choice(segs), float(rng.randrange(100)))
+                for k in keys
+            ]
+            model.update({k: (s, v) for k, s, v in rows})
+            merge_version(spark, tdir, df_of(rows), "k", "update")
+        elif op == "delete" and model:
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            for k in keys:
+                model.pop(k, None)
+            delete_rows(
+                spark,
+                tdir,
+                spark.createDataFrame([(k,) for k in keys], "k int"),
+            )
+        elif op == "optw":
+            optimize_where(spark, tdir, "seg", "=", rng.choice(segs))
+        elif op == "tag":
+            name = f"step-{step}"
+            tag_version(spark, tdir, name, current_version(spark, tdir))
+            tagged[name] = dict(model)
+        check()
+
+    for name, snap in tagged.items():
+        got = {
+            r["k"]: (r["seg"], r["val"])
+            for r in read_tag(spark, tdir, name).collect()
+        }
+        assert got == snap, name
