@@ -2657,3 +2657,43 @@ def test_describe_detail_reports_tags(spark, tmp_path):
     assert V.describe_detail(spark, tdir, version=1)["tags"] == {
         "first": 1
     }
+
+
+def test_expire_dry_run_touches_nothing(spark, tmp_path, capsys):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import (
+        expire_versions,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "dryrun")
+    write_version(spark.range(3).select(F.col("id")), tdir)
+    write_version(
+        spark.range(9).select(F.col("id")), tdir, "overwrite"
+    )
+    before = sorted(glob.glob(f"{tdir}/data/*")) + sorted(
+        glob.glob(f"{tdir}/_manifests/*.json")
+    )
+    n = expire_versions(
+        spark, tdir, keep_last=1, orphan_grace_hours=0, dry_run=True
+    )
+    assert n == 1  # v1's dir would go
+    after = sorted(glob.glob(f"{tdir}/data/*")) + sorted(
+        glob.glob(f"{tdir}/_manifests/*.json")
+    )
+    assert after == before  # nothing touched
+    assert read_version(spark, tdir, version=1).count() == 3
+    assert main(
+        ["table", "expire", tdir, "--keep-last", "1",
+         "--orphan-grace-hours", "0", "--dry-run"]
+    ) == 0
+    assert "would remove 1" in capsys.readouterr().out
+    # the real pass then removes it
+    assert expire_versions(
+        spark, tdir, keep_last=1, orphan_grace_hours=0
+    ) == 1

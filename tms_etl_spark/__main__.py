@@ -126,6 +126,10 @@ def _parser() -> argparse.ArgumentParser:
         help="skip unreferenced dirs younger than this (in-flight "
         "writer protection); 0 only in a maintenance window",
     )
+    te.add_argument(
+        "--dry-run", action="store_true",
+        help="report what would be removed; touch nothing",
+    )
     tc = tsub.add_parser("changes")
     tc.add_argument("dir")
     tc.add_argument("--from", dest="from_v", type=int, required=True)
@@ -427,8 +431,10 @@ def main(argv: list[str] | None = None) -> int:
             n = vt.expire_versions(
                 spark, args.dir, keep_last=args.keep_last,
                 orphan_grace_hours=args.orphan_grace_hours,
+                dry_run=args.dry_run,
             )
-            print(f"removed {n} data dirs")
+            verb = "would remove" if args.dry_run else "removed"
+            print(f"{verb} {n} data dirs")
             return 0
         if args.table_cmd == "changes":
             vt.read_version_changes(

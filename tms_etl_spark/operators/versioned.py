@@ -2266,6 +2266,7 @@ def expire_versions(
     table_dir: str,
     keep_last: int = 7,
     orphan_grace_hours: float = 24.0,
+    dry_run: bool = False,
 ) -> int:
     """Retention: drop manifests older than the newest ``keep_last``
     versions and delete every data dir no kept version references.
@@ -2274,6 +2275,10 @@ def expire_versions(
     of data dirs removed. Time travel reaches only kept versions
     afterwards — plus TAGGED versions (`tag_version`), which stay
     fully readable past the window until their tag is deleted.
+
+    ``dry_run``: report the data-dir count that WOULD be removed and
+    touch nothing — the audit step before an irreversible retention
+    pass (VACUUM DRY RUN).
 
     ``orphan_grace_hours``: an unreferenced dir younger than this is
     SKIPPED. "Unreferenced" has two causes: expired history (safe to
@@ -2317,8 +2322,11 @@ def expire_versions(
                 continue
             if status.getModificationTime() > floor_ms:
                 continue  # possibly an in-flight writer's dir
-            fs.delete(status.getPath(), True)
+            if not dry_run:
+                fs.delete(status.getPath(), True)
             removed += 1
+    if dry_run:
+        return removed
     for v in range(1, first_kept):
         if v in tagged:
             continue  # tag keeps the manifest + sidecar readable
