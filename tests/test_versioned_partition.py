@@ -1774,3 +1774,34 @@ def test_partitioned_model_based_random_ops(spark, tmp_path):
             for r in read_tag(spark, tdir, name).collect()
         }
         assert got == snap, name
+
+
+def test_optimize_where_cluster_by(spark, tmp_path):
+    """Scoped OPTIMIZE with clustering: the hot partition's rewrite
+    comes out range-clustered — a point read on the cluster key
+    inside the scope touches one file, and results stay exact."""
+    from tms_etl_spark.operators.versioned import (
+        optimize_where,
+        read_version,
+        read_version_pruned_multi,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "optwcl")
+    for lo in (0, 30, 60):
+        rows = [(i, "A" if i % 2 else "B", float(i)) for i in range(lo, lo + 30)]
+        write_version(
+            _mkdf(spark, rows), tdir, "append", partition_by=["seg"]
+        )
+    before = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    optimize_where(
+        spark, tdir, "seg", "=", "A",
+        target_file_bytes=4096, cluster_by="k",
+    )
+    after = read_version(spark, tdir)
+    assert sorted(tuple(r) for r in after.collect()) == before
+    point = read_version_pruned_multi(
+        spark, tdir, [("seg", "=", "A"), ("k", "=", 41)]
+    )
+    assert [r["k"] for r in point.collect()] == [41]
+    assert len(point.inputFiles()) == 1  # tight zonemap after cluster

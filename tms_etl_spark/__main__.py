@@ -242,6 +242,10 @@ def _parser() -> argparse.ArgumentParser:
     )
     tow.add_argument("--value", required=True)
     tow.add_argument("--target-file-mb", type=float, default=128.0)
+    tow.add_argument(
+        "--cluster-by", default=None,
+        help="range-cluster the scoped rewrite on this column",
+    )
     ttags = tsub.add_parser("tags", help="list tags (name -> version)")
     ttags.add_argument("dir")
     tuntag = tsub.add_parser("untag", help="delete a tag")
@@ -541,6 +545,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.op,
                 val,
                 target_file_bytes=int(args.target_file_mb * 1024 * 1024),
+                cluster_by=args.cluster_by,
             )
             print(f"version {v}")
             return 0

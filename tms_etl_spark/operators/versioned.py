@@ -3018,6 +3018,7 @@ def optimize_where(
     op: str,
     value,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: str | None = None,
 ) -> int:
     """Partition-scoped compaction — Delta's ``OPTIMIZE … WHERE``:
     rewrite ONLY the files PROVEN wholly inside ``col op value`` by
@@ -3037,10 +3038,17 @@ def optimize_where(
     current one when the scope has nothing to do (≤1 live file and no
     purge debt — no empty commit). Files without tight stats on
     ``col`` are never selected (they are not partition-pure; use the
-    unscoped optimizers for those)."""
+    unscoped optimizers for those).
+
+    ``cluster_by``: range-cluster the scoped rewrite on a column
+    (within the preserved hive layout), so the hot partition comes
+    out of its compaction with tight per-file zonemaps — compact AND
+    cluster today's partition in one pass, the full nightly move."""
     from math import ceil
 
     import uuid
+
+    from pyspark.sql import functions as F
 
     if op not in _PRUNE_OPS:
         raise ValueError(f"unknown op {op!r} (use one of {_PRUNE_OPS})")
@@ -3097,7 +3105,18 @@ def optimize_where(
     new_dir = f"{_DATA}/v{v:06d}-optw-{uuid.uuid4().hex[:8]}"
     n_files = max(1, ceil(scope_bytes / max(1, target_file_bytes)))
     part_cols = man.get("partition_by") or []
-    out = df.coalesce(n_files)
+    if cluster_by is not None:
+        # tight per-file [min,max] on the cluster key inside the
+        # preserved layout — same recipe as merge_version's
+        # clustering-preserving rewrite
+        rb = [n_files] + [F.col(c) for c in part_cols] + [
+            F.col(cluster_by)
+        ]
+        out = df.repartitionByRange(*rb).sortWithinPartitions(
+            *part_cols, cluster_by
+        )
+    else:
+        out = df.coalesce(n_files)
     writer = out.write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
