@@ -1805,3 +1805,64 @@ def test_optimize_where_cluster_by(spark, tmp_path):
     )
     assert [r["k"] for r in point.collect()] == [41]
     assert len(point.inputFiles()) == 1  # tight zonemap after cluster
+
+
+def test_where_bloom_dnf_never_misprunes_randomized(spark, tmp_path):
+    """Seeded randomized net for the Bloom × disjunction composition:
+    random =/IN/range/OR predicates over a Bloom-indexed multi-file
+    table must return exactly the full snapshot filtered by the same
+    expression — admission unions/intersections can only skip files,
+    never rows."""
+    import random
+
+    from tms_etl_spark.operators.bloomindex import build_bloom_index
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        read_version_where,
+    )
+
+    rng = random.Random(2026)
+    tdir = str(tmp_path / "fuzzbloom")
+    for i in range(4):
+        df = spark.range(0, 200).select(
+            (F.col("id") * 4 + i).alias("uid"),
+            ((F.col("id") * 4 + i) % 7).alias("m"),
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+    build_bloom_index(spark, tdir, "uid")
+    full = read_version(spark, tdir)
+
+    atoms = []
+    for _ in range(10):
+        u = rng.randrange(0, 800)
+        choice = rng.randint(0, 3)
+        if choice == 0:
+            atoms.append(f"uid = {u}")
+        elif choice == 1:
+            vals = ", ".join(
+                str(rng.randrange(0, 800)) for _ in range(rng.randint(1, 4))
+            )
+            atoms.append(f"uid IN ({vals})")
+        elif choice == 2:
+            atoms.append(f"uid {rng.choice(['<', '>=', '<='])} {u}")
+        else:
+            atoms.append(f"m = {rng.randrange(0, 7)}")
+    cases = atoms[:]
+    for _ in range(8):
+        k = rng.randint(2, 3)
+        glue = rng.choice([" AND ", " OR "])
+        cases.append(glue.join(rng.sample(atoms, k)))
+    for _ in range(4):  # mixed AND/OR precedence shapes
+        a, b, c = rng.sample(atoms, 3)
+        cases.append(f"{a} AND {b} OR {c}")
+    for w in cases:
+        want = sorted(
+            (r["uid"],) for r in full.where(w).select("uid").collect()
+        )
+        got = sorted(
+            (r["uid"],)
+            for r in read_version_where(spark, tdir, w)
+            .select("uid")
+            .collect()
+        )
+        assert got == want, w
