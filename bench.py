@@ -283,6 +283,13 @@ HEADLINE = [
     "lakehouse_tag_retention",
     "lakehouse_constraints",
     "lakehouse_optimize_where",
+    # round-16 additions: Bloom skipping composed with deletion
+    # vectors (index build + delete + extend + probed read, all
+    # timed) and the one-scan DPP x WHERE composition
+    "lakehouse_bloom_after_delete",
+    "lakehouse_dpp_where",
+    "lakehouse_bucket_pruning",
+    "lakehouse_minmax_metadata",
 ]
 
 

@@ -502,6 +502,229 @@ AUDIT = [
         "file index by metadata; the IsNotNull residual is pushed to "
         "the surviving scan, then one partial-combined aggregate",
     ),
+    # round-16: the 28 previously property-less headline sections
+    # (r8 VERDICT item 5) — every headliner now carries needles, so
+    # a plan-shape regression FAILS the audit instead of printing
+    (
+        "join_sort_merge",
+        ["SortMergeJoin", "partial_"],
+        "explicit merge-join strategy: both sides exchange+sort on "
+        "the key once, aggregate partial-combines after",
+    ),
+    (
+        "agg_sum_avg_min_max",
+        ["partial_sum", "partial_min"],
+        "single scan, one group exchange; all eight aggregates "
+        "partial-combine map-side (DECIMAL sums for exactness)",
+    ),
+    (
+        "agg_rollup",
+        ["Expand", "HashAggregate"],
+        "rollup compiles to Expand (grouping-set replication) + one "
+        "partial-combined aggregate — no per-level re-scan",
+    ),
+    (
+        "window_cumulative",
+        ["Window", "Exchange"],
+        "running totals: ONE key exchange feeds the frame; no "
+        "self-join, no per-row shuffle",
+    ),
+    (
+        "topk_per_group",
+        ["WindowGroupLimit"],
+        "rank<=k filter pushes into WindowGroupLimit — per-partition "
+        "group-local top-k BEFORE the exchange, so hot groups never "
+        "ship their full history",
+    ),
+    (
+        "stream_session_window",
+        ["MergingSessions", "partial_"],
+        "session windows compile to the MergingSessions operator "
+        "with partial aggregation below the key exchange",
+    ),
+    (
+        "dedup_exact",
+        ["HashAggregate", "Exchange"],
+        "exact dedup is a hash-keyed first-wins aggregate: partial "
+        "map-side combine, ONE content-key exchange, no window",
+    ),
+    (
+        "dedup_clusters",
+        ["Scan ExistingRDD"],
+        "iterative label propagation checkpoints each round (bounded "
+        "lineage); the returned plan reads the CONVERGED labels — "
+        "the iteration never re-executes per consumer",
+    ),
+    (
+        "sim_cosine_topk",
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        "query vector broadcasts to the corpus scan; ranking is a "
+        "distributed bounded top-k, never a single-partition window",
+    ),
+    (
+        "sim_neardup_pairs_lsh",
+        ["FlatMapGroupsInPandas", "HashAggregate"],
+        "LSH candidate pairs come from band-bucket groups "
+        "(applyInPandas per bucket) — bucketed, never all-pairs; "
+        "verification aggregates partial-combine",
+    ),
+    (
+        "sim_ivf_topk",
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "cell assignment is an Arrow map pass (no shuffle); only "
+        "probed cells scan; final ranking is bounded top-k",
+    ),
+    (
+        "multimodal_feature_extract",
+        ["MapInPandas", "Scan parquet"],
+        "binary decode + feature extraction is ONE Arrow-batched "
+        "map pass over the scan — zero exchanges in the plan",
+    ),
+    (
+        "text_quality_score",
+        ["Scan parquet", "Project"],
+        "pure map-side scoring: scan + codegen'd projection, no "
+        "exchange, no UDF — every heuristic is a builtin expression",
+    ),
+    (
+        "text_winnow_fingerprint",
+        ["ObjectHashAggregate", "Exchange"],
+        "winnowing fingerprints aggregate array-side per doc "
+        "(object hash agg, partial+final) on one doc-key exchange",
+    ),
+    (
+        "quality_profile",
+        ["HashAggregate", "Generate"],
+        "two-level profile: per-column stats partial-combine, the "
+        "report explodes from the 1-row aggregate (Generate) — the "
+        "corpus is scanned once",
+    ),
+    (
+        "ngram_lm_counts",
+        ["BroadcastHashJoin", "HashAggregate"],
+        "n-gram and (n-1)-gram count tables partial-combine; the "
+        "probability join broadcasts the smaller context table",
+    ),
+    (
+        "dedup_fuzzy_pairs",
+        ["BroadcastHashJoin", "Window"],
+        "sorted-neighborhood blocking: global rank via bucketed "
+        "windows + broadcast offsets; candidate pairs by rank-offset "
+        "equi-join, never corpus x corpus",
+    ),
+    (
+        "q7_volume_shipping",
+        ["BroadcastHashJoin", "partial_"],
+        "snowflake star: every dimension chain broadcasts (zero "
+        "fact-side join shuffles), final aggregate partial-combines",
+    ),
+    (
+        "q13_customer_distribution",
+        ["LeftOuter", "HashAggregate"],
+        "outer join preserves order-less customers; both aggregation "
+        "levels (per-customer, per-count) partial-combine",
+    ),
+    (
+        "split_leakage_safe",
+        ["BroadcastHashJoin", "HashAggregate"],
+        "group-atomic split: the per-group assignment (content-hash "
+        "aggregate) broadcasts back onto the corpus — duplicates "
+        "can never straddle train/test",
+    ),
+    (
+        "text_rarity_score",
+        ["Generate", "BroadcastHashJoin"],
+        "df-cut frequent-bigram table broadcasts; the doc-gram "
+        "stream (Generate) joins it once, no gram-keyed shuffle of "
+        "the corpus",
+    ),
+    (
+        "dedup_incremental_bloom",
+        ["LeftAnti", "Union"],
+        "cross-snapshot dedup: new chunk anti-joins the prior "
+        "snapshot's key digest (broadcastable), survivors union — "
+        "the history is probed, never re-deduped",
+    ),
+    (
+        "sim_pq_adc",
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "PQ codes assigned in an Arrow map pass; ADC scoring is "
+        "table lookups; ranking is a distributed bounded top-k",
+    ),
+    (
+        "lakehouse_merge_state",
+        ["Scan parquet", "partial_count"],
+        "read after CoW MERGE: one scan of the surviving file set "
+        "(rewritten + untouched files), no tombstone join — the "
+        "merge purged physically; aggregate partial-combines",
+    ),
+    (
+        "dedup_decontaminate",
+        ["LeftSemi", "BroadcastExchange"],
+        "benchmark decontamination: the eval-set n-gram table "
+        "broadcasts into a LEFT SEMI against the corpus grams — "
+        "one corpus pass, no corpus shuffle",
+    ),
+    (
+        "sim_hard_negatives",
+        ["SortAggregate", "BroadcastHashJoin"],
+        "anchors broadcast to the corpus; per-anchor candidate "
+        "ranking is a bounded struct-max aggregate (SortAggregate "
+        "partial+final), never a global sort",
+    ),
+    (
+        "lakehouse_tag_retention",
+        ["Scan parquet", "partial_count"],
+        "tag-resolved read after expire: ONE scan of the protected "
+        "snapshot's files (manifest-planned — the overwritten head "
+        "is a different file set), partial-combined aggregate",
+    ),
+    (
+        "lakehouse_constraints",
+        ["Scan parquet", "partial_count"],
+        "read after a refused commit: the scan is the constrained "
+        "v1 file set only (the violating dir was deleted pre-"
+        "manifest), one partial-combined aggregate",
+    ),
+    # round-16 additions (new headliners this round)
+    (
+        "lakehouse_bloom_after_delete",
+        ["LeftAnti", "Scan parquet"],
+        "bloom-admitted point read UNDER deletion vectors: the scan "
+        "plans only admitted files (sidecar probe at plan time) and "
+        "the tombstone subtraction is an anti-join over that pruned "
+        "set — one tombstone no longer demotes to a full scan",
+    ),
+    (
+        "lakehouse_dpp_where",
+        ["LeftSemi", "partial_count"],
+        "one-scan DPP x WHERE: the file index is the INTERSECTION "
+        "of the dim-key cut and the WHERE cut; residual = pushed "
+        "row filter + broadcast LEFT SEMI; aggregate "
+        "partial-combines",
+    ),
+    (
+        "lakehouse_bucket_pruning",
+        ["Scan parquet", "PushedFilters"],
+        "bucket-transform point read: the IN values' hash images fix "
+        "the file index to their bucket dirs at plan time; the IN "
+        "predicate stays pushed to the surviving scan",
+    ),
+    (
+        "lakehouse_minmax_metadata",
+        ["Scan ExistingRDD"],
+        "stats-only aggregate pushdown: the 1-row MIN/MAX/COUNT "
+        "result materializes from manifest zonemaps alone — the "
+        "returned plan is a local 1-row relation with NO parquet "
+        "scan node (checked: 'Scan parquet' absent)",
+    ),
+    (
+        "lakehouse_where_tag",
+        ["Scan parquet", "partial_count"],
+        "tag-resolved WHERE read: the scan is the TAGGED snapshot's "
+        "pruned file list (predicate still drives manifest skipping "
+        "on the older version), one partial-combined aggregate",
+    ),
 ]
 
 
@@ -545,6 +768,8 @@ def main() -> None:
         "tests/test_plans.py.",
         "",
     ]
+    missing: list[str] = []
+    unannotated: list[str] = []
     for name, needles, why in audits:
         df = catalog.QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
@@ -553,6 +778,9 @@ def main() -> None:
             )
         )
         hits = {n: (n in plan) for n in needles}
+        missing += [f"{name}:{n}" for n, ok in hits.items() if not ok]
+        if not needles:
+            unannotated.append(name)
         out.append(f"## {name}")
         out.append(f"_{why}_")
         out.append("")
@@ -576,20 +804,14 @@ def main() -> None:
     unsectioned = [
         n for n in bench.HEADLINE if f"## {n}" not in body
     ]
-    missing = []
-    for name, needles, _ in audits:
-        df = catalog.QUERIES[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
-        missing += [f"{name}:{n}" for n in needles if n not in plan]
     print(
         f"wrote {path}; missing properties: {missing or 'none'}; "
+        f"headliners without needles: {unannotated or 'none'}; "
         f"headliners without a section: {unsectioned or 'none'}"
     )
-    if unsectioned:
+    # a plan-shape regression (or a needle-less headliner) FAILS the
+    # audit — since r9 this script is a gate, not just a dump
+    if unsectioned or missing or unannotated:
         raise SystemExit(1)
 
 

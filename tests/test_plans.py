@@ -552,3 +552,63 @@ def test_round8_lakehouse_entries_plan_properties(spark, sf_dir):
     for name in ("lakehouse_tag_retention", "lakehouse_constraints"):
         p = _plan(spark, sf_dir, name)
         assert "HashAggregate" in p and "partial_count" in p, name
+
+
+def test_round9_lakehouse_entries_plan_properties(spark, sf_dir):
+    """Round-9 entries' 100 TB properties (same needles as
+    scripts/plan_audit.py, which now FAILS on a missing needle):
+    the bloom-under-deletes read subtracts tombstones with an
+    anti-join over the ADMITTED file set, the one-scan DPP x WHERE
+    read carries the semi-join residual plus a partial-combined
+    aggregate, and the tag-resolved WHERE read aggregates partial."""
+    p = _plan(spark, sf_dir, "lakehouse_bloom_after_delete")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    p = _plan(spark, sf_dir, "lakehouse_dpp_where")
+    assert "LeftSemi" in p and "partial_count" in p
+    assert "CartesianProduct" not in p
+    p = _plan(spark, sf_dir, "lakehouse_where_tag")
+    assert "HashAggregate" in p and "partial_count" in p
+    # stats-only aggregate pushdown: the result plan must contain NO
+    # parquet scan — the manifest answered, not the data
+    p = _plan(spark, sf_dir, "lakehouse_minmax_metadata")
+    assert "Scan parquet" not in p
+    # bucket-transform point read keeps the IN predicate pushed to
+    # the (bucket-pruned) scan
+    p = _plan(spark, sf_dir, "lakehouse_bucket_pruning")
+    assert "PushedFilters" in p and "Scan parquet" in p
+
+
+def test_bloom_point_read_under_deletes_prunes_files(spark, tmp_path):
+    """The r9 composition seam at plan level: a point read on a
+    tombstoned table scans ONLY the bloom-admitted data files — the
+    scan's file list (tombstone dirs excluded) is smaller than the
+    table's file count, and the plan subtracts deletes via an
+    anti-join, never a full-table fallback scan."""
+    from pyspark.sql import functions as F
+
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        extend_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import delete_rows, write_version
+
+    tdir = str(tmp_path / "bloomdelplan")
+    for i in range(4):
+        df = spark.range(0, 400).select(
+            (F.col("id") * 4 + i).alias("uid")
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+    build_bloom_index(spark, tdir, "uid")
+    delete_rows(spark, tdir, spark.createDataFrame([(10,)], "uid long"))
+    extend_bloom_index(spark, tdir, "uid")
+    got = read_version_point(spark, tdir, "uid", 406)
+    data_files = [f for f in got.inputFiles() if "-del-" not in f]
+    assert 0 < len(data_files) < 4
+    plan = got._jdf.queryExecution().explainString(
+        got._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LeftAnti" in plan

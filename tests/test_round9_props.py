@@ -1,0 +1,550 @@
+"""Round-9 property pins: Bloom-sidecar skipping composed with
+deletion vectors (point reads and the WHERE front door no longer
+demote to a full subtracted scan when a tombstone exists), one-scan
+DPP × WHERE composition (`read_version_where(prune_keys=)`), snapshot
+selection (`asof=`/`tag=`) on the WHERE front door, CHECK-constraint
+drop + analysis-failure cleanup, and the optimize_where None-value
+refusal. Each pins the r8 VERDICT / ADVICE asks with file-count or
+refusal-shape assertions, not just values."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.versioned import (
+    delete_rows,
+    read_version,
+    read_version_where,
+    write_version,
+)
+
+
+def _data_files(df):
+    """Scanned DATA files — tombstone vectors (-del- dirs) excluded."""
+    return [f for f in df.inputFiles() if "-del-" not in f]
+
+
+def _four_file_table(spark, tdir, n=1000):
+    """4 single-file commits with interleaved uid ranges: zonemaps
+    span everything (useless), bloom membership is disjoint."""
+    for i in range(4):
+        df = spark.range(0, n).select(
+            (F.col("id") * 4 + i).alias("uid"),
+            (F.col("id") % 7).alias("grp"),
+        ).coalesce(1)
+        write_version(df, tdir, "append")
+
+
+def test_point_read_uses_bloom_under_deletes(spark, tmp_path):
+    """VERDICT r8 #1: one tombstone must no longer demote a
+    Bloom-assisted point read to the full subtracted scan — the
+    admitted file set routes through the deletion-vector scan, so a
+    point read on a tombstoned table still skips non-member files
+    while the anti-join keeps deleted keys invisible."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        extend_bloom_index,
+        read_version_point,
+    )
+
+    tdir = str(tmp_path / "bloomdel")
+    _four_file_table(spark, tdir)
+    build_bloom_index(spark, tdir, "uid")
+    doomed = spark.createDataFrame([(402,)], "uid long")
+    delete_rows(spark, tdir, doomed)
+    extend_bloom_index(spark, tdir, "uid")  # carry bitmaps to v5
+
+    # surviving key: exact row back, fewer files than the table
+    got = read_version_point(spark, tdir, "uid", 406)
+    assert [r["uid"] for r in got.collect()] == [406]
+    assert len(_data_files(got)) < 4
+
+    # deleted key: bloom ADMITS its file (pre-filter), anti-join
+    # removes the row — exact, and still not a full scan
+    gone = read_version_point(spark, tdir, "uid", 402)
+    assert gone.count() == 0
+    assert len(_data_files(gone)) < 4
+
+    # absent key: no admitting file at all
+    none = read_version_point(spark, tdir, "uid", 999_983)
+    assert none.count() == 0
+
+
+def test_where_front_door_bloom_survives_deletes(spark, tmp_path):
+    """The WHERE front door's Bloom gate no longer requires a
+    delete-free snapshot: equality conjuncts keep skipping files on a
+    tombstoned table, and results stay exact against a plain
+    filtered read."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        extend_bloom_index,
+    )
+
+    tdir = str(tmp_path / "bloomwheredel")
+    _four_file_table(spark, tdir)
+    build_bloom_index(spark, tdir, "uid")
+    delete_rows(spark, tdir, spark.createDataFrame([(402,)], "uid long"))
+    extend_bloom_index(spark, tdir, "uid")
+
+    got = read_version_where(spark, tdir, "uid = 406 AND grp >= 0")
+    assert [r["uid"] for r in got.collect()] == [406]
+    assert len(_data_files(got)) < 4
+
+    gone = read_version_where(spark, tdir, "uid = 402")
+    assert gone.count() == 0
+    assert len(_data_files(gone)) < 4
+
+
+def test_bloom_delete_point_read_randomized(spark, tmp_path):
+    """Randomized no-wrong-rows net for the bloom × deletion-vector
+    composition: random deletes, then point reads of surviving,
+    deleted, and absent keys must match the plain subtracted scan
+    exactly (seeded — deterministic across runs)."""
+    import random
+
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        extend_bloom_index,
+        read_version_point,
+    )
+
+    rng = random.Random(90901)
+    tdir = str(tmp_path / "bloomdelrand")
+    _four_file_table(spark, tdir, n=250)
+    build_bloom_index(spark, tdir, "uid")
+    doomed = sorted(rng.sample(range(0, 1000), 37))
+    delete_rows(
+        spark, tdir, spark.createDataFrame([(k,) for k in doomed], "uid long")
+    )
+    extend_bloom_index(spark, tdir, "uid")
+    plain = read_version(spark, tdir)
+    probes = (
+        rng.sample(range(0, 1000), 6)
+        + rng.sample(doomed, 3)
+        + [2000, 5001]  # absent
+    )
+    for k in probes:
+        want = sorted(
+            (r["uid"], r["grp"])
+            for r in plain.where(F.col("uid") == k).collect()
+        )
+        got = read_version_point(spark, tdir, "uid", k)
+        assert sorted((r["uid"], r["grp"]) for r in got.collect()) == want, k
+
+
+def test_where_dpp_prune_keys_composes_one_scan(spark, tmp_path):
+    """VERDICT r8 #2: `read_version_where(prune_keys=)` applies the
+    dimension-key file cut AND the WHERE zonemap cut to ONE scan —
+    the surviving file list is a subset of EACH individual cut — and
+    the result equals filter + semi-join over the plain table."""
+    from tms_etl_spark.operators.versioned import (
+        read_version_pruned_semijoin,
+    )
+
+    tdir = str(tmp_path / "dppwhere")
+    fact = spark.range(0, 4000).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 100).alias("v"),
+    )
+    # range-clustered on fk: 8 files with tight disjoint fk zonemaps
+    write_version(fact.repartitionByRange(8, "fk"), tdir, "append")
+    dim = spark.range(0, 40).select((F.col("id") + 100).alias("fk"))
+
+    both = read_version_where(
+        spark, tdir, "v < 25", prune_keys=("fk", dim)
+    )
+    want = sorted(
+        (r["fk"], r["v"])
+        for r in fact.where("v < 25")
+        .join(dim, "fk", "left_semi")
+        .collect()
+    )
+    assert sorted((r["fk"], r["v"]) for r in both.collect()) == want
+
+    # the composed file list ⊆ each single cut
+    dpp_only = read_version_pruned_semijoin(spark, tdir, "fk", dim)
+    where_only = read_version_where(spark, tdir, "v < 25")
+    n_both = len(both.inputFiles())
+    assert n_both <= len(dpp_only.inputFiles())
+    assert n_both <= len(where_only.inputFiles())
+    # and the key cut actually bit: fewer files than the whole table
+    assert n_both < len(read_version(spark, tdir).inputFiles())
+
+
+def test_where_dpp_over_cap_unhinted_and_exact(spark, tmp_path):
+    """Past max_keys the prune_keys cut is abandoned: no forced
+    broadcast on the residual semi-join (AQE size-plans it), rows
+    still exact; under the cap the hint applies."""
+    tdir = str(tmp_path / "dppwherecap")
+    fact = spark.range(0, 200).select(
+        F.col("id").alias("fk"), (F.col("id") * 2).alias("v")
+    )
+    write_version(fact, tdir)
+    dim = spark.range(0, 50).select((F.col("id") * 4).alias("fk"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        over = read_version_where(
+            spark, tdir, "v >= 0", prune_keys=("fk", dim), max_keys=10
+        )
+        plan = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        under = read_version_where(
+            spark, tdir, "v >= 0", prune_keys=("fk", dim), max_keys=1000
+        )
+        uplan = under._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in uplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+        )
+    want = sorted(
+        r["fk"] for r in fact.join(dim, "fk", "left_semi").collect()
+    )
+    assert sorted(r["fk"] for r in over.collect()) == want
+    assert sorted(r["fk"] for r in under.collect()) == want
+
+
+def test_where_dpp_empty_dim_returns_empty(spark, tmp_path):
+    """An empty (post-filter) dimension key set prunes EVERY file —
+    the scan plans zero files instead of reading anything."""
+    tdir = str(tmp_path / "dppwhereempty")
+    write_version(spark.range(0, 100).select(F.col("id").alias("fk")), tdir)
+    dim = spark.range(0, 10).select(F.col("id").alias("fk")).where("fk < 0")
+    got = read_version_where(spark, tdir, "fk >= 0", prune_keys=("fk", dim))
+    assert got.count() == 0
+    assert len(got.inputFiles()) == 0
+
+
+def test_read_version_where_asof_and_tag(spark, tmp_path):
+    """VERDICT r8 #4: the WHERE front door resolves `asof=` and
+    `tag=` like `register_versioned` — a notebook user reads a tagged
+    or timestamped snapshot through one call; the three selectors are
+    mutually exclusive."""
+    import time
+
+    from tms_etl_spark.operators.versioned import tag_version
+
+    tdir = str(tmp_path / "whereasof")
+    write_version(spark.range(0, 5).select("id"), tdir, "append")
+    tag_version(spark, tdir, "v1tag")
+    t1 = time.time()
+    write_version(spark.range(100, 105).select("id"), tdir, "append")
+
+    by_tag = read_version_where(spark, tdir, "id >= 0", tag="v1tag")
+    assert sorted(r["id"] for r in by_tag.collect()) == [0, 1, 2, 3, 4]
+    by_asof = read_version_where(spark, tdir, "id >= 0", asof=t1)
+    assert sorted(r["id"] for r in by_asof.collect()) == [0, 1, 2, 3, 4]
+    head = read_version_where(spark, tdir, "id >= 100")
+    assert sorted(r["id"] for r in head.collect()) == [100, 101, 102, 103, 104]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_version_where(spark, tdir, "id >= 0", version=1, tag="v1tag")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_version_where(spark, tdir, "id >= 0", asof=t1, tag="v1tag")
+
+
+def test_constraint_drop_and_analysis_cleanup(spark, tmp_path):
+    """ADVICE r8 (low): an overwrite whose new schema removes a
+    constrained column fails constraint ANALYSIS — the just-written
+    dir must be cleaned up (no orphan until grace expiry), and
+    ``constraints={name: None}`` drops the constraint so the table
+    can evolve past it."""
+    from tms_etl_spark.sources.fs import list_files
+
+    tdir = str(tmp_path / "dropcon")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), ((F.col("id") + 1) * 2.0).alias("price")
+    )
+    write_version(df, tdir, "append", constraints={"price_pos": "price > 0"})
+
+    files_before = {f.path for f in list_files(spark, f"{tdir}/data")}
+    # overwrite WITHOUT the constrained column: analysis fails, commit
+    # refused, and the new dir is deleted (no orphans)
+    with pytest.raises(Exception):
+        write_version(
+            spark.range(0, 4).select(F.col("id").alias("k")),
+            tdir,
+            "overwrite",
+        )
+    files_after = {f.path for f in list_files(spark, f"{tdir}/data")}
+    assert files_after == files_before  # refused write left no debris
+    assert sorted(
+        r["k"] for r in read_version(spark, tdir).collect()
+    ) == list(range(10))
+
+    # drop the constraint, then the same overwrite succeeds
+    write_version(
+        spark.range(0, 4).select(F.col("id").alias("k")),
+        tdir,
+        "overwrite",
+        constraints={"price_pos": None},
+    )
+    assert sorted(r["k"] for r in read_version(spark, tdir).collect()) == [
+        0, 1, 2, 3,
+    ]
+    # and the constraint is GONE from the table properties: a commit
+    # that would have violated it now lands
+    write_version(
+        spark.range(10, 12).select(F.col("id").alias("k")), tdir, "append"
+    )
+
+
+def test_optimize_where_none_value_raises(spark, tmp_path):
+    """ADVICE r8 (medium): a None value (e.g. a typo'd CLI --value
+    that cast to NULL) must raise, not silently select every
+    partition-pure file for a full-table rewrite."""
+    from tms_etl_spark.operators.versioned import optimize_where
+
+    tdir = str(tmp_path / "optwnone")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("seg")
+    )
+    write_version(df, tdir, "append", partition_by=["seg"])
+    with pytest.raises(ValueError, match="must not be None"):
+        optimize_where(spark, tdir, "seg", "=", None)
+
+
+def test_cli_optimize_where_bad_value_exits_2(spark, tmp_path, capsys):
+    """The CLI casts --value with non-ANSI semantics (unparseable →
+    NULL); that must exit 2 with a clear message, never reach
+    optimize_where."""
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import current_version
+
+    tdir = str(tmp_path / "cliownone")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("band")
+    )
+    write_version(df, tdir, "append", partition_by=["band"])
+    v_before = current_version(spark, tdir)
+    assert main(
+        ["table", "optimize-where", tdir, "--col", "band",
+         "--value", "not-a-number"]
+    ) == 2
+    assert "does not cast" in capsys.readouterr().err
+    assert current_version(spark, tdir) == v_before  # nothing rewritten
+
+
+def test_cli_table_show_asof_compact_iso_date(spark, tmp_path, capsys):
+    """VERDICT r8 #3: `table show --asof` parses ISO-first like
+    `table scan --asof` (shared helper) — '20990101' is a compact ISO
+    date resolving the current snapshot, not ~epoch-1970 seconds."""
+    import time
+
+    from tms_etl_spark.__main__ import main
+
+    tdir = str(tmp_path / "showasofiso")
+    write_version(spark.range(0, 3).select("id"), tdir, "append")
+    t1 = time.time()
+    write_version(spark.range(100, 103).select("id"), tdir, "append")
+    assert main(["table", "show", tdir, "--asof", "20990101"]) == 0
+    out = capsys.readouterr().out
+    assert "resolved to v2" in out and "101" in out
+    # ten-digit epoch strings are not ISO and still parse as seconds
+    assert main(["table", "show", tdir, "--asof", f"{t1:.3f}"]) == 0
+    out = capsys.readouterr().out
+    assert "resolved to v1" in out and "101" not in out
+
+
+def test_register_history_skips_expired_probes(spark, tmp_path):
+    """ADVICE r8 (low): the __history view lists `_manifests` ONCE
+    and reads only surviving manifests — expired versions cost zero
+    existence probes (the old walk probed every version number from
+    head down to 1)."""
+    from tms_etl_spark.operators import versioned as V
+
+    tdir = str(tmp_path / "histexp")
+    for i in range(6):
+        V.write_version(spark.range(i, i + 2).select("id"), tdir, "append")
+    V.expire_versions(spark, tdir, keep_last=2, orphan_grace_hours=0)
+
+    calls = {"exists": 0, "reads": 0}
+    orig_exists, orig_read = V.path_exists, V._read_json
+
+    def counting_exists(spark_, path):
+        calls["exists"] += 1
+        return orig_exists(spark_, path)
+
+    def counting_read(spark_, path):
+        calls["reads"] += 1
+        return orig_read(spark_, path)
+
+    V.path_exists = counting_exists
+    V._read_json = counting_read
+    try:
+        V.register_versioned(
+            spark, tdir, "histexp_t", use_stats=False, history_limit=100
+        )
+    finally:
+        V.path_exists = orig_exists
+        V._read_json = orig_read
+    got = [
+        r["version"]
+        for r in spark.sql(
+            "SELECT version FROM histexp_t__history ORDER BY version"
+        ).collect()
+    ]
+    assert got == [5, 6]  # only survivors
+    # snapshot read + _manifests-dir probe + per-survivor reads — NOT
+    # one probe per expired version (6 versions, 4 expired)
+    assert calls["reads"] <= 4, calls
+    assert calls["exists"] <= 5, calls
+    spark.catalog.dropTempView("histexp_t")
+    spark.catalog.dropTempView("histexp_t__history")
+
+
+def test_bucket_transform_point_pruning(spark, tmp_path):
+    """Iceberg-style bucket(N, col) transform (r9): a generated
+    ``p_bucket = pmod(xxhash64(k), 8)`` partition column derives
+    EQUALITY predicates from the raw key — a point read scans one
+    bucket dir, an IN list at most one dir per value — while range
+    predicates do NOT derive (hashes destroy order) and stay exact
+    via the residual."""
+    tdir = str(tmp_path / "bucketed")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    write_version(
+        df,
+        tdir,
+        "append",
+        partition_by=["p_bucket"],
+        partition_exprs={"p_bucket": "pmod(xxhash64(k), 8)"},
+    )
+
+    got = read_version_where(spark, tdir, "k = 42")
+    assert [r["k"] for r in got.collect()] == [42]
+    buckets = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    assert len(buckets) == 1  # exactly the key's bucket dir
+
+    got_in = read_version_where(spark, tdir, "k IN (7, 42, 311)")
+    assert sorted(r["k"] for r in got_in.collect()) == [7, 42, 311]
+    buckets_in = {f.rsplit("/", 2)[1] for f in got_in.inputFiles()}
+    assert 1 <= len(buckets_in) <= 3
+
+    # range predicates do NOT derive through a hash bucket — every
+    # bucket may hold qualifying keys, and the rows still come back
+    # exactly (residual-only)
+    rng = read_version_where(spark, tdir, "k < 10")
+    assert sorted(r["k"] for r in rng.collect()) == list(range(10))
+    rng_buckets = {f.rsplit("/", 2)[1] for f in rng.inputFiles()}
+    assert len(rng_buckets) > 3
+
+
+def test_bucket_transform_null_source_not_derived(spark, tmp_path):
+    """Spark's hash functions map NULL to the seed hash, so a
+    null-source row lands in a REGULAR bucket — ``k IS NULL`` must
+    NOT derive a bucket predicate (it would misprune) and must still
+    find the null rows."""
+    tdir = str(tmp_path / "bucketnull")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d")],
+        "k int, tag string",
+    )
+    write_version(
+        df,
+        tdir,
+        "append",
+        partition_by=["p_bucket"],
+        partition_exprs={"p_bucket": "pmod(xxhash64(k), 4)"},
+    )
+    nulls = read_version_where(spark, tdir, "k IS NULL")
+    assert sorted(r["tag"] for r in nulls.collect()) == ["c", "d"]
+    # and no __HIVE_DEFAULT_PARTITION__ dir exists: nulls bucketed
+    assert not any(
+        "__HIVE_DEFAULT_PARTITION__" in f
+        for f in read_version(spark, tdir).inputFiles()
+    )
+
+
+def test_dpp_images_through_bucket_transform(spark, tmp_path):
+    """DPP key images are equality semantics, so they map through a
+    bucket transform: a dim-keyed pruned read on a bucket-partitioned
+    fact scans only the keys' buckets and matches the plain
+    semi-join."""
+    from tms_etl_spark.operators.versioned import (
+        read_version_pruned_semijoin,
+    )
+
+    tdir = str(tmp_path / "bucketdpp")
+    fact = spark.range(0, 600).select(
+        F.col("id").alias("fk"), (F.col("id") * 3).alias("x")
+    )
+    write_version(
+        fact,
+        tdir,
+        "append",
+        partition_by=["p_bucket"],
+        partition_exprs={"p_bucket": "pmod(xxhash64(fk), 8)"},
+    )
+    dim = spark.createDataFrame([(5,), (99,)], "fk long")
+    got = read_version_pruned_semijoin(spark, tdir, "fk", dim)
+    want = sorted(
+        (r["fk"], r["x"])
+        for r in fact.join(dim, "fk", "left_semi").collect()
+    )
+    assert sorted((r["fk"], r["x"]) for r in got.collect()) == want
+    buckets = {f.rsplit("/", 2)[1] for f in got.inputFiles()}
+    assert 1 <= len(buckets) <= 2  # ≤ one bucket per key
+
+
+def test_minmax_metadata_zero_scan(spark, tmp_path):
+    """Stats-only MIN/MAX (r9): a clean snapshot answers from the
+    manifest alone (pure function — `minmax_metadata(man, cols)`
+    takes no SparkSession, so zero I/O by construction) and agrees
+    with real aggregates; an evolution-added column answers from the
+    post-evolution files only (backfilled all-null proofs); a
+    tombstoned snapshot REFUSES the fast path and the front door
+    falls back to the subtracted scan, still exact."""
+    from tms_etl_spark.operators.versioned import (
+        _manifest_path,
+        _read_json,
+        current_version,
+        minmax,
+        minmax_metadata,
+    )
+
+    tdir = str(tmp_path / "minmax")
+    df = spark.range(3, 103).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("val")
+    )
+    write_version(df.repartitionByRange(4, "k"), tdir, "append")
+    man = _read_json(spark, _manifest_path(tdir, 1))
+    assert minmax_metadata(man, ["k", "val"]) == {
+        "k": (3, 102), "val": (4.5, 153.0),
+    }
+    assert minmax(spark, tdir, ["k", "val"]) == {
+        "k": (3, 102), "val": (4.5, 153.0),
+    }
+
+    # schema evolution: the added column's extremes come from the
+    # post-evolution files; old files are provably all-null
+    write_version(
+        spark.range(200, 210).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("val"),
+            (F.col("id") % 7).alias("extra"),
+        ),
+        tdir,
+        "append",
+        merge_schema=True,
+    )
+    man2 = _read_json(
+        spark, _manifest_path(tdir, current_version(spark, tdir))
+    )
+    assert minmax_metadata(man2, ["extra"]) == {"extra": (0, 6)}
+
+    # deletion vector: metadata refuses (the deleted row could be the
+    # max), the front door scans and is exact
+    delete_rows(spark, tdir, spark.createDataFrame([(209,)], "k long"))
+    man3 = _read_json(
+        spark, _manifest_path(tdir, current_version(spark, tdir))
+    )
+    assert minmax_metadata(man3, ["k"]) is None
+    assert minmax(spark, tdir, ["k"]) == {"k": (3, 208)}

@@ -27,6 +27,26 @@ import sys
 _DEFAULT_SF = "/root/testdata/sf0.01"
 
 
+def _parse_asof(s: str):
+    """Parse a ``--asof`` argument ISO-8601 FIRST, mirroring
+    `version_asof`'s own precedence: float-first would read compact
+    dates like '20240101' as ~epoch-1970 seconds and silently resolve
+    the wrong snapshot (or error with "no version at or before").
+    Only a non-ISO value is tried as epoch seconds; anything else
+    passes through for `version_asof` to raise its clear error."""
+    import datetime as _dt
+
+    try:
+        _dt.datetime.fromisoformat(s)
+        return s
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tms_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -357,11 +377,9 @@ def main(argv: list[str] | None = None) -> int:
                     print("--version and --asof are mutually exclusive",
                           file=sys.stderr)
                     return 2
-                try:
-                    ts = float(args.asof)
-                except ValueError:
-                    ts = args.asof  # ISO-8601 string
-                version = vt.version_asof(spark, args.dir, ts)
+                version = vt.version_asof(
+                    spark, args.dir, _parse_asof(args.asof)
+                )
                 print(f"resolved to v{version}")
             vt.read_version(spark, args.dir, version).show(
                 args.limit, truncate=False
@@ -535,9 +553,21 @@ def main(argv: list[str] | None = None) -> int:
             ktype = dict(cur.dtypes)[args.col]
             val = (
                 spark.createDataFrame([(args.value,)], "v string")
-                .select(F.col("v").cast(ktype))
+                .select(F.col("v").try_cast(ktype))
                 .head()[0]
             )
+            if val is None:
+                # try_cast (not cast: ANSI sessions would crash with a
+                # raw Py4J error instead) turns a typo'd --value into
+                # NULL deterministically; exit 2 — a None value must
+                # never reach optimize_where and select every
+                # partition-pure file for a full-table rewrite
+                print(
+                    f"--value {args.value!r} does not cast to "
+                    f"{ktype} (column {args.col!r})",
+                    file=sys.stderr,
+                )
+                return 2
             v = vt.optimize_where(
                 spark,
                 args.dir,
@@ -579,22 +609,9 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 2
-                import datetime as _dt
-
-                # ISO-8601 first, mirroring version_asof's parsing
-                # order: float-first would read compact dates like
-                # '20240101' as ~epoch-1970 seconds and silently
-                # resolve the wrong snapshot. Only a non-ISO value is
-                # tried as epoch seconds.
-                ts: object = args.asof
-                try:
-                    _dt.datetime.fromisoformat(args.asof)
-                except ValueError:
-                    try:
-                        ts = float(args.asof)
-                    except ValueError:
-                        pass  # version_asof raises its clear error
-                ver = vt.version_asof(spark, args.dir, ts)
+                ver = vt.version_asof(
+                    spark, args.dir, _parse_asof(args.asof)
+                )
             vt.read_version_where(
                 spark, args.dir, args.where, version=ver
             ).show(args.limit, truncate=False)
@@ -611,9 +628,16 @@ def main(argv: list[str] | None = None) -> int:
             ktype = dict(cur.dtypes)[args.col]
             val = (
                 spark.createDataFrame([(args.value,)], "v string")
-                .select(F.col("v").cast(ktype))
+                .select(F.col("v").try_cast(ktype))
                 .head()[0]
             )
+            if val is None:
+                print(
+                    f"--value {args.value!r} does not cast to "
+                    f"{ktype} (column {args.col!r})",
+                    file=sys.stderr,
+                )
+                return 2
             read_version_point(spark, args.dir, args.col, val).show(
                 args.limit, truncate=False
             )

@@ -831,6 +831,237 @@ def lakehouse_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_bloom_after_delete",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (7, 23, 101, 107, 146)
+      AND c_custkey % 100 <> 7
+    """,
+)
+def lakehouse_bloom_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar skipping COMPOSED with deletion vectors (r9,
+    `operators/bloomindex.py` + `operators/versioned.py:
+    read_version_where`): the customer table lands as 8 randomly-laid-
+    out files (zonemaps span the whole key domain — useless for a
+    point predicate), the key column gets a Bloom sidecar, a
+    deterministic slice of keys is tombstoned, and the sidecar is
+    EXTENDED (bitmap carry, no rebuild). The IN-list read then probes
+    the bloom per value and routes the admitted files through the
+    tombstone-subtracting scan — before r9 one tombstone demoted this
+    to a full scan, so on a streaming-upsert table (every snapshot
+    carries deletes) the index was dead weight. Deleted keys must
+    stay invisible (admission is a pre-filter; the anti-join keeps
+    rows exact); the file-count claim is pinned by
+    `test_point_read_uses_bloom_under_deletes`."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        extend_bloom_index,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_bloomdel_")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_version(c.repartition(8), tdir, "append")
+    build_bloom_index(spark, tdir, "c_custkey")
+    delete_rows(
+        spark,
+        tdir,
+        c.where(F.col("c_custkey") % 100 == 7).select("c_custkey"),
+    )
+    extend_bloom_index(spark, tdir, "c_custkey")
+    return read_version_where(
+        spark, tdir, "c_custkey IN (7, 23, 101, 107, 146)"
+    )
+
+
+@query(
+    "lakehouse_dpp_where",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice", "total_price")}
+    FROM lineitem
+    WHERE l_quantity >= 25
+      AND l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      )
+    GROUP BY l_returnflag
+    """,
+)
+def lakehouse_dpp_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-scan DPP × WHERE composition (r9,
+    `operators/versioned.py:read_version_where(prune_keys=)`): the
+    range-clustered fact scan is cut by the filtered dimension's
+    distinct join keys AND the WHERE string in the same read — the
+    surviving file list is the INTERSECTION of both admissions, the
+    residual is the row filter AND a broadcast semi-join. This is the
+    100×-scale query shape ("URGENT orders over a quantity floor"):
+    before r9 the user picked ONE cut and paid a residual-only filter
+    for the other. The reference's month-window scan + loom-dim
+    enrichment is the same filter+join composition
+    (/root/reference/src/main_02.py:226-232 + main_01.py:60-65).
+    File-cut containment (composed ⊆ each single cut) is pinned by
+    `test_where_dpp_prune_keys_composes_one_scan`."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_dppwhere_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    write_version(li.repartitionByRange(8, "l_orderkey"), tdir, "append")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        read_version_where(
+            spark,
+            tdir,
+            "l_quantity >= 25",
+            prune_keys=("l_orderkey", keys),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "lakehouse_bucket_pruning",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_id IN (11, 42, 97, 123)
+    """,
+)
+def lakehouse_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style BUCKET partition transform (r9,
+    `operators/versioned.py:_GEN_EQ_DETERMINISTIC`): the table is
+    partitioned by the generated ``p_bucket = pmod(xxhash64(
+    event_id), 8)`` — the layout for high-cardinality point-read keys
+    where date partitioning doesn't apply. The IN-list read derives
+    the values' bucket images through the hash (equality transfers
+    through ANY pure deterministic expr; ranges do NOT — hashes
+    destroy order — and nulls hash to a regular bucket, so IS NULL
+    must not derive either: both refusals pinned by
+    `test_bucket_transform_*`). The scan plans at most one bucket dir
+    per probed value instead of the whole table; DuckDB checks the
+    values over the original parquet."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_bucket_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    write_version(
+        ev,
+        tdir,
+        "append",
+        partition_by=["p_bucket"],
+        partition_exprs={"p_bucket": "pmod(xxhash64(event_id), 8)"},
+    )
+    return read_version_where(
+        spark, tdir, "event_id IN (11, 42, 97, 123)"
+    ).select("event_id", "event_type", "value")
+
+
+@query(
+    "lakehouse_minmax_metadata",
+    oracle="""
+    SELECT MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           COUNT(*) AS n_rows
+    FROM orders
+    """,
+)
+def lakehouse_minmax_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-only AGGREGATE PUSHDOWN (r9, `operators/versioned.py:
+    minmax_metadata`): MIN/MAX/COUNT answered from the manifest's
+    per-file zonemaps and row counts with ZERO data I/O — the
+    Iceberg/Delta metadata-aggregate move; on a 100 TB table the
+    extremes return in one JSON read. The entry asserts the metadata
+    path actually answered (a silent scan fallback would still be
+    correct — the point is that it never ran), then returns the
+    1-row result for DuckDB to check against real aggregates over
+    the original parquet. Tombstoned snapshots refuse the fast path
+    (a deleted row may be the extremum) — pinned by
+    `test_minmax_metadata_zero_scan`."""
+    from tms_etl_spark.operators.versioned import count_rows, minmax
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_minmax_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_version(o.repartitionByRange(8, "o_orderkey"), tdir, "append")
+    from tms_etl_spark.operators.versioned import (
+        _manifest_path,
+        _read_json,
+        minmax_metadata,
+    )
+
+    man = _read_json(spark, _manifest_path(tdir, 1))
+    if minmax_metadata(man, ["o_orderkey", "o_totalprice"]) is None:
+        raise AssertionError("metadata min/max did not answer")
+    mm = minmax(spark, tdir, ["o_orderkey", "o_totalprice"])
+    n = count_rows(spark, tdir)
+    return spark.createDataFrame(
+        [
+            (
+                mm["o_orderkey"][0],
+                mm["o_orderkey"][1],
+                float(mm["o_totalprice"][0]),
+                float(mm["o_totalprice"][1]),
+                n,
+            )
+        ],
+        "min_key bigint, max_key bigint, min_price double, "
+        "max_price double, n_rows bigint",
+    )
+
+
+@query(
+    "lakehouse_where_tag",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_totalprice > 50000
+    GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_where_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot selection ON the WHERE front door (r9,
+    `read_version_where(tag=)` — the Python-API gap the r8 VERDICT
+    called out: the CLI resolved ``--tag``/``--asof`` but a notebook
+    user had to call `resolve_tag` by hand): v1 commits the even
+    orders and gets tagged, v2 appends the odd half, and the
+    tag-resolved pruned read must see ONLY the tagged snapshot's rows
+    with the predicate still driving manifest pruning. `asof=` takes
+    the same path (`test_read_version_where_asof_and_tag`)."""
+    from tms_etl_spark.operators.versioned import tag_version
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_wheretag_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_version(o.where(F.col("o_orderkey") % 2 == 0), tdir, "append")
+    tag_version(spark, tdir, "even-only")
+    write_version(o.where(F.col("o_orderkey") % 2 == 1), tdir, "append")
+    return (
+        read_version_where(
+            spark, tdir, "o_totalprice > 50000", tag="even-only"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+@query(
     "lakehouse_scan_where",
     oracle=f"""
     SELECT event_type,

@@ -316,9 +316,36 @@ def read_version_point(
     if not scan_files:
         return pred_scan.where(F.col(col) == lit).limit(0)
     if man.get("deletes"):
-        # tombstoned tables: correctness first — bloom skips only the
-        # clean-dir fast path; fall back to the full subtracted scan
-        return pred_scan.where(F.col(col) == lit)
+        # tombstoned tables (r9): Bloom admission is a PRE-filter, so
+        # it composes with deletion vectors exactly like the zonemap
+        # cut does — the admitted file set routes through
+        # `_scan_with_deletes(paths_by_dir=)` (the seam
+        # `versioned._pruned_scan` already uses), which anti-joins
+        # tombstones over ONLY the surviving files. A deleted key
+        # still present in a file's bloom merely admits a
+        # false-positive file read (the soundness note in this
+        # module's build docstring); before r9 one tombstone demoted
+        # every point read here to the full subtracted scan — dead
+        # weight on streaming-upsert tables, whose every snapshot
+        # carries deletes.
+        live = _live_rel_files(spark, table_dir, man)
+        keep_dirs: list[str] = []
+        paths_by_dir: dict[str, list[str]] = {}
+        for d in man["dirs"]:
+            files = [
+                f"{table_dir}/{rel}"
+                for rel in live.get(d, [])
+                if _canon(f"{table_dir}/{rel}") in admitted
+            ]
+            if files:
+                keep_dirs.append(d)
+                paths_by_dir[d] = files
+        if not keep_dirs:
+            return pred_scan.where(F.col(col) == lit).limit(0)
+        return _scan_with_deletes(
+            spark, table_dir, man,
+            dirs=keep_dirs, paths_by_dir=paths_by_dir,
+        ).where(F.col(col) == lit)
     # _read_files (not a bare explicit-file read): hive partition
     # columns live in the PATH and need basePath + the recorded
     # schema to come back — a plain read would drop them
