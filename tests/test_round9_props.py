@@ -548,3 +548,75 @@ def test_minmax_metadata_zero_scan(spark, tmp_path):
     )
     assert minmax_metadata(man3, ["k"]) is None
     assert minmax(spark, tdir, ["k"]) == {"k": (3, 208)}
+
+
+def test_expire_older_than_time_retention(spark, tmp_path):
+    """Time-based retention (r9, `expire_versions(older_than=)`): a
+    cutoff in the past keeps every version committed since — even
+    outside keep_last — while keep_last=1 alone would expire them;
+    a future cutoff falls back to the count floor."""
+    import time
+
+    from tms_etl_spark.operators.versioned import (
+        expire_versions,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "retain")
+    t0 = time.time() - 1.0
+    for i in range(4):
+        write_version(
+            spark.range(i * 2, i * 2 + 2).select("id"), tdir, "append"
+        )
+    # cutoff before every commit: nothing expires
+    removed = expire_versions(
+        spark, tdir, keep_last=1, orphan_grace_hours=0, older_than=t0
+    )
+    assert removed == 0
+    assert sorted(r["id"] for r in read_version(spark, tdir, 1).collect()) \
+        == [0, 1]  # v1 still time-travelable
+    # cutoff in the future: only the count floor holds — v1/v2
+    # manifests expire (append dirs all stay referenced by the head,
+    # so no data dirs are removed)
+    expire_versions(
+        spark, tdir, keep_last=2, orphan_grace_hours=0,
+        older_than=time.time() + 3600,
+    )
+    with pytest.raises(ValueError, match="expired"):
+        read_version(spark, tdir, 1)
+    assert sorted(
+        r["id"] for r in read_version(spark, tdir).collect()
+    ) == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_cli_minmax_and_scan_prune(spark, tmp_path, capsys):
+    """CLI front doors for the r9 APIs: `table minmax` prints the
+    manifest-answered extremes; `table scan --prune-col/--prune-
+    source` composes the dim-key cut with the WHERE cut."""
+    import json
+
+    from tms_etl_spark.__main__ import main
+
+    tdir = str(tmp_path / "climinmax")
+    df = spark.range(5, 55).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    write_version(df.repartitionByRange(4, "k"), tdir, "append")
+    assert main(["table", "minmax", tdir, "--cols", "k,v"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"k": [5, 54], "v": [10.0, 108.0]}
+
+    dim = str(tmp_path / "dimkeys")
+    spark.createDataFrame([(7,), (20,)], "dk long").write.parquet(dim)
+    assert main(
+        ["table", "scan", tdir, "--where", "v >= 0",
+         "--prune-col", "k", "--prune-source", dim,
+         "--prune-key-col", "dk"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "7" in out and "20" in out and "| 9 " not in out
+    # --prune-col without --prune-source is a usage error
+    assert main(
+        ["table", "scan", tdir, "--where", "v >= 0",
+         "--prune-col", "k"]
+    ) == 2

@@ -150,6 +150,12 @@ def _parser() -> argparse.ArgumentParser:
         "--dry-run", action="store_true",
         help="report what would be removed; touch nothing",
     )
+    te.add_argument(
+        "--older-than", default=None,
+        help="time-based retention: keep every version committed at "
+        "or after this cutoff (ISO-8601 or epoch seconds, UTC) on "
+        "top of --keep-last",
+    )
     tc = tsub.add_parser("changes")
     tc.add_argument("dir")
     tc.add_argument("--from", dest="from_v", type=int, required=True)
@@ -241,7 +247,28 @@ def _parser() -> argparse.ArgumentParser:
         help="named snapshot ref (see `table tag`); mutually "
         "exclusive with --version/--asof",
     )
+    tsc.add_argument(
+        "--prune-col", default=None,
+        help="fact column for a dimension-key file cut (one-scan "
+        "DPP x WHERE composition)",
+    )
+    tsc.add_argument(
+        "--prune-source", default=None,
+        help="parquet path whose rows supply the prune keys",
+    )
+    tsc.add_argument(
+        "--prune-key-col", default=None,
+        help="key column inside --prune-source (default: --prune-col)",
+    )
     tsc.add_argument("--limit", type=int, default=20)
+    tmm = tsub.add_parser(
+        "minmax",
+        help="MIN/MAX from manifest zonemaps (zero data I/O on clean "
+        "snapshots; tombstoned snapshots fall back to one scan)",
+    )
+    tmm.add_argument("dir")
+    tmm.add_argument("--cols", required=True, help="comma-separated")
+    tmm.add_argument("--version", type=int, default=None)
     ttag = tsub.add_parser(
         "tag",
         help="create an immutable named snapshot ref "
@@ -454,6 +481,11 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.dir, keep_last=args.keep_last,
                 orphan_grace_hours=args.orphan_grace_hours,
                 dry_run=args.dry_run,
+                older_than=(
+                    _parse_asof(args.older_than)
+                    if args.older_than is not None
+                    else None
+                ),
             )
             verb = "would remove" if args.dry_run else "removed"
             print(f"{verb} {n} data dirs")
@@ -612,9 +644,41 @@ def main(argv: list[str] | None = None) -> int:
                 ver = vt.version_asof(
                     spark, args.dir, _parse_asof(args.asof)
                 )
+            prune_keys = None
+            if (args.prune_col is None) != (args.prune_source is None):
+                print(
+                    "--prune-col and --prune-source go together",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.prune_col is not None:
+                keys = spark.read.parquet(args.prune_source)
+                kc = args.prune_key_col or args.prune_col
+                if kc not in keys.columns:
+                    print(
+                        f"unknown prune key column: {kc!r}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                prune_keys = (
+                    args.prune_col,
+                    keys.select(kc).withColumnRenamed(kc, args.prune_col),
+                )
             vt.read_version_where(
-                spark, args.dir, args.where, version=ver
+                spark, args.dir, args.where, version=ver,
+                prune_keys=prune_keys,
             ).show(args.limit, truncate=False)
+            return 0
+        if args.table_cmd == "minmax":
+            import json as _json
+
+            mm = vt.minmax(
+                spark, args.dir, args.cols.split(","),
+                version=args.version,
+            )
+            print(_json.dumps(
+                {c: list(v) for c, v in mm.items()}, default=str
+            ))
             return 0
         if args.table_cmd == "point":
             from pyspark.sql import functions as F

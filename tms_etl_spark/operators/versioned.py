@@ -989,34 +989,35 @@ def read_version(
     return _scan_with_deletes(spark, table_dir, man)
 
 
-def version_asof(spark: SparkSession, table_dir: str, ts) -> int:
-    """TIMESTAMP AS OF resolution: the highest version committed at
-    or before ``ts`` (epoch seconds, datetime, or ISO-8601 string).
-    Every manifest carries ``committed_at`` stamped at the atomic
-    commit point; manifests from before that field existed fall back
-    to the manifest file's mtime. O(versions) metadata reads —
-    listing-scale, no data touched. Raises if the table has no
-    version that old."""
+def _ts_to_epoch(ts) -> float:
+    """Normalize epoch seconds / datetime / ISO-8601 string to a UTC
+    epoch float. committed_at is a UTC epoch stamp, so an OFFSET-LESS
+    ISO string or naive datetime is interpreted as UTC — never the
+    driver machine's local zone, or the same input would resolve to
+    different versions on differently-configured hosts."""
     import datetime as _dt
 
     if isinstance(ts, str):
         parsed = _dt.datetime.fromisoformat(ts)
-        # committed_at is a UTC epoch stamp, so an offset-less ISO
-        # string is interpreted as UTC — never the driver machine's
-        # local zone, or the same string would resolve to different
-        # versions on differently-configured hosts
         if parsed.tzinfo is None:
             parsed = parsed.replace(tzinfo=_dt.timezone.utc)
-        ts = parsed.timestamp()
-    elif isinstance(ts, _dt.datetime):
-        # same normalization for datetime OBJECTS: a naive datetime
-        # through .timestamp() would use the host's local zone, so the
-        # same instant as a string vs a datetime would resolve to
-        # different versions on non-UTC hosts
+        return parsed.timestamp()
+    if isinstance(ts, _dt.datetime):
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=_dt.timezone.utc)
-        ts = ts.timestamp()
-    ts = float(ts)
+        return ts.timestamp()
+    return float(ts)
+
+
+def version_asof(spark: SparkSession, table_dir: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the highest version committed at
+    or before ``ts`` (epoch seconds, datetime, or ISO-8601 string —
+    normalized UTC by `_ts_to_epoch`). Every manifest carries
+    ``committed_at`` stamped at the atomic commit point; manifests
+    from before that field existed fall back to the manifest file's
+    mtime. O(versions) metadata reads — listing-scale, no data
+    touched. Raises if the table has no version that old."""
+    ts = _ts_to_epoch(ts)
     root = f"{table_dir}/{_MANIFESTS}"
     if not path_exists(spark, root):
         raise ValueError(f"no committed versions at {table_dir}")
@@ -2017,6 +2018,15 @@ def read_version_where(
     dpp_hint = True
     if prune_keys is not None:
         pcol, keys_df = prune_keys
+        if pcol not in keys_df.columns:
+            if len(keys_df.columns) != 1:
+                raise ValueError(
+                    f"prune_keys: column {pcol!r} not in keys_df and "
+                    "keys_df is not single-column"
+                )
+            # ergonomic rename: a single-column dim (o_orderkey)
+            # prunes a differently-named fact key (l_orderkey)
+            keys_df = keys_df.withColumnRenamed(keys_df.columns[0], pcol)
         distinct_keys = keys_df.select(F.col(pcol).alias("__k")).distinct()
         rows_k = distinct_keys.limit(max_keys + 1).collect()
         residual_keys = keys_df.select(pcol).distinct()
@@ -2474,6 +2484,7 @@ def expire_versions(
     keep_last: int = 7,
     orphan_grace_hours: float = 24.0,
     dry_run: bool = False,
+    older_than=None,
 ) -> int:
     """Retention: drop manifests older than the newest ``keep_last``
     versions and delete every data dir no kept version references.
@@ -2495,7 +2506,15 @@ def expire_versions(
     race every lakehouse format guards with a retention floor, e.g.
     Delta's 7-day default). Age distinguishes them: committed-then-
     expired dirs are old, in-flight dirs are seconds old. Set 0 only
-    when no writer can be live."""
+    when no writer can be live.
+
+    ``older_than`` (r9): TIME-based retention on top of the count
+    floor — every version committed AT or AFTER the cutoff (epoch
+    seconds, datetime, or ISO-8601 string, UTC) is kept even when it
+    falls outside ``keep_last``; Delta's RETAIN-interval semantics,
+    where a burst of commits inside the retention window must stay
+    time-travelable. The two compose: kept = newest ``keep_last``
+    ∪ committed-since-cutoff ∪ tagged."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     import time
@@ -2511,6 +2530,21 @@ def expire_versions(
         if 1 <= v <= cur
     }
     kept_versions = set(range(first_kept, cur + 1)) | tagged
+    if older_than is not None:
+        cutoff = _ts_to_epoch(older_than)
+        mdir = f"{table_dir}/{_MANIFESTS}"
+        if path_exists(spark, mdir):
+            for fi in list_files(spark, mdir, "v*.json"):
+                m = re.search(r"v(\d{6})\.json$", fi.path)
+                if not m:
+                    continue
+                v = int(m.group(1))
+                if v in kept_versions or not (1 <= v <= cur):
+                    continue
+                man_t = _read_json(spark, _manifest_path(table_dir, v))
+                at = man_t.get("committed_at", fi.mtime_ms / 1000.0)
+                if at >= cutoff:
+                    kept_versions.add(v)
     referenced: set[str] = set()
     for v in sorted(kept_versions):
         p = _manifest_path(table_dir, v)
@@ -2535,8 +2569,8 @@ def expire_versions(
     if dry_run:
         return removed
     for v in range(1, first_kept):
-        if v in tagged:
-            continue  # tag keeps the manifest + sidecar readable
+        if v in kept_versions:
+            continue  # tagged or inside the time-retention window
         p = _manifest_path(table_dir, v)
         fs2, hp, _ = _fs(spark, p)
         if fs2.exists(hp):
