@@ -290,6 +290,7 @@ HEADLINE = [
     "lakehouse_dpp_where",
     "lakehouse_bucket_pruning",
     "lakehouse_minmax_metadata",
+    "lakehouse_nightly_maintain",
 ]
 
 

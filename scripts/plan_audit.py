@@ -711,6 +711,13 @@ AUDIT = [
         "predicate stays pushed to the surviving scan",
     ),
     (
+        "lakehouse_nightly_maintain",
+        ["PushedFilters", "Scan parquet"],
+        "read after the one-call maintenance window: the compacted "
+        "file set scans with the IN predicate pushed; the EXTENDED "
+        "bloom sidecar admitted the files at plan time",
+    ),
+    (
         "lakehouse_minmax_metadata",
         ["Scan ExistingRDD"],
         "stats-only aggregate pushdown: the 1-row MIN/MAX/COUNT "

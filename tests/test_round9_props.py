@@ -620,3 +620,57 @@ def test_cli_minmax_and_scan_prune(spark, tmp_path, capsys):
         ["table", "scan", tdir, "--where", "v >= 0",
          "--prune-col", "k"]
     ) == 2
+
+
+def test_maintain_table_extends_indexes(spark, tmp_path):
+    """Nightly maintenance brings EVERY sidecar family up to the
+    post-compaction version (r9): after appends + maintain_table, the
+    Bloom point read and the token search run index-assisted at the
+    current version — no manual extend per family; a family whose
+    column was dropped reports an error in the summary instead of
+    killing the window."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.textindex import (
+        build_text_index,
+        search_token,
+    )
+    from tms_etl_spark.operators.versioned import maintain_table
+
+    tdir = str(tmp_path / "maintidx")
+    df = spark.createDataFrame(
+        [(i, f"doc number word{i}") for i in range(40)],
+        "uid int, body string",
+    )
+    write_version(df.coalesce(2), tdir, "append")
+    build_bloom_index(spark, tdir, "uid")
+    build_text_index(spark, tdir, "body")
+    # new commits strand both sidecars at v1
+    write_version(
+        spark.createDataFrame(
+            [(100 + i, f"fresh word{100 + i}") for i in range(8)],
+            "uid int, body string",
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    out = maintain_table(spark, tdir)
+    assert out["extended_indexes"] == {
+        "uid": "extended", "text_body": "extended",
+    }
+    # both index families answer at the CURRENT version
+    got = read_version_point(spark, tdir, "uid", 103)
+    assert [r["uid"] for r in got.collect()] == [103]
+    hits = search_token(spark, tdir, "body", "word103")
+    assert [r["uid"] for r in hits.collect()] == [103]
+
+    # dropped column: the family reports, the window completes
+    write_version(
+        spark.createDataFrame([(1,)], "uid int"), tdir, "overwrite"
+    )
+    out2 = maintain_table(spark, tdir)
+    assert out2["extended_indexes"]["uid"] == "extended"
+    assert out2["extended_indexes"]["text_body"].startswith("error:")
+    assert "version" in out2  # the rest of the window ran

@@ -967,6 +967,47 @@ def lakehouse_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_nightly_maintain",
+    oracle="""
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_partkey IN (5, 8, 13, 21)
+    """,
+)
+def lakehouse_nightly_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call nightly window end to end (r9,
+    `operators/versioned.py:maintain_table`): commit half of part and
+    build a Bloom sidecar, append the other half (stranding the
+    sidecar at v1 — the day-2 decay mode of any indexed table), then
+    `maintain_table` compacts the small-file debt AND extends every
+    ``_indexes/`` family to the post-compaction version (bitmap
+    carry + hash only the new files). The IN-list read that follows
+    probes the EXTENDED sidecar at the current version — values from
+    both halves must come back, which only works if maintenance
+    really brought the index forward. DuckDB checks against a plain
+    IN filter; per-family extend/report mechanics pinned by
+    `test_maintain_table_extends_indexes`."""
+    from tms_etl_spark.operators.bloomindex import build_bloom_index
+    from tms_etl_spark.operators.versioned import maintain_table
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_nightly_")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    write_version(
+        p.where(F.col("p_partkey") % 2 == 0).repartition(4), tdir, "append"
+    )
+    build_bloom_index(spark, tdir, "p_partkey")
+    write_version(
+        p.where(F.col("p_partkey") % 2 == 1).repartition(4), tdir, "append"
+    )
+    maintain_table(spark, tdir)
+    return read_version_where(
+        spark, tdir, "p_partkey IN (5, 8, 13, 21)"
+    )
+
+
+@query(
     "lakehouse_minmax_metadata",
     oracle="""
     SELECT MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,

@@ -4097,6 +4097,7 @@ def maintain_table(
     stale_lock_seconds: float = 3600.0,
     index_keep_last: int = 2,
     analyze: bool = False,
+    extend_indexes: bool = True,
 ) -> dict:
     """One-call nightly maintenance — the Delta "OPTIMIZE + VACUUM"
     window as a single idempotent entrypoint, each step already
@@ -4106,10 +4107,21 @@ def maintain_table(
     2. `optimize_incremental` — small-file consolidation + physical
        purge of tombstoned/merge-dead rows (no-op commit avoided when
        there is no debt); hive layouts preserved;
-    3. `expire_versions` (only when ``keep_last`` is given — version
+    3. index EXTENSION (r9, ``extend_indexes``): every sidecar family
+       under ``_indexes/`` — Bloom (``<col>``) and inverted-token
+       (``text_<col>``) — is brought up to the post-compaction
+       version via its incremental extend (bitmap/posting carry +
+       hash only the new files, O(new files + sidecar)). Without
+       this, every commit strands the sidecars at an old version and
+       point reads silently degrade to full scans — the day-2 decay
+       mode of any indexed table. A family that fails to extend
+       (e.g. its column was dropped by an overwrite) is REPORTED in
+       the summary and skipped, never fatal to the window;
+    4. `expire_versions` (only when ``keep_last`` is given — version
        retention is a policy decision, not a default);
-    4. `vacuum_indexes` — superseded sidecar generations;
-    5. `analyze_table` (only when ``analyze=True`` — the single
+    5. `vacuum_indexes` — superseded sidecar generations (runs AFTER
+       extension, so the newest kept generation is current);
+    6. `analyze_table` (only when ``analyze=True`` — the single
        statistics pass is the one O(table) step here, so it is
        opt-in): refreshes the `_stats` sidecar for the
        post-maintenance version, keeping `register_versioned`'s
@@ -4130,6 +4142,34 @@ def maintain_table(
     )
     out["compacted"] = after != before
     out["version"] = after
+    if extend_indexes:
+        exts: dict[str, str] = {}
+        root = f"{table_dir}/_indexes"
+        if path_exists(spark, root):
+            fs_i, hroot, _ = _fs(spark, root)
+            for s in fs_i.listStatus(hroot):
+                if not s.isDirectory():
+                    continue
+                name = s.getPath().getName()
+                try:
+                    if name.startswith("text_"):
+                        from tms_etl_spark.operators.textindex import (
+                            extend_text_index,
+                        )
+
+                        extend_text_index(spark, table_dir, name[5:])
+                    else:
+                        from tms_etl_spark.operators.bloomindex import (
+                            extend_bloom_index,
+                        )
+
+                        extend_bloom_index(spark, table_dir, name)
+                    exts[name] = "extended"
+                except Exception as e:  # noqa: BLE001 — reported, not
+                    # silent: one stale family (dropped column, legacy
+                    # layout) must not kill the maintenance window
+                    exts[name] = f"error: {e}"
+        out["extended_indexes"] = exts
     if keep_last is not None:
         out["expired_versions"] = expire_versions(
             spark,
