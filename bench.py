@@ -291,6 +291,7 @@ HEADLINE = [
     "lakehouse_bucket_pruning",
     "lakehouse_minmax_metadata",
     "lakehouse_nightly_maintain",
+    "lakehouse_scan_where_not",
 ]
 
 

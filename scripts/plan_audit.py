@@ -711,6 +711,13 @@ AUDIT = [
         "predicate stays pushed to the surviving scan",
     ),
     (
+        "lakehouse_scan_where_not",
+        ["PushedFilters", "partial_count"],
+        "anti-equality skipping: NOT IN / NOT LIKE drop value-pure "
+        "partition dirs from the file index; the full predicate "
+        "stays pushed as the residual, aggregate partial-combines",
+    ),
+    (
         "lakehouse_nightly_maintain",
         ["PushedFilters", "Scan parquet"],
         "read after the one-call maintenance window: the compacted "

@@ -674,3 +674,82 @@ def test_maintain_table_extends_indexes(spark, tmp_path):
     assert out2["extended_indexes"]["uid"] == "extended"
     assert out2["extended_indexes"]["text_body"].startswith("error:")
     assert "version" in out2  # the rest of the window ran
+
+
+def test_anti_equality_and_like_grammar_parses():
+    """Grammar units for the r9 skipping ops: != / <> canonicalize,
+    NOT IN parses a value set, LIKE 'abc%' decomposes into the prefix
+    range, NOT LIKE carries the prefix, and non-prefix patterns stay
+    residual-only."""
+    from tms_etl_spark.operators.versioned import _parse_conjunct_multi
+
+    assert _parse_conjunct_multi("seg != 'error'") == [
+        ("seg", "!=", "error")
+    ]
+    assert _parse_conjunct_multi("seg <> 'error'") == [
+        ("seg", "!=", "error")
+    ]
+    assert _parse_conjunct_multi("seg NOT IN ('a', 'b')") == [
+        ("seg", "notin", ("a", "b"))
+    ]
+    assert _parse_conjunct_multi("name LIKE 'ab%'") == [
+        ("name", ">=", "ab"), ("name", "<", "ac"),
+    ]
+    assert _parse_conjunct_multi("name NOT LIKE 'ab%'") == [
+        ("name", "notlike", "ab")
+    ]
+    # not plain prefixes: residual-only
+    assert _parse_conjunct_multi("name LIKE '%ab'") == []
+    assert _parse_conjunct_multi("name LIKE 'a_b%'") == []
+    assert _parse_conjunct_multi("name LIKE 'a%b%'") == []
+    # quote unescape inside the prefix
+    assert _parse_conjunct_multi("name LIKE 'it''s%'") == [
+        ("name", ">=", "it's"), ("name", "<", "it't"),
+    ]
+
+
+def test_anti_equality_prunes_pure_partitions(spark, tmp_path):
+    """`seg != 'B'` / `NOT IN` / `NOT LIKE` skip value-PURE files —
+    the partition-dir cut on an identity layout — while mixed files
+    stay scanned and rows stay exact."""
+    tdir = str(tmp_path / "antieq")
+    df = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"][i % 3], float(i)) for i in range(30)],
+        "k int, seg string, v double",
+    )
+    write_version(df, tdir, "append", partition_by=["seg"])
+
+    ne = read_version_where(spark, tdir, "seg != 'beta'")
+    assert sorted({r["seg"] for r in ne.collect()}) == ["alpha", "gamma"]
+    segs = {f.rsplit("/", 2)[1] for f in ne.inputFiles()}
+    assert segs == {"seg=alpha", "seg=gamma"}  # beta dir never planned
+
+    ni = read_version_where(spark, tdir, "seg NOT IN ('alpha', 'gamma')")
+    assert sorted({r["seg"] for r in ni.collect()}) == ["beta"]
+    assert {f.rsplit("/", 2)[1] for f in ni.inputFiles()} == {"seg=beta"}
+
+    nl = read_version_where(spark, tdir, "seg NOT LIKE 'ga%'")
+    assert sorted({r["seg"] for r in nl.collect()}) == ["alpha", "beta"]
+    assert {f.rsplit("/", 2)[1] for f in nl.inputFiles()} == {
+        "seg=alpha", "seg=beta",
+    }
+
+
+def test_like_prefix_prunes_clustered_strings(spark, tmp_path):
+    """LIKE 'prefix%' decomposes into the prefix range and prunes a
+    string-clustered layout's files by zonemap; suffix/complex
+    patterns stay exact through the residual."""
+    tdir = str(tmp_path / "likeprefix")
+    df = spark.createDataFrame(
+        [(i, f"{chr(97 + i // 25)}name{i:03d}") for i in range(100)],
+        "k int, name string",
+    )
+    write_version(df.repartitionByRange(4, "name"), tdir, "append")
+
+    got = read_version_where(spark, tdir, "name LIKE 'a%'")
+    assert sorted(r["k"] for r in got.collect()) == list(range(25))
+    assert len(got.inputFiles()) < 4  # b/c/d files pruned by range
+
+    # exactness for a non-prefix pattern (residual-only)
+    suffix = read_version_where(spark, tdir, "name LIKE '%007'")
+    assert [r["k"] for r in suffix.collect()] == [7]

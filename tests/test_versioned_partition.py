@@ -1173,7 +1173,7 @@ def test_where_front_door_never_misprunes_randomized(spark, tmp_path):
     for _ in range(12):
         d = rng.randint(1, 6)
         j = rng.randint(0, 5)
-        choice = rng.randint(0, 6)
+        choice = rng.randint(0, 9)
         if choice == 0:
             preds.append(f"k {rng.choice(['<', '<=', '>', '>=', '='])} {d * 100 + j}")
         elif choice == 1:
@@ -1194,6 +1194,23 @@ def test_where_front_door_never_misprunes_randomized(spark, tmp_path):
             col = rng.choice(["val", "ts", "p_day"])
             neg = rng.choice(["", "NOT "])
             preds.append(f"{col} IS {neg}NULL")
+        elif choice == 6:
+            # r9 anti-equality ops: prune only value-PURE files
+            op = rng.choice(["!=", "<>"])
+            preds.append(f"p_day {op} '2024-03-0{d}'")
+        elif choice == 7:
+            days = ", ".join(
+                f"'2024-03-0{rng.randint(1, 6)}'"
+                for _ in range(rng.randint(1, 3))
+            )
+            preds.append(f"p_day NOT IN ({days})")
+        elif choice == 8:
+            # r9 LIKE prefixes (and residual-only non-prefix shapes)
+            pat = rng.choice(
+                [f"2024-03-0{d}%", "2024-03%", f"%0{d}", f"2024[_]0{d}%"]
+            )
+            neg = rng.choice(["", "NOT "])
+            preds.append(f"p_day {neg}LIKE '{pat}'")
         else:
             preds.append(f"val <= {float(d * j)}")
     # single conjuncts and random 2-3 way conjunctions

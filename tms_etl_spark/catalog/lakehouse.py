@@ -967,6 +967,49 @@ def lakehouse_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_scan_where_not",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE event_type NOT IN ('error', 'view')
+      AND event_type NOT LIKE 'pur%'
+      AND value > 5
+    GROUP BY event_type
+    """,
+)
+def lakehouse_scan_where_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI-equality data skipping (r9): ``NOT IN`` and ``NOT LIKE``
+    prune value-PURE files — on an identity-partitioned layout each
+    excluded event type's whole directory drops out of the plan (a
+    file with min == max == v provably holds only v rows), which
+    neither zonemap ranges nor Bloom admission can express. Mixed
+    files are conservatively scanned and the full predicate stays
+    the residual, so rows are exact; DuckDB checks the values, the
+    dir-level file cut is pinned by
+    `test_anti_equality_prunes_pure_partitions`."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_wherenot_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    write_version(ev, tdir, "append", partition_by=["event_type"])
+    return (
+        read_version_where(
+            spark,
+            tdir,
+            "event_type NOT IN ('error', 'view') "
+            "AND event_type NOT LIKE 'pur%' AND value > 5",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
     "lakehouse_nightly_maintain",
     oracle="""
     SELECT p_partkey, p_retailprice

@@ -1421,6 +1421,11 @@ def _derived_partition_predicates(
     derived: list[tuple] = []
     for col, op, value in predicates:
         for pcol, expr, eq_only in by_src.get(col, []):
+            if op in ("!=", "notin", "notlike"):
+                # anti-equality does NOT transfer through f: two
+                # source values can share one image (day(ts), bucket),
+                # so `src != v` says nothing about `p != f(v)`
+                continue
             if eq_only and op not in ("=", "in"):
                 # bucket transforms destroy order (no range
                 # derivation) and hash NULL to a regular bucket (no
@@ -1477,6 +1482,21 @@ def _file_prunable(entry: dict | None, col: str, op: str, value) -> bool:
         return False
     mn, mx = entry[col]
     try:
+        if op == "!=":
+            # anti-equality prunes only a value-PURE file: every row
+            # IS the value, so none can differ — the partition-dir
+            # skip for `seg != 'error'` on an identity/bucket layout
+            return mn == mx == value
+        if op == "notin":
+            return mn == mx and any(mn == v for v in value)
+        if op == "notlike":
+            # value is the LIKE prefix: a file pure on one matching
+            # string has no row satisfying NOT LIKE
+            return (
+                mn == mx
+                and isinstance(mn, str)
+                and mn.startswith(value)
+            )
         if op == "in":
             return not any(mn <= v <= mx for v in value)
         if op == "=":
@@ -1637,7 +1657,7 @@ def read_version_pruned_multi(
 
 
 _CONJUNCT_RE = re.compile(
-    r"^\s*([A-Za-z_]\w*)\s*(>=|<=|=|<|>)\s*(.+?)\s*$"
+    r"^\s*([A-Za-z_]\w*)\s*(>=|<=|<>|!=|=|<|>)\s*(.+?)\s*$"
 )
 _LIT_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 _LIT_STR_RE = re.compile(r"^'((?:[^']|'')*)'$")
@@ -1794,9 +1814,27 @@ _BETWEEN_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s+(?i:between)\s+(.+?)\s+(?i:and)\s+(.+?)\s*$"
 )
 _IN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s+(?i:in)\s*\((.+)\)\s*$")
+_NOTIN_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+(?i:not)\s+(?i:in)\s*\((.+)\)\s*$"
+)
 _NULL_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s+(?i:is)\s+((?i:not)\s+)?(?i:null)\s*$"
 )
+_LIKE_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+((?i:not)\s+)?(?i:like)\s+'((?:[^']|'')*)'\s*$"
+)
+
+
+def _like_prefix(pattern: str) -> str | None:
+    """The literal prefix of a ``LIKE 'abc%'`` pattern — exactly one
+    trailing ``%``, no other wildcards or escapes (those shapes stay
+    residual-only). None when the pattern isn't a plain prefix."""
+    if not pattern.endswith("%"):
+        return None
+    prefix = pattern[:-1]
+    if not prefix or any(ch in prefix for ch in ("%", "_", "\\")):
+        return None
+    return prefix.replace("''", "'")
 
 
 def _parse_literal(lit: str):
@@ -1889,6 +1927,8 @@ def _parse_conjunct(conjunct: str):
     if not m:
         return None
     col, op, lit = m.groups()
+    if op == "<>":
+        op = "!="  # one canonical anti-equality op downstream
     v = _parse_literal(lit)
     return None if v is None else (col, op, v)
 
@@ -1928,6 +1968,15 @@ def _parse_conjunct_multi(conjunct: str) -> list[tuple]:
         if vhi is not None:
             out.append((col, "<=", vhi))
         return out
+    m = _NOTIN_RE.match(conjunct)
+    if m:
+        # NOT IN prunes only value-PURE files (min == max ∈ set) —
+        # the partition-dir skip for `seg NOT IN ('a', 'b')`
+        col, body = m.groups()
+        vals = [_parse_literal(s) for s in _split_in_items(body)]
+        if vals and all(v is not None for v in vals):
+            return [(col, "notin", tuple(vals))]
+        return []
     m = _IN_RE.match(conjunct)
     if m:
         col, body = m.groups()
@@ -1937,6 +1986,26 @@ def _parse_conjunct_multi(conjunct: str) -> list[tuple]:
     m = _NULL_RE.match(conjunct)
     if m:
         return [(m.group(1), "notnull" if m.group(2) else "isnull", None)]
+    m = _LIKE_RE.match(conjunct)
+    if m:
+        col, neg, pattern = m.groups()
+        prefix = _like_prefix(pattern)
+        if prefix is None:
+            return []
+        if neg:
+            # NOT LIKE 'abc%': prunable only for files PURE on one
+            # matching value
+            return [(col, "notlike", prefix)]
+        # LIKE 'abc%' ⇔ prefix ≤ col < prefix⁺ under code-point order
+        # (Python's string compare AND Spark's UTF-8 binary compare);
+        # the upper bound increments the last code point — skipped
+        # when the increment would land in the surrogate gap or past
+        # the last scalar, where no valid bound string exists
+        out = [(col, ">=", prefix)]
+        nxt = ord(prefix[-1]) + 1
+        if nxt <= 0x10FFFF and not (0xD800 <= nxt <= 0xDFFF):
+            out.append((col, "<", prefix[:-1] + chr(nxt)))
+        return out
     return []
 
 
