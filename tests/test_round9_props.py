@@ -753,3 +753,64 @@ def test_like_prefix_prunes_clustered_strings(spark, tmp_path):
     # exactness for a non-prefix pattern (residual-only)
     suffix = read_version_where(spark, tdir, "name LIKE '%007'")
     assert [r["k"] for r in suffix.collect()] == [7]
+
+
+def test_write_version_commit_retries(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency (r9): with commit_retries, a lost
+    commit race re-runs the whole commit against the new head —
+    blind appends never surface ConcurrentWriteError to the caller;
+    retries exhausted (or retries=0) re-raise."""
+    from tms_etl_spark.operators import versioned as V
+
+    tdir = str(tmp_path / "retrywrite")
+    V.write_version(spark.range(0, 5).select("id"), tdir, "append")
+
+    real = V._write_json_atomic
+    fails = {"n": 2}
+
+    def flaky(spark_, path, payload):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            # simulate losing the race: a COMPETITOR's manifest landed
+            # first (a no-op append of the prior head — its dirs, not
+            # the loser's)
+            cur = V.current_version(spark_, tdir)
+            prev_man = V._read_json(spark_, V._manifest_path(tdir, cur))
+            real(
+                spark_,
+                path,
+                {**prev_man, "version": payload["version"],
+                 "op": "competitor"},
+            )
+            raise V.ConcurrentWriteError(path)
+        return real(spark_, path, payload)
+
+    monkeypatch.setattr(V, "_write_json_atomic", flaky)
+    v = V.write_version(
+        spark.range(100, 103).select("id"), tdir, "append",
+        commit_retries=3,
+    )
+    monkeypatch.setattr(V, "_write_json_atomic", real)
+    # two competitor commits (v2, v3) then ours landed as v4
+    assert v == 4
+    assert sorted(
+        r["id"] for r in V.read_version(spark, tdir).collect()
+    ) == [0, 1, 2, 3, 4, 100, 101, 102]
+
+    # retries exhausted: the error surfaces
+    fails["n"] = 10
+    monkeypatch.setattr(V, "_write_json_atomic", flaky)
+    with pytest.raises(V.ConcurrentWriteError):
+        V.write_version(
+            spark.range(200, 201).select("id"), tdir, "append",
+            commit_retries=2,
+        )
+    monkeypatch.setattr(V, "_write_json_atomic", real)
+
+    # zero retries (default): first race error surfaces unchanged
+    fails["n"] = 1
+    monkeypatch.setattr(V, "_write_json_atomic", flaky)
+    with pytest.raises(V.ConcurrentWriteError):
+        V.write_version(
+            spark.range(300, 301).select("id"), tdir, "append"
+        )

@@ -620,6 +620,7 @@ def write_version(
     partition_exprs: dict[str, str] | None = None,
     merge_schema: bool = False,
     constraints: dict[str, str] | None = None,
+    commit_retries: int = 0,
 ) -> int:
     """Commit ``df`` as the next table version.
 
@@ -644,8 +645,14 @@ def write_version(
     committed files, and the manifest commit is CONDITIONAL (lock
     marker + exists-check in `_write_json_atomic`) — a racing loser
     gets ConcurrentWriteError and should re-invoke, landing on the
-    next version number. On object stores without atomic
-    create-exclusive, run a single writer per table.
+    next version number. ``commit_retries=N`` (r9) does that
+    re-invocation automatically: the whole commit re-runs against the
+    winner's head (inheritance, schema evolution, constraint checks
+    all re-decided — never a stale-prev manifest), so blind appends
+    under contention simply land; the error surfaces only after N
+    exhausted retries. On object stores without atomic
+    create-exclusive, run a single writer per table (or register a
+    conditional-put binding, `set_conditional_put`).
 
     ``partition_by`` makes the batch land hive-partitioned (one
     subdirectory per partition value — Delta/Iceberg identity
@@ -698,6 +705,30 @@ def write_version(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if commit_retries:
+        # Optimistic concurrency (r9): a racing loser re-RUNS the
+        # whole commit against the winner's new head — every
+        # inheritance/validation/evolution decision is re-made, so an
+        # append never lands against a stale spec/schema/constraint
+        # set (Delta's blind-append retry). The lost attempt's data
+        # dir is writer-private debris the expire grace window GCs;
+        # with ``txn_id`` the re-run is idempotent even if the "lost"
+        # race actually committed. Each attempt pays the batch write
+        # again — correct first, O(batch) per retry.
+        last: ConcurrentWriteError | None = None
+        for _ in range(commit_retries + 1):
+            try:
+                return write_version(
+                    df, table_dir, mode,
+                    txn_id=txn_id,
+                    partition_by=partition_by,
+                    partition_exprs=partition_exprs,
+                    merge_schema=merge_schema,
+                    constraints=constraints,
+                )
+            except ConcurrentWriteError as e:
+                last = e
+        raise last
     spark = df.sparkSession
     cur = current_version(spark, table_dir)
     prev = (
