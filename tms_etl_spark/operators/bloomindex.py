@@ -222,53 +222,70 @@ def bloom_admitted_files(
     """The set of canon file paths of version ``version`` that MAY
     contain ``col = value`` per the Bloom sidecar: bloom-admitted
     files plus every live-but-unindexed file (conservative). None
-    when no sidecar exists for the column. This is the reusable
-    skipping primitive behind `read_version_point`; the WHERE front
-    door (`versioned.read_version_where`) intersects it with zonemap
+    when no sidecar exists for the column. ``value`` may be a
+    list/tuple — the admission is then the UNION over the values
+    (``col IN (…)``), probed in ONE sidecar pass instead of one per
+    value (r9: an IN-list probe is k·|values| broadcast word lookups
+    in a single join, so plan-time cost stays flat as the list
+    grows). This is the reusable skipping primitive behind
+    `read_version_point`; the WHERE front door
+    (`versioned.read_version_where`) intersects it with zonemap
     pruning so equality conjuncts stack both cuts."""
     idx = _index_dir(table_dir, col, version)
     if not path_exists(spark, idx):
         return None
+    values = (
+        list(value) if isinstance(value, (list, tuple, set)) else [value]
+    )
     # xxhash64 is TYPE-sensitive: probe with the column's exact type
-    # or a long column never matches an int literal's hashes
-    lit = F.lit(value).cast(col_type)
-    probes = [
-        (
-            int(r["word"]),
-            int(r["mask"]),
+    # or a long column never matches an int literal's hashes. All
+    # values' k positions come back in ONE 1-row job.
+    pos_structs = [
+        F.struct(
+            F.lit(vi).alias("vid"),
+            (
+                F.abs(F.xxhash64(F.lit(v).cast(col_type), F.lit(i)))
+                % F.lit(_BITS)
+            ).alias("p"),
         )
-        for r in spark.range(1)
+        for vi, v in enumerate(values)
+        for i in range(_K)
+    ]
+    rows = (
+        spark.range(1)
+        .select(F.explode(F.array(*pos_structs)).alias("s"))
         .select(
-            F.explode(
-                F.array(
-                    *[
-                        (F.abs(F.xxhash64(lit, F.lit(i))) % F.lit(_BITS))
-                        for i in range(_K)
-                    ]
-                ).alias("p")
-            ).alias("p")
-        )
-        .select(
-            (F.col("p") / 64).cast("long").alias("word"),
-            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+            F.col("s.vid").alias("vid"),
+            (F.col("s.p") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(s.p % 64 as int))").alias("mask"),
         )
         .collect()
+    )
+    # a file admits a value iff EVERY distinct probed (word, mask)
+    # bit of THAT value is set (hash collisions can make < _K
+    # distinct probes per value)
+    by_vid: dict[int, set] = {}
+    for r in rows:
+        by_vid.setdefault(int(r["vid"]), set()).add(
+            (int(r["word"]), int(r["mask"]))
+        )
+    probe_rows = [
+        (vid, w, mk, len(ps))
+        for vid, ps in by_vid.items()
+        for w, mk in sorted(ps)
     ]
     words = spark.read.parquet(idx)
-    # a file admits the value iff EVERY distinct probed (word, mask)
-    # bit is set (hash collisions can make < _K distinct probes)
-    distinct_probes = sorted(set(probes))
     probe_df = spark.createDataFrame(
-        distinct_probes, "word long, mask long"
+        probe_rows, "vid int, word long, mask long, n_probes int"
     )
     hits = (
         words.join(F.broadcast(probe_df), "word")
         .where(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
-        .groupBy("file")
+        .groupBy("file", "vid", "n_probes")
         .agg(F.count("*").alias("k_hit"))
-        .where(F.col("k_hit") >= len(distinct_probes))
+        .where(F.col("k_hit") >= F.col("n_probes"))
     )
-    keep = [_canon(r["file"]) for r in hits.collect()]
+    keep = [_canon(r["file"]) for r in hits.select("file").collect()]
     indexed = {
         _canon(r["file"])
         for r in words.select("file").distinct().collect()

@@ -2178,26 +2178,19 @@ def read_version_where(
                     acc: set[str] | None = None
                     for c, op, val in g:
                         if op == "=":
-                            xs = (val,)
+                            xs = [val]
                         elif op == "in" and len(val) <= 16:
-                            xs = val
+                            xs = list(val)
                         else:
                             continue
                         if c not in types:
                             continue
-                        adm_union: set[str] | None = None
-                        for x in xs:
-                            adm = bloom_admitted_files(
-                                spark, table_dir, man, c, x, v, types[c]
-                            )
-                            if adm is None:
-                                adm_union = None
-                                break
-                            adm_union = (
-                                adm
-                                if adm_union is None
-                                else adm_union | adm
-                            )
+                        # one multi-value probe per conjunct: the
+                        # admission is the union over the IN values,
+                        # computed in a single sidecar pass (r9)
+                        adm_union = bloom_admitted_files(
+                            spark, table_dir, man, c, xs, v, types[c]
+                        )
                         if adm_union is not None:
                             acc = (
                                 adm_union
