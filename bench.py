@@ -292,6 +292,7 @@ HEADLINE = [
     "lakehouse_minmax_metadata",
     "lakehouse_nightly_maintain",
     "lakehouse_scan_where_not",
+    "lakehouse_type_widening",
 ]
 
 

@@ -711,6 +711,13 @@ AUDIT = [
         "predicate stays pushed to the surviving scan",
     ),
     (
+        "lakehouse_type_widening",
+        ["Scan parquet", "partial_count"],
+        "widened read: both width generations scan under the ONE "
+        "recorded wide schema (reader-side upcast, no rewrite, no "
+        "mergeSchema footer pass); aggregate partial-combines",
+    ),
+    (
         "lakehouse_scan_where_not",
         ["PushedFilters", "partial_count"],
         "anti-equality skipping: NOT IN / NOT LIKE drop value-pure "

@@ -814,3 +814,77 @@ def test_write_version_commit_retries(spark, tmp_path, monkeypatch):
         V.write_version(
             spark.range(300, 301).select("id"), tdir, "append"
         )
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """Widening-only TYPE evolution (r9): an int column widens to
+    long (and float to double) under merge_schema — old files upcast
+    reader-side, values exact across the seam; a NARROWER batch onto
+    the widened table needs no flag (recorded schema unchanged);
+    narrowing and int→float crossings stay refused."""
+    from pyspark.sql import types as T
+
+    tdir = str(tmp_path / "widen")
+    write_version(
+        spark.range(0, 5).selectExpr(
+            "cast(id as int) as k", "cast(id as float) as v"
+        ),
+        tdir,
+        "append",
+    )
+    # widen both columns
+    write_version(
+        spark.range(5, 8).selectExpr(
+            "cast(id * 1000000000000 as long) as k",
+            "cast(id as double) as v",
+        ),
+        tdir,
+        "append",
+        merge_schema=True,
+    )
+    got = read_version(spark, tdir)
+    assert got.schema["k"].dataType == T.LongType()
+    assert got.schema["v"].dataType == T.DoubleType()
+    assert sorted(r["k"] for r in got.collect()) == [
+        0, 1, 2, 3, 4,
+        5_000_000_000_000, 6_000_000_000_000, 7_000_000_000_000,
+    ]
+    # narrower batch after widening: no flag needed, schema stays wide
+    write_version(
+        spark.range(8, 10).selectExpr(
+            "cast(id as int) as k", "cast(id as float) as v"
+        ),
+        tdir,
+        "append",
+    )
+    got2 = read_version(spark, tdir)
+    assert got2.schema["k"].dataType == T.LongType()
+    assert sorted(r["k"] for r in got2.collect())[-1] == 7_000_000_000_000
+
+    # zonemap pruning still exact across the width seam
+    from tms_etl_spark.operators.versioned import read_version_pruned
+
+    hi = read_version_pruned(spark, tdir, "k", ">=", 5_000_000_000_000)
+    assert sorted(r["k"] for r in hi.collect()) == [
+        5_000_000_000_000, 6_000_000_000_000, 7_000_000_000_000,
+    ]
+
+    # refused shapes: narrowing without a widening path, int->float
+    with pytest.raises(ValueError, match="widening"):
+        write_version(
+            spark.range(0, 2).selectExpr(
+                "cast(id as string) as k", "cast(id as double) as v"
+            ),
+            tdir,
+            "append",
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="widening"):
+        write_version(
+            spark.range(0, 2).selectExpr(
+                "cast(id as long) as k", "cast(id as decimal(10,2)) as v"
+            ),
+            tdir,
+            "append",
+            merge_schema=True,
+        )

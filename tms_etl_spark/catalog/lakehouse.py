@@ -967,6 +967,69 @@ def lakehouse_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_type_widening",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT c_mktsegment,
+               CAST(c_custkey AS INTEGER) AS ck,
+               CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS bal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_mktsegment, CAST(c_custkey AS INTEGER), c_acctbal
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           SUM(CAST(ck AS BIGINT)) AS key_sum,
+           {sql_dsum("bal", "total_bal")}
+    FROM unioned
+    GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widening-only TYPE evolution (r9, `operators/versioned.py:
+    _TYPE_WIDENINGS`): v1 commits customers with an int key and a
+    FLOAT balance, v2 appends the other half with long/DOUBLE under
+    ``merge_schema=True`` — the recorded schema widens, v1's physical
+    int32/float files upcast READER-side (no rewrite), and the
+    aggregate must be bit-exact across the width seam: float→double
+    promotion is value-preserving IEEE in both engines, so DuckDB's
+    explicit CAST chain reproduces Spark's upcast bit for bit.
+    Narrowing/crossing changes stay refused
+    (`test_type_widening_evolution`)."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_widen_")
+    c = load_table(spark, sf_dir, "customer")
+    write_version(
+        c.where(F.col("c_custkey") % 2 == 0).selectExpr(
+            "c_mktsegment",
+            "cast(c_custkey as int) as ck",
+            "cast(c_acctbal as float) as bal",
+        ),
+        tdir,
+        "append",
+    )
+    write_version(
+        c.where(F.col("c_custkey") % 2 == 1).selectExpr(
+            "c_mktsegment",
+            "cast(c_custkey as long) as ck",
+            "cast(c_acctbal as double) as bal",
+        ),
+        tdir,
+        "append",
+        merge_schema=True,
+    )
+    return (
+        read_version(spark, tdir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("ck").alias("key_sum"),
+            dsum("bal", "total_bal"),
+        )
+    )
+
+
+@query(
     "lakehouse_scan_where_not",
     oracle=f"""
     SELECT event_type,

@@ -372,25 +372,74 @@ def _man_schema(man: dict | None):
     return T.StructType.fromJson(json.loads(s)) if s else None
 
 
+# Widening-only type promotions an append may apply to a shared
+# column under merge_schema=True (Delta's type widening): every old
+# file's physical values read EXACTLY under the wider recorded type
+# (Spark's parquet reader upcasts int32→int64 and float→double when
+# the read schema asks), so no data rewrite and no precision loss.
+# Narrowing, int↔float crossings, string/date changes stay refused —
+# those would need a rewrite to stay exact.
+_TYPE_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
 def _evolve_schema(prev, new, allow: bool):
     """Recorded schema for an append of ``new`` onto a table whose
     schema is ``prev``: same columns (any order) keep ``prev``;
     added/dropped columns require ``allow`` (schema evolution) and
-    append the new fields after the existing ones; a TYPE change on a
-    shared column is always an error (readers of old files could not
-    honor it)."""
+    append the new fields after the existing ones. A TYPE change on a
+    shared column is an error — EXCEPT a recognized widening
+    (`_TYPE_WIDENINGS`, r9) under ``allow``, which promotes the
+    RECORDED type to the wider one: old files upcast reader-side (the
+    parquet reader honors int→long / float→double), new files land
+    wide, and every zonemap comparison stays exact (Python ints/floats
+    compare across the width seamlessly)."""
     prev_by = {f.name: f.dataType for f in prev.fields}
     new_by = {f.name: f.dataType for f in new.fields}
     conflicts = sorted(
         n for n in new_by if n in prev_by and prev_by[n] != new_by[n]
     )
+    # a NARROWER batch onto a wider recorded column is always fine —
+    # the recorded schema doesn't change and the batch's physical
+    # files upcast reader-side like any pre-widening file
+    conflicts = [
+        n
+        for n in conflicts
+        if (new_by[n].typeName(), prev_by[n].typeName())
+        not in _TYPE_WIDENINGS
+    ]
+    widened = {}
+    if allow:
+        widened = {
+            n: new_by[n]
+            for n in conflicts
+            if (prev_by[n].typeName(), new_by[n].typeName())
+            in _TYPE_WIDENINGS
+        }
+        conflicts = [n for n in conflicts if n not in widened]
     if conflicts:
         raise ValueError(
             f"type change on column(s) {conflicts} — versioned tables "
-            "do not support type evolution"
+            "support only widening type evolution "
+            "(byte/short/int→long, float→double) under merge_schema"
         )
+    from pyspark.sql import types as T
+
     if set(new_by) == set(prev_by):
-        return prev
+        if not widened:
+            return prev
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, widened.get(f.name, f.dataType), True
+                )
+                for f in prev.fields
+            ]
+        )
     if not allow:
         missing = sorted(set(prev_by) - set(new_by))
         added = sorted(set(new_by) - set(prev_by))
@@ -398,10 +447,11 @@ def _evolve_schema(prev, new, allow: bool):
             f"schema mismatch vs table (missing {missing}, new {added}) "
             "— pass merge_schema=True to evolve"
         )
-    from pyspark.sql import types as T
-
     return T.StructType(
-        list(prev.fields)
+        [
+            T.StructField(f.name, widened.get(f.name, f.dataType), True)
+            for f in prev.fields
+        ]
         + [f for f in new.fields if f.name not in prev_by]
     )
 
