@@ -888,3 +888,89 @@ def test_type_widening_evolution(spark, tmp_path):
             "append",
             merge_schema=True,
         )
+
+
+# ---- property nets for the pure pruning primitives (no Spark) ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        mn=st.integers(-50, 50),
+        width=st.integers(0, 40),
+        op=st.sampled_from(["=", "<", "<=", ">", ">=", "!=", "in", "notin"]),
+        vals=st.lists(st.integers(-60, 60), min_size=1, max_size=4),
+    )
+    def test_file_prunable_never_misprunes_property(mn, width, op, vals):
+        """Soundness net for `_file_prunable`: whenever it PROVES a
+        file empty for ``col op value``, NO value inside the file's
+        [min, max] may satisfy the predicate (brute-forced over the
+        whole integer range)."""
+        from tms_etl_spark.operators.versioned import _file_prunable
+
+        mx = mn + width
+        entry = {"k": [mn, mx], "__rows": width + 1, "__nulls": {"k": 0}}
+        value = vals if op in ("in", "notin") else vals[0]
+
+        def sat(x):
+            if op == "=":
+                return x == value
+            if op == "<":
+                return x < value
+            if op == "<=":
+                return x <= value
+            if op == ">":
+                return x > value
+            if op == ">=":
+                return x >= value
+            if op == "!=":
+                return x != value
+            if op == "in":
+                return x in value
+            return x not in value  # notin
+
+        if _file_prunable(entry, "k", op, value):
+            assert not any(sat(x) for x in range(mn, mx + 1)), (
+                entry, op, value,
+            )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        prefix=st.text(
+            st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+            min_size=1,
+            max_size=6,
+        ),
+        s=st.text(
+            st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+            max_size=10,
+        ),
+    )
+    def test_like_prefix_range_is_sound_property(prefix, s):
+        """Soundness net for the LIKE-prefix decomposition: every
+        string that STARTS WITH the prefix must satisfy every derived
+        range predicate (so a file holding it can never be pruned),
+        under Python's code-point ordering — the same order the
+        zonemaps compare with."""
+        from tms_etl_spark.operators.versioned import _parse_conjunct_multi
+
+        if any(ch in prefix for ch in ("%", "_", "\\", "'")):
+            return  # not a plain prefix; grammar refuses these
+        preds = _parse_conjunct_multi(f"name LIKE '{prefix}%'")
+        assert preds and preds[0] == ("name", ">=", prefix)
+        matching = prefix + s
+        for col, op, bound in preds:
+            if op == ">=":
+                assert matching >= bound
+            elif op == "<":
+                assert matching < bound
+            else:  # pragma: no cover
+                raise AssertionError(op)
