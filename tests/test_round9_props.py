@@ -974,3 +974,33 @@ if _HYP:
                 assert matching < bound
             else:  # pragma: no cover
                 raise AssertionError(op)
+
+
+def test_rollback_to_tag(spark, tmp_path, capsys):
+    """Rollback to a NAMED ref (r9): tag the blessed snapshot, commit
+    past it, `rollback(to_tag=)` restores it as a new head (zero data
+    movement); passing both/neither selectors is refused; the CLI
+    mirrors the contract."""
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.versioned import rollback, tag_version
+
+    tdir = str(tmp_path / "rbtag")
+    write_version(spark.range(0, 4).select("id"), tdir, "append")
+    tag_version(spark, tdir, "blessed")
+    write_version(spark.range(100, 104).select("id"), tdir, "overwrite")
+
+    v = rollback(spark, tdir, to_tag="blessed")
+    assert v == 3
+    assert sorted(r["id"] for r in read_version(spark, tdir).collect()) \
+        == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="exactly one"):
+        rollback(spark, tdir)
+    with pytest.raises(ValueError, match="exactly one"):
+        rollback(spark, tdir, to_version=1, to_tag="blessed")
+
+    # CLI: roll forward again to the overwrite, then back by tag
+    assert main(["table", "rollback", tdir, "--to", "2"]) == 0
+    assert main(["table", "rollback", tdir, "--to-tag", "blessed"]) == 0
+    out = capsys.readouterr().out
+    assert "committed v5" in out
+    assert main(["table", "rollback", tdir]) == 2

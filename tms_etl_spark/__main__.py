@@ -101,7 +101,12 @@ def _parser() -> argparse.ArgumentParser:
     )
     tr = tsub.add_parser("rollback")
     tr.add_argument("dir")
-    tr.add_argument("--to", type=int, required=True)
+    tr.add_argument("--to", type=int, default=None)
+    tr.add_argument(
+        "--to-tag", default=None,
+        help="roll back to a named snapshot ref (see `table tag`); "
+        "mutually exclusive with --to",
+    )
     to = tsub.add_parser("optimize")
     to.add_argument("dir")
     to.add_argument("--cluster-by", default=None)
@@ -429,7 +434,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         if args.table_cmd == "rollback":
-            print(f"committed v{vt.rollback(spark, args.dir, args.to)}")
+            if (args.to is None) == (args.to_tag is None):
+                print(
+                    "pass exactly one of --to / --to-tag",
+                    file=sys.stderr,
+                )
+                return 2
+            v = vt.rollback(
+                spark, args.dir, to_version=args.to, to_tag=args.to_tag
+            )
+            print(f"committed v{v}")
             return 0
         if args.table_cmd == "optimize":
             zo = (

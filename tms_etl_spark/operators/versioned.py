@@ -2496,10 +2496,22 @@ def read_version_pruned_semijoin(
     )
 
 
-def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
+def rollback(
+    spark: SparkSession,
+    table_dir: str,
+    to_version: int | None = None,
+    to_tag: str | None = None,
+) -> int:
     """Non-destructive rollback: commit a NEW version whose manifest
     points at ``to_version``'s data dirs. Zero data movement; the
-    rolled-back-over versions remain readable via time travel."""
+    rolled-back-over versions remain readable via time travel.
+    ``to_tag`` (r9) rolls back to a NAMED snapshot ref instead —
+    "restore the release-blessed state" without knowing its number
+    (Iceberg's rollback-to-ref); exactly one of the two selectors."""
+    if (to_version is None) == (to_tag is None):
+        raise ValueError("pass exactly one of to_version / to_tag")
+    if to_tag is not None:
+        to_version = resolve_tag(spark, table_dir, to_tag)
     cur = current_version(spark, table_dir)
     if not (1 <= to_version <= cur):
         raise ValueError(f"cannot roll back to v{to_version} (current {cur})")
