@@ -1,0 +1,361 @@
+"""Round-10 nets: MERGE schema evolution, snapshot pinning for the
+WHERE front door, layout-routed index maintenance, and the manifest
+regex width fix.
+
+Reference parity anchors cited per test; everything here exercises
+the Spark-native versioned layer (`operators/versioned.py`), not a
+translation of the reference's per-row SQL loop
+(/root/reference/src/main_01.py:255-305).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tms_etl_spark.operators.versioned import (
+    merge_version,
+    read_version,
+    read_version_where,
+    write_version,
+)
+
+
+def _mk(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_merge_schema_evolution_adds_and_widens(spark, tmp_path):
+    """merge_schema=True: one MERGE adds a column AND widens the key
+    int→long; untouched files null-fill/upcast reader-side, the CoW
+    survivors null-fill via the union, source rows land wide — and
+    time travel to v1 still shows the ORIGINAL schema."""
+    tdir = str(tmp_path / "mergeevo")
+    write_version(
+        _mk(
+            spark,
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, s string, v double",
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    # second file the merge never touches: pure reader-side evolution
+    write_version(
+        _mk(spark, [(4, "d", 40.0)], "k int, s string, v double")
+        .coalesce(1),
+        tdir,
+        "append",
+    )
+    src = _mk(
+        spark,
+        [(2, "B", 200.0, 7), (9, "Z", 900.0, 8)],
+        "k long, s string, v double, extra long",
+    )
+    merge_version(spark, tdir, src, key="k", merge_schema=True)
+    got = {
+        r["k"]: (r["s"], r["v"], r["extra"])
+        for r in read_version(spark, tdir).collect()
+    }
+    assert got == {
+        1: ("a", 10.0, None),
+        2: ("B", 200.0, 7),
+        3: ("c", 30.0, None),
+        4: ("d", 40.0, None),  # untouched file: null-fill at read
+        9: ("Z", 900.0, 8),
+    }
+    out = read_version(spark, tdir)
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert dict(out.dtypes)["extra"] == "bigint"
+    # pre-evolution snapshot keeps the narrow, extra-less schema
+    v2 = read_version(spark, tdir, version=2)
+    assert dict(v2.dtypes)["k"] == "int"
+    assert "extra" not in v2.columns
+
+
+def test_merge_schema_evolution_refusals(spark, tmp_path):
+    """Drifted source without merge_schema refuses loudly (even on
+    the zero-touched-files insert path, which used to silently drop
+    the new column at read time); a type CROSSING refuses even WITH
+    merge_schema — same rules as append evolution."""
+    tdir = str(tmp_path / "mergerefuse")
+    write_version(
+        _mk(spark, [(1, 10.0)], "k int, v double"), tdir, "append"
+    )
+    insert_only = _mk(
+        spark, [(99, 1.0, "new")], "k int, v double, extra string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        merge_version(spark, tdir, insert_only, key="k")
+    crossing = _mk(spark, [(1, "oops")], "k int, v string")
+    with pytest.raises(ValueError, match="widening"):
+        merge_version(spark, tdir, crossing, key="k", merge_schema=True)
+    # narrower source batch is fine WITHOUT merge_schema: recorded
+    # schema unchanged, batch upcasts reader-side
+    write_version(
+        _mk(spark, [(5, 5.0)], "k long, v double"), tdir, "overwrite"
+    )
+    merge_version(
+        spark, tdir, _mk(spark, [(6, 6.0)], "k int, v double"), key="k"
+    )
+    assert dict(read_version(spark, tdir).dtypes)["k"] == "bigint"
+    assert {
+        r["k"] for r in read_version(spark, tdir).collect()
+    } == {5, 6}
+
+
+def test_where_snapshot_pinned_single_resolution(spark, tmp_path):
+    """read_version_where resolves the snapshot ONCE (r10 ADVICE):
+    with the version pinned up front, the DPP cut, the Bloom probe
+    and the scan all see the same manifest — a commit landing after
+    the pin is invisible to the read (verified by monkeypatching
+    current_version to count calls and simulate a racing commit)."""
+    import tms_etl_spark.operators.versioned as V
+
+    tdir = str(tmp_path / "pinned")
+    write_version(
+        _mk(spark, [(1, "x", 10.0), (2, "y", 20.0)],
+            "k int, s string, v double"),
+        tdir,
+        "append",
+    )
+    calls = {"n": 0}
+    real = V.current_version
+
+    def counting(spark_, dir_):
+        calls["n"] += 1
+        return real(spark_, dir_)
+
+    try:
+        V.current_version = counting
+        df = read_version_where(
+            spark, tdir, "k = 1 AND v > 0",
+            prune_keys=("k", _mk(spark, [(1,)], "k int")),
+        )
+        rows = df.collect()
+    finally:
+        V.current_version = real
+    assert [r["k"] for r in rows] == [1]
+    # one pin + at most one validation inside _pruned_scan
+    assert calls["n"] <= 2
+
+
+def test_bloom_admitted_files_empty_values(spark, tmp_path):
+    """`col IN ()` admits nothing: an empty probe list returns the
+    empty set instead of raising a zero-element F.array() analysis
+    error (r10 ADVICE)."""
+    from tms_etl_spark.operators.bloomindex import (
+        bloom_admitted_files,
+        build_bloom_index,
+    )
+    from tms_etl_spark.operators.versioned import (
+        _manifest_path,
+        _read_json,
+        current_version,
+    )
+
+    tdir = str(tmp_path / "bloomempty")
+    write_version(
+        _mk(spark, [(i,) for i in range(20)], "k int"), tdir, "append"
+    )
+    build_bloom_index(spark, tdir, "k")
+    v = current_version(spark, tdir)
+    man = _read_json(spark, _manifest_path(tdir, v))
+    adm = bloom_admitted_files(spark, tdir, man, "k", [], v, "int")
+    assert adm == set()
+
+
+def test_maintain_routes_bloom_on_text_prefixed_column(spark, tmp_path):
+    """A Bloom family on a column literally named ``text_x`` must NOT
+    be misrouted to the text extender (r10 ADVICE): routing is by
+    generation-dir suffix (-bloom vs -tokens), so the sidecar is
+    extended and point reads stay index-assisted after maintenance."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import maintain_table
+
+    tdir = str(tmp_path / "textprefix")
+    write_version(
+        _mk(spark, [(i, i * 10) for i in range(30)],
+            "text_x int, payload int").coalesce(2),
+        tdir,
+        "append",
+    )
+    build_bloom_index(spark, tdir, "text_x")
+    write_version(
+        _mk(spark, [(100, 1000)], "text_x int, payload int"),
+        tdir,
+        "append",
+    )
+    out = maintain_table(spark, tdir)
+    assert out["extended_indexes"] == {"text_x:bloom": "extended"}
+    got = read_version_point(spark, tdir, "text_x", 100)
+    assert [r["payload"] for r in got.collect()] == [1000]
+
+
+def test_manifest_listing_parses_wide_versions(tmp_path):
+    """history/expire listing regexes accept any manifest width
+    (r10 ADVICE): ``v1000000.json`` — wider than the :06d format —
+    must still parse, or versions ≥ 1e6 vanish from history and lose
+    time-retention protection."""
+    import re
+
+    # the exact pattern now used at versioned.py:1265 and :2701
+    pat = re.compile(r"v(\d+)\.json$")
+    assert pat.search("x/_manifests/v000007.json").group(1) == "000007"
+    assert pat.search("x/_manifests/v1000000.json").group(1) == "1000000"
+
+
+def test_point_read_asof_and_tag(spark, tmp_path):
+    """read_version_point(asof=, tag=) mirrors read_version_where's
+    snapshot selection (r10): point-reading the release-blessed
+    snapshot goes through the Bloom sidecar AT that version — a later
+    commit (which changes the key's row) is invisible to both the
+    tagged and the as-of read."""
+    import time
+
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import tag_version
+
+    tdir = str(tmp_path / "pointasof")
+    write_version(
+        _mk(spark, [(i, f"old{i}") for i in range(50)],
+            "k int, s string").coalesce(2),
+        tdir,
+        "append",
+    )
+    build_bloom_index(spark, tdir, "k")
+    tag_version(spark, tdir, "blessed")
+    mid = time.time() + 0.05
+    time.sleep(1.2)
+    write_version(
+        _mk(spark, [(7, "NEW7")], "k int, s string"), tdir, "overwrite"
+    )
+    tagged = read_version_point(spark, tdir, "k", 7, tag="blessed")
+    assert [r["s"] for r in tagged.collect()] == ["old7"]
+    asof = read_version_point(spark, tdir, "k", 7, asof=mid)
+    assert [r["s"] for r in asof.collect()] == ["old7"]
+    head = read_version_point(spark, tdir, "k", 7)
+    assert [r["s"] for r in head.collect()] == ["NEW7"]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_version_point(spark, tdir, "k", 7, version=1, tag="blessed")
+
+
+def test_cli_point_asof_tag(spark, tmp_path, capsys):
+    """CLI `table point --tag/--asof/--version` resolves the snapshot
+    and types the --value against the RESOLVED schema (a pre-widening
+    tag still casts the key as int)."""
+    from tms_etl_spark.__main__ import main
+    from tms_etl_spark.operators.bloomindex import build_bloom_index
+    from tms_etl_spark.operators.versioned import tag_version
+
+    tdir = str(tmp_path / "clipoint")
+    write_version(
+        _mk(spark, [(i, i * 2) for i in range(30)],
+            "k int, v int").coalesce(2),
+        tdir,
+        "append",
+    )
+    build_bloom_index(spark, tdir, "k")
+    tag_version(spark, tdir, "rel1")
+    write_version(_mk(spark, [(7, 777)], "k int, v int"),
+                  tdir, "overwrite")
+    assert main(
+        ["table", "point", tdir, "--col", "k", "--value", "7",
+         "--tag", "rel1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "14" in out and "777" not in out
+    assert main(
+        ["table", "point", tdir, "--col", "k", "--value", "7"]
+    ) == 0
+    assert "777" in capsys.readouterr().out
+    assert main(
+        ["table", "point", tdir, "--col", "k", "--value", "7",
+         "--tag", "rel1", "--version", "1"]
+    ) == 2
+
+
+def test_delete_where_semantics(spark, tmp_path):
+    """delete_where: predicate slice gone, survivors exact, no-op
+    predicates commit nothing, non-unique keys refuse with the
+    overreach count, allow_key_scope opts into key-level semantics,
+    and rand() predicates refuse."""
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        delete_where,
+    )
+
+    tdir = str(tmp_path / "delwhere")
+    write_version(
+        _mk(
+            spark,
+            [(i, "err" if i % 3 == 0 else "ok", float(i)) for i in range(30)],
+            "k int, status string, v double",
+        ),
+        tdir,
+        "append",
+    )
+    v = delete_where(spark, tdir, "status = 'err' AND v < 15", "k")
+    assert v == 2
+    left = {r["k"] for r in read_version(spark, tdir).collect()}
+    assert left == set(range(30)) - {0, 3, 6, 9, 12}
+    # no-op: zero matches → no empty commit
+    assert delete_where(spark, tdir, "v > 1e9", "k") == 2
+    assert current_version(spark, tdir) == 2
+    # rand() refuses
+    with pytest.raises(ValueError, match="[Nn]on-deterministic"):
+        delete_where(spark, tdir, "rand() < 0.5", "k")
+
+
+def test_delete_where_key_scope_guard(spark, tmp_path):
+    """A non-unique key over the matched set refuses by default (the
+    vector would over-delete) and deletes the whole key group under
+    allow_key_scope=True."""
+    from tms_etl_spark.operators.versioned import delete_where
+
+    tdir = str(tmp_path / "delscope")
+    write_version(
+        _mk(
+            spark,
+            [(1, 5.0), (1, 50.0), (2, 7.0), (3, 9.0)],
+            "k int, v double",
+        ),
+        tdir,
+        "append",
+    )
+    with pytest.raises(ValueError, match="over-delete"):
+        delete_where(spark, tdir, "v < 10", "k")
+    delete_where(spark, tdir, "v < 10", "k", allow_key_scope=True)
+    assert [r["v"] for r in read_version(spark, tdir).collect()] == []
+
+
+def test_cli_delete_where(spark, tmp_path, capsys):
+    """CLI `table delete --where` commits the vector; --values and
+    --where are mutually exclusive; guard errors exit 2."""
+    from tms_etl_spark.__main__ import main
+
+    tdir = str(tmp_path / "clidelw")
+    write_version(
+        _mk(spark, [(i, float(i)) for i in range(10)],
+            "k int, v double"),
+        tdir,
+        "append",
+    )
+    assert main(
+        ["table", "delete", tdir, "--key", "k", "--where", "v < 3"]
+    ) == 0
+    assert "committed v2" in capsys.readouterr().out
+    assert {
+        r["k"] for r in read_version(spark, tdir).collect()
+    } == set(range(3, 10))
+    assert main(["table", "delete", tdir, "--key", "k"]) == 2
+    assert main(
+        ["table", "delete", tdir, "--key", "k",
+         "--values", "5", "--where", "v < 9"]
+    ) == 2

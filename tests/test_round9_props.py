@@ -658,7 +658,7 @@ def test_maintain_table_extends_indexes(spark, tmp_path):
     )
     out = maintain_table(spark, tdir)
     assert out["extended_indexes"] == {
-        "uid": "extended", "text_body": "extended",
+        "uid:bloom": "extended", "text_body:text": "extended",
     }
     # both index families answer at the CURRENT version
     got = read_version_point(spark, tdir, "uid", 103)
@@ -671,8 +671,8 @@ def test_maintain_table_extends_indexes(spark, tmp_path):
         spark.createDataFrame([(1,)], "uid int"), tdir, "overwrite"
     )
     out2 = maintain_table(spark, tdir)
-    assert out2["extended_indexes"]["uid"] == "extended"
-    assert out2["extended_indexes"]["text_body"].startswith("error:")
+    assert out2["extended_indexes"]["uid:bloom"] == "extended"
+    assert out2["extended_indexes"]["text_body:text"].startswith("error:")
     assert "version" in out2  # the rest of the window ran
 
 

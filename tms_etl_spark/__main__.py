@@ -172,8 +172,18 @@ def _parser() -> argparse.ArgumentParser:
     td.add_argument("dir")
     td.add_argument("--key", required=True, help="key column name")
     td.add_argument(
-        "--values", required=True,
+        "--values", default=None,
         help="comma-separated key values (cast to the column's type)",
+    )
+    td.add_argument(
+        "--where", default=None,
+        help="SQL predicate: delete the matching rows' keys (pruned "
+        "extraction scan; refuses when the key is not unique over "
+        "the matched set unless --allow-key-scope)",
+    )
+    td.add_argument(
+        "--allow-key-scope", action="store_true",
+        help="with --where: delete EVERY row sharing a matched key",
     )
     td.add_argument("--txn-id", default=None)
     tk = tsub.add_parser(
@@ -229,6 +239,17 @@ def _parser() -> argparse.ArgumentParser:
     tg.add_argument("dir")
     tg.add_argument("--col", required=True)
     tg.add_argument("--value", required=True)
+    tg.add_argument("--version", type=int, default=None)
+    tg.add_argument(
+        "--asof", default=None,
+        help="TIMESTAMP AS OF (epoch seconds or ISO-8601, UTC); "
+        "mutually exclusive with --version",
+    )
+    tg.add_argument(
+        "--tag", default=None,
+        help="named snapshot ref (see `table tag`); mutually "
+        "exclusive with --version/--asof",
+    )
     tg.add_argument("--limit", type=int, default=20)
     tsc = tsub.add_parser(
         "scan",
@@ -512,10 +533,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.table_cmd == "delete":
             from pyspark.sql import functions as F
 
+            if (args.values is None) == (args.where is None):
+                print(
+                    "pass exactly one of --values / --where",
+                    file=sys.stderr,
+                )
+                return 2
             cur = vt.read_version(spark, args.dir)
             if args.key not in cur.columns:
                 print(f"unknown key column: {args.key!r}", file=sys.stderr)
                 return 2
+            if args.where is not None:
+                try:
+                    v = vt.delete_where(
+                        spark, args.dir, args.where, args.key,
+                        txn_id=args.txn_id,
+                        allow_key_scope=args.allow_key_scope,
+                    )
+                except ValueError as e:
+                    print(str(e), file=sys.stderr)
+                    return 2
+                print(f"committed v{v}")
+                return 0
             ktype = dict(cur.dtypes)[args.key]
             keys = spark.createDataFrame(
                 [(v,) for v in args.values.split(",")], f"{args.key} string"
@@ -699,7 +738,25 @@ def main(argv: list[str] | None = None) -> int:
 
             from tms_etl_spark.operators.bloomindex import read_version_point
 
-            cur = vt.read_version(spark, args.dir)
+            if sum(
+                x is not None
+                for x in (args.version, args.asof, args.tag)
+            ) > 1:
+                print(
+                    "--version, --asof and --tag are mutually exclusive",
+                    file=sys.stderr,
+                )
+                return 2
+            version = args.version
+            if args.tag is not None:
+                version = vt.resolve_tag(spark, args.dir, args.tag)
+            if args.asof is not None:
+                version = vt.version_asof(
+                    spark, args.dir, _parse_asof(args.asof)
+                )
+            # dtype from the RESOLVED snapshot: a pre-evolution tag
+            # may carry a narrower key type (or lack a column) vs HEAD
+            cur = vt.read_version(spark, args.dir, version=version)
             if args.col not in cur.columns:
                 print(f"unknown column: {args.col!r}", file=sys.stderr)
                 return 2
@@ -716,9 +773,9 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            read_version_point(spark, args.dir, args.col, val).show(
-                args.limit, truncate=False
-            )
+            read_version_point(
+                spark, args.dir, args.col, val, version=version
+            ).show(args.limit, truncate=False)
             return 0
         if args.table_cmd == "vacuum-indexes":
             n = vt.vacuum_indexes(

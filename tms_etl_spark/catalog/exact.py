@@ -15,6 +15,19 @@ also the honest definition of a reproducible metric at 100 TB.
 The reference's analog is its ``float(x or 0)`` lazy-cast convention
 (/root/reference/src/main_01.py:447-449): all arithmetic happens after
 one explicit, documented coercion point.
+
+PRECONDITION — dsum/dec inputs must be CLEAN values with ≤3 true
+decimal digits (e.g. 2-decimal money straight off parquet). A double
+with a full binary tail (anything that went through a float32 upcast,
+a division, or transcendental math) lands arbitrarily close to a
+DECIMAL(18,4) rounding boundary, and Spark's BigDecimal HALF_UP and
+DuckDB's double→decimal cast can disagree by an ulp ACROSS DUCKDB
+VERSIONS (observed: r9 driver vs local DuckDB 1.0.0 on
+lakehouse_type_widening's float-upcast balances). If the input is
+dirty, ROUND(x, 2) it first on BOTH sides — when the true value is
+recoverable (≤6 significant digits for float32) the round-trip is
+lossless and tie-free — or use ``dsum8``/``dsum8r`` with a scale that
+dominates the noise.
 """
 
 from __future__ import annotations

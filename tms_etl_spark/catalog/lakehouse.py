@@ -31,6 +31,7 @@ from tms_etl_spark.operators.matview import refresh_agg_view
 from tms_etl_spark.operators.textindex import build_text_index, search_token
 from tms_etl_spark.operators.versioned import (
     delete_rows,
+    delete_where,
     merge_version,
     optimize_version,
     read_version,
@@ -972,10 +973,11 @@ def lakehouse_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH unioned AS (
         SELECT c_mktsegment,
                CAST(c_custkey AS INTEGER) AS ck,
-               CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS bal
+               ROUND(CAST(CAST(c_acctbal AS REAL) AS DOUBLE), 2) AS bal
         FROM customer WHERE c_custkey % 2 = 0
         UNION ALL
-        SELECT c_mktsegment, CAST(c_custkey AS INTEGER), c_acctbal
+        SELECT c_mktsegment, CAST(c_custkey AS INTEGER),
+               ROUND(c_acctbal, 2)
         FROM customer WHERE c_custkey % 2 = 1
     )
     SELECT c_mktsegment,
@@ -994,7 +996,15 @@ def lakehouse_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     int32/float files upcast READER-side (no rewrite), and the
     aggregate must be bit-exact across the width seam: float→double
     promotion is value-preserving IEEE in both engines, so DuckDB's
-    explicit CAST chain reproduces Spark's upcast bit for bit.
+    explicit CAST chain reproduces Spark's upcast bit for bit. The
+    upcast leaves a full BINARY TAIL on each double (1234.56f →
+    1234.5599365…), and feeding that straight into ``dsum``'s
+    DECIMAL(18,4) cast is DuckDB-version-fragile (the r9 driver
+    rounded the cast an ulp differently — the round's one hash
+    fail), so both sides ROUND(bal, 2) first: acctbal carries ≤6
+    significant digits, inside float32's 7.2, so the round-trip is
+    lossless and tie-free and dsum then sees clean 2-decimal values
+    (its documented precondition — see `catalog/exact.py`).
     Narrowing/crossing changes stay refused
     (`test_type_widening_evolution`)."""
     tdir = tempfile.mkdtemp(prefix="lakehouse_widen_")
@@ -1024,7 +1034,7 @@ def lakehouse_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.sum("ck").alias("key_sum"),
-            dsum("bal", "total_bal"),
+            dsum(F.round(F.col("bal"), 2), "total_bal"),
         )
     )
 
@@ -1247,6 +1257,131 @@ def lakehouse_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts >= TIMESTAMP '2024-01-20 00:00:00' AND "
             "event_type IN ('click', 'view') AND value > 10",
         )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
+    "lakehouse_merge_evolution",
+    oracle=f"""
+    WITH target AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS ok,
+               o_orderstatus AS st,
+               o_totalprice AS price,
+               CAST(NULL AS BIGINT) AS bucket7
+        FROM orders WHERE o_orderkey % 4 < 3
+    ),
+    src AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS ok,
+               LOWER(o_orderstatus) AS st,
+               o_totalprice AS price,
+               CAST(o_orderkey % 7 AS BIGINT) AS bucket7
+        FROM orders WHERE o_orderkey % 4 IN (2, 3)
+    ),
+    merged AS (
+        SELECT * FROM src
+        UNION ALL
+        SELECT * FROM target
+        WHERE ok NOT IN (SELECT ok FROM src)
+    )
+    SELECT st,
+           COUNT(*) AS n_orders,
+           {sql_dsum("price", "total_price")},
+           CAST(SUM(bucket7) AS BIGINT) AS bucket_sum
+    FROM merged
+    GROUP BY st
+    """,
+)
+def lakehouse_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema evolution (r10, `operators/versioned.py:
+    merge_version(merge_schema=True)` — Delta's
+    ``withSchemaEvolution()``): the target commits with an INT key
+    and no ``bucket7``; the MERGE source carries a LONG key (widened
+    — int→long per `_TYPE_WIDENINGS`) plus a brand-new ``bucket7``
+    column, updates the %4==2 slice (status lowercased) and inserts
+    the %4==3 slice. The recorded schema evolves in the same commit:
+    untouched files upcast the key and null-fill ``bucket7``
+    reader-side, rewritten survivors null-fill via the CoW union, and
+    source rows land wide — the aggregate crosses the width AND the
+    add seam, so any null-fill or upcast slip shifts a group. This is
+    the reference's re-export loop shape — upsert batches whose
+    column map drifted across generations
+    (/root/reference/src/main_01.py:337-356 vs main_05.py:598).
+    Narrowing/crossing refusals pinned by
+    `test_merge_schema_evolution_refusals`."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_mergeevo_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_version(
+        o.where(F.col("o_orderkey") % 4 < 3).selectExpr(
+            "cast(o_orderkey as int) as ok",
+            "o_orderstatus as st",
+            "o_totalprice as price",
+        ),
+        tdir,
+        "append",
+    )
+    src = o.where((F.col("o_orderkey") % 4).isin(2, 3)).selectExpr(
+        "cast(o_orderkey as long) as ok",
+        "lower(o_orderstatus) as st",
+        "o_totalprice as price",
+        "cast(o_orderkey % 7 as long) as bucket7",
+    )
+    merge_version(
+        spark, tdir, src, key="ok", when_matched="update",
+        merge_schema=True,
+    )
+    return (
+        read_version(spark, tdir)
+        .groupBy("st")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("price", "total_price"),
+            F.sum("bucket7").alias("bucket_sum"),
+        )
+    )
+
+
+@query(
+    "lakehouse_delete_where",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE NOT (event_type = 'error' AND value < 50)
+      AND value > 5
+    GROUP BY event_type
+    """,
+)
+def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE front door (r10, `operators/versioned.py:
+    delete_where`): ``DELETE FROM t WHERE event_type='error' AND
+    value<50`` routes the predicate through the WHERE grammar — the
+    matching-key extraction scans only the zonemap-surviving files —
+    and commits the keys as a deletion vector (O(keys), data files
+    untouched). The uniqueness guard's key-cut semi-join count runs
+    inside (event_id is unique, so the guard passes and the delete is
+    row-exact); the follow-up `read_version_where` read composes the
+    tombstone anti-join with its own pruning. Surviving error rows
+    (value ≥ 50) prove row-level semantics; DuckDB checks the
+    deleted-state aggregate over the original parquet. CLI:
+    ``table delete --where``."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_delwhere_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    write_version(ev, tdir, "append")
+    delete_where(
+        spark, tdir, "event_type = 'error' AND value < 50", "event_id"
+    )
+    return (
+        read_version_where(spark, tdir, "value > 5")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),

@@ -237,6 +237,11 @@ def bloom_admitted_files(
     values = (
         list(value) if isinstance(value, (list, tuple, set)) else [value]
     )
+    if not values:
+        # `col IN ()` admits nothing — return the empty admission set
+        # rather than building a zero-element F.array() (analysis
+        # error in Spark)
+        return set()
     # xxhash64 is TYPE-sensitive: probe with the column's exact type
     # or a long column never matches an int literal's hashes. All
     # values' k positions come back in ONE 1-row job.
@@ -310,6 +315,8 @@ def read_version_point(
     col: str,
     value,
     version: int | None = None,
+    asof=None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Point read `col = value` using the Bloom sidecar for file
     skipping. Exact: bloom-admitted files still pass through the
@@ -317,7 +324,25 @@ def read_version_point(
     the index build) are conservatively scanned. Falls back to a
     plain filtered scan when no index exists. The sidecar probe is a
     metadata-scale aggregate (k words per file), collected as one
-    file list — the same plan-time footprint as zonemap pruning."""
+    file list — the same plan-time footprint as zonemap pruning.
+
+    Snapshot selection mirrors `read_version_where` (r10):
+    ``version``, ``asof`` (TIMESTAMP AS OF) and ``tag`` are mutually
+    exclusive — "point-read the release-blessed snapshot" is
+    ``tag='release'``, no by-hand tag resolution. The sidecar probes
+    at the RESOLVED version: an index generation at or before it
+    covers the files it indexed, later files scan conservatively."""
+    from tms_etl_spark.operators.versioned import (
+        resolve_tag,
+        version_asof,
+    )
+
+    if sum(x is not None for x in (version, asof, tag)) > 1:
+        raise ValueError("version, asof and tag are mutually exclusive")
+    if tag is not None:
+        version = resolve_tag(spark, table_dir, tag)
+    if asof is not None:
+        version = version_asof(spark, table_dir, asof)
     cur = current_version(spark, table_dir)
     v = version if version is not None else cur
     man = _read_json(spark, _manifest_path(table_dir, v))

@@ -1262,7 +1262,7 @@ def register_versioned(
     mdir = f"{table_dir}/{_MANIFESTS}"
     if path_exists(spark, mdir):
         for fi in list_files(spark, mdir, "v*.json"):
-            m = re.search(r"v(\d{6})\.json$", fi.path)
+            m = re.search(r"v(\d+)\.json$", fi.path)
             if m and int(m.group(1)) <= cur:
                 surviving.append(int(m.group(1)))
     surviving = sorted(set(surviving), reverse=True)
@@ -1389,6 +1389,96 @@ def delete_rows(
     _carry_props(prev, payload)
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
+
+
+def _filter_deterministic(df: DataFrame) -> bool:
+    """Whether the TOP Filter of ``df``'s analyzed plan has a
+    deterministic condition — the Catalyst-resolved answer (rand(),
+    uuid(), shuffle(), monotonically_increasing_id() all register),
+    not a fragile name denylist. A plan without a top Filter (no
+    predicate survived analysis) is vacuously deterministic."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        while plan is not None:
+            if plan.getClass().getSimpleName() == "Filter":
+                return bool(plan.condition().deterministic())
+            # Project/SubqueryAlias wrappers sit above the Filter
+            if plan.children().size() != 1:
+                return True
+            plan = plan.children().head()
+    except Exception:  # noqa: BLE001 — JVM API drift: fail open,
+        # the check is a guard rail, not a correctness gate
+        return True
+    return True
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    where: str,
+    key: str,
+    txn_id: str | None = None,
+    allow_key_scope: bool = False,
+) -> int:
+    """``DELETE FROM t WHERE <pred>`` — the everyday GDPR/cleanup
+    verb, composed from parts that already exist: ``where`` routes
+    through the WHERE grammar (`read_version_where`) so the matching-
+    key extraction scans only the zonemap/derived/Bloom-surviving
+    files, the distinct matching ``key`` values become a deletion
+    vector via `delete_rows` (O(keys) commit, data files untouched),
+    and physical purge waits for the next `optimize_*` — the standard
+    lakehouse two-step.
+
+    Deletion vectors are KEY-level, so a non-unique key could drag
+    non-matching rows sharing a key with a matching row. Guarded by
+    default: one key-cut semi-join scan (the `prune_keys` DPP path)
+    counts the rows the vector would actually remove, and a mismatch
+    vs the predicate's own row count refuses with the exact overreach
+    — pass ``allow_key_scope=True`` to opt into key-scoped semantics
+    (e.g. "delete every row of any user who matched"). Cost: two
+    bounded pruned scans + the vector write, never O(table).
+
+    Non-deterministic predicates (rand(), uuid(), …) refuse: the
+    extraction scan and any re-check would disagree, and "delete a
+    random slice" wants `sampling.py`, not DELETE. Refuses rather
+    than silently committing whatever the first scan sampled.
+
+    Reference analog: the GUI's month-scoped cleanup deletes by
+    re-running the month query and erasing row-by-row
+    (/root/reference/src/main_01.py:255-305); this is the same verb
+    as one manifest commit. No-op (zero matches) returns the current
+    version WITHOUT an empty commit."""
+    from pyspark.sql import functions as F
+
+    matching = read_version_where(spark, table_dir, where)
+    if key not in matching.columns:
+        raise ValueError(f"table has no key column {key!r}")
+    if not _filter_deterministic(matching):
+        raise ValueError(
+            f"non-deterministic DELETE predicate {where!r} — the "
+            "matched set would differ between the extraction scan "
+            "and any re-check; use operators/sampling.py for random "
+            "slices"
+        )
+    n_match = matching.count()
+    if n_match == 0:
+        return current_version(spark, table_dir)
+    keys_df = matching.select(key).distinct()
+    if not allow_key_scope:
+        n_keyed = read_version_pruned_semijoin(
+            spark, table_dir, key, keys_df
+        ).count()
+        if n_keyed != n_match:
+            raise ValueError(
+                f"DELETE WHERE matched {n_match} rows but their "
+                f"{key!r} values cover {n_keyed} rows — the key is "
+                "not unique over the matched set, so a key-level "
+                "deletion vector would over-delete "
+                f"{n_keyed - n_match} non-matching rows; pass "
+                "allow_key_scope=True to delete every row sharing a "
+                "matched key, or delete by a unique key"
+            )
+    return delete_rows(spark, table_dir, keys_df, txn_id=txn_id)
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "isnull", "notnull")
@@ -1634,6 +1724,7 @@ def _pruned_scan(
     version: int | None = None,
     allowed_files: set[str] | None = None,
     groups: list[list[tuple]] | None = None,
+    man: dict | None = None,
 ) -> DataFrame:
     """The file-pruned snapshot scan shared by `read_version_pruned`
     variants: files skipped when ANY conjunct's zonemap (or a derived
@@ -1654,10 +1745,11 @@ def _pruned_scan(
         raise ValueError(
             f"version {v} not committed at {table_dir} (current {cur})"
         )
-    p = _manifest_path(table_dir, v)
-    if not path_exists(spark, p):
-        raise ValueError(f"version {v} expired at {table_dir}")
-    man = _read_json(spark, p)
+    if man is None:
+        p = _manifest_path(table_dir, v)
+        if not path_exists(spark, p):
+            raise ValueError(f"version {v} expired at {table_dir}")
+        man = _read_json(spark, p)
     stats = man.get("stats", {})
     prune_groups = [
         list(g) + _derived_partition_predicates(spark, man, g)
@@ -2158,6 +2250,18 @@ def read_version_where(
         version = resolve_tag(spark, table_dir, tag)
     if asof is not None:
         version = version_asof(spark, table_dir, asof)
+    if version is None:
+        # pin the snapshot ONCE: the DPP key cut, the Bloom probe and
+        # the final scan must all see the SAME manifest. Resolving
+        # current_version independently per step would let a
+        # concurrent commit land between resolutions, so an
+        # admitted-files set built from the OLDER manifest intersects
+        # the NEWER scan and silently drops the new files' rows — a
+        # snapshot-isolation violation commit_retries makes likelier.
+        version = current_version(spark, table_dir)
+    man_pin: dict | None = None
+    if version > 0 and path_exists(spark, _manifest_path(table_dir, version)):
+        man_pin = _read_json(spark, _manifest_path(table_dir, version))
 
     groups = _where_pruning_groups(where)
     preds = groups[0] if len(groups) == 1 else []
@@ -2186,15 +2290,10 @@ def read_version_where(
             dpp_hint = False
         else:
             keys = sorted(r["__k"] for r in rows_k if r["__k"] is not None)
-            cur_k = current_version(spark, table_dir)
-            v_k = version if version is not None else cur_k
-            if 0 < v_k <= cur_k and path_exists(
-                spark, _manifest_path(table_dir, v_k)
-            ):
-                man_k = _read_json(spark, _manifest_path(table_dir, v_k))
+            if man_pin is not None:
                 allowed = (
                     _semijoin_allowed_files(
-                        spark, table_dir, man_k, pcol, keys
+                        spark, table_dir, man_pin, pcol, keys
                     )
                     if keys
                     else set()
@@ -2212,10 +2311,9 @@ def read_version_where(
         for _, op, val in g
     )
     if has_eq:
-        cur = current_version(spark, table_dir)
-        v = version if version is not None else cur
-        if 0 < v <= cur and path_exists(spark, _manifest_path(table_dir, v)):
-            man = _read_json(spark, _manifest_path(table_dir, v))
+        if man_pin is not None:
+            man = man_pin
+            v = version
             schema = _man_schema(man)
             if schema is not None:
                 from tms_etl_spark.operators.bloomindex import (
@@ -2259,7 +2357,7 @@ def read_version_where(
                     )
     base = _pruned_scan(
         spark, table_dir, preds, version,
-        allowed_files=allowed, groups=groups,
+        allowed_files=allowed, groups=groups, man=man_pin,
     )
     out = base.where(F.expr(where))
     if residual_keys is not None:
@@ -2690,7 +2788,7 @@ def expire_versions(
         mdir = f"{table_dir}/{_MANIFESTS}"
         if path_exists(spark, mdir):
             for fi in list_files(spark, mdir, "v*.json"):
-                m = re.search(r"v(\d{6})\.json$", fi.path)
+                m = re.search(r"v(\d+)\.json$", fi.path)
                 if not m:
                     continue
                 v = int(m.group(1))
@@ -3009,6 +3107,7 @@ def merge_version(
     cluster_by: str | None = None,
     cluster_partitions: int | None = None,
     use_stats: bool = True,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO for the versioned layer — copy-on-write upsert
     (``when_matched="update"``: matched target rows are replaced by
@@ -3050,7 +3149,23 @@ def merge_version(
     source/target joins carry a broadcast hint on it, closing the
     same size-estimate blindness `register_versioned(use_stats=True)`
     closes for reads (an opaque/deletion-vectored source would
-    otherwise sort-merge the discovery probe AND the CoW anti-join)."""
+    otherwise sort-merge the discovery probe AND the CoW anti-join).
+
+    ``merge_schema`` (r10 — Delta's ``withSchemaEvolution()``): an
+    "update" MERGE whose source carries ADDED columns or WIDENED
+    types evolves the recorded schema through the same
+    `_evolve_schema` rules as append evolution — new columns
+    null-fill everywhere the source didn't reach (untouched files
+    reader-side via the recorded schema, rewritten survivors via the
+    union), widened types follow `_TYPE_WIDENINGS` (old files upcast
+    reader-side), and the CoW output lands wide. Narrowing/crossing
+    changes refuse exactly like the append path. Without it, a
+    source whose columns drift from the table refuses loudly — the
+    reference's re-export loop upserts batches whose column map
+    drifted across generations
+    (/root/reference/src/main_01.py:337-356 vs main_05.py:598), the
+    shape that previously could slip through the zero-touched-files
+    path and silently drop the new column at read time."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -3077,6 +3192,20 @@ def merge_version(
         for c, e in (man.get("partition_exprs") or {}).items():
             if c not in source_df.columns:
                 source_df = source_df.withColumn(c, F.expr(e))
+
+    # recorded schema for the POST-merge table: same evolution rules
+    # as the append path (add/widen under merge_schema, narrowing and
+    # crossings refused, a narrower source batch tolerated — it
+    # upcasts reader-side like any pre-widening file). Validated even
+    # when the merge touches zero files: the insert-only path used to
+    # land drifted source columns that the recorded schema would then
+    # silently null at read time.
+    prev_schema = _man_schema(man)
+    rec_schema = prev_schema
+    if when_matched == "update" and prev_schema is not None:
+        rec_schema = _evolve_schema(
+            prev_schema, source_df.schema, merge_schema
+        )
 
     # one row per NON-NULL source key, or the merge is
     # nondeterministic. count_distinct ignores NULLs, so NULL keys
@@ -3204,7 +3333,9 @@ def merge_version(
     if parts:
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # evolution: survivors lack source-added columns (they
+            # null-fill); union coercion widens int→long/float→double
+            out = out.unionByName(p, allowMissingColumns=merge_schema)
         # partitioned table: the rewrite ALWAYS keeps the hive layout
         # so partition pruning stays directory-exact under merge
         # churn; cluster_by then orders rows WITHIN the layout (range
@@ -3237,10 +3368,10 @@ def merge_version(
                 spark,
                 f"{table_dir}/{new_dir}",
                 man.get("constraints") or {},
-                _man_schema(man),
+                rec_schema,
             )
             new_stats = _dir_file_stats(
-                spark, table_dir, new_dir, schema=_man_schema(man)
+                spark, table_dir, new_dir, schema=rec_schema
             )
             dirs = dirs + [new_dir]
 
@@ -3270,6 +3401,9 @@ def merge_version(
         "stats": {**surviving_stats, **new_stats},
         "recent_txns": _carry_txns(man, txn_id, v),
     }
+    if rec_schema is not None:
+        # pre-set so _carry_props keeps the EVOLVED schema, not prev's
+        payload["schema"] = rec_schema.json()
     if deletes:
         payload["deletes"] = deletes
     dead = {rel for rel in dead if _rel_dir(rel) in kept_set}
@@ -4306,24 +4440,48 @@ def maintain_table(
                 if not s.isDirectory():
                     continue
                 name = s.getPath().getName()
-                try:
-                    if name.startswith("text_"):
-                        from tms_etl_spark.operators.textindex import (
-                            extend_text_index,
-                        )
+                # route by SIDECAR LAYOUT, not name prefix: a Bloom
+                # family on a column literally named ``text_<x>``
+                # shares the ``text_`` prefix with token sidecars, and
+                # a prefix route would misroute it to the text
+                # extender, fail, and let its point reads silently
+                # decay. Generation dirs disambiguate unambiguously —
+                # bloom gens end in ``-bloom``, token gens in
+                # ``-tokens`` — and one family dir may legally hold
+                # both (bloom on ``text_x`` + tokens on ``x``).
+                gens = [
+                    c.getPath().getName()
+                    for c in fs_i.listStatus(s.getPath())
+                    if c.isDirectory()
+                ]
+                kinds: list[tuple[str, str]] = []
+                if any(g.endswith("-tokens") for g in gens) and (
+                    name.startswith("text_")
+                ):
+                    kinds.append(("text", name[5:]))
+                if any(g.endswith("-bloom") for g in gens):
+                    kinds.append(("bloom", name))
+                if not kinds:
+                    exts[name] = "skipped: no recognizable generations"
+                for kind, col_k in kinds:
+                    try:
+                        if kind == "text":
+                            from tms_etl_spark.operators.textindex import (
+                                extend_text_index,
+                            )
 
-                        extend_text_index(spark, table_dir, name[5:])
-                    else:
-                        from tms_etl_spark.operators.bloomindex import (
-                            extend_bloom_index,
-                        )
+                            extend_text_index(spark, table_dir, col_k)
+                        else:
+                            from tms_etl_spark.operators.bloomindex import (
+                                extend_bloom_index,
+                            )
 
-                        extend_bloom_index(spark, table_dir, name)
-                    exts[name] = "extended"
-                except Exception as e:  # noqa: BLE001 — reported, not
-                    # silent: one stale family (dropped column, legacy
-                    # layout) must not kill the maintenance window
-                    exts[name] = f"error: {e}"
+                            extend_bloom_index(spark, table_dir, col_k)
+                        exts[f"{name}:{kind}"] = "extended"
+                    except Exception as e:  # noqa: BLE001 — reported,
+                        # not silent: one stale family (dropped column,
+                        # legacy layout) must not kill the window
+                        exts[f"{name}:{kind}"] = f"error: {e}"
         out["extended_indexes"] = exts
     if keep_last is not None:
         out["expired_versions"] = expire_versions(
