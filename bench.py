@@ -293,6 +293,13 @@ HEADLINE = [
     "lakehouse_nightly_maintain",
     "lakehouse_scan_where_not",
     "lakehouse_type_widening",
+    # round-17 additions: MERGE schema evolution (CoW + evolved
+    # manifest in one commit), predicate DELETE (pruned key
+    # extraction + uniqueness guard + vector commit), and the
+    # metadata-only column rename read across its seam
+    "lakehouse_merge_evolution",
+    "lakehouse_delete_where",
+    "lakehouse_column_rename",
 ]
 
 

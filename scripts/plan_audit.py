@@ -746,6 +746,31 @@ AUDIT = [
         "pruned file list (predicate still drives manifest skipping "
         "on the older version), one partial-combined aggregate",
     ),
+    (
+        "lakehouse_merge_evolution",
+        ["Scan parquet", "partial_count"],
+        "read across the MERGE-evolution seam: untouched files, CoW "
+        "survivors and wide source rows all scan under the ONE "
+        "evolved recorded schema (reader-side upcast + null-fill, no "
+        "mergeSchema footer pass); aggregate partial-combines",
+    ),
+    (
+        "lakehouse_delete_where",
+        ["PushedFilters", "partial_count"],
+        "post-DELETE read: the residual predicate is pushed to the "
+        "scan and the deletion vector applies as a broadcast-sized "
+        "anti-join; the DELETE itself extracted keys from a "
+        "zonemap-pruned scan, never a full-table pass",
+    ),
+    (
+        "lakehouse_column_rename",
+        ["PushedFilters", "partial_count"],
+        "read across the rename seam: files scan under the stable "
+        "PHYSICAL schema and alias to the logical name in the plan "
+        "(no extra exchange); the WHERE on the renamed column still "
+        "prunes via the remapped manifest stats and pushes to the "
+        "scan",
+    ),
 ]
 
 

@@ -359,3 +359,147 @@ def test_cli_delete_where(spark, tmp_path, capsys):
         ["table", "delete", tdir, "--key", "k",
          "--values", "5", "--where", "v < 9"]
     ) == 2
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_column is one manifest commit: reads show the new name
+    with identical values, appends AFTER the rename land under the
+    stable physical name (one uniform on-disk schema), zonemap
+    pruning keeps working through the remapped stats, deletion
+    vectors survive the seam, and time travel shows the old name."""
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        read_version_where,
+        rename_column,
+    )
+
+    tdir = str(tmp_path / "rename")
+    write_version(
+        _mk(spark, [(i, f"s{i}", float(i)) for i in range(20)],
+            "uid int, s string, v double").coalesce(2),
+        tdir,
+        "append",
+    )
+    v = rename_column(spark, tdir, "uid", "user_id")
+    assert v == 2
+    out = read_version(spark, tdir)
+    assert out.columns == ["user_id", "s", "v"]
+    assert {r["user_id"] for r in out.collect()} == set(range(20))
+    # time travel: pre-rename snapshot keeps the old name
+    assert read_version(spark, tdir, version=1).columns == [
+        "uid", "s", "v"
+    ]
+    # append AFTER the rename: logical user_id, physical uid on disk
+    write_version(
+        _mk(spark, [(100, "new", 1.5)],
+            "user_id int, s string, v double"),
+        tdir,
+        "append",
+    )
+    got = read_version(spark, tdir)
+    assert 100 in {r["user_id"] for r in got.collect()}
+    # WHERE pruning consults the remapped (logical-keyed) stats
+    pruned = read_version_where(spark, tdir, "user_id = 100")
+    assert [r["s"] for r in pruned.collect()] == ["new"]
+    # deletion vector across the seam: delete by the NEW name
+    delete_rows(
+        spark, tdir, _mk(spark, [(100,), (3,)], "user_id int")
+    )
+    left = {r["user_id"] for r in read_version(spark, tdir).collect()}
+    assert left == set(range(20)) - {3}
+    # rename again: uid -> user_id -> uid2 keeps ONE stable physical
+    rename_column(spark, tdir, "user_id", "uid2")
+    assert {
+        r["uid2"] for r in read_version(spark, tdir).collect()
+    } == left
+
+
+def test_rename_column_refusals(spark, tmp_path):
+    """Unknown/colliding names, partition columns, generated-column
+    sources and constrained columns all refuse; a new logical name
+    may also not shadow another column's physical name."""
+    from tms_etl_spark.operators.versioned import rename_column
+
+    tdir = str(tmp_path / "renameref")
+    write_version(
+        _mk(spark, [(1, "2024-01-01 00:00:00", 5.0)],
+            "k int, ts_s string, v double")
+        .selectExpr("k", "cast(ts_s as timestamp) as ts", "v"),
+        tdir,
+        "append",
+        partition_by=["p_day"],
+        partition_exprs={"p_day": "date_format(ts, 'yyyy-MM-dd')"},
+        constraints={"v_pos": "v >= 0"},
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        rename_column(spark, tdir, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, tdir, "k", "v")
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(spark, tdir, "p_day", "day2")
+    with pytest.raises(ValueError, match="generated column"):
+        rename_column(spark, tdir, "ts", "event_ts")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        rename_column(spark, tdir, "v", "val")
+    # physical-name shadowing: k -> kk frees the logical name "k",
+    # but ANOTHER column renamed INTO the still-occupied physical
+    # "k" must refuse (two logical columns, one on-disk name), and
+    # so must an appended batch ADDING a column named "k"
+    rename_column(spark, tdir, "k", "kk")
+    tdir2 = str(tmp_path / "renameref2")
+    write_version(
+        _mk(spark, [(1, 2)], "a int, b int"), tdir2, "append"
+    )
+    rename_column(spark, tdir2, "a", "aa")
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        rename_column(spark, tdir2, "b", "a")
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        write_version(
+            _mk(spark, [(3, 4, 5)], "aa int, b int, a int"),
+            tdir2,
+            "append",
+            merge_schema=True,
+        )
+
+
+def test_rename_column_bloom_sidecar_carries(spark, tmp_path):
+    """The Bloom family moves with the rename and keeps assisting
+    point reads after a maintenance extend — content is
+    (file, hashed-value) pairs, column-name-free."""
+    from tms_etl_spark.operators.bloomindex import (
+        build_bloom_index,
+        read_version_point,
+    )
+    from tms_etl_spark.operators.versioned import (
+        maintain_table,
+        rename_column,
+    )
+
+    tdir = str(tmp_path / "renamebloom")
+    write_version(
+        _mk(spark, [(i, i * 3) for i in range(40)],
+            "uid int, payload int").coalesce(2),
+        tdir,
+        "append",
+    )
+    build_bloom_index(spark, tdir, "uid")
+    rename_column(spark, tdir, "uid", "user_id")
+    out = maintain_table(spark, tdir)
+    assert out["extended_indexes"].get("user_id:bloom") == "extended"
+    got = read_version_point(spark, tdir, "user_id", 7)
+    assert [r["payload"] for r in got.collect()] == [21]
+
+
+def test_cli_rename_column(spark, tmp_path, capsys):
+    """CLI `table rename-column` commits the metadata-only rename;
+    refusals exit 2 with the reason on stderr."""
+    from tms_etl_spark.__main__ import main
+
+    tdir = str(tmp_path / "clirename")
+    write_version(
+        _mk(spark, [(1, 2.0)], "k int, v double"), tdir, "append"
+    )
+    assert main(["table", "rename-column", tdir, "k", "key_id"]) == 0
+    assert "committed v2" in capsys.readouterr().out
+    assert read_version(spark, tdir).columns == ["key_id", "v"]
+    assert main(["table", "rename-column", tdir, "nope", "x"]) == 2

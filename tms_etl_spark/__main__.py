@@ -10,6 +10,7 @@ over the registered tables, and plan inspection from one command:
     python -m tms_etl_spark sql "SELECT ... FROM lineitem ..." [--sf-dir DIR]
     python -m tms_etl_spark table history|show|rollback|optimize|compact|
         expire|changes|delete|merge|index|point|text-index|search|
+        rename-column|
         detail|repair|mv-refresh|mv-rebuild DIR ...
 
 Output goes to stdout (`run` prints `show()`-style tables capped at
@@ -319,6 +320,14 @@ def _parser() -> argparse.ArgumentParser:
         "--cluster-by", default=None,
         help="range-cluster the scoped rewrite on this column",
     )
+    trn = tsub.add_parser(
+        "rename-column",
+        help="metadata-only column rename (per-version column map; "
+        "physical files untouched, zonemap stats carried)",
+    )
+    trn.add_argument("dir")
+    trn.add_argument("old")
+    trn.add_argument("new")
     ttags = tsub.add_parser("tags", help="list tags (name -> version)")
     ttags.add_argument("dir")
     tuntag = tsub.add_parser("untag", help="delete a tag")
@@ -667,6 +676,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.table_cmd == "tag":
             v = vt.tag_version(spark, args.dir, args.name, args.version)
             print(f"tag {args.name} -> v{v}")
+            return 0
+        if args.table_cmd == "rename-column":
+            try:
+                v = vt.rename_column(spark, args.dir, args.old, args.new)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            print(f"committed v{v}")
             return 0
         if args.table_cmd == "tags":
             for nm, v in sorted(vt.list_tags(spark, args.dir).items()):

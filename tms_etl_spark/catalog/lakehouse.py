@@ -40,6 +40,7 @@ from tms_etl_spark.operators.versioned import (
     read_version_pruned_semijoin,
     read_version_rowdiff,
     read_version_where,
+    rename_column,
     write_version,
 )
 from tms_etl_spark.sources.tables import load_table
@@ -1386,5 +1387,54 @@ def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
+    "lakehouse_column_rename",
+    oracle=f"""
+    SELECT o_orderstatus AS st,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column RENAME via per-version column mapping (r10,
+    `operators/versioned.py:rename_column` — Delta column mapping /
+    Iceberg field IDs are the public analogs): v1 commits half the
+    orders, v2 renames ``o_totalprice`` → ``price`` METADATA-ONLY
+    (files untouched, zonemap stats keys remapped in the same
+    commit), v3 appends the other half under the NEW logical name —
+    landing on disk under the stable physical name, so the table
+    stays one uniform physical schema. The WHERE read prunes on the
+    renamed column through the remapped stats and the aggregate
+    crosses the rename seam: any aliasing slip (old files read as
+    null, new files double-named) shifts a group. Time-travel-shows-
+    old-name and collision refusals pinned by
+    `test_rename_column_*`; add+drop would have silently null-filled
+    v1's history instead."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_rename_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_version(o.where(F.col("o_orderkey") % 2 == 0), tdir, "append")
+    rename_column(spark, tdir, "o_totalprice", "price")
+    write_version(
+        o.where(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        tdir,
+        "append",
+    )
+    return (
+        read_version_where(spark, tdir, "price > 1000")
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("price", "total_price"),
         )
     )

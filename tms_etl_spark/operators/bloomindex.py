@@ -86,8 +86,12 @@ def build_bloom_index(
         raise ValueError(
             f"version {v} of {table_dir} has no live files to index"
         )
+    from tms_etl_spark.operators.versioned import _column_map
+
+    # raw file read: a renamed column lives under its PHYSICAL name
+    col_phys = _column_map(man).get(col, col)
     df = spark.read.parquet(*paths).select(
-        F.input_file_name().alias("file"), F.col(col).alias("__v")
+        F.input_file_name().alias("file"), F.col(col_phys).alias("__v")
     )
     # k hash positions per row, array-side; split into (word, mask)
     pos = df.select(
@@ -175,11 +179,14 @@ def extend_bloom_index(
     new_files = [p for p in live_paths if p not in indexed]
     parts = [carried]
     if new_files:
+        from tms_etl_spark.operators.versioned import _column_map
+
+        col_phys = _column_map(man).get(col, col)
         fresh = spark.read.parquet(*new_files).select(
             F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
                 "file"
             ),
-            F.col(col).alias("__v"),
+            F.col(col_phys).alias("__v"),
         )
         pos = fresh.select(
             "file",

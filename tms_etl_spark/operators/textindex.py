@@ -87,13 +87,17 @@ def build_text_index(
         raise ValueError(
             f"version {v} of {table_dir} has no live files to index"
         )
+    from tms_etl_spark.operators.versioned import _column_map
+
+    # raw file read: a renamed column lives under its PHYSICAL name
+    col_phys = _column_map(man).get(col, col)
     postings = (
         spark.read.parquet(*paths)
         .select(
             F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
                 "file"
             ),
-            F.explode(tokens_of(col)).alias("token"),
+            F.explode(tokens_of(col_phys)).alias("token"),
         )
         .where(F.col("token") != "")
         .distinct()
@@ -167,13 +171,16 @@ def extend_text_index(
     new_files = [p for p in live_paths if p not in indexed]
     parts = [carried]
     if new_files:
+        from tms_etl_spark.operators.versioned import _column_map
+
+        col_phys = _column_map(man).get(col, col)
         parts.append(
             spark.read.parquet(*new_files)
             .select(
                 F.regexp_replace(
                     F.input_file_name(), "^file:/+", "/"
                 ).alias("file"),
-                F.explode(tokens_of(col)).alias("token"),
+                F.explode(tokens_of(col_phys)).alias("token"),
             )
             .where(F.col("token") != "")
             .distinct()

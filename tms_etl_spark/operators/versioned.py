@@ -239,7 +239,11 @@ _STATS_TYPES = frozenset(
 
 
 def _dir_file_stats(
-    spark: SparkSession, table_dir: str, rel_dir: str, schema=None
+    spark: SparkSession,
+    table_dir: str,
+    rel_dir: str,
+    schema=None,
+    column_map: dict[str, str] | None = None,
 ) -> dict:
     """Per-FILE min/max zonemap for the orderable columns of one data
     dir: a single groupBy-input-file aggregation over the just-written
@@ -250,11 +254,26 @@ def _dir_file_stats(
     columns keep their committed types (path inference would guess)
     and so stats line up with read-time column types. For a
     hive-partitioned dir the partition column's per-file min==max, so
-    the ordinary zonemap machinery gives EXACT partition pruning."""
+    the ordinary zonemap machinery gives EXACT partition pruning.
+
+    ``column_map``: mapped tables' files carry physical names — read
+    physically, alias to logical right away, so the RECORDED stats
+    (and everything downstream that consults them) stay keyed by the
+    logical names the pruning grammar sees."""
     from pyspark.sql import functions as F
 
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    df = reader.parquet(f"{table_dir}/{rel_dir}")
+    if column_map:
+        phys = _phys_schema(schema, column_map) if schema else None
+        reader = spark.read if phys is None else spark.read.schema(phys)
+        df = reader.parquet(f"{table_dir}/{rel_dir}").select(
+            *[
+                F.col(column_map.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    else:
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        df = reader.parquet(f"{table_dir}/{rel_dir}")
     cols = [
         f.name
         for f in df.schema.fields
@@ -457,7 +476,11 @@ def _evolve_schema(prev, new, allow: bool):
 
 
 def _check_constraints(
-    spark: SparkSession, dir_path: str, constraints: dict[str, str], schema
+    spark: SparkSession,
+    dir_path: str,
+    constraints: dict[str, str],
+    schema,
+    column_map: dict[str, str] | None = None,
 ) -> None:
     """Enforce CHECK constraints on a JUST-WRITTEN data dir — one
     aggregate pass over the new files (columnar, projection-pruned to
@@ -472,9 +495,23 @@ def _check_constraints(
 
     if not constraints:
         return
-    reader = spark.read if schema is None else spark.read.schema(schema)
+    # constraint exprs reference LOGICAL names: mapped dirs read
+    # physically and alias to logical before the aggregate
+    phys = (
+        _phys_schema(schema, column_map)
+        if (column_map and schema is not None)
+        else schema
+    )
+    reader = spark.read if phys is None else spark.read.schema(phys)
     try:
         df = reader.parquet(dir_path)
+        if column_map and schema is not None:
+            df = df.select(
+                *[
+                    F.col(column_map.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         aggs = [
             F.count(
                 F.when(~F.coalesce(F.expr(expr), F.lit(True)), F.lit(1))
@@ -502,6 +539,46 @@ def _check_constraints(
         )
 
 
+def _column_map(man: dict | None) -> dict[str, str]:
+    """{logical name → physical name} for renamed columns (r10,
+    Delta column mapping / Iceberg field IDs, public analogs): the
+    PHYSICAL name a column was first committed under never changes —
+    a rename is a metadata-only manifest commit that updates the
+    recorded (logical) schema and this map. Columns never renamed are
+    absent (physical == logical)."""
+    return (man or {}).get("column_map") or {}
+
+
+def _to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
+    """Rename a LOGICAL-named DataFrame to physical names for a file
+    write — every data file of a mapped table carries the stable
+    physical names, so the whole table stays one uniform schema on
+    disk no matter how many renames happened."""
+    if not cmap:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+    )
+
+
+def _phys_schema(schema, cmap: dict[str, str]):
+    """The physical-file schema for a logical recorded schema."""
+    if not cmap:
+        return schema
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(
+                cmap.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def _carry_props(src: dict | None, payload: dict) -> None:
     """Carry table-level properties (recorded schema, partition spec,
     hive-layout dirs, CHECK constraints) from a source manifest onto
@@ -517,6 +594,8 @@ def _carry_props(src: dict | None, payload: dict) -> None:
         payload["partition_exprs"] = src["partition_exprs"]
     if src.get("constraints") and "constraints" not in payload:
         payload["constraints"] = src["constraints"]
+    if src.get("column_map") and "column_map" not in payload:
+        payload["column_map"] = src["column_map"]
     if src.get("hive_dirs"):
         keep = set(payload["dirs"]) & set(src["hive_dirs"])
         merged = sorted(keep | set(payload.get("hive_dirs", [])))
@@ -599,7 +678,15 @@ def _read_files(
     files null-fill added columns) and pins hive partition-column
     TYPES (path-string inference would turn a numeric-looking string
     key into int)."""
-    schema = _man_schema(man)
+    schema_log = _man_schema(man)
+    from pyspark.sql import functions as F
+
+    cmap = _column_map(man)
+    # files carry PHYSICAL names (stable across renames): scan with
+    # the physical schema, alias back to logical at the end
+    schema = (
+        _phys_schema(schema_log, cmap) if schema_log is not None else None
+    )
     hive = set(man.get("hive_dirs", []))
 
     def _reader(base: str | None = None):
@@ -655,9 +742,16 @@ def _read_files(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if schema is not None:
-        # recorded column order regardless of which part came first
-        out = out.select(*[f.name for f in schema.fields])
+    if schema_log is not None:
+        # recorded column order regardless of which part came first;
+        # mapped tables alias physical → logical here, the one seam
+        # where renamed columns get their current name back
+        out = out.select(
+            *[
+                F.col(cmap.get(f.name, f.name)).alias(f.name)
+                for f in schema_log.fields
+            ]
+        )
     return out
 
 
@@ -819,6 +913,22 @@ def write_version(
         prev_schema = _man_schema(prev)
         if prev_schema is not None:
             rec_schema = _evolve_schema(prev_schema, new_schema, merge_schema)
+    # column mapping: appends inherit the rename map and write files
+    # under PHYSICAL names; overwrite starts a fresh table (map resets)
+    cmap = _column_map(prev) if mode == "append" and prev is not None else {}
+    if cmap:
+        phys_taken = set(cmap.values())
+        clash = sorted(
+            f.name
+            for f in rec_schema.fields
+            if f.name not in cmap and f.name in phys_taken
+        )
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} collide with the PHYSICAL name of "
+                "a renamed column — two logical columns cannot share "
+                "one on-disk name; rename the new column first"
+            )
     if part_cols:
         missing = [c for c in part_cols if c not in rec_schema.fieldNames()]
         if missing:
@@ -880,14 +990,19 @@ def write_version(
             )
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-{uuid.uuid4().hex[:8]}"
-    writer = df.write.mode("errorifexists")
+    writer = _to_physical(df, cmap).write.mode("errorifexists")
     if part_cols:
+        # partition columns are never renameable, so their physical
+        # names (in hive paths) equal their logical names
         writer = writer.partitionBy(*part_cols)
     writer.parquet(f"{table_dir}/{new_dir}")
     _check_constraints(
-        spark, f"{table_dir}/{new_dir}", all_constraints, rec_schema
+        spark, f"{table_dir}/{new_dir}", all_constraints, rec_schema,
+        column_map=cmap,
     )
-    stats = _dir_file_stats(spark, table_dir, new_dir, schema=rec_schema)
+    stats = _dir_file_stats(
+        spark, table_dir, new_dir, schema=rec_schema, column_map=cmap
+    )
     dirs = [new_dir]
     deletes: list = []
     dead_files: list = []
@@ -949,6 +1064,8 @@ def write_version(
         payload["deletes"] = deletes
     if dead_files:
         payload["dead_files"] = dead_files
+    if cmap:
+        payload["column_map"] = cmap
     if txn_id is not None:
         payload["txn_id"] = txn_id
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
@@ -1031,6 +1148,9 @@ def _scan_with_deletes(
         )
         groups.setdefault(sig, []).append(d)
     parts: list[DataFrame] = []
+    # vectors record the PHYSICAL key name (stable across renames);
+    # the scanned part is logical — map the key back for the join
+    rmap = {p: l for l, p in _column_map(man).items()}
     for sig, dlist in groups.items():
         part = _read(dlist)
         if sig:
@@ -1042,7 +1162,10 @@ def _scan_with_deletes(
                 .select(key)
                 .distinct()
             )
-            part = part.join(tomb, key, "left_anti")
+            key_log = rmap.get(key, key)
+            if key_log != key:
+                tomb = tomb.withColumnRenamed(key, key_log)
+            part = part.join(tomb, key_log, "left_anti")
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
@@ -1361,6 +1484,12 @@ def delete_rows(
         for t, ver in prev["recent_txns"]:
             if t == txn_id:
                 return ver
+    # vectors store the PHYSICAL key name so they stay valid across
+    # later renames (the scan maps back at join time)
+    phys_key = _column_map(prev).get(key, key)
+    if phys_key != key:
+        keys_df = keys_df.withColumnRenamed(key, phys_key)
+        key = phys_key
     deletes = list(prev.get("deletes", []))
     if any(de["key"] != key for de in deletes):
         raise ValueError(
@@ -2718,6 +2847,142 @@ def delete_tag(spark: SparkSession, table_dir: str, name: str) -> bool:
     return True
 
 
+def rename_column(
+    spark: SparkSession, table_dir: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (r10 —
+    Delta column mapping / Iceberg field IDs are the public analogs):
+    the column's PHYSICAL on-disk name never changes; the new
+    manifest records the renamed logical schema plus a
+    ``column_map`` {logical → physical} the readers alias through.
+    Zero data files are read or written — at 100 TB a rename costs
+    one manifest, not a table rewrite (add+drop would silently
+    null-fill all history; the reference itself renamed columns
+    across generations — /root/reference/src/main_01.py:337 vs
+    main_05.py:598 column-map drift — so schema churn is in-domain).
+
+    Carried metadata stays VALID by construction: zonemap stats are
+    value-identical (keys remapped old→new in the same commit, so
+    every pruning consumer keeps seeing logical names), deletion
+    vectors already store physical key names, and Bloom/text sidecar
+    families (named by logical column) are MOVED to the new name —
+    their content is (file, hashed-value) pairs, column-name-free.
+
+    Refusals: unknown/colliding names (logical AND physical
+    namespaces — a logical name equal to another column's physical
+    name would make two columns share one on-disk name), partition
+    columns (their name is baked into hive paths), generated-column
+    sources and targets (partition_exprs are SQL strings), and
+    columns referenced by CHECK constraints (also SQL strings).
+    Time travel to a pre-rename version shows the old name — each
+    manifest carries its own schema and map."""
+    cur = current_version(spark, table_dir)
+    if cur <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, cur))
+    schema = _man_schema(man)
+    if schema is None:
+        raise ValueError(
+            "rename_column needs a recorded schema (legacy table)"
+        )
+    names = schema.fieldNames()
+    if old not in names:
+        raise ValueError(f"unknown column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    cmap = dict(_column_map(man))
+    phys_names = {cmap.get(n, n) for n in names}
+    if new in phys_names:
+        raise ValueError(
+            f"{new!r} collides with the PHYSICAL name of an existing "
+            "column — two logical columns cannot share one on-disk name"
+        )
+    part_cols = man.get("partition_by") or []
+    if old in part_cols:
+        raise ValueError(
+            f"cannot rename partition column {old!r} — its name is "
+            "baked into the hive directory layout"
+        )
+    word = re.compile(rf"\b{re.escape(old)}\b")
+    for c, e in (man.get("partition_exprs") or {}).items():
+        if c == old or word.search(e):
+            raise ValueError(
+                f"column {old!r} is referenced by generated column "
+                f"{c!r} ({e!r}) — drop/rewrite the partition spec first"
+            )
+    for n, e in (man.get("constraints") or {}).items():
+        if word.search(e):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{n!r} ({e!r}) — drop the constraint first "
+                "(write_version constraints={...: None})"
+            )
+    from pyspark.sql import types as T
+
+    new_schema = T.StructType(
+        [
+            T.StructField(
+                new if f.name == old else f.name, f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+    phys = cmap.pop(old, old)
+    if new != phys:
+        cmap[new] = phys
+    # stats stay keyed by LOGICAL names: remap this column's zonemap
+    # and null-count keys in the same commit (values are identical —
+    # pure dict-key rewrite, O(files) driver metadata)
+    new_stats: dict = {}
+    for rel, e in man.get("stats", {}).items():
+        e2 = dict(e)
+        if old in e2:
+            e2[new] = e2.pop(old)
+        nulls = e2.get("__nulls")
+        if isinstance(nulls, dict) and old in nulls:
+            nulls = dict(nulls)
+            nulls[new] = nulls.pop(old)
+            e2["__nulls"] = nulls
+        new_stats[rel] = e2
+    v = cur + 1
+    payload = {
+        "version": v,
+        "dirs": list(man["dirs"]),
+        "op": f"rename:{old}->{new}",
+        "stats": new_stats,
+        "schema": new_schema.json(),
+        "recent_txns": _carry_txns(man, None, v),
+    }
+    # set BEFORE _carry_props (even when empty — renaming back to the
+    # physical name must not re-inherit the old map), strip after
+    payload["column_map"] = cmap
+    if man.get("deletes"):
+        payload["deletes"] = list(man["deletes"])
+    if man.get("dead_files"):
+        payload["dead_files"] = list(man["dead_files"])
+    _carry_props(man, payload)
+    if not payload["column_map"]:
+        del payload["column_map"]
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    # sidecar families are named by LOGICAL column: move them so
+    # future probes/maintenance find them under the new name (their
+    # content is column-name-free). Best-effort — a failed move only
+    # degrades the index to "missing", never the data.
+    for src_name, dst_name in (
+        (old, new),
+        (f"text_{old}", f"text_{new}"),
+    ):
+        src = f"{table_dir}/_indexes/{src_name}"
+        dst = f"{table_dir}/_indexes/{dst_name}"
+        try:
+            if path_exists(spark, src) and not path_exists(spark, dst):
+                fs, hsrc, jvm = _fs(spark, src)
+                fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst))
+        except Exception:  # noqa: BLE001 — index move is advisory
+            pass
+    return v
+
+
 def history(spark: SparkSession, table_dir: str) -> list[VersionInfo]:
     """Commit log, oldest SURVIVING version first — manifests only,
     no data access (expired versions drop out of the log)."""
@@ -2945,7 +3210,8 @@ def optimize_version(
         df = df.repartition(n_files, *part_cols)
     else:
         df = df.repartition(n_files)
-    writer = df.write.mode("errorifexists")
+    cmap_o = _column_map(man)
+    writer = _to_physical(df, cmap_o).write.mode("errorifexists")
     if hive_out:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(f"{table_dir}/{new_dir}")
@@ -2962,7 +3228,8 @@ def optimize_version(
             )
         ),
         "stats": _dir_file_stats(
-            spark, table_dir, new_dir, schema=_man_schema(man)
+            spark, table_dir, new_dir, schema=_man_schema(man),
+            column_map=cmap_o,
         ),
         "recent_txns": _carry_txns(man, None, v),
     }
@@ -3206,6 +3473,8 @@ def merge_version(
         rec_schema = _evolve_schema(
             prev_schema, source_df.schema, merge_schema
         )
+    cmap = _column_map(man)
+    phys_key = cmap.get(key, key)
 
     # one row per NON-NULL source key, or the merge is
     # nondeterministic. count_distinct ignores NULLs, so NULL keys
@@ -3265,7 +3534,11 @@ def merge_version(
             spark.read.parquet(
                 *[f"{table_dir}/{rel}" for rel in candidates]
             )
-            .select(key, F.input_file_name().alias("__f"))
+            # raw file read: the key lives under its PHYSICAL name
+            .select(
+                F.col(phys_key).alias(key),
+                F.input_file_name().alias("__f"),
+            )
             .join(src_keys, key, "left_semi")
             .select("__f")
             .distinct()
@@ -3356,7 +3629,7 @@ def merge_version(
             out = out.repartitionByRange(*rb).sortWithinPartitions(
                 *part_cols, cluster_by
             )
-        writer = out.write.mode("errorifexists")
+        writer = _to_physical(out, cmap).write.mode("errorifexists")
         if hive_out:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(f"{table_dir}/{new_dir}")
@@ -3369,9 +3642,11 @@ def merge_version(
                 f"{table_dir}/{new_dir}",
                 man.get("constraints") or {},
                 rec_schema,
+                column_map=cmap,
             )
             new_stats = _dir_file_stats(
-                spark, table_dir, new_dir, schema=rec_schema
+                spark, table_dir, new_dir, schema=rec_schema,
+                column_map=cmap,
             )
             dirs = dirs + [new_dir]
 
@@ -3493,20 +3768,24 @@ def optimize_incremental(
     part_cols = man.get("partition_by")
     if small:
         df = _scan_with_deletes(spark, table_dir, man, dirs=small)
+        cmap_c = _column_map(man)
         n_files = max(1, ceil(small_bytes / max(1, target_file_bytes)))
         # partitioned table: consolidate WITHIN the hive layout, same
         # posture as optimize_version — pruning stays directory-exact
         if part_cols:
-            df.repartition(n_files, *part_cols).write.mode(
+            _to_physical(
+                df.repartition(n_files, *part_cols), cmap_c
+            ).write.mode(
                 "errorifexists"
             ).partitionBy(*part_cols).parquet(f"{table_dir}/{new_dir}")
         else:
-            df.repartition(n_files).write.mode("errorifexists").parquet(
-                f"{table_dir}/{new_dir}"
-            )
+            _to_physical(df.repartition(n_files), cmap_c).write.mode(
+                "errorifexists"
+            ).parquet(f"{table_dir}/{new_dir}")
         if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
             new_stats = _dir_file_stats(
-                spark, table_dir, new_dir, schema=_man_schema(man)
+                spark, table_dir, new_dir, schema=_man_schema(man),
+                column_map=cmap_c,
             )
             dirs = dirs + [new_dir]
     big_set = set(big)
@@ -3659,7 +3938,8 @@ def optimize_where(
         )
     else:
         out = df.coalesce(n_files)
-    writer = out.write.mode("errorifexists")
+    cmap_w = _column_map(man)
+    writer = _to_physical(out, cmap_w).write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(f"{table_dir}/{new_dir}")
@@ -3667,7 +3947,8 @@ def optimize_where(
     dirs = list(man["dirs"])
     if _dir_has_parquet(spark, f"{table_dir}/{new_dir}"):
         new_stats = _dir_file_stats(
-            spark, table_dir, new_dir, schema=_man_schema(man)
+            spark, table_dir, new_dir, schema=_man_schema(man),
+            column_map=cmap_w,
         )
         dirs = dirs + [new_dir]
 
@@ -4211,6 +4492,14 @@ def commit_existing_dir(
         for t, ver in prev["recent_txns"]:
             if t == txn_id:
                 return ver
+    if mode == "append" and _column_map(prev):
+        raise ValueError(
+            "commit_existing_dir onto a column-mapped table is not "
+            "supported: external files carry the producer's own "
+            "column names, which cannot be assumed to match the "
+            "table's stable PHYSICAL names — write through "
+            "write_version instead"
+        )
     v = cur + 1
     dir_schema = _nullable_type(
         spark.read.parquet(f"{table_dir}/{rel_dir}").schema
