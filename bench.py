@@ -300,6 +300,7 @@ HEADLINE = [
     "lakehouse_merge_evolution",
     "lakehouse_delete_where",
     "lakehouse_column_rename",
+    "lakehouse_add_drop_column",
 ]
 
 

@@ -771,6 +771,14 @@ AUDIT = [
         "prunes via the remapped manifest stats and pushes to the "
         "scan",
     ),
+    (
+        "lakehouse_add_drop_column",
+        ["Scan parquet", "partial_count"],
+        "read across the add/drop seam: one scan under the recorded "
+        "schema — pre-drop files null-fill the re-added column via "
+        "its FRESH physical name (no resurrection), appended files "
+        "supply it; aggregate partial-combines",
+    ),
 ]
 
 

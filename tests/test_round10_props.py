@@ -503,3 +503,183 @@ def test_cli_rename_column(spark, tmp_path, capsys):
     assert "committed v2" in capsys.readouterr().out
     assert read_version(spark, tdir).columns == ["key_id", "v"]
     assert main(["table", "rename-column", tdir, "nope", "x"]) == 2
+
+
+def test_add_drop_column_metadata_only(spark, tmp_path):
+    """drop_column stops projecting (zero data I/O), add_column
+    null-fills history reader-side; re-adding a dropped name mints a
+    FRESH physical name so the old files' orphaned bytes never
+    resurrect — including via append evolution, which refuses."""
+    from tms_etl_spark.operators.versioned import (
+        add_column,
+        drop_column,
+    )
+
+    tdir = str(tmp_path / "adddrop")
+    write_version(
+        _mk(spark, [(1, "a", 1.5), (2, "b", 2.5)],
+            "k int, s string, value double"),
+        tdir,
+        "append",
+    )
+    drop_column(spark, tdir, "value")
+    assert read_version(spark, tdir).columns == ["k", "s"]
+    # time travel pre-drop shows the column
+    assert "value" in read_version(spark, tdir, version=1).columns
+    # re-add same name: fresh physical, history reads NULL
+    add_column(spark, tdir, "value", "double")
+    got = {r["k"]: r["value"] for r in read_version(spark, tdir).collect()}
+    assert got == {1: None, 2: None}
+    # append evolution may NOT re-introduce a dropped physical name
+    tdir2 = str(tmp_path / "adddrop2")
+    write_version(
+        _mk(spark, [(1, 1.0)], "k int, gone double"), tdir2, "append"
+    )
+    drop_column(spark, tdir2, "gone")
+    with pytest.raises(ValueError, match="previously DROPPED"):
+        write_version(
+            _mk(spark, [(2, 3.0)], "k int, gone double"),
+            tdir2,
+            "append",
+            merge_schema=True,
+        )
+
+
+def test_add_drop_column_refusals(spark, tmp_path):
+    """Partition/generated/constrained columns and active
+    delete-vector keys refuse DROP; bad types and collisions refuse
+    ADD; the last column refuses DROP."""
+    from tms_etl_spark.operators.versioned import (
+        add_column,
+        delete_rows,
+        drop_column,
+    )
+
+    tdir = str(tmp_path / "adddropref")
+    write_version(
+        _mk(spark, [(1, "x", 5.0)], "k int, s string, v double"),
+        tdir,
+        "append",
+        constraints={"v_pos": "v >= 0"},
+    )
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        drop_column(spark, tdir, "v")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(spark, tdir, "k", "long")
+    with pytest.raises(ValueError, match="cannot parse type"):
+        add_column(spark, tdir, "x", "not_a_type")
+    delete_rows(spark, tdir, _mk(spark, [(1,)], "k int"))
+    with pytest.raises(ValueError, match="deletion"):
+        drop_column(spark, tdir, "k")
+    tdir2 = str(tmp_path / "lastcol")
+    write_version(_mk(spark, [(1,)], "k int"), tdir2, "append")
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(spark, tdir2, "k")
+
+
+def test_cli_add_drop_column(spark, tmp_path, capsys):
+    """CLI `table add-column/drop-column` commit; refusals exit 2."""
+    from tms_etl_spark.__main__ import main
+
+    tdir = str(tmp_path / "cliadddrop")
+    write_version(
+        _mk(spark, [(1, 2.0)], "k int, v double"), tdir, "append"
+    )
+    assert main(["table", "drop-column", tdir, "v"]) == 0
+    assert read_version(spark, tdir).columns == ["k"]
+    assert main(["table", "add-column", tdir, "score", "double"]) == 0
+    assert read_version(spark, tdir).columns == ["k", "score"]
+    assert main(["table", "drop-column", tdir, "nope"]) == 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# a random ALTER/DML program: each step is one of append / rename /
+# add / drop / delete-by-key; the model is a plain dict {key: row}
+_OPS = st.lists(
+    st.sampled_from(["append", "rename", "add", "drop", "delete"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS, data=st.data())
+def test_alter_program_matches_model(spark, tmp_path_factory, ops, data):
+    """Property net: ANY interleaving of appends, metadata-only
+    renames/adds/drops and key deletes reads back exactly what a
+    driver-side dict model predicts — logical names current, dropped
+    data gone forever (no resurrection), null-fill where the model
+    says None."""
+    from tms_etl_spark.operators.versioned import (
+        add_column,
+        delete_rows,
+        drop_column,
+        rename_column,
+    )
+
+    tdir = str(tmp_path_factory.mktemp("alterprog") / "t")
+    cols = ["c0"]  # logical schema, k is implicit and never altered
+    next_c = 1
+    model: dict[int, dict] = {}
+    next_k = 0
+    write_version(
+        _mk(spark, [(next_k, 0.5)], "k int, c0 double"), tdir, "append"
+    )
+    model[next_k] = {"c0": 0.5}
+    next_k += 1
+    for op in ops:
+        if op == "append":
+            row = {
+                c: data.draw(
+                    st.one_of(st.none(), st.floats(0, 100, width=32))
+                )
+                for c in cols
+            }
+            ddl = "k int, " + ", ".join(f"{c} double" for c in cols)
+            write_version(
+                _mk(spark, [tuple([next_k] + [row[c] for c in cols])], ddl),
+                tdir,
+                "append",
+            )
+            model[next_k] = dict(row)
+            next_k += 1
+        elif op == "rename" and cols:
+            old = data.draw(st.sampled_from(cols))
+            new = f"c{next_c}"
+            next_c += 1
+            rename_column(spark, tdir, old, new)
+            cols[cols.index(old)] = new
+            for r in model.values():
+                r[new] = r.pop(old)
+        elif op == "add":
+            new = f"c{next_c}"
+            next_c += 1
+            add_column(spark, tdir, new, "double")
+            cols.append(new)
+            for r in model.values():
+                r[new] = None
+        elif op == "drop" and len(cols) > 1:
+            victim = data.draw(st.sampled_from(cols))
+            drop_column(spark, tdir, victim)
+            cols.remove(victim)
+            for r in model.values():
+                r.pop(victim)
+        elif op == "delete" and model:
+            doomed = data.draw(st.sampled_from(sorted(model)))
+            delete_rows(spark, tdir, _mk(spark, [(doomed,)], "k int"))
+            model.pop(doomed)
+    got = {
+        r["k"]: {c: r[c] for c in cols}
+        for r in read_version(spark, tdir).collect()
+    }
+    want = {
+        k: {c: (None if v is None else pytest.approx(v)) for c, v in r.items()}
+        for k, r in model.items()
+    }
+    assert got == want

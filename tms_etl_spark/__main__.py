@@ -10,7 +10,7 @@ over the registered tables, and plan inspection from one command:
     python -m tms_etl_spark sql "SELECT ... FROM lineitem ..." [--sf-dir DIR]
     python -m tms_etl_spark table history|show|rollback|optimize|compact|
         expire|changes|delete|merge|index|point|text-index|search|
-        rename-column|
+        rename-column|add-column|drop-column|
         detail|repair|mv-refresh|mv-rebuild DIR ...
 
 Output goes to stdout (`run` prints `show()`-style tables capped at
@@ -328,6 +328,22 @@ def _parser() -> argparse.ArgumentParser:
     trn.add_argument("dir")
     trn.add_argument("old")
     trn.add_argument("new")
+    tac = tsub.add_parser(
+        "add-column",
+        help="metadata-only ADD COLUMN (existing files null-fill "
+        "reader-side; a previously-dropped name gets a fresh "
+        "physical name so old data cannot resurrect)",
+    )
+    tac.add_argument("dir")
+    tac.add_argument("name")
+    tac.add_argument("dtype", help="Spark SQL type, e.g. double")
+    tdc = tsub.add_parser(
+        "drop-column",
+        help="metadata-only DROP COLUMN (reads stop projecting it; "
+        "physical bytes leave at the next rewrite)",
+    )
+    tdc.add_argument("dir")
+    tdc.add_argument("name")
     ttags = tsub.add_parser("tags", help="list tags (name -> version)")
     ttags.add_argument("dir")
     tuntag = tsub.add_parser("untag", help="delete a tag")
@@ -680,6 +696,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.table_cmd == "rename-column":
             try:
                 v = vt.rename_column(spark, args.dir, args.old, args.new)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "add-column":
+            try:
+                v = vt.add_column(spark, args.dir, args.name, args.dtype)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "drop-column":
+            try:
+                v = vt.drop_column(spark, args.dir, args.name)
             except ValueError as e:
                 print(str(e), file=sys.stderr)
                 return 2

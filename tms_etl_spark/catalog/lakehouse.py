@@ -30,8 +30,10 @@ from tms_etl_spark.catalog.exact import dsum, sql_dsum
 from tms_etl_spark.operators.matview import refresh_agg_view
 from tms_etl_spark.operators.textindex import build_text_index, search_token
 from tms_etl_spark.operators.versioned import (
+    add_column,
     delete_rows,
     delete_where,
+    drop_column,
     merge_version,
     optimize_version,
     read_version,
@@ -1436,5 +1438,55 @@ def lakehouse_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             dsum("price", "total_price"),
+        )
+    )
+
+
+@query(
+    "lakehouse_add_drop_column",
+    oracle=f"""
+    WITH merged AS (
+        SELECT event_type, CAST(NULL AS DOUBLE) AS value
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, value
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(value) AS n_valued,
+           {sql_dsum("value", "total_value")}
+    FROM merged
+    GROUP BY event_type
+    """,
+)
+def lakehouse_add_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ADD/DROP COLUMN with resurrection safety (r10,
+    `operators/versioned.py:add_column/drop_column`): v1 commits the
+    even events WITH ``value``, v2 DROPS it (zero data I/O — reads
+    just stop projecting it), v3 RE-ADDS a column of the same name —
+    minted a FRESH physical name via the column map, the
+    Delta/Iceberg field-id move — and v4 appends the odd events
+    carrying it. The old files' orphaned physical ``value`` bytes
+    must NOT reappear: every even row reads NULL (pinned by
+    ``n_valued``), every odd row reads its appended value, and the
+    sum crosses the add/drop seam. DuckDB simulates the end state
+    with an explicit NULL union. CLI: ``table add-column/
+    drop-column``."""
+    tdir = tempfile.mkdtemp(prefix="lakehouse_adddrop_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    write_version(ev.where(F.col("event_id") % 2 == 0), tdir, "append")
+    drop_column(spark, tdir, "value")
+    add_column(spark, tdir, "value", "double")
+    write_version(ev.where(F.col("event_id") % 2 == 1), tdir, "append")
+    return (
+        read_version(spark, tdir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("value").alias("n_valued"),
+            dsum("value", "total_value"),
         )
     )

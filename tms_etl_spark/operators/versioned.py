@@ -596,6 +596,8 @@ def _carry_props(src: dict | None, payload: dict) -> None:
         payload["constraints"] = src["constraints"]
     if src.get("column_map") and "column_map" not in payload:
         payload["column_map"] = src["column_map"]
+    if src.get("dropped_physicals") and "dropped_physicals" not in payload:
+        payload["dropped_physicals"] = src["dropped_physicals"]
     if src.get("hive_dirs"):
         keep = set(payload["dirs"]) & set(src["hive_dirs"])
         merged = sorted(keep | set(payload.get("hive_dirs", [])))
@@ -929,6 +931,26 @@ def write_version(
                 "a renamed column — two logical columns cannot share "
                 "one on-disk name; rename the new column first"
             )
+    if mode == "append" and prev is not None:
+        # append evolution may not re-add a DROPPED column's name:
+        # the old files still hold the orphaned physical data, which
+        # would silently resurrect — add_column mints a fresh
+        # physical name instead
+        dropped = set(prev.get("dropped_physicals", []))
+        if dropped:
+            revived = sorted(
+                f.name
+                for f in rec_schema.fields
+                if f.name not in cmap
+                and cmap.get(f.name, f.name) in dropped
+            )
+            if revived:
+                raise ValueError(
+                    f"column(s) {revived} were previously DROPPED — "
+                    "re-adding by append evolution would resurrect "
+                    "the old files' orphaned data; use add_column "
+                    "(fresh physical name) first"
+                )
     if part_cols:
         missing = [c for c in part_cols if c not in rec_schema.fieldNames()]
         if missing:
@@ -1066,6 +1088,10 @@ def write_version(
         payload["dead_files"] = dead_files
     if cmap:
         payload["column_map"] = cmap
+    if mode == "append" and prev is not None and prev.get(
+        "dropped_physicals"
+    ):
+        payload["dropped_physicals"] = list(prev["dropped_physicals"])
     if txn_id is not None:
         payload["txn_id"] = txn_id
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
@@ -2980,6 +3006,168 @@ def rename_column(
                 fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst))
         except Exception:  # noqa: BLE001 — index move is advisory
             pass
+    return v
+
+
+def add_column(
+    spark: SparkSession, table_dir: str, name: str, dtype: str
+) -> int:
+    """ALTER TABLE ADD COLUMN as a metadata-only commit: the new
+    manifest records the widened schema; every existing file
+    null-fills the column reader-side (the recorded-schema scan
+    already does this for append evolution), and the carried stats
+    gain a backfilled null count per file — ``name IS NOT NULL``
+    prunes all pre-add files by metadata from the first read.
+
+    RESURRECTION SAFETY: if the name was previously dropped (or
+    collides with any current physical name), the column is minted a
+    FRESH physical name via the column map — the Delta/Iceberg
+    field-id move — so old files' orphaned physical data can never
+    silently reappear under the re-added column."""
+    from pyspark.sql import types as T
+
+    try:
+        dt = T._parse_datatype_string(dtype)
+    except Exception as e:  # noqa: BLE001 — surface the parse error
+        raise ValueError(f"cannot parse type {dtype!r}: {e}") from e
+    cur = current_version(spark, table_dir)
+    if cur <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, cur))
+    schema = _man_schema(man)
+    if schema is None:
+        raise ValueError("add_column needs a recorded schema")
+    if name in schema.fieldNames():
+        raise ValueError(f"column {name!r} already exists")
+    cmap = dict(_column_map(man))
+    dropped = set(man.get("dropped_physicals", []))
+    phys_taken = {cmap.get(n, n) for n in schema.fieldNames()}
+    v = cur + 1
+    if name in dropped or name in phys_taken:
+        cmap[name] = f"{name}__p{v}"
+    new_schema = T.StructType(
+        list(schema.fields) + [T.StructField(name, dt, True)]
+    )
+    # backfill per-file null counts: an existing file null-fills the
+    # added column by definition, so its null count IS its row count
+    new_stats: dict = {}
+    for rel, e in man.get("stats", {}).items():
+        n = e.get("__rows")
+        if isinstance(n, int):
+            nl = dict(e.get("__nulls", {}))
+            nl.setdefault(name, n)
+            e = {**e, "__nulls": nl}
+        new_stats[rel] = e
+    payload = {
+        "version": v,
+        "dirs": list(man["dirs"]),
+        "op": f"add-column:{name}",
+        "stats": new_stats,
+        "schema": new_schema.json(),
+        "recent_txns": _carry_txns(man, None, v),
+        "column_map": cmap,
+    }
+    if man.get("deletes"):
+        payload["deletes"] = list(man["deletes"])
+    if man.get("dead_files"):
+        payload["dead_files"] = list(man["dead_files"])
+    if man.get("dropped_physicals"):
+        payload["dropped_physicals"] = list(man["dropped_physicals"])
+    _carry_props(man, payload)
+    if not payload["column_map"]:
+        del payload["column_map"]
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    return v
+
+
+def drop_column(spark: SparkSession, table_dir: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only commit: the column
+    leaves the recorded schema, so reads stop projecting it — zero
+    data I/O, the physical bytes stay until files are naturally
+    rewritten (compaction/merge), exactly Delta's drop with column
+    mapping. Its PHYSICAL name is remembered in
+    ``dropped_physicals`` so a later same-name add (metadata or
+    append evolution) cannot resurrect the orphaned data.
+
+    Refusals: partition columns, generated-column sources/targets,
+    constrained columns, the key of any ACTIVE deletion vector (the
+    tombstone anti-join needs it), and dropping the last column.
+    Time travel to a pre-drop version still shows the column."""
+    from pyspark.sql import types as T
+
+    cur = current_version(spark, table_dir)
+    if cur <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    man = _read_json(spark, _manifest_path(table_dir, cur))
+    schema = _man_schema(man)
+    if schema is None:
+        raise ValueError("drop_column needs a recorded schema")
+    names = schema.fieldNames()
+    if col not in names:
+        raise ValueError(f"unknown column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    cmap = dict(_column_map(man))
+    phys = cmap.get(col, col)
+    part_cols = man.get("partition_by") or []
+    if col in part_cols:
+        raise ValueError(
+            f"cannot drop partition column {col!r} — repartition via "
+            "optimize (partition_by=) first"
+        )
+    word = re.compile(rf"\b{re.escape(col)}\b")
+    for c, e in (man.get("partition_exprs") or {}).items():
+        if c == col or word.search(e):
+            raise ValueError(
+                f"column {col!r} is referenced by generated column "
+                f"{c!r} ({e!r}) — drop/rewrite the partition spec first"
+            )
+    for n, e in (man.get("constraints") or {}).items():
+        if word.search(e):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{n!r} ({e!r}) — drop the constraint first"
+            )
+    for de in man.get("deletes", []):
+        if de["key"] == phys:
+            raise ValueError(
+                f"column {col!r} is the key of an active deletion "
+                "vector — optimize (physical purge) first"
+            )
+    cmap.pop(col, None)
+    new_schema = T.StructType(
+        [f for f in schema.fields if f.name != col]
+    )
+    new_stats: dict = {}
+    for rel, e in man.get("stats", {}).items():
+        e2 = {k: v_ for k, v_ in e.items() if k != col}
+        nulls = e2.get("__nulls")
+        if isinstance(nulls, dict) and col in nulls:
+            nulls = dict(nulls)
+            nulls.pop(col)
+            e2["__nulls"] = nulls
+        new_stats[rel] = e2
+    v = cur + 1
+    payload = {
+        "version": v,
+        "dirs": list(man["dirs"]),
+        "op": f"drop-column:{col}",
+        "stats": new_stats,
+        "schema": new_schema.json(),
+        "recent_txns": _carry_txns(man, None, v),
+        "column_map": cmap,
+        "dropped_physicals": sorted(
+            set(man.get("dropped_physicals", [])) | {phys}
+        ),
+    }
+    if man.get("deletes"):
+        payload["deletes"] = list(man["deletes"])
+    if man.get("dead_files"):
+        payload["dead_files"] = list(man["dead_files"])
+    _carry_props(man, payload)
+    if not payload["column_map"]:
+        del payload["column_map"]
+    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     return v
 
 
