@@ -683,3 +683,97 @@ def test_alter_program_matches_model(spark, tmp_path_factory, ops, data):
         for k, r in model.items()
     }
     assert got == want
+
+
+def test_optimize_after_rename_keeps_physical_schema(spark, tmp_path):
+    """Compaction and full OPTIMIZE on a renamed table rewrite files
+    under the stable PHYSICAL names (one uniform on-disk schema), so
+    reads, WHERE pruning and later renames keep working after the
+    rewrite; delete_where composes on top."""
+    from tms_etl_spark.operators.versioned import (
+        delete_where,
+        optimize_incremental,
+        optimize_version,
+        read_version_where,
+        rename_column,
+    )
+
+    tdir = str(tmp_path / "optrename")
+    for half in (0, 1):
+        write_version(
+            _mk(spark,
+                [(i, float(i)) for i in range(half * 20, half * 20 + 20)],
+                "uid int, v double").coalesce(2),
+            tdir,
+            "append",
+        )
+    rename_column(spark, tdir, "uid", "user_id")
+    optimize_incremental(spark, tdir, min_file_bytes=10**9)
+    got = {r["user_id"] for r in read_version(spark, tdir).collect()}
+    assert got == set(range(40))
+    optimize_version(spark, tdir, cluster_by="user_id")
+    assert {
+        r["user_id"] for r in read_version(spark, tdir).collect()
+    } == set(range(40))
+    pr = read_version_where(spark, tdir, "user_id >= 35")
+    assert {r["user_id"] for r in pr.collect()} == set(range(35, 40))
+    delete_where(spark, tdir, "user_id < 5", "user_id")
+    assert {
+        r["user_id"] for r in read_version(spark, tdir).collect()
+    } == set(range(5, 40))
+
+
+def test_stream_to_versioned_exactly_once(spark, tmp_path):
+    """The versioned streaming sink commits each micro-batch with an
+    epoch txn id: restarting the stream over the SAME source files
+    (fresh checkpoint simulating an epoch replay via explicit txn
+    reuse) does not double-append; MERGE mode upserts by key; a
+    drifting batch evolves the schema under merge_schema=True."""
+    import time
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        write_version as wv,
+    )
+    from tms_etl_spark.streaming.incremental import stream_to_versioned
+
+    src_dir = str(tmp_path / "src")
+    tdir = str(tmp_path / "vt")
+    ck1 = str(tmp_path / "ck1")
+    _mk(spark, [(1, "a"), (2, "b")], "k int, s string").write.parquet(
+        src_dir
+    )
+    stream = spark.readStream.schema("k int, s string").parquet(src_dir)
+    q = stream_to_versioned(stream, tdir, ck1)
+    q.awaitTermination(60)
+    rows1 = sorted(read_version(spark, tdir).collect())
+    assert [r["k"] for r in rows1] == [1, 2]
+    v1 = current_version(spark, tdir)
+    # replayed epoch: same txn id short-circuits (no new version)
+    wv(
+        _mk(spark, [(1, "a"), (2, "b")], "k int, s string"),
+        tdir,
+        "append",
+        txn_id="stream-0",
+    )
+    assert current_version(spark, tdir) == v1
+    # MERGE mode with schema drift: second source batch updates k=2
+    # and carries a NEW column
+    src2 = str(tmp_path / "src2")
+    ck2 = str(tmp_path / "ck2")
+    _mk(
+        spark, [(2, "B2", 7), (3, "c", 9)], "k int, s string, extra int"
+    ).write.parquet(src2)
+    stream2 = spark.readStream.schema(
+        "k int, s string, extra int"
+    ).parquet(src2)
+    q2 = stream_to_versioned(
+        stream2, tdir, ck2, key="k", merge_schema=True,
+        txn_prefix="stream2",
+    )
+    q2.awaitTermination(60)
+    got = {
+        r["k"]: (r["s"], r["extra"])
+        for r in read_version(spark, tdir).collect()
+    }
+    assert got == {1: ("a", None), 2: ("B2", 7), 3: ("c", 9)}
