@@ -30,7 +30,7 @@ def test_policy_tiers_with_synthetic_history(monkeypatch):
         latest[n] = 2
     for n, r in zip(stragglers, (1, 2, 3)):
         latest[n] = r
-    monkeypatch.setattr(cat, "_evidence_history", lambda: (latest, 6))
+    monkeypatch.setattr(cat, "_evidence_history", lambda: (latest, set(), 6))
 
     w = cat._derive_driver_window()
     # tier 1: never-sampled lead, in registration order
@@ -50,7 +50,7 @@ def test_core_family_fresh_evidence_waits_its_turn(monkeypatch):
     latest = {n: 1 for n in names}
     for n in cat._CORE_FAMILY:
         latest[n] = 5  # sampled last round: NOT stale
-    monkeypatch.setattr(cat, "_evidence_history", lambda: (latest, 6))
+    monkeypatch.setattr(cat, "_evidence_history", lambda: (latest, set(), 6))
     w = cat._derive_driver_window()
     # with fresh evidence the core family sorts by age like everyone
     # else — round-1 entries fill the window first
@@ -58,7 +58,7 @@ def test_core_family_fresh_evidence_waits_its_turn(monkeypatch):
 
 
 def test_fresh_checkout_falls_back_to_registration_order(monkeypatch):
-    monkeypatch.setattr(cat, "_evidence_history", lambda: ({}, 1))
+    monkeypatch.setattr(cat, "_evidence_history", lambda: ({}, set(), 1))
     w = cat._derive_driver_window()
     assert len(w) == 50 and set(w) <= set(cat.QUERIES)
 
@@ -80,7 +80,7 @@ def test_rotation_bounds_evidence_age(monkeypatch):
     for rnd in range(1, cycle * 3 + 3):
         snap = dict(latest)
         monkeypatch.setattr(
-            cat, "_evidence_history", lambda s=snap, r=rnd: (s, r)
+            cat, "_evidence_history", lambda s=snap, r=rnd: (s, set(), r)
         )
         window = cat._derive_driver_window()
         assert len(window) == w
@@ -102,7 +102,7 @@ def test_current_window_takes_the_stalest_first():
     strictly staler than any included tier-3 (non-core, sampled)
     query — i.e. the materialized window really is the burn-down
     front, so the backlog shrinks by a full window every round."""
-    latest, now = cat._evidence_history()
+    latest, red, now = cat._evidence_history()
     if not latest:  # fresh checkout: nothing to pin
         return
     names = list(cat.QUERIES)
@@ -113,7 +113,7 @@ def test_current_window_takes_the_stalest_first():
     tier3_ages = [
         now - latest[q]
         for q in window
-        if q in latest and q not in cat._CORE_FAMILY
+        if q in latest and q not in cat._CORE_FAMILY and q not in red
     ]
     excluded = [q for q in names if q not in set(window)]
     if tier3_ages and excluded:
@@ -123,3 +123,32 @@ def test_current_window_takes_the_stalest_first():
                 q,
                 "stale query left out of the window",
             )
+
+
+def test_red_rows_reenter_before_age_queue(monkeypatch):
+    """A query whose LATEST driver row failed re-enters the window
+    immediately — after never-sampled, before the stale-core jump and
+    the age queue (r10 policy tier 2: a wrong answer must get a fresh
+    row next round, not after a full rotation)."""
+    names = list(cat.QUERIES)
+    non_core = [n for n in names if n not in cat._CORE_FAMILY]
+    never, red_q = non_core[0], non_core[1]
+    latest = {n: 5 for n in names}
+    del latest[never]
+    for n in cat._CORE_FAMILY:
+        latest[n] = 2  # stale core: would normally lead the seen tier
+    monkeypatch.setattr(
+        cat, "_evidence_history", lambda: (latest, {red_q}, 6)
+    )
+    w = cat._derive_driver_window()
+    assert w[0] == never
+    assert w[1] == red_q  # red beats stale core AND the age queue
+    assert set(w[2 : 2 + len(cat._CORE_FAMILY)]) == set(cat._CORE_FAMILY)
+
+
+def test_real_history_red_rows_lead_after_never_sampled():
+    """Against the REAL history: every red-latest query is in the
+    materialized window (it needs a green row next round)."""
+    latest, red, now = cat._evidence_history()
+    if red:
+        assert red <= set(cat._DRIVER_PRIORITY), red

@@ -58,12 +58,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #      round (newly added entries land here automatically, so every
 #      new catalog query gets driver-visible evidence its first
 #      round);
-#   2. STALE §2 CORE — the TMS domain family (the reference semantics
+#   2. RED RE-ENTRY — a query whose LATEST driver row failed (err, or
+#      any rows/schema/hash mismatch) re-enters immediately: a wrong
+#      answer needs fresh evidence more than any stale green one, and
+#      without this tier a just-sampled red row would rank LAST and
+#      its fix would wait a full rotation for a green row (r10: the
+#      lakehouse_type_widening lesson);
+#   3. STALE §2 CORE — the TMS domain family (the reference semantics
 #      the engine exists for) jumps the age queue whenever its
 #      evidence is ≥3 rounds old, keeping the core's record bounded;
-#   3. OLDEST EVIDENCE — everything else, most-stale first, so no
+#   4. OLDEST EVIDENCE — everything else, most-stale first, so no
 #      query's driver evidence ages without bound;
-#   4. registration order as the deterministic tie-break.
+#   5. registration order as the deterministic tie-break.
 #
 # The judge's full oracle sweep re-verifies every displaced query
 # each round regardless; this window only chooses which rows the
@@ -82,10 +88,27 @@ _CORE_MAX_AGE = 3  # rounds before a core query jumps the queue
 _DRIVER_PRIORITY: list[str] = []
 
 
-def _evidence_history() -> tuple[dict[str, int], int]:
-    """(latest driver-sampled round per query, current round) from
-    the repo's CORRECTNESS_r*.json files. Pure metadata: a handful of
-    small JSON files at the repo root, read once per process."""
+def _row_green(row) -> bool:
+    """A driver row counts green only when it errored nowhere and
+    every recorded match flag is true. Absent/None flags don't fail,
+    and ``err == "no_oracle"`` is the DESIGNED outcome for rows-only
+    entries (sketches) — not a failure, or those entries would
+    re-enter the window every round forever."""
+    if not isinstance(row, dict):
+        return True
+    if row.get("err") and row["err"] != "no_oracle":
+        return False
+    return all(
+        row.get(k) is not False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _evidence_history() -> tuple[dict[str, int], set[str], int]:
+    """(latest driver-sampled round per query, queries whose LATEST
+    row was red, current round) from the repo's CORRECTNESS_r*.json
+    files. Pure metadata: a handful of small JSON files at the repo
+    root, read once per process."""
     import glob
     import json
     import os
@@ -95,6 +118,7 @@ def _evidence_history() -> tuple[dict[str, int], int]:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     latest: dict[str, int] = {}
+    green_at: dict[str, bool] = {}
     rounds: list[int] = []
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)\.json$", p)
@@ -109,25 +133,29 @@ def _evidence_history() -> tuple[dict[str, int], int]:
             continue
         r = int(m.group(1))
         rounds.append(r)
-        for name in data:
-            latest[name] = max(latest.get(name, 0), r)
-    return latest, (max(rounds) + 1 if rounds else 1)
+        for name, row in data.items():
+            if r >= latest.get(name, 0):
+                latest[name] = r
+                green_at[name] = _row_green(row)
+    red = {q for q, ok in green_at.items() if not ok}
+    return latest, red, (max(rounds) + 1 if rounds else 1)
 
 
 def _derive_driver_window(n: int = _WINDOW) -> list[str]:
     """The first-``n`` driver sampling window under the documented
     rotation policy (see the comment above). Falls back to
     registration order on a fresh checkout with no history."""
-    latest, now = _evidence_history()
+    latest, red, now = _evidence_history()
     reg = {q: i for i, q in enumerate(QUERIES)}
 
-    def rank(q: str) -> tuple[int, int, int, int]:
+    def rank(q: str) -> tuple[int, int, int, int, int]:
         seen = q in latest
         stale_core = q in _CORE_FAMILY and (
             not seen or now - latest[q] >= _CORE_MAX_AGE
         )
         return (
             1 if seen else 0,
+            0 if q in red else 1,
             0 if stale_core else 1,
             latest.get(q, 0),
             reg[q],
