@@ -777,3 +777,46 @@ def test_stream_to_versioned_exactly_once(spark, tmp_path):
         for r in read_version(spark, tdir).collect()
     }
     assert got == {1: ("a", None), 2: ("B2", 7), 3: ("c", 9)}
+
+
+def test_rowdiff_across_alter_seam(spark, tmp_path):
+    """The manifest-derived CDC feed aligns across ALTER seams by
+    PHYSICAL identity (r10): a rename produces zero spurious updates,
+    an added column null-fills pre-images, and a re-added (previously
+    dropped) column reads NULL on the pre side — the resurrection
+    guard holds in the CDC view too."""
+    from tms_etl_spark.operators.versioned import (
+        add_column,
+        drop_column,
+        merge_version,
+        read_version_rowdiff,
+        rename_column,
+    )
+
+    tdir = str(tmp_path / "cdcalter")
+    write_version(
+        _mk(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "k int, s string, v double").coalesce(1),
+        tdir,
+        "append",
+    )
+    rename_column(spark, tdir, "v", "val")          # v2
+    drop_column(spark, tdir, "s")                   # v3
+    add_column(spark, tdir, "s", "string")          # v4: fresh physical
+    # v5: MERGE updates k=2's val and sets the re-added s
+    merge_version(
+        spark,
+        tdir,
+        _mk(spark, [(2, "B2", 20.0)], "k int, s string, val double"),
+        key="k",
+    )
+    diff = {
+        r["k"]: (r["op"], r["s"], r["val"])
+        for r in read_version_rowdiff(
+            spark, tdir, key="k", from_version=1
+        ).collect()
+    }
+    # k=1,3 were rewritten by the CoW but with value-identical
+    # (val mapped via rename; s: old physical dropped -> pre NULL,
+    # post NULL) rows — they must classify OUT of the feed
+    assert diff == {2: ("update", "B2", 20.0)}

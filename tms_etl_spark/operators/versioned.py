@@ -4478,10 +4478,41 @@ def read_version_rowdiff(
     cols = ref.columns
     if key not in cols:
         raise ValueError(f"no key column {key!r} in table schema")
-    if pre is not None and set(pre.columns) != set(cols):
-        raise ValueError(
-            "schema changed across the diff range — align schemas "
-            "before diffing"
+    if pre is not None and pre.columns != cols:
+        # schema evolved across the diff range (r10): align PRE to
+        # the TO-version's logical names via PHYSICAL identity — a
+        # renamed column maps (no spurious updates), an added column
+        # null-fills the pre-image, a dropped column leaves the feed,
+        # a dropped-then-re-added column maps to NULL (fresh physical
+        # name — the resurrection guard holds in the CDC view too),
+        # and widened types upcast. The feed's grain and value-based
+        # classification are unchanged.
+        lmap_f = _column_map(man_from)
+        lmap_t = _column_map(man_to)
+        rmap_t = {p: l for l, p in lmap_t.items()}
+        mapped: dict[str, str] = {}
+        for c in pre.columns:
+            phys = lmap_f.get(c, c)
+            tgt = rmap_t.get(phys, phys)
+            # map only on TRUE physical identity: a re-added column's
+            # fresh physical must not capture the dropped one's data
+            if tgt in cols and lmap_t.get(tgt, tgt) == phys:
+                mapped[tgt] = c
+        if key not in mapped:
+            raise ValueError(
+                f"key {key!r} does not exist (under any name) in "
+                f"version {from_version} — cannot diff across its "
+                "add/drop seam"
+            )
+        pre = pre.select(
+            *[
+                (
+                    F.col(mapped[c]) if c in mapped else F.lit(None)
+                )
+                .cast(ref.schema[c].dataType)
+                .alias(c)
+                for c in cols
+            ]
         )
     val_cols = [c for c in cols if c != key]
     empty = spark.createDataFrame([], ref.select(key, *val_cols).schema)
