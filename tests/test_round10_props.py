@@ -820,3 +820,26 @@ def test_rowdiff_across_alter_seam(spark, tmp_path):
     # (val mapped via rename; s: old physical dropped -> pre NULL,
     # post NULL) rows — they must classify OUT of the feed
     assert diff == {2: ("update", "B2", 20.0)}
+
+
+def test_describe_detail_reports_column_map(spark, tmp_path):
+    """DESCRIBE DETAIL surfaces the rename map and the dropped
+    physical names — the metadata an operator needs to understand a
+    mapped table's on-disk layout."""
+    from tms_etl_spark.operators.versioned import (
+        describe_detail,
+        drop_column,
+        rename_column,
+    )
+
+    tdir = str(tmp_path / "detailmap")
+    write_version(
+        _mk(spark, [(1, "a", 2.0)], "k int, s string, v double"),
+        tdir,
+        "append",
+    )
+    rename_column(spark, tdir, "k", "key_id")
+    drop_column(spark, tdir, "s")
+    d = describe_detail(spark, tdir)
+    assert d["column_map"] == {"key_id": "k"}
+    assert d["dropped_physicals"] == ["s"]

@@ -1332,6 +1332,8 @@ def describe_detail(
         ),
         "n_rows_metadata": count_rows_metadata(man),
         "indexes": indexes,
+        "column_map": man.get("column_map"),
+        "dropped_physicals": man.get("dropped_physicals"),
         "tags": {
             nm: tv
             for nm, tv in sorted(list_tags(spark, table_dir).items())
