@@ -598,7 +598,9 @@ from hypothesis import strategies as st
 # a random ALTER/DML program: each step is one of append / rename /
 # add / drop / delete-by-key; the model is a plain dict {key: row}
 _OPS = st.lists(
-    st.sampled_from(["append", "rename", "add", "drop", "delete"]),
+    st.sampled_from(
+        ["append", "rename", "add", "drop", "delete", "compact", "merge"]
+    ),
     min_size=1,
     max_size=6,
 )
@@ -674,6 +676,28 @@ def test_alter_program_matches_model(spark, tmp_path_factory, ops, data):
             doomed = data.draw(st.sampled_from(sorted(model)))
             delete_rows(spark, tdir, _mk(spark, [(doomed,)], "k int"))
             model.pop(doomed)
+        elif op == "compact":
+            from tms_etl_spark.operators.versioned import (
+                optimize_incremental,
+            )
+
+            optimize_incremental(spark, tdir, min_file_bytes=10**9)
+        elif op == "merge" and model:
+            tgt = data.draw(st.sampled_from(sorted(model)))
+            row = {
+                c: data.draw(
+                    st.one_of(st.none(), st.floats(0, 100, width=32))
+                )
+                for c in cols
+            }
+            ddl = "k int, " + ", ".join(f"{c} double" for c in cols)
+            merge_version(
+                spark,
+                tdir,
+                _mk(spark, [tuple([tgt] + [row[c] for c in cols])], ddl),
+                key="k",
+            )
+            model[tgt] = dict(row)
     got = {
         r["k"]: {c: r[c] for c in cols}
         for r in read_version(spark, tdir).collect()
@@ -843,3 +867,34 @@ def test_describe_detail_reports_column_map(spark, tmp_path):
     d = describe_detail(spark, tdir)
     assert d["column_map"] == {"key_id": "k"}
     assert d["dropped_physicals"] == ["s"]
+
+
+def test_mapped_column_refused_as_partition_column(spark, tmp_path):
+    """A renamed (mapped) column can never become a partition column
+    — hive paths bake the NAME in, and physical ≠ logical would make
+    the partition value unrecoverable. Both the append path and
+    OPTIMIZE's partition-spec evolution refuse."""
+    from tms_etl_spark.operators.versioned import (
+        optimize_version,
+        rename_column,
+    )
+
+    tdir = str(tmp_path / "mappedpart")
+    write_version(
+        _mk(spark, [(1, "x", 2.0)], "k int, seg string, v double"),
+        tdir,
+        "append",
+    )
+    rename_column(spark, tdir, "seg", "segment")
+    with pytest.raises(ValueError, match="partition"):
+        optimize_version(spark, tdir, partition_by=["segment"])
+    with pytest.raises(ValueError, match="partition"):
+        write_version(
+            _mk(spark, [(2, "y", 3.0)], "k int, segment string, v double"),
+            tdir,
+            "append",
+            partition_by=["segment"],
+        )
+    # an UNMAPPED column still evolves the spec fine
+    optimize_version(spark, tdir, partition_by=["k"])
+    assert {r["segment"] for r in read_version(spark, tdir).collect()} == {"x"}

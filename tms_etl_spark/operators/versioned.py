@@ -931,6 +931,15 @@ def write_version(
                 "a renamed column — two logical columns cannot share "
                 "one on-disk name; rename the new column first"
             )
+        mapped_pc = [c for c in (part_cols or []) if cmap.get(c, c) != c]
+        if mapped_pc:
+            # hive paths carry the column NAME: a mapped column's
+            # physical/logical names differ, so readers could never
+            # recover the partition column from the path
+            raise ValueError(
+                f"renamed column(s) {mapped_pc} cannot be partition "
+                "columns — the hive layout bakes the name into paths"
+            )
     if mode == "append" and prev is not None:
         # append evolution may not re-add a DROPPED column's name:
         # the old files still hold the orphaned physical data, which
@@ -3374,6 +3383,18 @@ def optimize_version(
         missing = [c for c in part_cols if c not in schema.fieldNames()]
         if missing:
             raise ValueError(f"partition column(s) {missing} not in schema")
+        mapped = [
+            c for c in part_cols if _column_map(man).get(c, c) != c
+        ]
+        if mapped:
+            # hive paths carry the column NAME; a mapped column's
+            # physical name differs from the logical one the recorded
+            # spec would advertise, so readers could never recover it
+            raise ValueError(
+                f"renamed column(s) {mapped} cannot become partition "
+                "columns — the hive layout bakes the name into paths; "
+                "rename back to the physical name first"
+            )
     hive_out = bool(part_cols)
     if cluster_by is not None:
         df = df.repartitionByRange(
