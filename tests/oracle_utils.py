@@ -27,22 +27,49 @@ def canonicalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return list(pdf.columns), rows
 
 
+def _canon_cell(x):
+    """Collapse numpy scalars / pandas timestamps to plain Python so
+    WIDTH (int32 vs int64, datetime ns vs us) doesn't matter — but
+    KIND (int vs float vs Decimal) does."""
+    if type(x).__module__ == "numpy":
+        x = x.tolist() if getattr(x, "ndim", 0) else x.item()
+    if isinstance(x, pd.Timestamp):
+        x = x.to_pydatetime()
+    return x
+
+
 def _cell_eq(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        af, bf = float(a), float(b)
-        if math.isnan(af) or math.isnan(bf):
-            return math.isnan(af) and math.isnan(bf)
-        return af == bf
-    if isinstance(a, pd.Timestamp) or isinstance(b, pd.Timestamp):
-        pa, pb = pd.Timestamp(a), pd.Timestamp(b)
-        if pd.isna(pa) or pd.isna(pb):
-            return pd.isna(pa) and pd.isna(pb)
-        return pa == pb
-    if pd.isna(a) or pd.isna(b):
-        return bool(pd.isna(a)) and bool(pd.isna(b))
-    return a == b
+    """Dtype-STRICT cell comparison (r11, mirrors
+    scripts/driver_sim.py): the driver's gate hashes canonical cell
+    reprs, so ``223738.0 == 223738`` being numerically true is NOT
+    enough — a float64 column vs an int64 column hashes differently
+    and fails the real gate (this class hid the
+    ``lakehouse_type_widening`` red for two rounds: DuckDB's bare
+    ``SUM(BIGINT)`` returns HUGEINT → pandas float64 while Spark sums
+    to int64). After scalar canonicalisation, mismatched Python types
+    FAIL even when values compare equal."""
+    a, b = _canon_cell(a), _canon_cell(b)
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if type(a) is not type(b) and not (
+        isinstance(a, (list, tuple)) and isinstance(b, (list, tuple))
+    ):
+        return False
+    if isinstance(a, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, (list, tuple)):
+        return len(a) == len(b) and all(
+            _cell_eq(x, y) for x, y in zip(a, b)
+        )
+    try:
+        return bool(a == b)
+    except Exception:
+        return repr(a) == repr(b)
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):

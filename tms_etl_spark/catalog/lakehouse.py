@@ -985,7 +985,7 @@ def lakehouse_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           SUM(CAST(ck AS BIGINT)) AS key_sum,
+           CAST(SUM(CAST(ck AS BIGINT)) AS BIGINT) AS key_sum,
            {sql_dsum("bal", "total_bal")}
     FROM unioned
     GROUP BY c_mktsegment
@@ -1008,6 +1008,10 @@ def lakehouse_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     significant digits, inside float32's 7.2, so the round-trip is
     lossless and tie-free and dsum then sees clean 2-decimal values
     (its documented precondition — see `catalog/exact.py`).
+    ``key_sum`` wears an outer ``CAST(... AS BIGINT)``: DuckDB's bare
+    ``SUM(BIGINT)`` returns HUGEINT, which lands in pandas as float64
+    and hash-mismatches Spark's int64 even when values are equal —
+    every integer-sum oracle in the catalog re-casts its final sum.
     Narrowing/crossing changes stay refused
     (`test_type_widening_evolution`)."""
     tdir = tempfile.mkdtemp(prefix="lakehouse_widen_")

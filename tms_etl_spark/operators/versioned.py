@@ -549,6 +549,51 @@ def _column_map(man: dict | None) -> dict[str, str]:
     return (man or {}).get("column_map") or {}
 
 
+def _guard_revived_names(prev: dict | None, rec_schema, verb: str) -> None:
+    """Shared schema-evolution name safety for EVERY evolving front
+    door (append `write_version`, `merge_version(merge_schema=True)`,
+    `commit_existing_dir`): an evolved column may not (a) collide
+    with the PHYSICAL name of a renamed column — two logical columns
+    cannot share one on-disk name — or (b) re-use a previously
+    DROPPED column's physical name, because untouched old files still
+    hold the orphaned physical bytes and a same-name re-add would
+    silently resurrect them on every read (the 'drifting source'
+    hazard). `add_column` is the sanctioned re-add: it mints a fresh
+    physical name."""
+    if prev is None:
+        return
+    cmap = _column_map(prev)
+    phys_taken = set(cmap.values())
+    if phys_taken:
+        clash = sorted(
+            f.name
+            for f in rec_schema.fields
+            if f.name not in cmap and f.name in phys_taken
+        )
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} collide with the PHYSICAL name of "
+                f"a renamed column — two logical columns cannot share "
+                f"one on-disk name; rename the new column before "
+                f"{verb}"
+            )
+    dropped = set(prev.get("dropped_physicals", []))
+    if dropped:
+        revived = sorted(
+            f.name
+            for f in rec_schema.fields
+            if f.name not in cmap
+            and cmap.get(f.name, f.name) in dropped
+        )
+        if revived:
+            raise ValueError(
+                f"column(s) {revived} were previously DROPPED — "
+                f"re-adding by {verb} evolution would resurrect the "
+                "old files' orphaned data; use add_column (fresh "
+                "physical name) first"
+            )
+
+
 def _to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
     """Rename a LOGICAL-named DataFrame to physical names for a file
     write — every data file of a mapped table carries the stable
@@ -918,19 +963,9 @@ def write_version(
     # column mapping: appends inherit the rename map and write files
     # under PHYSICAL names; overwrite starts a fresh table (map resets)
     cmap = _column_map(prev) if mode == "append" and prev is not None else {}
+    if mode == "append":
+        _guard_revived_names(prev, rec_schema, "append")
     if cmap:
-        phys_taken = set(cmap.values())
-        clash = sorted(
-            f.name
-            for f in rec_schema.fields
-            if f.name not in cmap and f.name in phys_taken
-        )
-        if clash:
-            raise ValueError(
-                f"column(s) {clash} collide with the PHYSICAL name of "
-                "a renamed column — two logical columns cannot share "
-                "one on-disk name; rename the new column first"
-            )
         mapped_pc = [c for c in (part_cols or []) if cmap.get(c, c) != c]
         if mapped_pc:
             # hive paths carry the column NAME: a mapped column's
@@ -940,26 +975,6 @@ def write_version(
                 f"renamed column(s) {mapped_pc} cannot be partition "
                 "columns — the hive layout bakes the name into paths"
             )
-    if mode == "append" and prev is not None:
-        # append evolution may not re-add a DROPPED column's name:
-        # the old files still hold the orphaned physical data, which
-        # would silently resurrect — add_column mints a fresh
-        # physical name instead
-        dropped = set(prev.get("dropped_physicals", []))
-        if dropped:
-            revived = sorted(
-                f.name
-                for f in rec_schema.fields
-                if f.name not in cmap
-                and cmap.get(f.name, f.name) in dropped
-            )
-            if revived:
-                raise ValueError(
-                    f"column(s) {revived} were previously DROPPED — "
-                    "re-adding by append evolution would resurrect "
-                    "the old files' orphaned data; use add_column "
-                    "(fresh physical name) first"
-                )
     if part_cols:
         missing = [c for c in part_cols if c not in rec_schema.fieldNames()]
         if missing:
@@ -1608,6 +1623,9 @@ def delete_where(
     extraction scan and any re-check would disagree, and "delete a
     random slice" wants `sampling.py`, not DELETE. Refuses rather
     than silently committing whatever the first scan sampled.
+    NULL-keyed matches also refuse (even under ``allow_key_scope``):
+    NULL never equals, so the tombstone anti-join would silently keep
+    those rows — an invisible UNDER-delete in the GDPR verb.
 
     Reference analog: the GUI's month-scoped cleanup deletes by
     re-running the month query and erasing row-by-row
@@ -1626,9 +1644,27 @@ def delete_where(
             "and any re-check; use operators/sampling.py for random "
             "slices"
         )
-    n_match = matching.count()
+    counts = matching.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(key).isNull(), F.lit(1))).alias("nulls"),
+    ).head()
+    n_match, n_null = counts["n"], counts["nulls"]
     if n_match == 0:
         return current_version(spark, table_dir)
+    if n_null:
+        # a NULL key can never equal anything, so the tombstone
+        # anti-join would silently KEEP these matched rows — an
+        # under-delete the caller can't see (mirrors merge_version's
+        # NULL-key refusal). Refused under allow_key_scope too:
+        # key-scoped semantics widen the delete, they don't make
+        # NULL comparable.
+        raise ValueError(
+            f"DELETE WHERE matched {n_null} rows whose {key!r} is "
+            "NULL — a key-level deletion vector can never remove "
+            "them (NULL never equals), so the delete would silently "
+            "under-delete; delete by a non-null key or repair the "
+            "key column first"
+        )
     keys_df = matching.select(key).distinct()
     if not allow_key_scope:
         n_keyed = read_version_pruned_semijoin(
@@ -2884,6 +2920,44 @@ def delete_tag(spark: SparkSession, table_dir: str, name: str) -> bool:
     return True
 
 
+def _move_index_generations(
+    spark: SparkSession,
+    table_dir: str,
+    src_name: str,
+    dst_name: str,
+    suffix: str,
+) -> None:
+    """Move the generation dirs of one index KIND (``-bloom`` or
+    ``-tokens``) from sidecar family dir ``src_name`` to
+    ``dst_name``, leaving other-kind generations behind — a family
+    dir can legally hold both kinds when a column is literally named
+    ``text_<x>`` (its Bloom gens live beside x's token gens). The
+    source dir is removed only when the move emptied it."""
+    src = f"{table_dir}/_indexes/{src_name}"
+    if not path_exists(spark, src):
+        return
+    fs, hsrc, jvm = _fs(spark, src)
+    Path = jvm.org.apache.hadoop.fs.Path
+    gens = [
+        c.getPath().getName()
+        for c in fs.listStatus(hsrc)
+        if c.isDirectory()
+    ]
+    moving = [g for g in gens if g.endswith(suffix)]
+    if not moving:
+        return
+    dst = f"{table_dir}/_indexes/{dst_name}"
+    hdst = Path(dst)
+    if not fs.exists(hdst):
+        fs.mkdirs(hdst)
+    for g in moving:
+        d = Path(f"{dst}/{g}")
+        if not fs.exists(d):
+            fs.rename(Path(f"{src}/{g}"), d)
+    if not list(fs.listStatus(hsrc)):
+        fs.delete(hsrc, False)
+
+
 def rename_column(
     spark: SparkSession, table_dir: str, old: str, new: str
 ) -> int:
@@ -3003,18 +3077,23 @@ def rename_column(
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
     # sidecar families are named by LOGICAL column: move them so
     # future probes/maintenance find them under the new name (their
-    # content is column-name-free). Best-effort — a failed move only
-    # degrades the index to "missing", never the data.
-    for src_name, dst_name in (
-        (old, new),
-        (f"text_{old}", f"text_{new}"),
+    # content is column-name-free). Routed by GENERATION-DIR SUFFIX,
+    # not dir name — same disambiguation as maintain_table: the dir
+    # ``_indexes/text_x`` is column x's TOKEN family unless its gens
+    # end in ``-bloom`` (a Bloom family on a column literally named
+    # ``text_x``), so renaming ``text_x`` must move only the
+    # ``-bloom`` gens out of ``_indexes/text_x`` and leave x's
+    # ``-tokens`` gens attached. Per-generation moves make the mixed
+    # dir case exact. Best-effort — a failed move only degrades the
+    # index to "missing", never the data.
+    for src_name, dst_name, suffix in (
+        (old, new, "-bloom"),
+        (f"text_{old}", f"text_{new}", "-tokens"),
     ):
-        src = f"{table_dir}/_indexes/{src_name}"
-        dst = f"{table_dir}/_indexes/{dst_name}"
         try:
-            if path_exists(spark, src) and not path_exists(spark, dst):
-                fs, hsrc, jvm = _fs(spark, src)
-                fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst))
+            _move_index_generations(
+                spark, table_dir, src_name, dst_name, suffix
+            )
         except Exception:  # noqa: BLE001 — index move is advisory
             pass
     return v
@@ -3684,6 +3763,11 @@ def merge_version(
         rec_schema = _evolve_schema(
             prev_schema, source_df.schema, merge_schema
         )
+        # same name-safety net as the append path: a drifting source
+        # that re-carries a DROPPED column (or a renamed column's
+        # physical name) must not evolve it back in — untouched old
+        # files' orphaned bytes would resurrect on every read
+        _guard_revived_names(man, rec_schema, "MERGE")
     cmap = _column_map(man)
     phys_key = cmap.get(key, key)
 
@@ -4751,6 +4835,10 @@ def commit_existing_dir(
         ps = _man_schema(prev)
         if ps is not None:
             rec_schema = _evolve_schema(ps, dir_schema, merge_schema)
+        # a drop-only table has an EMPTY column_map but non-empty
+        # dropped_physicals — an external dir re-introducing the
+        # dropped name would resurrect the old files' orphaned data
+        _guard_revived_names(prev, rec_schema, "commit_existing_dir")
     stats = _dir_file_stats(spark, table_dir, rel_dir, schema=rec_schema)
     dirs = [rel_dir]
     deletes: list = []
