@@ -301,6 +301,12 @@ HEADLINE = [
     "lakehouse_delete_where",
     "lakehouse_column_rename",
     "lakehouse_add_drop_column",
+    # round-18 additions: composite-key MERGE (tuple-keyed zonemap
+    # cut + probe), guarded MERGE (first-write-wins on the versioned
+    # layer), full-sync replication (NOT MATCHED BY SOURCE delete)
+    "lakehouse_merge_composite_key",
+    "lakehouse_merge_guarded",
+    "lakehouse_merge_full_sync",
 ]
 
 

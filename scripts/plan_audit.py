@@ -779,6 +779,30 @@ AUDIT = [
         "its FRESH physical name (no resurrection), appended files "
         "supply it; aggregate partial-combines",
     ),
+    (
+        "lakehouse_merge_composite_key",
+        ["Scan parquet", "partial_count"],
+        "read after a tuple-keyed MERGE: the merge's zonemap cut was "
+        "per key COLUMN, the probe/CoW joins keyed on (ok, ln), and "
+        "the post-merge read is one plain scan + partial-combined "
+        "aggregate — no surrogate concat key anywhere in the plan",
+    ),
+    (
+        "lakehouse_merge_guarded",
+        ["Scan parquet"],
+        "read after a guarded MERGE (WHEN MATCHED AND cond): the "
+        "guard evaluated per matched pair inside the CoW join during "
+        "the merge; the returned snapshot read is a plain pruned "
+        "scan — guard cost is paid once at merge time, never at read",
+    ),
+    (
+        "lakehouse_merge_full_sync",
+        ["Scan parquet", "partial_count"],
+        "read after a full-sync MERGE (NOT MATCHED BY SOURCE "
+        "delete): the sync rewrote every live file BY DESIGN "
+        "(documented O(table) clause); the read itself is one scan "
+        "of the replaced snapshot with a partial-combined aggregate",
+    ),
 ]
 
 

@@ -72,10 +72,32 @@ def _cell_eq(a, b) -> bool:
         return repr(a) == repr(b)
 
 
+# numpy dtype KIND → comparison class: width differences (int32 vs
+# int64, datetime ns vs us) hash identically after canonicalisation,
+# but int vs float vs object do not.
+_KIND_LABEL = {
+    "i": "int", "u": "int", "f": "float", "b": "bool",
+    "M": "datetime", "m": "timedelta", "O": "object",
+}
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     s_cols, s_rows = canonicalize(spark_pdf)
     o_cols, o_rows = canonicalize(oracle_pdf)
     assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    # column-level dtype-KIND agreement (r11): catches int64 vs
+    # float64 drift even when every value compares numerically equal
+    # (and on empty results, where there are no cells to compare) —
+    # the class that kept lakehouse_type_widening red for two rounds
+    for c in s_cols:
+        sk = _KIND_LABEL.get(spark_pdf[c].dtype.kind, spark_pdf[c].dtype.kind)
+        ok = _KIND_LABEL.get(oracle_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind)
+        assert sk == ok, (
+            f"{name}: column {c} dtype kind {sk} (spark "
+            f"{spark_pdf[c].dtype}) vs {ok} (oracle "
+            f"{oracle_pdf[c].dtype}) — the driver's canonical hash "
+            "sees different cell reprs even when values are equal"
+        )
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
     )

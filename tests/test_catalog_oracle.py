@@ -25,6 +25,31 @@ def test_oracle_match(spark, sf_dir, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
+def test_oracle_gate_is_dtype_strict():
+    """Regression pin for the r9–r10 invisible failure class: DuckDB's
+    bare SUM(BIGINT) returns HUGEINT → pandas float64 while Spark sums
+    to int64; loose numeric equality (223738.0 == 223738) hid the
+    ``lakehouse_type_widening`` driver hash-fail from every local gate
+    for two rounds. The gate must now fail the exact pre-fix shape."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_utils import _cell_eq, assert_frames_match
+
+    # kind mismatch fails even when numerically equal
+    assert not _cell_eq(np.float64(223738.0), np.int64(223738))
+    # width differences still collapse (the driver canonicalises them)
+    assert _cell_eq(np.int32(5), np.int64(5))
+    assert _cell_eq(np.float32(2.5), np.float64(2.5))
+    sp = pd.DataFrame({"key_sum": pd.Series([223738], dtype="int64")})
+    du = pd.DataFrame({"key_sum": pd.Series([223738.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="key_sum"):
+        assert_frames_match(sp, du, "pre_fix_type_widening")
+    # and the empty-result case is caught by the column-kind check
+    with pytest.raises(AssertionError, match="dtype kind"):
+        assert_frames_match(sp.iloc[:0], du.iloc[:0], "empty_kind_drift")
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(spark, sf_dir, name):
     df = catalog.QUERIES[name](spark, sf_dir)

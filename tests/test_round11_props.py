@@ -220,3 +220,420 @@ def test_rename_token_family_moves_tokens_only(spark, tmp_path):
     assert [r["text_x"] for r in got.collect()] == [3]
     got = read_version_point(spark, tdir, "text_x", 5)
     assert [r["y"] for r in got.collect()] == ["w5 common"]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 part 2: composite MERGE keys, conditional MERGE clauses,
+# full-sync replication (VERDICT r10 "Next round" #3 and #5).
+# ---------------------------------------------------------------------------
+
+
+def test_merge_composite_key_semantics(spark, tmp_path):
+    """merge_version on a 2-column key: updates replace exactly the
+    matching (k1, k2) tuples, inserts land, other rows survive — the
+    reference's canonical upsert key is composite
+    ((dataTurno, tear), /root/reference/src/main_01.py:243)."""
+    tdir = str(tmp_path / "ck")
+    t = _mk(
+        spark,
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 1, 30.0), ("d2", 2, 40.0)],
+        "dt string, tear int, eff double",
+    )
+    # two files with disjoint dt ranges — the per-column zonemap cut
+    # has something to skip
+    write_version(t.repartitionByRange(2, "dt"), tdir, "append")
+    src = _mk(
+        spark,
+        [("d1", 2, 99.0), ("d3", 7, 70.0)],
+        "dt string, tear int, eff double",
+    )
+    merge_version(spark, tdir, src, key=["dt", "tear"])
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert got == [
+        ("d1", 1, 10.0),
+        ("d1", 2, 99.0),
+        ("d2", 1, 30.0),
+        ("d2", 2, 40.0),
+        ("d3", 7, 70.0),
+    ]
+    # delete-merge on the tuple
+    merge_version(
+        spark,
+        tdir,
+        _mk(spark, [("d2", 2)], "dt string, tear int"),
+        key=["dt", "tear"],
+        when_matched="delete",
+    )
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert ("d2", 2, 40.0) not in got and len(got) == 4
+
+
+def test_merge_composite_refusals(spark, tmp_path):
+    """Tuple-wise uniqueness and NULL checks: a source duplicated on
+    the FULL tuple refuses; duplicated on only one component is fine;
+    NULL in ANY component refuses; missing key columns refuse."""
+    tdir = str(tmp_path / "ckref")
+    write_version(
+        _mk(spark, [("a", 1, 1.0)], "k1 string, k2 int, v double"),
+        tdir,
+        "append",
+    )
+    ok_src = _mk(
+        spark,
+        [("a", 1, 2.0), ("a", 2, 3.0)],  # same k1, different k2
+        "k1 string, k2 int, v double",
+    )
+    merge_version(spark, tdir, ok_src, key=["k1", "k2"])
+    dup_src = _mk(
+        spark,
+        [("a", 1, 2.0), ("a", 1, 3.0)],
+        "k1 string, k2 int, v double",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_version(spark, tdir, dup_src, key=["k1", "k2"])
+    null_src = _mk(
+        spark,
+        [("a", None, 2.0)],
+        "k1 string, k2 int, v double",
+    )
+    with pytest.raises(ValueError, match="NULL-keyed"):
+        merge_version(spark, tdir, null_src, key=["k1", "k2"])
+    with pytest.raises(ValueError, match="no key column"):
+        merge_version(spark, tdir, ok_src, key=["k1", "nope"])
+    with pytest.raises(ValueError, match="duplicate key columns"):
+        merge_version(spark, tdir, ok_src, key=["k1", "k1"])
+
+
+def test_delete_where_composite_key(spark, tmp_path):
+    """delete_where on a composite key: the deletion vector stores
+    the tuple (manifest ``keys`` list), the uniqueness guard counts
+    tuple-covered rows, reads anti-join on the tuple, and optimize
+    physically purges — sharing one component value must NOT drag
+    other rows (the whole point of not concat-keying)."""
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        delete_where,
+        optimize_version,
+    )
+
+    tdir = str(tmp_path / "delck")
+    write_version(
+        _mk(
+            spark,
+            [
+                ("d1", 1, "err", 1.0),
+                ("d1", 2, "ok", 2.0),
+                ("d2", 1, "err", 3.0),
+                ("d2", 2, "err", 4.0),
+            ],
+            "dt string, tear int, status string, v double",
+        ),
+        tdir,
+        "append",
+    )
+    v = delete_where(
+        spark, tdir, "status = 'err' AND v < 3.5", ["dt", "tear"]
+    )
+    assert v == 2
+    man_deletes = None
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(tdir, "_manifests", "v000002.json")) as fh:
+        man_deletes = _json.load(fh)["deletes"]
+    assert man_deletes[0]["keys"] == ["dt", "tear"]
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert got == [("d1", 2, "ok", 2.0), ("d2", 2, "err", 4.0)]
+    # mixed keys (a single-key vector while a tuple vector is ACTIVE)
+    # refuse; after physical purge the table is free to re-key
+    from tms_etl_spark.operators.versioned import delete_rows
+
+    with pytest.raises(ValueError, match="mixed delete keys"):
+        delete_rows(spark, tdir, _mk(spark, [("d2",)], "dt string"))
+    # physical purge keeps the same rows
+    optimize_version(spark, tdir)
+    got2 = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert got2 == got
+
+
+def test_merge_guarded_first_write_wins_versioned(spark, tmp_path):
+    """The reference's first-write-wins desligado guard on the
+    VERSIONED layer (SURVEY §4 custom item 2; P4 semantics,
+    /root/reference/src/main_01.py:460-473): a desligado source row
+    may only INSERT — an existing shift record survives — while
+    non-desligado rows upsert normally. Composite (DataTurno, Tear)
+    key, `when_matched_condition` grammar over source columns."""
+    tdir = str(tmp_path / "fww")
+    write_version(
+        _mk(
+            spark,
+            [
+                ("2024-01-05.C", "00002", 87.5, 400.0, 40.0),
+                ("2024-01-05.A", "00001", 55.0, 410.0, 30.0),
+            ],
+            "DataTurno string, Tear string, Eficiencia double, "
+            "Funcionando double, Parado double",
+        ),
+        tdir,
+        "append",
+    )
+    batch = _mk(
+        spark,
+        [
+            # desligado row for an EXISTING key: blocked (first write wins)
+            ("2024-01-05.C", "00002", 0.0, 0.0, 440.0),
+            # desligado row for a NEW key: inserts
+            ("2024-01-05.C", "00009", 0.0, 0.0, 440.0),
+            # real update for an existing key: lands
+            ("2024-01-05.A", "00001", 42.0, 420.0, 20.0),
+        ],
+        "DataTurno string, Tear string, Eficiencia double, "
+        "Funcionando double, Parado double",
+    )
+    guard = (
+        "NOT (source.DataTurno LIKE '%.C' AND source.Funcionando = 0.0 "
+        "AND source.Parado >= 400.0)"
+    )
+    merge_version(
+        spark,
+        tdir,
+        batch,
+        key=["DataTurno", "Tear"],
+        when_matched_condition=guard,
+    )
+    rows = {
+        (r["DataTurno"], r["Tear"]): r["Eficiencia"]
+        for r in read_version(spark, tdir).collect()
+    }
+    assert rows == {
+        ("2024-01-05.C", "00002"): 87.5,  # first write kept
+        ("2024-01-05.C", "00009"): 0.0,  # desligado insert allowed
+        ("2024-01-05.A", "00001"): 42.0,  # real update landed
+    }
+    # non-deterministic guards refuse
+    with pytest.raises(ValueError, match="[Nn]on-deterministic"):
+        merge_version(
+            spark,
+            tdir,
+            batch,
+            key=["DataTurno", "Tear"],
+            when_matched_condition="rand() < 0.5",
+        )
+
+
+def test_merge_full_sync_replication(spark, tmp_path):
+    """when_not_matched_by_source='delete' (Delta's WHEN NOT MATCHED
+    BY SOURCE): after the merge the table mirrors the source — target
+    rows with no source key are gone, matched rows updated, new rows
+    inserted. Composable with the matched-condition guard."""
+    tdir = str(tmp_path / "sync")
+    write_version(
+        _mk(
+            spark,
+            [(1, "a", False), (2, "b", False), (3, "c", True)],
+            "k int, v string, protected boolean",
+        ),
+        tdir,
+        "append",
+    )
+    src = _mk(
+        spark,
+        [(2, "B", False), (3, "C", False), (4, "d", False)],
+        "k int, v string, protected boolean",
+    )
+    merge_version(
+        spark,
+        tdir,
+        src,
+        key="k",
+        when_not_matched_by_source="delete",
+        when_matched_condition="NOT target.protected",
+    )
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    # k=1 unmatched-by-source: deleted; k=2 updated; k=3 matched but
+    # protected: target kept; k=4 inserted
+    assert got == [
+        (2, "B", False),
+        (3, "c", True),
+        (4, "d", False),
+    ]
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        merge_version(
+            spark, tdir, src, key="k", when_not_matched_by_source="keep"
+        )
+
+
+def test_stream_merge_composite_guarded(spark, tmp_path):
+    """stream_merge_versioned with a composite key and a pass-through
+    matched-condition guard: per-batch MERGE keyed on the tuple,
+    exactly-once under replay, guard blocks overwrites."""
+    import os
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        stream_merge_versioned,
+    )
+
+    src_dir = str(tmp_path / "in")
+    tdir = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    _mk(
+        spark,
+        [("d1", 1, 10.0, False), ("d1", 2, 20.0, False)],
+        "dt string, tear int, eff double, off boolean",
+    ).write.json(f"{src_dir}/b0")
+    sdf = (
+        spark.readStream.schema(
+            "dt string, tear int, eff double, off boolean"
+        )
+        .option("maxFilesPerTrigger", "1000")
+        .json(f"{src_dir}/*")
+    )
+    q = stream_merge_versioned(
+        sdf,
+        tdir,
+        ckpt,
+        key=["dt", "tear"],
+        when_matched_condition="NOT source.off",
+    )
+    q.awaitTermination(120)
+    _mk(
+        spark,
+        [("d1", 1, 0.0, True), ("d2", 5, 50.0, False)],
+        "dt string, tear int, eff double, off boolean",
+    ).write.json(f"{src_dir}/b1")
+    q2 = stream_merge_versioned(
+        sdf,
+        tdir,
+        ckpt,
+        key=["dt", "tear"],
+        when_matched_condition="NOT source.off",
+    )
+    q2.awaitTermination(120)
+    rows = {
+        (r["dt"], r["tear"]): r["eff"]
+        for r in read_version(spark, tdir).collect()
+    }
+    assert rows == {
+        ("d1", 1): 10.0,  # off-row blocked by the guard
+        ("d1", 2): 20.0,
+        ("d2", 5): 50.0,  # new key inserted
+    }
+
+
+def test_bronze_silver_stream_chain(spark, tmp_path):
+    """stream_write_versioned → stream_read_versioned →
+    stream_write_versioned (VERDICT r10 #4): a file stream lands in
+    bronze, a second streaming query tails bronze's COMMITS and
+    writes a transformed silver table; after each drain, silver
+    equals the batch-computed transform of bronze (batch
+    equivalence), and a restart consumes only the new versions."""
+    import os
+
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        stream_read_versioned,
+        stream_write_versioned,
+    )
+
+    src = str(tmp_path / "in")
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    cp1, cp2 = str(tmp_path / "cp1"), str(tmp_path / "cp2")
+    os.makedirs(src)
+
+    def land(lo, hi, tag):
+        _mk(
+            spark,
+            [(i, float(i) * 2) for i in range(lo, hi)],
+            "id int, v double",
+        ).write.json(f"{src}/{tag}")
+
+    def drain():
+        q1 = stream_write_versioned(
+            spark.readStream.schema("id int, v double").json(f"{src}/*"),
+            bronze,
+            cp1,
+        )
+        q1.awaitTermination(120)
+        q2 = stream_write_versioned(
+            stream_read_versioned(spark, bronze)
+            .where(F.col("id") % 2 == 0)
+            .withColumn("v", F.col("v") + 1),
+            silver,
+            cp2,
+        )
+        q2.awaitTermination(120)
+
+    land(0, 6, "b0")
+    drain()
+    expect = sorted(
+        tuple(r)
+        for r in read_version(spark, bronze)
+        .where(F.col("id") % 2 == 0)
+        .withColumn("v", F.col("v") + 1)
+        .collect()
+    )
+    got = sorted(tuple(r) for r in read_version(spark, silver).collect())
+    assert got == expect == [(0, 1.0), (2, 5.0), (4, 9.0)]
+    # second wave: the silver stream consumes ONLY bronze's new
+    # versions (no duplicates from re-reading old files)
+    land(6, 10, "b1")
+    drain()
+    got = sorted(tuple(r) for r in read_version(spark, silver).collect())
+    expect = sorted(
+        tuple(r)
+        for r in read_version(spark, bronze)
+        .where(F.col("id") % 2 == 0)
+        .withColumn("v", F.col("v") + 1)
+        .collect()
+    )
+    assert got == expect and len(got) == 5
+    # idempotent drain: nothing new, nothing duplicated
+    drain()
+    assert sorted(
+        tuple(r) for r in read_version(spark, silver).collect()
+    ) == got
+
+
+def test_stream_read_versioned_refuses_merge_commit(spark, tmp_path):
+    """The front door inherits the insert-only contract: a MERGE
+    commit between offsets fails the stream loud (no file-level
+    delta), like Delta without ignoreChanges."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tms_etl_spark.operators.versioned import (
+        stream_read_versioned,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    write_version(
+        _mk(spark, [(1, 1.0), (2, 2.0)], "id int, v double"),
+        tdir,
+        "append",
+    )
+
+    def drain():
+        q = (
+            stream_read_versioned(spark, tdir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    merge_version(
+        spark,
+        tdir,
+        _mk(spark, [(2, 99.0)], "id int, v double"),
+        key="id",
+    )
+    with pytest.raises(StreamingQueryException, match="MERGE|delta"):
+        drain()

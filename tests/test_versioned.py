@@ -1333,7 +1333,7 @@ def test_merge_rejects_null_source_keys(spark, tdir):
     src = spark.createDataFrame(
         [(None, 10), (1, 11)], "id long, val long"
     )
-    with pytest.raises(ValueError, match="NULL 'id'"):
+    with pytest.raises(ValueError, match="NULL-keyed"):
         merge_version(spark, tdir, src, "id", "update")
 
 
