@@ -23,6 +23,25 @@ from tms_etl_spark import catalog
 from tms_etl_spark.session import get_spark
 from tms_etl_spark.sources.tables import TABLE_NAMES, load_table
 
+def _count_java_procs() -> int:
+    """Concurrent JVMs on the box (other Spark sessions skew
+    timings) — best-effort /proc scan, -1 when unreadable."""
+    try:
+        n = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n += 1
+            except OSError:
+                continue
+        return n
+    except OSError:
+        return -1
+
+
 DEFAULT_QUERIES = [
     "q1_pricing_summary",
     "join_sort_merge",
@@ -247,7 +266,27 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             results[n][mult] = round(best, 3)
-    print(json.dumps({"base": base, "multiples": mults, "sec": results}))
+    # recorded run conditions (r11, VERDICT r10 probe-hygiene ask):
+    # the r10 artifact's 8×-points were inflated by machine contention
+    # on identical code — probe-vs-probe comparisons need the load
+    # context to stay honest. loadavg is sampled at END of run (the
+    # probe itself dominates the 1-min figure; the 15-min figure
+    # approximates background load across the run).
+    conditions = {
+        "cpus": os.cpu_count(),
+        "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+        "spark_processes": _count_java_procs(),
+    }
+    print(
+        json.dumps(
+            {
+                "base": base,
+                "multiples": mults,
+                "sec": results,
+                "conditions": conditions,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -637,3 +637,89 @@ def test_stream_read_versioned_refuses_merge_commit(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="MERGE|delta"):
         drain()
+
+
+def test_cli_composite_and_guarded_merge(spark, tmp_path, capsys):
+    """CLI: `table merge --key a,b` (composite),
+    `--when-matched-condition` (guarded), `--sync-delete-unmatched`
+    (full-sync), and `table delete --where --key a,b`; refusals exit
+    2 with the operator's message."""
+    from tms_etl_spark.__main__ import main
+
+    tdir = str(tmp_path / "click")
+    write_version(
+        _mk(
+            spark,
+            [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 1, 30.0)],
+            "dt string, tear int, eff double",
+        ),
+        tdir,
+        "append",
+    )
+    srcp = str(tmp_path / "src.parquet")
+    _mk(
+        spark,
+        [("d1", 2, 0.0), ("d3", 9, 90.0)],
+        "dt string, tear int, eff double",
+    ).write.parquet(srcp)
+    # guarded composite merge: eff=0 rows may only insert
+    assert main(
+        [
+            "table", "merge", tdir, "--source", srcp,
+            "--key", "dt,tear",
+            "--when-matched-condition", "source.eff > 0",
+        ]
+    ) == 0
+    assert "committed v2" in capsys.readouterr().out
+    rows = {
+        (r["dt"], r["tear"]): r["eff"]
+        for r in read_version(spark, tdir).collect()
+    }
+    assert rows == {
+        ("d1", 1): 10.0,
+        ("d1", 2): 20.0,  # guard kept the first write
+        ("d2", 1): 30.0,
+        ("d3", 9): 90.0,  # insert landed
+    }
+    # composite delete --where
+    assert main(
+        [
+            "table", "delete", tdir, "--key", "dt,tear",
+            "--where", "eff >= 30",
+        ]
+    ) == 0
+    assert {
+        (r["dt"], r["tear"])
+        for r in read_version(spark, tdir).collect()
+    } == {("d1", 1), ("d1", 2)}
+    # --values with a composite key refuses
+    assert main(
+        ["table", "delete", tdir, "--key", "dt,tear", "--values", "d1"]
+    ) == 2
+    # full-sync flag wires through
+    _mk(spark, [("d1", 1, 11.0)], "dt string, tear int, eff double").write.parquet(
+        str(tmp_path / "src2.parquet")
+    )
+    assert main(
+        [
+            "table", "merge", tdir, "--source",
+            str(tmp_path / "src2.parquet"),
+            "--key", "dt,tear", "--sync-delete-unmatched",
+        ]
+    ) == 0
+    assert {
+        tuple(r) for r in read_version(spark, tdir).collect()
+    } == {("d1", 1, 11.0)}
+    # operator refusal (duplicate source keys) surfaces as exit 2
+    _mk(
+        spark,
+        [("x", 1, 1.0), ("x", 1, 2.0)],
+        "dt string, tear int, eff double",
+    ).write.parquet(str(tmp_path / "dup.parquet"))
+    assert main(
+        [
+            "table", "merge", tdir, "--source",
+            str(tmp_path / "dup.parquet"), "--key", "dt,tear",
+        ]
+    ) == 2
+    assert "duplicate" in capsys.readouterr().err

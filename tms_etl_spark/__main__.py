@@ -171,7 +171,11 @@ def _parser() -> argparse.ArgumentParser:
         "delete", help="row-level delete by key (deletion vector)"
     )
     td.add_argument("dir")
-    td.add_argument("--key", required=True, help="key column name")
+    td.add_argument(
+        "--key", required=True,
+        help="key column name (comma-separate for a composite key "
+        "with --where; --values stays single-column)",
+    )
     td.add_argument(
         "--values", default=None,
         help="comma-separated key values (cast to the column's type)",
@@ -203,9 +207,24 @@ def _parser() -> argparse.ArgumentParser:
     )
     tm.add_argument("dir")
     tm.add_argument("--source", required=True, help="source parquet path")
-    tm.add_argument("--key", required=True)
+    tm.add_argument(
+        "--key", required=True,
+        help="key column name; comma-separate for a composite key",
+    )
     tm.add_argument(
         "--when-matched", choices=("update", "delete"), default="update"
+    )
+    tm.add_argument(
+        "--when-matched-condition", default=None, metavar="SQL",
+        help="WHEN MATCHED AND <cond> over source./target. columns; "
+        "matched rows failing it keep the target row "
+        "(first-write-wins guards)",
+    )
+    tm.add_argument(
+        "--sync-delete-unmatched", action="store_true",
+        help="full-sync replication: DELETE target rows with no "
+        "source key (WHEN NOT MATCHED BY SOURCE; rewrites every "
+        "file)",
     )
     tm.add_argument("--txn-id", default=None)
     tcr = tsub.add_parser(
@@ -565,13 +584,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             cur = vt.read_version(spark, args.dir)
-            if args.key not in cur.columns:
-                print(f"unknown key column: {args.key!r}", file=sys.stderr)
+            key_cols = [k.strip() for k in args.key.split(",")]
+            bad = [k for k in key_cols if k not in cur.columns]
+            if bad:
+                print(f"unknown key column(s): {bad}", file=sys.stderr)
                 return 2
             if args.where is not None:
                 try:
                     v = vt.delete_where(
-                        spark, args.dir, args.where, args.key,
+                        spark, args.dir, args.where,
+                        key_cols if len(key_cols) > 1 else key_cols[0],
                         txn_id=args.txn_id,
                         allow_key_scope=args.allow_key_scope,
                     )
@@ -580,6 +602,13 @@ def main(argv: list[str] | None = None) -> int:
                     return 2
                 print(f"committed v{v}")
                 return 0
+            if len(key_cols) > 1:
+                print(
+                    "--values takes a single key column; use --where "
+                    "for composite keys",
+                    file=sys.stderr,
+                )
+                return 2
             ktype = dict(cur.dtypes)[args.key]
             keys = spark.createDataFrame(
                 [(v,) for v in args.values.split(",")], f"{args.key} string"
@@ -598,14 +627,23 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.table_cmd == "merge":
             src = spark.read.parquet(args.source)
-            v = vt.merge_version(
-                spark,
-                args.dir,
-                src,
-                args.key,
-                when_matched=args.when_matched,
-                txn_id=args.txn_id,
-            )
+            mkeys = [k.strip() for k in args.key.split(",")]
+            try:
+                v = vt.merge_version(
+                    spark,
+                    args.dir,
+                    src,
+                    mkeys if len(mkeys) > 1 else mkeys[0],
+                    when_matched=args.when_matched,
+                    txn_id=args.txn_id,
+                    when_matched_condition=args.when_matched_condition,
+                    when_not_matched_by_source=(
+                        "delete" if args.sync_delete_unmatched else None
+                    ),
+                )
+            except ValueError as e:
+                print(f"refused: {e}", file=sys.stderr)
+                return 2
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "create":
