@@ -723,3 +723,254 @@ def test_cli_composite_and_guarded_merge(spark, tmp_path, capsys):
         ]
     ) == 2
     assert "duplicate" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# Round-11 part 3: Hypothesis model-based net for the composite-key /
+# conditional MERGE surface — random DML programs against a dict
+# model keyed by the (k1, k2) tuple.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_MERGE_OPS = st.lists(
+    st.sampled_from(
+        [
+            "append",
+            "merge",
+            "guarded_merge",
+            "delete_merge",
+            "full_sync",
+            "delete_rows",
+            "compact",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+_K1 = ["a", "b"]
+_K2 = [1, 2, 3]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MERGE_OPS, data=st.data())
+def test_composite_merge_program_matches_model(
+    spark, tmp_path_factory, ops, data
+):
+    """Property net (r11): ANY interleaving of appends, plain /
+    guarded / delete / full-sync MERGEs, composite-tuple deletes and
+    compactions on a (k1, k2)-keyed table reads back exactly what a
+    driver-side dict model predicts. The guard (``source.v < 50``
+    blocks the update — first-write-wins for big incumbent values)
+    and the full-sync drop of unmatched keys are modeled
+    independently of the engine, so any divergence in tuple matching,
+    guard evaluation order, or sync semantics surfaces as a value
+    diff."""
+    from tms_etl_spark.operators.versioned import delete_rows
+
+    tdir = str(tmp_path_factory.mktemp("mergeprog") / "t")
+    model: dict[tuple, float] = {("a", 1): 10.0}
+    write_version(
+        _mk(spark, [("a", 1, 10.0)], "k1 string, k2 int, v double"),
+        tdir,
+        "append",
+    )
+
+    def draw_batch():
+        tuples = data.draw(
+            st.lists(
+                st.tuples(st.sampled_from(_K1), st.sampled_from(_K2)),
+                min_size=1,
+                max_size=4,
+                unique=True,
+            )
+        )
+        return {
+            t: float(data.draw(st.integers(0, 100))) for t in tuples
+        }
+
+    def to_df(batch):
+        return _mk(
+            spark,
+            [(k1, k2, v) for (k1, k2), v in batch.items()],
+            "k1 string, k2 int, v double",
+        )
+
+    for op in ops:
+        if op == "append":
+            # appends must not duplicate a live key (the model is a
+            # dict) — only new tuples append
+            batch = {
+                t: v for t, v in draw_batch().items() if t not in model
+            }
+            if not batch:
+                continue
+            write_version(to_df(batch), tdir, "append")
+            model.update(batch)
+        elif op == "merge":
+            batch = draw_batch()
+            merge_version(spark, tdir, to_df(batch), key=["k1", "k2"])
+            model.update(batch)
+        elif op == "guarded_merge":
+            batch = draw_batch()
+            merge_version(
+                spark,
+                tdir,
+                to_df(batch),
+                key=["k1", "k2"],
+                when_matched_condition="source.v < 50",
+            )
+            for t, v in batch.items():
+                if t not in model or v < 50:
+                    model[t] = v  # insert, or guard passed
+                # else: matched and guard failed -> target kept
+        elif op == "delete_merge":
+            batch = draw_batch()
+            merge_version(
+                spark,
+                tdir,
+                to_df(batch).select("k1", "k2"),
+                key=["k1", "k2"],
+                when_matched="delete",
+            )
+            for t in batch:
+                model.pop(t, None)
+        elif op == "full_sync":
+            batch = draw_batch()
+            merge_version(
+                spark,
+                tdir,
+                to_df(batch),
+                key=["k1", "k2"],
+                when_not_matched_by_source="delete",
+            )
+            model = dict(batch)
+        elif op == "delete_rows" and model:
+            doomed = data.draw(st.sampled_from(sorted(model)))
+            delete_rows(
+                spark,
+                tdir,
+                _mk(spark, [doomed], "k1 string, k2 int"),
+            )
+            model.pop(doomed)
+        elif op == "compact":
+            from tms_etl_spark.operators.versioned import (
+                optimize_incremental,
+            )
+
+            optimize_incremental(spark, tdir, min_file_bytes=10**9)
+    got = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in read_version(spark, tdir).collect()
+    }
+    assert got == model
+
+
+def test_import_daily_versioned_matches_parquet_path(spark, tmp_path):
+    """The TMS import fixture re-run through `merge_version` on a
+    versioned table (VERDICT r10 #3 'Done' clause): same lake, same
+    semantics as `import_daily` — replay-idempotent, desligado rows
+    only insert, real updates land — PLUS time travel back to the
+    pre-import snapshot. The two pipelines must read back identical
+    fact rows."""
+    import codecs
+    import pathlib
+
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        read_version,
+    )
+    from tms_etl_spark.tms.pipeline import (
+        import_daily,
+        import_daily_versioned,
+    )
+
+    def _row(
+        data_turno, tear, artigo="ART-1", rpm="550", ef="85.5",
+        func="400", par="40", extra_cols=56,
+    ):
+        head = [data_turno, tear, artigo, "", "GEN-1", rpm, ef, func, par]
+        return ",".join(head + ["0"] * extra_cols)
+
+    lake = tmp_path / "lake" / "2024-01" / "daily"
+    pathlib.Path(lake).mkdir(parents=True)
+    (lake / "2024-01-05.csv").write_text(
+        "\n".join(
+            [
+                _row("2024-01-05.A", "00001"),
+                _row("2024-01-05.C", "00002", func="0", par="440"),
+                _row("2024-01-05.B", "00005", rpm=""),
+            ]
+        ),
+        encoding="utf-8",
+    )
+    (lake / "2024-01-06.csv").write_bytes(
+        codecs.BOM_UTF8 + _row("2024-01-06.A", "00001").encode("utf-8")
+    )
+    lake_root = str(tmp_path / "lake")
+    pq_target = str(tmp_path / "fact_pq")
+    v_target = str(tmp_path / "fact_v")
+
+    s_pq = import_daily(spark, lake_root, pq_target)
+    s_v = import_daily_versioned(spark, lake_root, v_target)
+    assert (s_pq.batch_rows, s_pq.table_rows) == (
+        s_v.batch_rows,
+        s_v.table_rows,
+    )
+
+    def rows(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "DataTurno", "Tear", "Eficiencia", "Funcionando", "Parado"
+            ).collect()
+        )
+
+    assert rows(read_version(spark, v_target)) == rows(
+        spark.read.parquet(pq_target)
+    )
+    # replay: value-idempotent on both paths
+    import_daily(spark, lake_root, pq_target)
+    import_daily_versioned(spark, lake_root, v_target)
+    assert rows(read_version(spark, v_target)) == rows(
+        spark.read.parquet(pq_target)
+    )
+    # a later desligado delivery for an existing key must NOT
+    # overwrite on either path; a real update must
+    lake2 = tmp_path / "lake2" / "2024-01" / "daily"
+    pathlib.Path(lake2).mkdir(parents=True)
+    (lake2 / "2024-01-05.csv").write_text(
+        "\n".join(
+            [
+                _row("2024-01-05.A", "00001", ef="42.0"),  # real update
+                _row(
+                    "2024-01-05.C", "00002", ef="0", func="0", par="440"
+                ),  # desligado vs existing: blocked
+                _row(
+                    "2024-01-05.C", "00007", ef="0", func="0", par="440"
+                ),  # desligado new key: inserts
+            ]
+        ),
+        encoding="utf-8",
+    )
+    import_daily(spark, str(tmp_path / "lake2"), pq_target)
+    import_daily_versioned(spark, str(tmp_path / "lake2"), v_target)
+    got = rows(read_version(spark, v_target))
+    assert got == rows(spark.read.parquet(pq_target))
+    by_key = {(r[0], r[1]): r[2] for r in got}
+    assert by_key[("2024-01-05.A", "00001")] == 42.0  # updated
+    assert by_key[("2024-01-05.C", "00002")] == 85.5  # first write kept
+    assert by_key[("2024-01-05.C", "00007")] == 0.0  # insert allowed
+    # versioned extra: time travel to the pre-second-import snapshot
+    assert current_version(spark, v_target) >= 3
+    old = read_version(spark, v_target, version=2)
+    old_by_key = {
+        (r["DataTurno"], r["Tear"]): r["Eficiencia"] for r in old.collect()
+    }
+    assert old_by_key[("2024-01-05.A", "00001")] == 85.5

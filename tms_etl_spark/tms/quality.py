@@ -28,6 +28,20 @@ def is_tear_desligado(
     )
 
 
+def is_tear_desligado_sql(qualifier: str = "source") -> str:
+    """The P3 predicate as a SQL string for contexts that take
+    expression TEXT (the versioned layer's
+    ``merge_version(when_matched_condition=)``) — same truth as
+    `is_tear_desligado`, qualified for the MERGE's source/target
+    aliases. ``.`` is literal in SQL LIKE, so ``'%.C'`` is the
+    endswith('.C') of the Column form."""
+    q = f"{qualifier}." if qualifier else ""
+    return (
+        f"{q}DataTurno LIKE '%.C' AND {q}Funcionando = 0.0 "
+        f"AND {q}Parado >= 400.0"
+    )
+
+
 SHIFT_MINUTES = 440.0  # ~440-minute shifts, /root/reference/src/main_01.py:452
 
 
