@@ -974,3 +974,145 @@ def test_import_daily_versioned_matches_parquet_path(spark, tmp_path):
         (r["DataTurno"], r["Tear"]): r["Eficiencia"] for r in old.collect()
     }
     assert old_by_key[("2024-01-05.A", "00001")] == 85.5
+
+
+def test_merge_when_not_matched_condition(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: unmatched source rows
+    failing the condition are silently NOT inserted; matched rows
+    update regardless; composes with the matched-condition guard and
+    with the zero-touched-files path; delete-merges refuse the
+    option; rand() refuses."""
+    tdir = str(tmp_path / "nmc")
+    write_version(
+        _mk(spark, [(1, 10.0), (2, 20.0)], "k int, v double"),
+        tdir,
+        "append",
+    )
+    src = _mk(
+        spark,
+        [(2, 99.0), (3, 5.0), (4, 80.0)],
+        "k int, v double",
+    )
+    merge_version(
+        spark, tdir, src, key="k",
+        when_not_matched_condition="source.v >= 50",
+    )
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    # k=2 matched: updated; k=3 unmatched, v<50: NOT inserted;
+    # k=4 unmatched, v>=50: inserted
+    assert got == [(1, 10.0), (2, 99.0), (4, 80.0)]
+    # composes with the matched guard
+    merge_version(
+        spark, tdir,
+        _mk(spark, [(1, 0.0), (9, 90.0), (10, 1.0)], "k int, v double"),
+        key="k",
+        when_matched_condition="source.v > 0",
+        when_not_matched_condition="v >= 50",  # bare column resolves
+    )
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert got == [(1, 10.0), (2, 99.0), (4, 80.0), (9, 90.0)]
+    # zero-touched-files path (no key overlap): still filtered
+    merge_version(
+        spark, tdir,
+        _mk(spark, [(100, 1.0), (101, 70.0)], "k int, v double"),
+        key="k",
+        when_not_matched_condition="source.v >= 50",
+    )
+    got = {r["k"] for r in read_version(spark, tdir).collect()}
+    assert 101 in got and 100 not in got
+    with pytest.raises(ValueError, match="never inserts"):
+        merge_version(
+            spark, tdir, src.select("k"), key="k",
+            when_matched="delete",
+            when_not_matched_condition="true",
+        )
+    with pytest.raises(ValueError, match="[Nn]on-deterministic"):
+        merge_version(
+            spark, tdir,
+            _mk(spark, [(200, 1.0)], "k int, v double"),
+            key="k",
+            when_not_matched_condition="rand() < 0.5",
+        )
+
+
+def test_stream_read_versioned_starting_version(spark, tmp_path):
+    """startingVersion: the stream begins AT that commit — earlier
+    history is never emitted; 'latest' emits nothing until a new
+    commit lands."""
+    from tms_etl_spark.operators.versioned import stream_read_versioned
+
+    tdir = str(tmp_path / "tbl")
+    write_version(_mk(spark, [(1,)], "id int"), tdir, "append")  # v1
+    write_version(_mk(spark, [(2,)], "id int"), tdir, "append")  # v2
+    write_version(_mk(spark, [(3,)], "id int"), tdir, "append")  # v3
+
+    def drain(tag, **kw):
+        out = str(tmp_path / f"out{tag}")
+        q = (
+            stream_read_versioned(spark, tdir, **kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"cp{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return {r["id"] for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return set()
+
+    assert drain("a", starting_version=2) == {2, 3}
+    assert drain("b", starting_version="latest") == set()
+    # a new commit after 'latest' start IS emitted on the next drain
+    write_version(_mk(spark, [(4,)], "id int"), tdir, "append")  # v4
+    assert drain("b", starting_version="latest") == {4}
+
+
+def test_stream_read_versioned_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger: a continuously-triggered query consumes
+    the backlog in MULTIPLE micro-batches of whole commits — the
+    version cursor advances at most N files per trigger (fresh
+    queries are capped from batch 0; after a cold restart the first
+    batch may be uncapped — documented slack, the Python DataSource
+    API exposes no checkpointed start to latestOffset)."""
+    import os
+    import time
+
+    from tms_etl_spark.operators.versioned import stream_read_versioned
+
+    tdir = str(tmp_path / "tbl")
+    for i in range(4):
+        write_version(
+            _mk(spark, [(i,)], "id int").coalesce(1), tdir, "append"
+        )
+    out = str(tmp_path / "out")
+    q = (
+        stream_read_versioned(spark, tdir, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        got: set = set()
+        deadline = time.time() + 120
+        while got != {0, 1, 2, 3} and time.time() < deadline:
+            time.sleep(1)
+            try:
+                got = {
+                    r["id"] for r in spark.read.parquet(out).collect()
+                }
+            except Exception:
+                got = set()
+    finally:
+        q.stop()
+    assert got == {0, 1, 2, 3}
+    # batch granularity: four single-file commits → four micro-batches
+    commits = [
+        f
+        for f in os.listdir(str(tmp_path / "cp") + "/commits")
+        if not f.startswith(".")
+    ]
+    assert len(commits) >= 4

@@ -221,6 +221,11 @@ def _parser() -> argparse.ArgumentParser:
         "(first-write-wins guards)",
     )
     tm.add_argument(
+        "--when-not-matched-condition", default=None, metavar="SQL",
+        help="WHEN NOT MATCHED AND <cond> THEN INSERT: unmatched "
+        "source rows failing it are not inserted",
+    )
+    tm.add_argument(
         "--sync-delete-unmatched", action="store_true",
         help="full-sync replication: DELETE target rows with no "
         "source key (WHEN NOT MATCHED BY SOURCE; rewrites every "
@@ -637,6 +642,9 @@ def main(argv: list[str] | None = None) -> int:
                     when_matched=args.when_matched,
                     txn_id=args.txn_id,
                     when_matched_condition=args.when_matched_condition,
+                    when_not_matched_condition=(
+                        args.when_not_matched_condition
+                    ),
                     when_not_matched_by_source=(
                         "delete" if args.sync_delete_unmatched else None
                     ),

@@ -3670,6 +3670,27 @@ def _dir_has_parquet(spark: SparkSession, path: str) -> bool:
     )
 
 
+def _insert_filter(df: DataFrame, cond: str) -> DataFrame:
+    """``WHEN NOT MATCHED AND <cond> THEN INSERT`` (r11): keep only
+    the unmatched source rows passing ``cond`` (false/NULL rows are
+    silently not inserted — SQL MERGE semantics). The frame is
+    aliased ``source`` so the same qualified grammar as
+    ``when_matched_condition`` works; bare column names resolve too
+    (there is no target side for an unmatched row). Non-deterministic
+    conditions refuse — a replayed merge must insert the same rows."""
+    from pyspark.sql import functions as F
+
+    out = df.alias("source").where(
+        F.coalesce(F.expr(cond), F.lit(False))
+    )
+    if not _filter_deterministic(out):
+        raise ValueError(
+            f"non-deterministic when_not_matched_condition {cond!r} — "
+            "a replayed or retried merge would insert different rows"
+        )
+    return out
+
+
 def _source_keys_broadcastable(
     spark: SparkSession,
     table_dir: str,
@@ -3729,6 +3750,7 @@ def merge_version(
     merge_schema: bool = False,
     when_matched_condition: str | None = None,
     when_not_matched_by_source: str | None = None,
+    when_not_matched_condition: str | None = None,
 ) -> int:
     """MERGE INTO for the versioned layer — copy-on-write upsert
     (``when_matched="update"``: matched target rows are replaced by
@@ -3811,6 +3833,12 @@ def merge_version(
     (target, source) pair, so duplicate-keyed target rows behave like
     Delta's per-row UPDATE. Non-deterministic conditions refuse.
 
+    ``when_not_matched_condition`` (r11 — Delta's ``WHEN NOT MATCHED
+    AND <cond> THEN INSERT``): unmatched source rows insert only when
+    the condition (over ``source.<col>`` / bare columns) passes;
+    failing rows are silently not inserted. Refused with
+    ``when_matched="delete"`` (a delete-merge never inserts).
+
     ``when_not_matched_by_source="delete"`` (r11 — Delta's ``WHEN NOT
     MATCHED BY SOURCE THEN DELETE``): full-sync replication — target
     rows whose key has no source row are deleted, making the table
@@ -3830,6 +3858,11 @@ def merge_version(
         raise ValueError(
             "when_not_matched_by_source must be None or 'delete', got "
             f"{when_not_matched_by_source!r}"
+        )
+    if when_not_matched_condition is not None and when_matched == "delete":
+        raise ValueError(
+            "when_not_matched_condition is meaningless with "
+            "when_matched='delete' — a delete-merge never inserts"
         )
     keys: list[str] = [key] if isinstance(key, str) else list(key)
     if not keys:
@@ -4061,11 +4094,38 @@ def merge_version(
                 src_effective = source_df.join(
                     scan.select(*keys).distinct(), keys, "left_anti"
                 )
+        elif (
+            when_not_matched_condition is not None
+            and when_matched == "update"
+        ):
+            # split only when the INSERT clause is conditional:
+            # matched source rows update unconditionally, unmatched
+            # rows insert iff the condition passes (filtered below)
+            src_effective = source_df.join(
+                scan.select(*keys).distinct(), keys, "left_semi"
+            ).unionByName(
+                _insert_filter(
+                    source_df.join(
+                        scan.select(*keys).distinct(), keys, "left_anti"
+                    ),
+                    when_not_matched_condition,
+                )
+            )
         if not full_sync:
             # unmatched target rows survive; under full-sync they are
             # exactly the NOT MATCHED BY SOURCE rows and are dropped
             parts.append(scan.join(src_keys, keys, "left_anti"))
     if src_effective is not None:
+        if when_not_matched_condition is not None and not (
+            touched and when_matched_condition is None
+        ):
+            # zero-touched-files path (whole source inserts) or the
+            # conditional-matched path (src_effective is the insert
+            # set): filter the inserts; the unconditional-matched
+            # touched path already split + filtered above
+            src_effective = _insert_filter(
+                src_effective, when_not_matched_condition
+            )
         parts.append(src_effective)
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-merge-{uuid.uuid4().hex[:8]}"
@@ -4460,7 +4520,12 @@ def optimize_where(
     return v
 
 
-def stream_read_versioned(spark: SparkSession, table_dir: str) -> DataFrame:
+def stream_read_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    starting_version: int | str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming SOURCE over a versioned table — the primitive every
     table-to-table pipeline (bronze→silver→gold) is built on, Delta's
     ``spark.readStream.format("delta")`` (VERDICT r10 What's missing
@@ -4489,15 +4554,23 @@ def stream_read_versioned(spark: SparkSession, table_dir: str) -> DataFrame:
     maintenance in windows between streaming jobs. Implementation:
     `sources/pyds.py:VersionedTableStreamReader` (Python DataSource
     API); this front door just registers the source and opens the
-    reader."""
+    reader.
+
+    ``starting_version`` (Delta's ``startingVersion``): begin AT that
+    commit instead of the full current snapshot — ``"latest"`` tails
+    only commits made after the query starts (backfill-free CDC
+    consumers). ``max_files_per_trigger`` bounds each micro-batch to
+    whole commits totalling at most that many files (always ≥1
+    commit) — backpressure for catch-up reads over long histories."""
     from tms_etl_spark.sources.pyds import VersionedTableDataSource
 
     spark.dataSource.register(VersionedTableDataSource)
-    return (
-        spark.readStream.format("tms_versioned")
-        .option("path", table_dir)
-        .load()
-    )
+    r = spark.readStream.format("tms_versioned").option("path", table_dir)
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.load()
 
 
 def stream_write_versioned(

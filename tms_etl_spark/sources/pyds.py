@@ -509,14 +509,94 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._table = path.removeprefix("file:")
         self._schema = schema  # declared output schema (StructType)
 
+        def _opt(name: str):
+            return options.get(name) or options.get(name.lower())
+
+        # startingVersion (Delta parity): first batch begins AT that
+        # version's commit ("latest" = only commits after the query
+        # starts). Offsets mean "consumed THROUGH v", so the initial
+        # offset is startingVersion − 1.
+        self._starting = _opt("startingVersion")
+        # maxFilesPerTrigger (Delta parity, VERSION-granular): each
+        # latestOffset advances through whole commits until adding the
+        # next commit's files would exceed the cap (always ≥1 commit,
+        # so an oversized single commit still progresses). Needs the
+        # reader's version cursor; after a RESTART the first
+        # latestOffset may be uncapped (the cursor re-arms from the
+        # replayed batch's offsets) — a bounded, documented slack.
+        self._max_files = int(_opt("maxFilesPerTrigger") or 0)
+        self._cursor: int | None = None
+
+    def _start_version(self) -> int:
+        if self._starting is not None:
+            if str(self._starting).lower() == "latest":
+                return _current_version_py(self._table)
+            return int(self._starting) - 1
+        return 0
+
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        v = self._start_version()
+        self._cursor = v
+        return {"version": v}
+
+    def _files_added(self, prev_man: dict, man: dict) -> int:
+        """Files NEW in ``man`` vs ``prev_man`` — listing metadata
+        under the added dirs only (append commits add dirs)."""
+        prev_dirs = set(prev_man["dirs"])
+        n = 0
+        for d in man["dirs"]:
+            if d in prev_dirs:
+                continue
+            full = os.path.join(self._table, d)
+            for dirpath, _dn, fns in os.walk(full):
+                n += sum(1 for f in fns if f.endswith(".parquet"))
+        return n
 
     def latestOffset(self) -> dict:
-        return {"version": _current_version_py(self._table)}
+        cur = _current_version_py(self._table)
+        if not self._max_files:
+            self._cursor = cur
+            return {"version": cur}
+        start = self._cursor
+        if start is None:
+            # the engine may ask for the latest offset BEFORE the
+            # initial one (fresh query) or after a restart (no
+            # initialOffset call at all): arm the cursor from the
+            # startingVersion base — the capped walk then catches up
+            # one bounded step per trigger. A restarted query whose
+            # checkpoint is ahead of this base plans no batch until
+            # the walk passes it (bounded, self-healing; the replayed
+            # partitions() call re-arms directly when one exists).
+            start = self._start_version()
+        if start >= cur:
+            self._cursor = cur
+            return {"version": cur}
+        end = start
+        files = 0
+        prev_man = _read_manifest_py(self._table, end) if end else None
+        while end < cur:
+            man = _read_manifest_py(self._table, end + 1)
+            n_new = (
+                self._files_added(prev_man, man)
+                if prev_man is not None
+                else len(_live_files_py(self._table, man))
+            )
+            if files and files + n_new > self._max_files:
+                break
+            files += n_new
+            end += 1
+            prev_man = man
+            if files >= self._max_files:
+                break
+        self._cursor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         sv, ev = start["version"], end["version"]
+        # re-arm the rate-limit cursor after a restart replay: the
+        # engine hands us the checkpointed offsets here
+        if self._cursor is None or ev > self._cursor:
+            self._cursor = ev
         if ev <= sv:
             return [_FilePartition("")]
         man_end = _read_manifest_py(self._table, ev)
