@@ -7,7 +7,6 @@ Usage: python scripts/driver_sim.py [names...]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -21,52 +20,10 @@ from tms_etl_spark import catalog
 from tms_etl_spark.sources.tables import TABLE_NAMES
 
 
-def _canon_cell(x):
-    """Collapse numpy scalars / pandas timestamps to plain Python so
-    width (int32 vs int64, datetime ns vs us) doesn't matter — but
-    KIND (int vs float vs Decimal) does."""
-    if type(x).__module__ == "numpy":
-        x = x.tolist() if hasattr(x, "ndim") and x.ndim else x.item()
-    if isinstance(x, pd.Timestamp):
-        x = x.to_pydatetime()
-    return x
-
-
-def cell_eq(a, b) -> bool:
-    """Dtype-STRICT cell comparison (r11): the driver's correctness
-    gate hashes canonical cell reprs, so ``223738.0 == 223738`` being
-    numerically true is NOT enough — a float64 vs int64 column hashes
-    differently and fails the real gate (this exact class hid the
-    ``lakehouse_type_widening`` red for two rounds: DuckDB's bare
-    ``SUM(BIGINT)`` returns HUGEINT → pandas float64 while Spark sums
-    to int64). After scalar canonicalisation, mismatched Python types
-    are a FAIL even when values compare equal."""
-    a, b = _canon_cell(a), _canon_cell(b)
-    if a is None and b is None:
-        return True
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
-    if type(a) is not type(b):
-        # bool is an int subclass but hashes differently; lists/tuples
-        # from array columns may surface as either — compare
-        # element-wise below only when the outer kind agrees.
-        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
-            pass
-        else:
-            return False
-    if isinstance(a, float) and isinstance(b, float):
-        return a == b or (math.isnan(a) and math.isnan(b))
-    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
-        return len(a) == len(b) and all(
-            cell_eq(x, y) for x, y in zip(a, b)
-        )
-    try:
-        return bool(a == b)
-    except Exception:
-        return repr(a) == repr(b)
+# ONE implementation of the dtype-STRICT comparison, shared with the
+# pytest gate — two drifting copies would recreate exactly the
+# "local green, driver red" class this strictness exists to kill.
+from tests.oracle_utils import _cell_eq as cell_eq  # noqa: E402
 
 
 def canon(pdf: pd.DataFrame):

@@ -1116,3 +1116,202 @@ def test_stream_read_versioned_max_files_per_trigger(spark, tmp_path):
         if not f.startswith(".")
     ]
     assert len(commits) >= 4
+
+
+# ---------------------------------------------------------------------------
+# Round-11 part 4: cross-feature interactions — the new MERGE clauses
+# against schema evolution, column mapping, and hive partitioning.
+# ---------------------------------------------------------------------------
+
+
+def test_guarded_merge_with_schema_evolution(spark, tmp_path):
+    """when_matched_condition × merge_schema: the source carries an
+    ADDED column; guarded-kept target rows null-fill it, updated and
+    inserted rows carry it, and the recorded schema evolves in the
+    same commit."""
+    tdir = str(tmp_path / "ge")
+    write_version(
+        _mk(spark, [(1, 10.0), (2, 20.0)], "k int, v double"),
+        tdir,
+        "append",
+    )
+    src = _mk(
+        spark,
+        [(1, 0.0, "a"), (2, 99.0, "b"), (3, 30.0, "c")],
+        "k int, v double, tag string",
+    )
+    merge_version(
+        spark, tdir, src, key="k",
+        when_matched_condition="source.v > 0",
+        merge_schema=True,
+    )
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    # k=1 guarded (source v=0): target kept, tag null-fills;
+    # k=2 updated wide; k=3 inserted wide
+    assert got == [(1, 10.0, None), (2, 99.0, "b"), (3, 30.0, "c")]
+
+
+def test_composite_merge_on_renamed_table(spark, tmp_path):
+    """Composite MERGE through a column map: one key column was
+    RENAMED (physical name differs), the tuple probe reads physical
+    names and the CoW writes through the map."""
+    tdir = str(tmp_path / "ren")
+    write_version(
+        _mk(
+            spark,
+            [("d1", 1, 10.0), ("d2", 2, 20.0)],
+            "dt string, tear int, eff double",
+        ),
+        tdir,
+        "append",
+    )
+    rename_column(spark, tdir, "dt", "shift_day")
+    src = _mk(
+        spark,
+        [("d1", 1, 99.0), ("d9", 9, 90.0)],
+        "shift_day string, tear int, eff double",
+    )
+    merge_version(spark, tdir, src, key=["shift_day", "tear"])
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert got == [("d1", 1, 99.0), ("d2", 2, 20.0), ("d9", 9, 90.0)]
+    # time travel still shows the pre-merge values under the new name
+    old = read_version(spark, tdir, version=2)
+    assert sorted(tuple(r) for r in old.collect()) == [
+        ("d1", 1, 10.0),
+        ("d2", 2, 20.0),
+    ]
+
+
+def test_full_sync_on_partitioned_table(spark, tmp_path):
+    """Full-sync MERGE on a hive-partitioned table: every file
+    rewrites but the layout is preserved (partition pruning stays
+    directory-exact) and generated partition columns derive for the
+    source."""
+    import os
+
+    tdir = str(tmp_path / "part")
+    write_version(
+        _mk(
+            spark,
+            [(1, "2024-01", 1.0), (2, "2024-02", 2.0), (3, "2024-02", 3.0)],
+            "k int, month string, v double",
+        ),
+        tdir,
+        "append",
+        partition_by=["month"],
+    )
+    src = _mk(
+        spark,
+        [(2, "2024-02", 22.0), (4, "2024-03", 4.0)],
+        "k int, month string, v double",
+    )
+    merge_version(
+        spark, tdir, src, key="k", when_not_matched_by_source="delete"
+    )
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert got == [(2, "2024-02", 22.0), (4, "2024-03", 4.0)]
+    # the rewrite kept the hive layout
+    from tms_etl_spark.operators.versioned import _read_json, _manifest_path
+
+    man = _read_json(spark, _manifest_path(tdir, 2))
+    assert man.get("hive_dirs"), "full-sync rewrite lost the hive layout"
+    new_dir = man["hive_dirs"][-1]
+    assert any(
+        seg.startswith("month=")
+        for seg in os.listdir(os.path.join(tdir, new_dir))
+    )
+
+
+def test_guarded_merge_on_generated_partitions(spark, tmp_path):
+    """Guarded MERGE on a generated-partition table: the source lacks
+    the partition column (derived from the recorded expression) and
+    the guard still evaluates per pair."""
+    tdir = str(tmp_path / "gen")
+    write_version(
+        _mk(spark, [(10, 1.0), (20, 2.0)], "id int, v double"),
+        tdir,
+        "append",
+        partition_by=["bucket"],
+        partition_exprs={"bucket": "pmod(id, 4)"},
+    )
+    src = _mk(spark, [(10, 0.0), (20, 99.0), (30, 3.0)], "id int, v double")
+    merge_version(
+        spark, tdir, src, key="id",
+        when_matched_condition="source.v > 0",
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in read_version(spark, tdir).collect()
+    )
+    assert got == [(10, 1.0), (20, 99.0), (30, 3.0)]
+
+
+def test_composite_delete_survives_optimize_and_cdc(spark, tmp_path):
+    """A composite deletion vector composes with compaction purge and
+    the version-changes refusal: CDC across the delete refuses (no
+    file-level delta), and optimize physically purges the tuple."""
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        optimize_version,
+        read_version_changes,
+    )
+
+    tdir = str(tmp_path / "cdc")
+    write_version(
+        _mk(
+            spark,
+            [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)],
+            "k1 string, k2 int, v double",
+        ),
+        tdir,
+        "append",
+    )
+    delete_rows(spark, tdir, _mk(spark, [("a", 2)], "k1 string, k2 int"))
+    with pytest.raises(ValueError, match="delete"):
+        read_version_changes(spark, tdir, 1, 2)
+    optimize_version(spark, tdir)
+    got = sorted(tuple(r) for r in read_version(spark, tdir).collect())
+    assert got == [("a", 1, 1.0), ("b", 1, 3.0)]
+
+
+def test_stream_source_starting_version_validation(spark, tmp_path):
+    """startingVersion=0 / garbage refuse with a clear message
+    (versions are 1-based; Delta's 0 would alias the full snapshot,
+    which is the DEFAULT here) — not a FileNotFoundError on
+    'v-00001.json'."""
+    from tms_etl_spark.sources.pyds import VersionedTableStreamReader
+
+    tdir = str(tmp_path / "tbl")
+    write_version(_mk(spark, [(1,)], "id int"), tdir, "append")
+    r = VersionedTableStreamReader(
+        {"path": tdir, "startingversion": "0"}
+    )
+    with pytest.raises(ValueError, match="1-based"):
+        r.initialOffset()
+    r2 = VersionedTableStreamReader(
+        {"path": tdir, "startingversion": "soon"}
+    )
+    with pytest.raises(ValueError, match="startingVersion"):
+        r2.initialOffset()
+
+
+def test_stream_source_rate_limit_survives_expired_manifests(
+    spark, tmp_path
+):
+    """The capped latestOffset walk falls back to an UNCAPPED advance
+    when a manifest in its range was expired by retention — the
+    stream keeps working (same behavior as without the option)
+    instead of dying on a FileNotFoundError."""
+    from tms_etl_spark.operators.versioned import expire_versions
+    from tms_etl_spark.sources.pyds import VersionedTableStreamReader
+
+    tdir = str(tmp_path / "tbl")
+    for i in range(5):
+        write_version(_mk(spark, [(i,)], "id int"), tdir, "append")
+    expire_versions(spark, tdir, keep_last=2, orphan_grace_hours=0)
+    r = VersionedTableStreamReader(
+        {"path": tdir, "maxfilespertrigger": "1"}
+    )
+    # cursor arms at 0; manifests v1..v3 are gone — the walk must
+    # fall back, not crash
+    off = r.latestOffset()
+    assert off == {"version": 5}

@@ -614,10 +614,11 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            ktype = dict(cur.dtypes)[args.key]
+            kc = key_cols[0]
+            ktype = dict(cur.dtypes)[kc]
             keys = spark.createDataFrame(
-                [(v,) for v in args.values.split(",")], f"{args.key} string"
-            ).select(F.col(args.key).cast(ktype))
+                [(v,) for v in args.values.split(",")], f"{kc} string"
+            ).select(F.col(kc).cast(ktype))
             v = vt.delete_rows(spark, args.dir, keys, txn_id=args.txn_id)
             print(f"committed v{v}")
             return 0

@@ -4060,6 +4060,22 @@ def merge_version(
             dirs=sorted(touched_by_dir),
             paths_by_dir=touched_by_dir,
         )
+        conditional = when_matched_condition is not None or (
+            when_not_matched_condition is not None
+            and when_matched == "update"
+        )
+        if conditional and not full_sync:
+            # the conditional rewrite embeds the touched scan in up
+            # to four branches of ONE write plan (guard-kept pairs,
+            # updated pairs, unmatched survivors, insert anti-join) —
+            # localCheckpoint materializes the batch-sized touched
+            # scan and the source once instead of re-reading the
+            # parquet / re-running the source plan per branch.
+            # Skipped under full-sync, where "touched" is the whole
+            # table and a second materialized copy is exactly the
+            # memory pressure to avoid (those branches re-scan).
+            scan = scan.localCheckpoint(eager=False)
+            source_df = source_df.localCheckpoint(eager=False)
         if when_matched_condition is not None:
             # WHEN MATCHED AND <cond>: evaluated per matched
             # (target, source) pair under the documented aliases —

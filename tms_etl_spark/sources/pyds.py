@@ -531,7 +531,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if self._starting is not None:
             if str(self._starting).lower() == "latest":
                 return _current_version_py(self._table)
-            return int(self._starting) - 1
+            try:
+                sv = int(self._starting)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"startingVersion must be a version number >= 1 "
+                    f"or 'latest', got {self._starting!r}"
+                ) from None
+            if sv < 1:
+                raise ValueError(
+                    f"startingVersion must be >= 1 (versions are "
+                    f"1-based), got {sv}"
+                )
+            return sv - 1
         return 0
 
     def initialOffset(self) -> dict:
@@ -573,21 +585,31 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return {"version": cur}
         end = start
         files = 0
-        prev_man = _read_manifest_py(self._table, end) if end else None
-        while end < cur:
-            man = _read_manifest_py(self._table, end + 1)
-            n_new = (
-                self._files_added(prev_man, man)
-                if prev_man is not None
-                else len(_live_files_py(self._table, man))
-            )
-            if files and files + n_new > self._max_files:
-                break
-            files += n_new
-            end += 1
-            prev_man = man
-            if files >= self._max_files:
-                break
+        try:
+            prev_man = _read_manifest_py(self._table, end) if end else None
+            while end < cur:
+                man = _read_manifest_py(self._table, end + 1)
+                n_new = (
+                    self._files_added(prev_man, man)
+                    if prev_man is not None
+                    else len(_live_files_py(self._table, man))
+                )
+                if files and files + n_new > self._max_files:
+                    break
+                files += n_new
+                end += 1
+                prev_man = man
+                if files >= self._max_files:
+                    break
+        except FileNotFoundError:
+            # a manifest in the walk range was EXPIRED (retention):
+            # the capped walk cannot cost the step, so fall back to
+            # one uncapped advance — same behavior as a stream
+            # without the option; partitions() then applies its own
+            # initial-snapshot / append-chain rules against manifests
+            # that do exist
+            self._cursor = cur
+            return {"version": cur}
         self._cursor = end
         return {"version": end}
 
