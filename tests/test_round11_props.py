@@ -1315,3 +1315,82 @@ def test_stream_source_rate_limit_survives_expired_manifests(
     # fall back, not crash
     off = r.latestOffset()
     assert off == {"version": 5}
+
+
+def test_stream_ignore_changes_and_deletes(spark, tmp_path):
+    """ignoreDeletes / ignoreChanges (Delta parity): a tombstone
+    commit stops failing the stream under ignoreDeletes (empty delta
+    — deleted rows never retracted); a MERGE rewrite streams under
+    ignoreChanges as live(end) − live(start), re-emitting the
+    rewritten files' survivor rows (at-least-once)."""
+    from tms_etl_spark.operators.versioned import (
+        delete_rows,
+        stream_read_versioned,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    write_version(
+        _mk(spark, [(1, "a"), (2, "b")], "id int, v string").coalesce(1),
+        tdir,
+        "append",
+    )
+
+    def drain(tag, **kw):
+        out = str(tmp_path / f"out{tag}")
+        q = (
+            stream_read_versioned(spark, tdir, **kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"cp{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return sorted(
+                tuple(r) for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    # baseline consumed
+    assert drain("d", ignore_deletes=True) == [(1, "a"), (2, "b")]
+    delete_rows(spark, tdir, _mk(spark, [(2,)], "id int"))
+    # tombstone commit: empty delta, no failure, no retraction
+    assert drain("d", ignore_deletes=True) == [(1, "a"), (2, "b")]
+    # and an append after the delete still tails
+    write_version(_mk(spark, [(3, "c")], "id int, v string"), tdir, "append")
+    assert drain("d", ignore_deletes=True) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+    # ignoreChanges across a MERGE rewrite: start a fresh consumer at
+    # the CURRENT snapshot... (the initial snapshot refuses active
+    # tombstones under both flags), then merge
+    from tms_etl_spark.operators.versioned import (
+        current_version,
+        merge_version,
+        optimize_version,
+    )
+
+    optimize_version(spark, tdir)  # purge tombstones for a clean base
+    base_v = current_version(spark, tdir)
+    assert drain(
+        "c", ignore_changes=True, starting_version=base_v
+    ) == sorted([(1, "a"), (3, "c")])
+    merge_version(
+        spark, tdir,
+        _mk(spark, [(1, "A"), (9, "z")], "id int, v string"),
+        key="id",
+    )
+    got = drain("c", ignore_changes=True, starting_version=base_v)
+    # the rewrite re-emits the touched file's survivor row (3, "c")
+    # alongside the update and the insert — at-least-once
+    assert (1, "A") in got and (9, "z") in got
+    assert got.count((3, "c")) >= 2  # original + re-emit
+    # without the flag the same seam refuses
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="MERGE|delta"):
+        drain("p", starting_version=base_v)

@@ -4541,6 +4541,8 @@ def stream_read_versioned(
     table_dir: str,
     starting_version: int | str | None = None,
     max_files_per_trigger: int | None = None,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
 ) -> DataFrame:
     """Streaming SOURCE over a versioned table — the primitive every
     table-to-table pipeline (bronze→silver→gold) is built on, Delta's
@@ -4577,7 +4579,18 @@ def stream_read_versioned(
     only commits made after the query starts (backfill-free CDC
     consumers). ``max_files_per_trigger`` bounds each micro-batch to
     whole commits totalling at most that many files (always ≥1
-    commit) — backpressure for catch-up reads over long histories."""
+    commit) — backpressure for catch-up reads over long histories.
+
+    ``ignore_deletes`` / ``ignore_changes`` (Delta parity): relax the
+    insert-only contract. ignore_deletes tolerates tombstone commits
+    (deleted rows are never RETRACTED — the delta is empty);
+    ignore_changes (subsumes it) tolerates MERGE rewrites,
+    compactions and overwrites by emitting live(end) − live(start) —
+    rewritten files RE-EMIT their survivor rows, so delivery is
+    AT-LEAST-ONCE and downstream must dedupe by key (pair with
+    `stream_merge_versioned` for an idempotent apply). The initial
+    snapshot still refuses active tombstones under both flags:
+    emitting it per-file would emit the ERASED rows themselves."""
     from tms_etl_spark.sources.pyds import VersionedTableDataSource
 
     spark.dataSource.register(VersionedTableDataSource)
@@ -4586,6 +4599,10 @@ def stream_read_versioned(
         r = r.option("startingVersion", str(starting_version))
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if ignore_deletes:
+        r = r.option("ignoreDeletes", "true")
+    if ignore_changes:
+        r = r.option("ignoreChanges", "true")
     return r.load()
 
 

@@ -527,6 +527,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._max_files = int(_opt("maxFilesPerTrigger") or 0)
         self._cursor: int | None = None
 
+        def _flag(name: str) -> bool:
+            return str(_opt(name) or "").lower() in ("true", "1", "yes")
+
+        # Delta-parity escape hatches for non-append commits between
+        # offsets. ignoreDeletes: tombstone-only commits stop failing
+        # the stream — deleted rows are simply never RETRACTED (no
+        # new files, empty delta). ignoreChanges (subsumes
+        # ignoreDeletes): MERGE rewrites / compactions / overwrites
+        # stop failing too — the delta is live(end) − live(start), so
+        # rewritten files re-emit their SURVIVOR rows alongside the
+        # changed ones: AT-LEAST-ONCE, downstream must dedupe by key
+        # (exactly Delta's documented ignoreChanges contract).
+        self._ignore_deletes = _flag("ignoreDeletes")
+        self._ignore_changes = _flag("ignoreChanges")
+
     def _start_version(self) -> int:
         if self._starting is not None:
             if str(self._starting).lower() == "latest":
@@ -624,30 +639,48 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         man_end = _read_manifest_py(self._table, ev)
         if sv == 0:
             if man_end.get("deletes"):
+                # NOT waived by ignoreChanges/ignoreDeletes: emitting
+                # the initial snapshot per-file would emit the
+                # tombstoned (deleted) rows themselves — leaking
+                # erased data, not just double-delivering live data
                 raise ValueError(
                     "initial snapshot has row-level deletes; a per-file "
                     "stream cannot subtract tombstones — optimize the "
-                    "table first"
+                    "table first, or skip the backfill with "
+                    "startingVersion"
                 )
             new = _live_files_py(self._table, man_end)
         else:
             man_start = _read_manifest_py(self._table, sv)
-            if man_start.get("deletes", []) != man_end.get("deletes", []):
+            tolerant = self._ignore_changes
+            if man_start.get("deletes", []) != man_end.get(
+                "deletes", []
+            ) and not (tolerant or self._ignore_deletes):
                 raise ValueError(
                     f"versions {sv}..{ev} include a row-level delete — "
-                    "no file-level delta; stream append-only tables"
+                    "no file-level delta; stream append-only tables or "
+                    "pass ignoreDeletes (deleted rows are never "
+                    "retracted)"
                 )
-            if man_start.get("dead_files", []) != man_end.get(
-                "dead_files", []
+            if (
+                man_start.get("dead_files", [])
+                != man_end.get("dead_files", [])
+                and not tolerant
             ):
                 raise ValueError(
                     f"versions {sv}..{ev} include a MERGE rewrite — "
-                    "no pure-append file delta; stream append-only tables"
+                    "no pure-append file delta; stream append-only "
+                    "tables or pass ignoreChanges (rewritten files "
+                    "re-emit survivor rows: at-least-once)"
                 )
-            if not set(man_start["dirs"]).issubset(man_end["dirs"]):
+            if (
+                not set(man_start["dirs"]).issubset(man_end["dirs"])
+                and not tolerant
+            ):
                 raise ValueError(
                     f"versions {sv}..{ev} are not an append chain "
-                    "(overwrite/rollback/compact in between)"
+                    "(overwrite/rollback/compact in between); pass "
+                    "ignoreChanges to re-emit rewritten files"
                 )
             old = set(_live_files_py(self._table, man_start))
             new = [
