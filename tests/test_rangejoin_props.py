@@ -103,6 +103,49 @@ def test_guarded_upsert_never_overwrites_existing_with_guarded_rows(
             assert v == tt[k]
 
 
+def test_guarded_upsert_null_guard_is_insert_only(spark, tmp_path):
+    """A NULL guard must take the conservative insert-only fate —
+    target kept on match, row inserted when unmatched — NOT vanish
+    from both branches (pre-fix: where(p) and where(~p) both exclude
+    NULL, silently dropping the row from the merge). Also pins
+    row-for-row parity with the versioned MERGE's expression of the
+    same contract (WHEN MATCHED AND NOT <guard>, NULL→false)."""
+    from tms_etl_spark.operators.versioned import (
+        merge_version,
+        read_version,
+        write_version,
+    )
+
+    t = spark.createDataFrame(
+        [(1, 10, 0), (2, 20, 0)], "k int, v int, flag int"
+    )
+    # flag NULL → guard (flag == 1) is NULL for rows k=2 (matched)
+    # and k=3 (unmatched); k=1 is a normal update
+    b = spark.createDataFrame(
+        [(1, 100, 0), (2, 200, None), (3, 300, None)],
+        "k int, v int, flag int",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in upsert_guarded(
+            t, b, keys=["k"], insert_only=(F.col("flag") == 1)
+        ).collect()
+    }
+    assert got == {1: 100, 2: 20, 3: 300}
+
+    tdir = str(tmp_path / "vt")
+    write_version(t, tdir, "append")
+    merge_version(
+        spark,
+        tdir,
+        b,
+        "k",
+        when_matched_condition="NOT (source.flag = 1)",
+    )
+    vgot = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert vgot == got
+
+
 def test_asof_forward_and_tolerance_semantics(spark):
     """Forward direction picks the EARLIEST right row at-or-after the
     left timestamp; tolerance nulls matches farther than the bound;

@@ -1070,13 +1070,76 @@ def test_stream_read_versioned_starting_version(spark, tmp_path):
 
 
 def test_stream_read_versioned_max_files_per_trigger(spark, tmp_path):
-    """maxFilesPerTrigger: a continuously-triggered query consumes
-    the backlog in MULTIPLE micro-batches of whole commits — the
-    version cursor advances at most N files per trigger (fresh
-    queries are capped from batch 0; after a cold restart the first
-    batch may be uncapped — documented slack, the Python DataSource
-    API exposes no checkpointed start to latestOffset)."""
+    """maxFilesPerTrigger: once the version cursor is armed, each
+    trigger consumes at most N files' worth of whole commits. The
+    FIRST batch of a run is uncapped — the Python DataSource API
+    exposes no checkpointed start to latestOffset, so a capped walk
+    from startingVersion could land BELOW a restarted checkpoint and
+    re-emit delivered versions; returning one uncapped advance keeps
+    the offset log monotone (documented slack). Commits written
+    while the query runs ARE capped: one commit per micro-batch."""
     import os
+    import time
+
+    from tms_etl_spark.operators.versioned import stream_read_versioned
+
+    tdir = str(tmp_path / "tbl")
+    write_version(_mk(spark, [(0,)], "id int").coalesce(1), tdir, "append")
+    out = str(tmp_path / "out")
+    q = (
+        stream_read_versioned(spark, tdir, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def poll(target):
+        got: set = set()
+        deadline = time.time() + 120
+        while got != target and time.time() < deadline:
+            time.sleep(1)
+            try:
+                got = {
+                    r["id"] for r in spark.read.parquet(out).collect()
+                }
+            except Exception:
+                got = set()
+        return got
+
+    try:
+        assert poll({0}) == {0}  # batch 0 (uncapped slack): backlog=v1
+        for i in (1, 2, 3):  # backlog lands while the cursor is armed
+            write_version(
+                _mk(spark, [(i,)], "id int").coalesce(1), tdir, "append"
+            )
+        got = poll({0, 1, 2, 3})
+    finally:
+        q.stop()
+    assert got == {0, 1, 2, 3}
+    # capped granularity: v2..v4 arrived with the cursor armed, so the
+    # three single-file commits take three separate micro-batches
+    commits = [
+        f
+        for f in os.listdir(str(tmp_path / "cp") + "/commits")
+        if not f.startswith(".")
+    ]
+    assert len(commits) >= 4
+
+
+def test_stream_read_versioned_capped_restart_no_duplicates(
+    spark, tmp_path
+):
+    """Regression: a capped query restarted AFTER its last batch was
+    committed must not re-emit delivered versions. The old capped
+    walk re-armed from startingVersion on restart, returning an
+    offset BELOW the checkpoint — Spark plans a batch whenever the
+    offset JSON differs and chains each batch from the previous end,
+    so the offset log moved backwards and already-delivered versions
+    re-emitted as the walk caught up. Now a cold latestOffset returns
+    one uncapped advance (monotone), so a caught-up checkpoint plans
+    no batch and new commits resume capped."""
     import time
 
     from tms_etl_spark.operators.versioned import stream_read_versioned
@@ -1087,35 +1150,46 @@ def test_stream_read_versioned_max_files_per_trigger(spark, tmp_path):
             _mk(spark, [(i,)], "id int").coalesce(1), tdir, "append"
         )
     out = str(tmp_path / "out")
-    q = (
-        stream_read_versioned(spark, tdir, max_files_per_trigger=1)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", str(tmp_path / "cp"))
-        .trigger(processingTime="300 milliseconds")
-        .start()
-    )
-    try:
-        got: set = set()
-        deadline = time.time() + 120
-        while got != {0, 1, 2, 3} and time.time() < deadline:
-            time.sleep(1)
-            try:
-                got = {
-                    r["id"] for r in spark.read.parquet(out).collect()
-                }
-            except Exception:
-                got = set()
-    finally:
-        q.stop()
-    assert got == {0, 1, 2, 3}
-    # batch granularity: four single-file commits → four micro-batches
-    commits = [
-        f
-        for f in os.listdir(str(tmp_path / "cp") + "/commits")
-        if not f.startswith(".")
-    ]
-    assert len(commits) >= 4
+    cp = str(tmp_path / "cp")
+
+    def run(target):
+        q = (
+            stream_read_versioned(spark, tdir, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            rows: list = []
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                time.sleep(1)
+                try:
+                    rows = [
+                        r["id"] for r in spark.read.parquet(out).collect()
+                    ]
+                except Exception:
+                    rows = []
+                if set(rows) == target:
+                    # linger a few triggers: duplicates from a
+                    # backwards offset log surface AFTER catch-up
+                    time.sleep(3)
+                    rows = [
+                        r["id"] for r in spark.read.parquet(out).collect()
+                    ]
+                    break
+            return rows
+        finally:
+            q.stop()
+
+    first = run({0, 1, 2, 3})
+    assert sorted(first) == [0, 1, 2, 3]
+    write_version(_mk(spark, [(9,)], "id int").coalesce(1), tdir, "append")
+    second = run({0, 1, 2, 3, 9})
+    # exactly-once across the restart: no version re-emitted
+    assert sorted(second) == [0, 1, 2, 3, 9]
 
 
 # ---------------------------------------------------------------------------

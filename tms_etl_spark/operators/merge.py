@@ -103,9 +103,19 @@ def upsert_guarded(
     source rows upsert normally. This encodes the reference's
     ``should_process_tear_desligado`` (/root/reference/src/main_01.py:460-473):
     a powered-off shift row never overwrites an earlier real record.
+
+    A NULL guard counts as TRUE (insert-only): when the predicate
+    can't decide, the conservative fate is to never overwrite an
+    existing record — and it keeps this path row-for-row aligned
+    with the versioned MERGE expression of the same contract
+    (``WHEN MATCHED AND NOT <guard>`` coalesces NULL to false: target
+    kept on match, insert when unmatched). Without the coalesce,
+    NULL-guard rows fell out of BOTH branches — neither updating nor
+    inserting — silently dropping them from the merge.
     """
-    guarded = source.where(insert_only)
-    normal = source.where(~insert_only)
+    ins = F.coalesce(insert_only, F.lit(True))
+    guarded = source.where(ins)
+    normal = source.where(~ins)
     # Guarded rows that collide with an existing target key are dropped.
     guarded_new = guarded.join(
         target.select(*keys).distinct(), on=list(keys), how="left_anti"

@@ -3913,6 +3913,24 @@ def merge_version(
     cmap = _column_map(man)
     phys_keys = [cmap.get(k, k) for k in keys]
 
+    conditional = when_matched_condition is not None or (
+        when_not_matched_condition is not None
+        and when_matched == "update"
+    )
+    if conditional and not full_sync:
+        # the conditional rewrite embeds the source in up to four
+        # branches of ONE write plan (guard-kept pairs, updated
+        # pairs, unmatched survivors, insert anti-join) AND in the
+        # key-stat aggregates / touched-file probe below —
+        # localCheckpoint materializes the batch-sized source ONCE,
+        # before ANY derivation, so a non-deterministic source
+        # cannot disagree between the probe/src_keys and the write
+        # branches (deriving src_keys from the un-checkpointed plan
+        # could drop or double-land rows). Skipped under full-sync,
+        # where a second materialized copy of a table-sized scan is
+        # exactly the memory pressure to avoid (branches re-scan).
+        source_df = source_df.localCheckpoint(eager=False)
+
     # one row per NON-NULL source key tuple, or the merge is
     # nondeterministic. count_distinct ignores NULL-component tuples,
     # so NULL keys need their own check — conflating them with
@@ -4060,22 +4078,15 @@ def merge_version(
             dirs=sorted(touched_by_dir),
             paths_by_dir=touched_by_dir,
         )
-        conditional = when_matched_condition is not None or (
-            when_not_matched_condition is not None
-            and when_matched == "update"
-        )
         if conditional and not full_sync:
-            # the conditional rewrite embeds the touched scan in up
-            # to four branches of ONE write plan (guard-kept pairs,
-            # updated pairs, unmatched survivors, insert anti-join) —
-            # localCheckpoint materializes the batch-sized touched
-            # scan and the source once instead of re-reading the
-            # parquet / re-running the source plan per branch.
-            # Skipped under full-sync, where "touched" is the whole
-            # table and a second materialized copy is exactly the
-            # memory pressure to avoid (those branches re-scan).
+            # same plan-reuse move for the touched scan (the source
+            # was already checkpointed up front, before src_keys /
+            # the probe were derived from it): materialize the
+            # batch-sized touched scan once instead of re-reading
+            # the parquet per branch. Skipped under full-sync, where
+            # "touched" is the whole table and a second materialized
+            # copy is exactly the memory pressure to avoid.
             scan = scan.localCheckpoint(eager=False)
-            source_df = source_df.localCheckpoint(eager=False)
         if when_matched_condition is not None:
             # WHEN MATCHED AND <cond>: evaluated per matched
             # (target, source) pair under the documented aliases —

@@ -521,9 +521,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # latestOffset advances through whole commits until adding the
         # next commit's files would exceed the cap (always ≥1 commit,
         # so an oversized single commit still progresses). Needs the
-        # reader's version cursor; after a RESTART the first
-        # latestOffset may be uncapped (the cursor re-arms from the
-        # replayed batch's offsets) — a bounded, documented slack.
+        # reader's version cursor; on the very first trigger and
+        # after a RESTART the first latestOffset is uncapped (the
+        # cursor re-arms there, or from the replayed batch's offsets
+        # when one exists) — a bounded, documented slack that keeps
+        # the offset log monotone.
         self._max_files = int(_opt("maxFilesPerTrigger") or 0)
         self._cursor: int | None = None
 
@@ -541,6 +543,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # (exactly Delta's documented ignoreChanges contract).
         self._ignore_deletes = _flag("ignoreDeletes")
         self._ignore_changes = _flag("ignoreChanges")
+
 
     def _start_version(self) -> int:
         if self._starting is not None:
@@ -563,7 +566,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         v = self._start_version()
-        self._cursor = v
+        # monotone arm only: on a fresh query the engine calls
+        # latestOffset BEFORE initialOffset (observed protocol), so
+        # the cursor may already sit at the first batch's end —
+        # winding it back here would make the next capped walk
+        # re-cover (and re-emit) that batch's versions
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
         return {"version": v}
 
     def _files_added(self, prev_man: dict, man: dict) -> int:
@@ -587,14 +596,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         start = self._cursor
         if start is None:
             # the engine may ask for the latest offset BEFORE the
-            # initial one (fresh query) or after a restart (no
-            # initialOffset call at all): arm the cursor from the
-            # startingVersion base — the capped walk then catches up
-            # one bounded step per trigger. A restarted query whose
-            # checkpoint is ahead of this base plans no batch until
-            # the walk passes it (bounded, self-healing; the replayed
-            # partitions() call re-arms directly when one exists).
-            start = self._start_version()
+            # initial one (fresh query) or after a restart whose last
+            # batch was already COMMITTED (then there is no replayed
+            # partitions() call to re-arm the cursor). Walking from
+            # the startingVersion base here would return an offset
+            # BELOW such a checkpoint — Spark plans a batch whenever
+            # the offset JSON differs and chains each batch from the
+            # previous end, so the offset log would move backwards
+            # and already-delivered versions would re-emit. Return
+            # ONE uncapped advance instead (the same documented slack
+            # as the replay case); the cap applies from the next
+            # trigger on, and a caught-up checkpoint plans no batch.
+            self._cursor = cur
+            return {"version": cur}
         if start >= cur:
             self._cursor = cur
             return {"version": cur}

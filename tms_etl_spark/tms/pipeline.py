@@ -134,7 +134,7 @@ def import_daily_versioned(
     from tms_etl_spark.operators.versioned import (
         current_version,
         merge_version,
-        read_version_where,
+        read_version,
         write_version,
     )
     from tms_etl_spark.tms.quality import is_tear_desligado_sql
@@ -165,11 +165,17 @@ def import_daily_versioned(
                 f"NOT ({is_tear_desligado_sql('source')})"
             ),
         )
-    in_months = ", ".join(f"'{m}'" for m in months_touched)
+    # Touched-month stat via a Column predicate, NOT an interpolated
+    # SQL string: `month` is data-derived (substring of DataTurno from
+    # CSVs), and a malformed value containing a quote would break the
+    # expression AFTER the merge already committed. `month` is the
+    # hive partition column, so Catalyst partition-prunes the isin —
+    # same O(touched-partitions) cost the SQL form had (IN lists never
+    # drove manifest zonemap pruning anyway, per read_version_where).
     table_rows = (
-        read_version_where(
-            spark, table_dir, f"month IN ({in_months})"
-        ).count()
+        read_version(spark, table_dir)
+        .where(F.col("month").isin(months_touched))
+        .count()
         if months_touched
         else 0
     )
