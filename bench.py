@@ -173,6 +173,56 @@ def _production_overrides():
             )
         )
 
+    def merge_concurrent(spark, sf_dir):
+        # production form: the same two writers applied serially —
+        # base write, winner append, merge with commit_retries (no
+        # injected lost race; the catalog entry hooks the commit
+        # point to force a deterministic retry for the oracle)
+        import tempfile
+
+        from tms_etl_spark.catalog.exact import dsum
+        from tms_etl_spark.operators.versioned import (
+            merge_version,
+            read_version,
+            write_version,
+        )
+
+        tdir = tempfile.mkdtemp(prefix="bench_mergecc_")
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_totalprice").alias("price"),
+        )
+        write_version(
+            o.where(F.col("ok") % 4 == 0).repartitionByRange(4, "ok"),
+            tdir,
+            "append",
+        )
+        write_version(
+            o.where(F.col("ok") % 4 == 1)
+            .select(
+                (-F.col("ok")).alias("ok"),
+                F.lit("w").alias("st"),
+                "price",
+            )
+            .coalesce(1),
+            tdir,
+            "append",
+        )
+        src_df = o.where(
+            (F.col("ok") % 8 == 0) | (F.col("ok") % 4 == 2)
+        ).withColumn("st", F.lit("u"))
+        merge_version(spark, tdir, src_df, key="ok", commit_retries=2)
+        return (
+            read_version(spark, tdir)
+            .groupBy("st")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("ok").alias("key_sum"),
+                dsum("price", "total_price"),
+            )
+        )
+
     return {
         "sim_neardup_pairs_lsh": neardup_lsh,
         "sim_ivf_topk": ivf,
@@ -184,6 +234,7 @@ def _production_overrides():
         "text_bpe_encode": bpe,
         "text_winnow_fingerprint": winnow,
         "sim_hard_negatives": hardneg,
+        "lakehouse_merge_concurrent": merge_concurrent,
     }
 
 
@@ -307,6 +358,9 @@ HEADLINE = [
     "lakehouse_merge_composite_key",
     "lakehouse_merge_guarded",
     "lakehouse_merge_full_sync",
+    # round-19 addition: optimistic-concurrency MERGE (conflict-checked
+    # commit_retries; bench measures the serial production form)
+    "lakehouse_merge_concurrent",
 ]
 
 

@@ -796,6 +796,15 @@ AUDIT = [
         "scan — guard cost is paid once at merge time, never at read",
     ),
     (
+        "lakehouse_merge_concurrent",
+        ["Scan parquet", "partial_count"],
+        "read after a conflict-checked concurrent MERGE (lost race, "
+        "winner walked, disjointness proven, re-run landed): the "
+        "returned snapshot read is a plain pruned scan with a "
+        "partial-combined aggregate — conflict detection is manifest "
+        "metadata only, invisible in the read plan",
+    ),
+    (
         "lakehouse_merge_full_sync",
         ["Scan parquet", "partial_count"],
         "read after a full-sync MERGE (NOT MATCHED BY SOURCE "

@@ -1,0 +1,480 @@
+"""Round-12 nets, part 1 — optimistic concurrency for the DML/ALTER
+verbs (VERDICT r11 next-round #1): `merge_version` / `delete_rows` /
+`delete_where` / `rename_column` / `add_column` / `drop_column` gain
+``commit_retries=N`` with CONFLICT DETECTION. A lost commit race
+re-runs the operation against the winner's head ONLY when the
+winner's manifests prove every change disjoint from the loser's
+read+write set; a real intersection raises the NAMED conflict —
+Delta's ConcurrentAppend / ConcurrentDeleteRead / Metadata /
+Overwrite taxonomy (public analog; original implementation over this
+engine's manifest format).
+
+The race is injected DETERMINISTICALLY: `_inject_winner` patches the
+module's conditional-commit point so the loser's FIRST manifest
+commit is preceded by the winner landing a competing commit — the
+loser then hits the real ConcurrentWriteError and the real conflict
+walk, every run. (The two-JVM harness in test_commit_race.py covers
+the nondeterministic-interleaving side.)
+
+Reference analog: the engine this replaces serialized all writers
+behind a GUI-global `is_running` mutex
+(/root/reference/src/main_01.py:1088-1092); here disjoint writers
+land concurrently and only true conflicts refuse.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import tms_etl_spark.operators.versioned as V
+from tms_etl_spark.operators.versioned import (
+    ConcurrentAppendError,
+    ConcurrentDeleteReadError,
+    ConcurrentMetadataError,
+    ConcurrentModificationError,
+    ConcurrentOverwriteError,
+    add_column,
+    delete_rows,
+    delete_where,
+    merge_version,
+    read_version,
+    rename_column,
+    write_version,
+)
+
+
+def _mk(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def _inject_winner(monkeypatch, winner_fn):
+    """Make the NEXT manifest commit lose its race: the first
+    `_write_json_atomic` call runs ``winner_fn()`` (which lands its
+    own commit, re-entrantly passing through) before proceeding, so
+    the original caller collides on a now-taken version number."""
+    orig = V._write_json_atomic
+    state = {"fired": False}
+
+    def hooked(spark, path, payload):
+        if not state["fired"]:
+            state["fired"] = True
+            winner_fn()
+        return orig(spark, path, payload)
+
+    monkeypatch.setattr(V, "_write_json_atomic", hooked)
+    return state
+
+
+def _base_table(spark, tmp_path, name="t"):
+    tdir = str(tmp_path / name)
+    write_version(
+        spark.range(0, 100)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 10).cast("int").alias("v"),
+        )
+        .coalesce(1),
+        tdir,
+        "append",
+    )
+    return tdir
+
+
+def _rows(spark, tdir):
+    return {
+        r["k"]: r["v"] for r in read_version(spark, tdir).collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# MERGE vs concurrent commits
+# ---------------------------------------------------------------------------
+
+
+def test_merge_retries_past_disjoint_append(spark, tmp_path, monkeypatch):
+    """MERGE keys 0..9 vs a winner appending keys 200..209: the
+    winner's added file is zonemap-disjoint from the merge keys, so
+    the retry lands and the table equals serial application."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(200 + i, -1) for i in range(10)], "k int, v int")
+            .coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(i, 7777) for i in range(10)], "k int, v int")
+    v = merge_version(spark, tdir, src, "k", commit_retries=2)
+    assert v == 3  # base=1, winner=2, retried merge=3
+    got = _rows(spark, tdir)
+    assert all(got[i] == 7777 for i in range(10))
+    assert all(got[200 + i] == -1 for i in range(10))
+    assert got[50] == 500  # untouched rows intact
+
+
+def test_merge_refuses_overlapping_append(spark, tmp_path, monkeypatch):
+    """The winner appends a row whose key the merge would have
+    matched → ConcurrentAppendError names the file, no retry."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(5, -1)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(i, 7777) for i in range(10)], "k int, v int")
+    with pytest.raises(ConcurrentAppendError, match="key range"):
+        merge_version(spark, tdir, src, "k", commit_retries=2)
+
+
+def test_merge_retries_past_disjoint_delete(spark, tmp_path, monkeypatch):
+    """Winner tombstones keys 50..59 (its vector records key
+    bounds); merge keys 0..9 are provably disjoint → retry lands,
+    final table equals serial application of delete then merge."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        delete_rows(
+            spark,
+            tdir,
+            _mk(spark, [(50 + i,) for i in range(10)], "k int"),
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(i, 7777) for i in range(10)], "k int, v int")
+    merge_version(spark, tdir, src, "k", commit_retries=2)
+    got = _rows(spark, tdir)
+    assert all(got[i] == 7777 for i in range(10))
+    assert all(50 + i not in got for i in range(10))
+    assert len(got) == 100 - 10
+
+
+def test_merge_refuses_overlapping_delete(spark, tmp_path, monkeypatch):
+    """Winner tombstones keys the merge read (bounds overlap) →
+    ConcurrentDeleteReadError: the merge's matched/unmatched
+    decisions were made against rows that no longer exist."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        delete_rows(
+            spark, tdir, _mk(spark, [(5,), (6,)], "k int")
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(i, 7777) for i in range(10)], "k int, v int")
+    with pytest.raises(ConcurrentDeleteReadError, match="tombstoned"):
+        merge_version(spark, tdir, src, "k", commit_retries=2)
+
+
+def test_merge_refuses_concurrent_rewrite(spark, tmp_path, monkeypatch):
+    """The winner is itself a MERGE rewriting a file the loser read
+    → ConcurrentDeleteReadError (removed/rewrote)."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        merge_version(
+            spark,
+            tdir,
+            _mk(spark, [(7, -7)], "k int, v int"),
+            "k",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(i, 7777) for i in range(10)], "k int, v int")
+    with pytest.raises(ConcurrentDeleteReadError, match="removed or rewrote"):
+        merge_version(spark, tdir, src, "k", commit_retries=2)
+
+
+def test_merge_refuses_metadata_change(spark, tmp_path, monkeypatch):
+    tdir = _base_table(spark, tmp_path)
+    _inject_winner(monkeypatch, lambda: add_column(spark, tdir, "extra", "int"))
+    src = _mk(spark, [(1, 7777)], "k int, v int")
+    with pytest.raises(ConcurrentMetadataError, match="metadata"):
+        merge_version(spark, tdir, src, "k", commit_retries=2)
+
+
+def test_merge_refuses_concurrent_overwrite(spark, tmp_path, monkeypatch):
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(0, 0)], "k int, v int"), tdir, "overwrite"
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(1, 7777)], "k int, v int")
+    with pytest.raises(ConcurrentOverwriteError, match="overwrite"):
+        merge_version(spark, tdir, src, "k", commit_retries=2)
+
+
+def test_full_sync_merge_refuses_any_append(spark, tmp_path, monkeypatch):
+    """A full-sync merge reads (and may delete) the WHOLE table, so
+    even a key-disjoint concurrent append conflicts — the snapshot
+    answer for 'make the table mirror the source'."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(900, -1)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(i, 7777) for i in range(10)], "k int, v int")
+    with pytest.raises(ConcurrentAppendError):
+        merge_version(
+            spark,
+            tdir,
+            src,
+            "k",
+            when_not_matched_by_source="delete",
+            commit_retries=2,
+        )
+
+
+def test_merge_without_retries_raises_raw_signal(spark, tmp_path, monkeypatch):
+    """commit_retries=0 (default) keeps the old contract: the raw
+    ConcurrentWriteError surfaces, now carrying the retry context."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(900, -1)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    src = _mk(spark, [(1, 7777)], "k int, v int")
+    with pytest.raises(V.ConcurrentWriteError) as ei:
+        merge_version(spark, tdir, src, "k")
+    assert ei.value.retry_ctx["base_version"] == 1
+    assert ei.value.retry_ctx["read_rels"]
+
+
+def test_merge_retry_exhaustion_reraises_lost_race(
+    spark, tmp_path, monkeypatch
+):
+    """Every attempt losing a (disjoint) race exhausts the budget and
+    re-raises the LAST raw lost-race error, not a named conflict."""
+    tdir = _base_table(spark, tmp_path)
+    orig = V._write_json_atomic
+    state = {"n": 0}
+
+    def hooked(spark_, path, payload):
+        # a fresh disjoint append sneaks in before EVERY attempt
+        if "-merge-" in str(payload.get("dirs", ["x"])[-1]):
+            state["n"] += 1
+            write_version(
+                _mk(spark, [(500 + state["n"], -1)], "k int, v int")
+                .coalesce(1),
+                tdir,
+                "append",
+            )
+        return orig(spark_, path, payload)
+
+    monkeypatch.setattr(V, "_write_json_atomic", hooked)
+    src = _mk(spark, [(1, 7777)], "k int, v int")
+    with pytest.raises(V.ConcurrentWriteError):
+        merge_version(spark, tdir, src, "k", commit_retries=1)
+    assert state["n"] == 2  # initial attempt + 1 retry, both lost
+
+
+# ---------------------------------------------------------------------------
+# DELETE vs concurrent commits
+# ---------------------------------------------------------------------------
+
+
+def test_delete_retries_past_disjoint_append(spark, tmp_path, monkeypatch):
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(300, -1)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    delete_rows(
+        spark,
+        tdir,
+        _mk(spark, [(i,) for i in range(5)], "k int"),
+        commit_retries=2,
+    )
+    got = _rows(spark, tdir)
+    assert all(i not in got for i in range(5))
+    assert got[300] == -1
+
+
+def test_delete_refuses_append_into_key_range(spark, tmp_path, monkeypatch):
+    """The winner re-inserts a key the delete targets: the vector is
+    scoped to the BASE dirs, so a re-run would erase the winner's
+    new row — snapshot semantics say refuse (ConcurrentAppend)."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(3, 999)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    with pytest.raises(ConcurrentAppendError):
+        delete_rows(
+            spark,
+            tdir,
+            _mk(spark, [(i,) for i in range(5)], "k int"),
+            commit_retries=2,
+        )
+
+
+def test_delete_retries_past_disjoint_delete(spark, tmp_path, monkeypatch):
+    """delete/delete on provably disjoint key ranges commutes: the
+    winner's tombstone bounds prove it, the retry lands."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        delete_rows(
+            spark, tdir, _mk(spark, [(90,), (91,)], "k int")
+        )
+
+    _inject_winner(monkeypatch, winner)
+    delete_rows(
+        spark,
+        tdir,
+        _mk(spark, [(0,), (1,)], "k int"),
+        commit_retries=2,
+    )
+    got = _rows(spark, tdir)
+    assert set(got) == set(range(100)) - {0, 1, 90, 91}
+
+
+def test_delete_where_retries_past_predicate_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """delete_where's append test is the PREDICATE's pruning groups:
+    a winner append whose zonemap proves no row matches the WHERE is
+    no conflict, even though plain key bounds could not prove it."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        # v large and positive: provably no match for "v < 0"
+        write_version(
+            _mk(spark, [(1000, 5000)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    # make keys 0..4 negative-valued so the predicate matches them
+    merge_version(
+        spark,
+        tdir,
+        _mk(spark, [(i, -i - 1) for i in range(5)], "k int, v int"),
+        "k",
+    )
+    _inject_winner(monkeypatch, winner)
+    delete_where(spark, tdir, "v < 0", key="k", commit_retries=2)
+    got = _rows(spark, tdir)
+    assert all(i not in got for i in range(5))
+    assert got[1000] == 5000
+
+
+def test_delete_where_refuses_predicate_matching_append(
+    spark, tmp_path, monkeypatch
+):
+    tdir = _base_table(spark, tmp_path)
+    merge_version(
+        spark,
+        tdir,
+        _mk(spark, [(i, -i - 1) for i in range(5)], "k int, v int"),
+        "k",
+    )
+
+    def winner():
+        write_version(
+            _mk(spark, [(1000, -5000)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    with pytest.raises(ConcurrentAppendError):
+        delete_where(spark, tdir, "v < 0", key="k", commit_retries=2)
+
+
+# ---------------------------------------------------------------------------
+# ALTER vs concurrent commits
+# ---------------------------------------------------------------------------
+
+
+def test_alter_retries_past_data_commits(spark, tmp_path, monkeypatch):
+    """Metadata-only ALTERs re-decide everything on re-run, so data
+    commits (append / merge / delete) never conflict with them."""
+    tdir = _base_table(spark, tmp_path)
+
+    def winner():
+        write_version(
+            _mk(spark, [(700, -1)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    rename_column(spark, tdir, "v", "val", commit_retries=2)
+    got = read_version(spark, tdir)
+    assert "val" in got.columns and "v" not in got.columns
+    assert got.where(F.col("k") == 700).head()["val"] == -1
+
+
+def test_alter_refuses_concurrent_metadata_change(
+    spark, tmp_path, monkeypatch
+):
+    tdir = _base_table(spark, tmp_path)
+    _inject_winner(
+        monkeypatch, lambda: add_column(spark, tdir, "extra", "int")
+    )
+    with pytest.raises(ConcurrentMetadataError):
+        rename_column(spark, tdir, "v", "val", commit_retries=2)
+
+
+def test_named_conflicts_are_not_the_raw_signal(spark, tmp_path):
+    """The taxonomy is deliberately NOT under ConcurrentWriteError:
+    a retry loop catching the raw lost-race signal must never
+    swallow a named conflict."""
+    assert not issubclass(
+        ConcurrentModificationError, V.ConcurrentWriteError
+    )
+    for cls in (
+        ConcurrentAppendError,
+        ConcurrentDeleteReadError,
+        ConcurrentMetadataError,
+        ConcurrentOverwriteError,
+    ):
+        assert issubclass(cls, ConcurrentModificationError)
+
+
+def test_delete_vector_records_key_bounds(spark, tmp_path):
+    """Every delete commit records its key-range bounds in the
+    tombstone entry — what OTHER writers' conflict checks use to
+    prove disjointness against it."""
+    import json
+    import pathlib
+
+    tdir = _base_table(spark, tmp_path)
+    v = delete_rows(
+        spark, tdir, _mk(spark, [(10,), (19,)], "k int")
+    )
+    man = json.loads(
+        (pathlib.Path(tdir) / "_manifests" / f"v{v:06d}.json").read_text()
+    )
+    assert man["deletes"][-1]["bounds"] == {"k": [10, 19]}

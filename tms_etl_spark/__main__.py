@@ -191,6 +191,10 @@ def _parser() -> argparse.ArgumentParser:
         help="with --where: delete EVERY row sharing a matched key",
     )
     td.add_argument("--txn-id", default=None)
+    td.add_argument(
+        "--commit-retries", type=int, default=0, metavar="N",
+        help="optimistic concurrency: on a lost commit race, retry up to N times when the winner's changes are provably disjoint from this op's read+write set (a real conflict refuses with the named ConcurrentModificationError)",
+    )
     tk = tsub.add_parser(
         "compact",
         help="incremental compaction: rewrite only small/dead dirs",
@@ -232,6 +236,10 @@ def _parser() -> argparse.ArgumentParser:
         "file)",
     )
     tm.add_argument("--txn-id", default=None)
+    tm.add_argument(
+        "--commit-retries", type=int, default=0, metavar="N",
+        help="optimistic concurrency: on a lost commit race, retry up to N times when the winner's changes are provably disjoint from this op's read+write set (a real conflict refuses with the named ConcurrentModificationError)",
+    )
     tcr = tsub.add_parser(
         "create", help="bootstrap a versioned table from parquet"
     )
@@ -601,6 +609,7 @@ def main(argv: list[str] | None = None) -> int:
                         key_cols if len(key_cols) > 1 else key_cols[0],
                         txn_id=args.txn_id,
                         allow_key_scope=args.allow_key_scope,
+                        commit_retries=args.commit_retries,
                     )
                 except ValueError as e:
                     print(str(e), file=sys.stderr)
@@ -619,7 +628,10 @@ def main(argv: list[str] | None = None) -> int:
             keys = spark.createDataFrame(
                 [(v,) for v in args.values.split(",")], f"{kc} string"
             ).select(F.col(kc).cast(ktype))
-            v = vt.delete_rows(spark, args.dir, keys, txn_id=args.txn_id)
+            v = vt.delete_rows(
+                spark, args.dir, keys, txn_id=args.txn_id,
+                commit_retries=args.commit_retries,
+            )
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "compact":
@@ -649,8 +661,9 @@ def main(argv: list[str] | None = None) -> int:
                     when_not_matched_by_source=(
                         "delete" if args.sync_delete_unmatched else None
                     ),
+                    commit_retries=args.commit_retries,
                 )
-            except ValueError as e:
+            except (ValueError, vt.ConcurrentModificationError) as e:
                 print(f"refused: {e}", file=sys.stderr)
                 return 2
             print(f"committed v{v}")

@@ -1710,3 +1710,103 @@ def lakehouse_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("price", "total_price"),
         )
     )
+
+
+@query(
+    "lakehouse_merge_concurrent",
+    oracle=f"""
+    WITH target AS (
+        SELECT o_orderkey AS ok, o_orderstatus AS st,
+               o_totalprice AS price
+        FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    src AS (
+        SELECT o_orderkey AS ok, 'u' AS st, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 2
+    ),
+    winner AS (
+        SELECT -o_orderkey AS ok, 'w' AS st, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    merged AS (
+        SELECT * FROM src
+        UNION ALL
+        SELECT t.* FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.ok = t.ok)
+        UNION ALL
+        SELECT * FROM winner
+    )
+    SELECT st, COUNT(*) AS n_rows,
+           CAST(SUM(ok) AS BIGINT) AS key_sum,
+           {sql_dsum("price", "total_price")}
+    FROM merged GROUP BY st
+    """,
+)
+def lakehouse_merge_concurrent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimistic concurrency for MERGE (r12,
+    `merge_version(commit_retries=)` with CONFLICT DETECTION —
+    Delta's ConcurrentAppend/ConcurrentDeleteRead taxonomy as the
+    public analog): the merge DETERMINISTICALLY loses its first
+    commit race — the conditional-commit point is hooked so a
+    competing append (all-negative keys, zonemap-provably disjoint
+    from the merge's positive key range) lands first — and the retry
+    must (a) walk the winner's manifest, (b) prove the added file
+    disjoint from the merge's read+write set, and (c) re-run against
+    the new head. The oracle is the SERIAL application of both
+    writers, which is exactly what a safe retry must equal; the
+    version pin below fails the query if the race did not actually
+    happen. The two-JVM nondeterministic-interleaving side lives in
+    tests/test_commit_race.py; the named-refusal matrix in
+    tests/test_round12_props.py. Reference analog: the engine this
+    replaces serialized all writers behind a GUI-global mutex
+    (/root/reference/src/main_01.py:1088-1092)."""
+    import tms_etl_spark.operators.versioned as V
+    from tms_etl_spark.operators.versioned import current_version
+
+    tdir = tempfile.mkdtemp(prefix="lakehouse_mergecc_")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    write_version(
+        o.where(F.col("ok") % 4 == 0).repartitionByRange(4, "ok"),
+        tdir,
+        "append",
+    )
+    src = o.where(
+        (F.col("ok") % 8 == 0) | (F.col("ok") % 4 == 2)
+    ).withColumn("st", F.lit("u"))
+    winner_df = o.where(F.col("ok") % 4 == 1).select(
+        (-F.col("ok")).alias("ok"), F.lit("w").alias("st"), "price"
+    )
+    orig = V._write_json_atomic
+    state = {"fired": False}
+
+    def hooked(s, path, payload):
+        if not state["fired"]:
+            state["fired"] = True
+            write_version(winner_df.coalesce(1), tdir, "append")
+        return orig(s, path, payload)
+
+    V._write_json_atomic = hooked
+    try:
+        merge_version(spark, tdir, src, key="ok", commit_retries=2)
+    finally:
+        V._write_json_atomic = orig
+    if current_version(spark, tdir) != 3:
+        raise AssertionError(
+            "injected commit race did not happen (expected base=1, "
+            "winner=2, retried merge=3)"
+        )
+    return (
+        read_version(spark, tdir)
+        .groupBy("st")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("ok").alias("key_sum"),
+            dsum("price", "total_price"),
+        )
+    )

@@ -65,7 +65,45 @@ def _read_json(spark: SparkSession, path: str) -> dict:
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed (or is committing) this version."""
+    """Another writer committed (or is committing) this version —
+    the raw lost-race signal. Retryable: re-running the operation
+    against the winner's head converges (`commit_retries=`)."""
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A lost commit race whose WINNER's changes intersect this
+    operation's read/write set, so an automatic re-run could not
+    preserve snapshot semantics — Delta's concurrent-modification
+    taxonomy (ConcurrentAppend / ConcurrentDeleteRead / Metadata /
+    Overwrite subclasses name the intersection). Deliberately NOT a
+    subclass of ConcurrentWriteError: retry loops that catch the raw
+    lost-race signal must never swallow a named conflict — the
+    caller has to decide (re-read, re-derive the source, or refuse
+    upward)."""
+
+
+class ConcurrentAppendError(ConcurrentModificationError):
+    """A concurrent commit ADDED files that may contain rows this
+    operation's keys/predicate would have matched (Delta's
+    ConcurrentAppendException)."""
+
+
+class ConcurrentDeleteReadError(ConcurrentModificationError):
+    """A concurrent commit removed, rewrote, or tombstoned rows in
+    files this operation READ (Delta's
+    ConcurrentDeleteReadException — also covers delete/delete)."""
+
+
+class ConcurrentMetadataError(ConcurrentModificationError):
+    """A concurrent commit changed table metadata (schema, partition
+    spec, constraints, column map) this operation planned against
+    (Delta's MetadataChangedException)."""
+
+
+class ConcurrentOverwriteError(ConcurrentModificationError):
+    """A concurrent overwrite/rollback replaced the table history
+    this operation planned against (Delta's
+    ProtocolChanged/ConcurrentWrite on truncated history)."""
 
 
 # Injectable put-if-absent primitive for object-store deployments:
@@ -644,6 +682,8 @@ def _carry_props(src: dict | None, payload: dict) -> None:
         payload["column_map"] = src["column_map"]
     if src.get("dropped_physicals") and "dropped_physicals" not in payload:
         payload["dropped_physicals"] = src["dropped_physicals"]
+    if src.get("change_feed") and "change_feed" not in payload:
+        payload["change_feed"] = src["change_feed"]
     if src.get("hive_dirs"):
         keep = set(payload["dirs"]) & set(src["hive_dirs"])
         merged = sorted(keep | set(payload.get("hive_dirs", [])))
@@ -1117,6 +1157,11 @@ def write_version(
         "dropped_physicals"
     ):
         payload["dropped_physicals"] = list(prev["dropped_physicals"])
+    if mode == "append" and prev is not None and prev.get("change_feed"):
+        # the change-feed property is a table property appends
+        # inherit (append changes ARE the new files — no sidecar);
+        # overwrite starts a fresh table and drops it
+        payload["change_feed"] = prev["change_feed"]
     if txn_id is not None:
         payload["txn_id"] = txn_id
     _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
@@ -1517,6 +1562,7 @@ def delete_rows(
     table_dir: str,
     keys_df: DataFrame,
     txn_id: str | None = None,
+    commit_retries: int = 0,
 ) -> int:
     """Row-level delete WITHOUT rewriting data (GDPR / right-to-be-
     forgotten at 100 TB): commit a deletion vector — a small parquet
@@ -1533,9 +1579,27 @@ def delete_rows(
     /root/reference/src/main_01.py:243 — tuple-keyed erasure needs no
     surrogate concat column). Time travel to pre-delete versions
     still shows the rows until those versions expire — run expire +
-    optimize to complete a hard GDPR erasure."""
+    optimize to complete a hard GDPR erasure.
+
+    ``commit_retries=N`` (r12): optimistic concurrency with conflict
+    detection — a lost commit race re-runs the delete against the
+    winner's head only when the winner's changes are provably
+    disjoint from this delete's key ranges and candidate files;
+    otherwise the NAMED ConcurrentModificationError subclass raises
+    (see `merge_version`). Each delete also records its key-range
+    ``bounds`` in the tombstone entry, which is what lets OTHER
+    writers' conflict checks prove disjointness against it."""
     import uuid
 
+    from pyspark.sql import functions as F
+
+    if commit_retries:
+        return _with_commit_retries(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: delete_rows(spark, table_dir, keys_df, txn_id=txn_id),
+        )
     if not keys_df.columns:
         raise ValueError("keys_df must have at least one key column")
     cur = current_version(spark, table_dir)
@@ -1549,6 +1613,7 @@ def delete_rows(
     # vectors store the PHYSICAL key names so they stay valid across
     # later renames (the scan maps back at join time)
     cmap = _column_map(prev)
+    logical_cols = list(keys_df.columns)
     phys_cols = [cmap.get(c, c) for c in keys_df.columns]
     if phys_cols != list(keys_df.columns):
         keys_df = keys_df.toDF(*phys_cols)
@@ -1569,6 +1634,36 @@ def delete_rows(
         entry["key"] = phys_cols[0]
     else:
         entry["keys"] = phys_cols
+    # key-range bounds (physical names, like the vector itself): one
+    # O(keys) aggregate that lets concurrent writers' conflict checks
+    # prove their key ranges disjoint from this delete instead of
+    # refusing conservatively. NaN extremes are skipped exactly like
+    # the zonemap stats (non-standard JSON, unorderable).
+    brow = keys_df.agg(
+        *[
+            f
+            for c in phys_cols
+            for f in (
+                F.min(c).alias(f"__mn_{c}"),
+                F.max(c).alias(f"__mx_{c}"),
+            )
+        ]
+    ).head()
+    del_bounds: dict = {}
+    for c in phys_cols:
+        mn, mx = brow[f"__mn_{c}"], brow[f"__mx_{c}"]
+        # same gate as the zonemap stats: JSON-native orderable types
+        # only (no datetime — manifests serialize with the stock
+        # encoder), and never NaN extremes
+        if not isinstance(mn, (int, float, str)) or not isinstance(
+            mx, (int, float, str)
+        ):
+            continue
+        if isinstance(mn, float) and (mn != mn or mx != mx):
+            continue
+        del_bounds[c] = [mn, mx]
+    if del_bounds:
+        entry["bounds"] = del_bounds
     deletes.append(entry)
     payload = {
         "version": v,
@@ -1583,7 +1678,35 @@ def delete_rows(
     if txn_id is not None:
         payload["txn_id"] = txn_id
     _carry_props(prev, payload)
-    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    try:
+        _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    except ConcurrentWriteError as e:
+        # read set for the conflict check: every file whose zonemap
+        # MIGHT contain one of the deleted keys (logical names — the
+        # stats map's keying). A live dir without stats hides files
+        # from that test, so widen to the whole table there.
+        ctx_bounds = {
+            l: tuple(del_bounds[p])
+            for l, p in zip(logical_cols, phys_cols)
+            if p in del_bounds
+        }
+        by_stats = _live_rel_set(prev)
+        stats_dirs = {_rel_dir(r) for r in by_stats}
+        statless = any(d not in stats_dirs for d in prev["dirs"])
+        e.retry_ctx = {
+            "op": "DELETE",
+            "base_version": cur,
+            "read_rels": {
+                rel
+                for rel in by_stats
+                if _entry_may_overlap(
+                    prev.get("stats", {}).get(rel), ctx_bounds
+                )
+            },
+            "key_bounds": ctx_bounds or None,
+            "read_whole_table": statless or not ctx_bounds,
+        }
+        raise
     return v
 
 
@@ -1615,6 +1738,7 @@ def delete_where(
     key: str | Sequence[str],
     txn_id: str | None = None,
     allow_key_scope: bool = False,
+    commit_retries: int = 0,
 ) -> int:
     """``DELETE FROM t WHERE <pred>`` — the everyday GDPR/cleanup
     verb, composed from parts that already exist: ``where`` routes
@@ -1649,12 +1773,41 @@ def delete_where(
     re-running the month query and erasing row-by-row
     (/root/reference/src/main_01.py:255-305); this is the same verb
     as one manifest commit. No-op (zero matches) returns the current
-    version WITHOUT an empty commit."""
+    version WITHOUT an empty commit.
+
+    ``commit_retries=N`` (r12): optimistic concurrency with conflict
+    detection. The re-run re-evaluates the WHERE against the winner's
+    head, so the retry gate uses the PREDICATE's pruning groups as
+    the ConcurrentAppend test (an appended row can match the
+    predicate with a key outside the matched keys' range) on top of
+    `delete_rows`' key-range rules; a real intersection raises the
+    named ConcurrentModificationError subclass."""
     from functools import reduce as _reduce
     from operator import or_ as _or
 
     from pyspark.sql import functions as F
 
+    if commit_retries:
+        groups = _where_pruning_groups(where)
+
+        def _attempt():
+            try:
+                return delete_where(
+                    spark, table_dir, where, key,
+                    txn_id=txn_id, allow_key_scope=allow_key_scope,
+                )
+            except ConcurrentWriteError as e:
+                ctx = getattr(e, "retry_ctx", None)
+                if ctx is not None:
+                    # predicate-shaped append test; a parse-empty
+                    # group set admits everything (conservative)
+                    ctx["op"] = "DELETE WHERE"
+                    ctx["where_groups"] = groups
+                raise
+
+        return _with_commit_retries(
+            spark, table_dir, commit_retries, _attempt
+        )
     keys: list[str] = [key] if isinstance(key, str) else list(key)
     matching = read_version_where(spark, table_dir, where)
     missing_keys = [k for k in keys if k not in matching.columns]
@@ -2975,6 +3128,30 @@ def delete_tag(spark: SparkSession, table_dir: str, name: str) -> bool:
     return True
 
 
+def _alter_commit(
+    spark: SparkSession,
+    table_dir: str,
+    v: int,
+    payload: dict,
+    cur: int,
+    op: str,
+) -> None:
+    """Conditional manifest commit for the metadata-only ALTER verbs,
+    attaching the retry context `_with_commit_retries` needs on a
+    lost race: an ALTER re-run re-decides everything against the
+    winner's head, so data commits never conflict — only a
+    concurrent metadata change or overwrite does."""
+    try:
+        _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    except ConcurrentWriteError as e:
+        e.retry_ctx = {
+            "op": op,
+            "base_version": cur,
+            "metadata_op": True,
+        }
+        raise
+
+
 def _move_index_generations(
     spark: SparkSession,
     table_dir: str,
@@ -3014,7 +3191,11 @@ def _move_index_generations(
 
 
 def rename_column(
-    spark: SparkSession, table_dir: str, old: str, new: str
+    spark: SparkSession,
+    table_dir: str,
+    old: str,
+    new: str,
+    commit_retries: int = 0,
 ) -> int:
     """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (r10 —
     Delta column mapping / Iceberg field IDs are the public analogs):
@@ -3042,6 +3223,13 @@ def rename_column(
     columns referenced by CHECK constraints (also SQL strings).
     Time travel to a pre-rename version shows the old name — each
     manifest carries its own schema and map."""
+    if commit_retries:
+        return _with_commit_retries(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: rename_column(spark, table_dir, old, new),
+        )
     cur = current_version(spark, table_dir)
     if cur <= 0:
         raise ValueError(f"no committed versions at {table_dir}")
@@ -3129,7 +3317,7 @@ def rename_column(
     _carry_props(man, payload)
     if not payload["column_map"]:
         del payload["column_map"]
-    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    _alter_commit(spark, table_dir, v, payload, cur, "ALTER RENAME COLUMN")
     # sidecar families are named by LOGICAL column: move them so
     # future probes/maintenance find them under the new name (their
     # content is column-name-free). Routed by GENERATION-DIR SUFFIX,
@@ -3155,7 +3343,11 @@ def rename_column(
 
 
 def add_column(
-    spark: SparkSession, table_dir: str, name: str, dtype: str
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    dtype: str,
+    commit_retries: int = 0,
 ) -> int:
     """ALTER TABLE ADD COLUMN as a metadata-only commit: the new
     manifest records the widened schema; every existing file
@@ -3169,6 +3361,13 @@ def add_column(
     FRESH physical name via the column map — the Delta/Iceberg
     field-id move — so old files' orphaned physical data can never
     silently reappear under the re-added column."""
+    if commit_retries:
+        return _with_commit_retries(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: add_column(spark, table_dir, name, dtype),
+        )
     from pyspark.sql import types as T
 
     try:
@@ -3221,11 +3420,13 @@ def add_column(
     _carry_props(man, payload)
     if not payload["column_map"]:
         del payload["column_map"]
-    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    _alter_commit(spark, table_dir, v, payload, cur, "ALTER ADD COLUMN")
     return v
 
 
-def drop_column(spark: SparkSession, table_dir: str, col: str) -> int:
+def drop_column(
+    spark: SparkSession, table_dir: str, col: str, commit_retries: int = 0
+) -> int:
     """ALTER TABLE DROP COLUMN as a metadata-only commit: the column
     leaves the recorded schema, so reads stop projecting it — zero
     data I/O, the physical bytes stay until files are naturally
@@ -3238,6 +3439,13 @@ def drop_column(spark: SparkSession, table_dir: str, col: str) -> int:
     constrained columns, the key of any ACTIVE deletion vector (the
     tombstone anti-join needs it), and dropping the last column.
     Time travel to a pre-drop version still shows the column."""
+    if commit_retries:
+        return _with_commit_retries(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: drop_column(spark, table_dir, col),
+        )
     from pyspark.sql import types as T
 
     cur = current_version(spark, table_dir)
@@ -3312,7 +3520,7 @@ def drop_column(spark: SparkSession, table_dir: str, col: str) -> int:
     _carry_props(man, payload)
     if not payload["column_map"]:
         del payload["column_map"]
-    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    _alter_commit(spark, table_dir, v, payload, cur, "ALTER DROP COLUMN")
     return v
 
 
@@ -3691,6 +3899,251 @@ def _insert_filter(df: DataFrame, cond: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Optimistic concurrency for the DML/ALTER verbs (r12). The append path's
+# `commit_retries` can retry BLINDLY — an append commutes with anything —
+# but a MERGE/DELETE re-run is only safe when the winner's changes are
+# provably disjoint from this operation's read+write set: the conflict
+# checker below walks the winner manifests (pure metadata, zero data
+# reads) and either allows the re-run or raises the NAMED conflict,
+# Delta's ConcurrentAppend/ConcurrentDeleteRead/Metadata taxonomy.
+# Reference analog: the engine this replaces serialized ALL writers behind
+# a GUI-global `is_running` mutex (/root/reference/src/main_01.py:1088-1092);
+# here disjoint writers land concurrently and only true conflicts refuse.
+# ---------------------------------------------------------------------------
+
+# table-level properties whose concurrent change invalidates any in-flight
+# DML plan (the loser resolved schema/column-map/constraints at its base)
+_METADATA_PROPS = (
+    "schema",
+    "partition_by",
+    "partition_exprs",
+    "constraints",
+    "column_map",
+    "dropped_physicals",
+    # toggling the change feed mid-flight invalidates a DML plan: a
+    # loser merge that did not write a change sidecar must not land
+    # after a winner enabled the feed
+    "change_feed",
+)
+
+
+def _live_rel_set(man: dict) -> set[str]:
+    """LIVE rel files of a manifest from its own stats map — pure
+    metadata, no listing. Legacy stat-less dirs contribute nothing;
+    the conflict checker flags such dirs separately (it must refuse
+    what it cannot see, never wave it through)."""
+    dead = set(man.get("dead_files", []))
+    known = set(man["dirs"])
+    return {
+        rel
+        for rel in man.get("stats", {})
+        if _rel_dir(rel) in known and rel not in dead
+    }
+
+
+def _entry_may_overlap(entry: dict | None, bounds: dict) -> bool:
+    """False iff the file's zonemap PROVES it disjoint from the key
+    bounds on SOME key column — the merge file-skipping rule reused
+    as the ConcurrentAppend test. Missing entry/column/incomparable
+    values → True (conservative: treat as a possible match)."""
+    if not isinstance(entry, dict) or not bounds:
+        return True
+    for k, (mn, mx) in bounds.items():
+        e = entry.get(k)
+        if not isinstance(e, list) or len(e) != 2 or mn is None:
+            continue
+        try:
+            if e[1] < mn or e[0] > mx:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _entry_may_match_where(entry: dict | None, groups: list) -> bool:
+    """False iff the WHERE's pruning groups PROVE the file empty
+    (every disjunct group has a conjunct the zonemap refutes) — the
+    `read_version_where` skipping rule reused as the
+    ConcurrentAppend test for predicate-shaped losers."""
+    if not groups:
+        return True
+    try:
+        return not all(
+            any(_file_prunable(entry, c, op, v) for c, op, v in g)
+            for g in groups
+        )
+    except Exception:  # noqa: BLE001 — unparseable op/literal: the
+        # pruning grammar already treats these as non-pruning
+        return True
+
+
+def _check_winner_conflicts(
+    spark: SparkSession, table_dir: str, ctx: dict
+) -> None:
+    """Walk every manifest a concurrent winner committed between this
+    operation's base snapshot and the current head and raise the
+    NAMED conflict when the winner's changes intersect the
+    operation's read+write set. Returning means every winner commit
+    is provably disjoint — re-running against the new head yields
+    the same rows a snapshot run would have, so the automatic retry
+    is SAFE (serializable), not merely convergent.
+
+    ``ctx`` (built at raise time by the losing verb — the happy path
+    pays nothing): ``op`` (name for messages), ``base_version``,
+    ``read_rels`` (files the op read / will rewrite),
+    ``key_bounds`` ({logical col → (min, max)} of the op's keys),
+    ``where_groups`` (pruning groups of a predicate-shaped op —
+    takes precedence over bounds for the append test, because an
+    appended row can match the predicate with a key OUTSIDE the
+    matched-key bounds), ``read_whole_table`` (full-sync MERGE /
+    validating ALTER), ``metadata_op`` (ALTER verbs: data commits
+    never conflict), ``source_empty`` (no-op merge: only
+    metadata/overwrite can conflict)."""
+    base, op = ctx["base_version"], ctx["op"]
+    head = current_version(spark, table_dir)
+    try:
+        prev = (
+            _read_json(spark, _manifest_path(table_dir, base))
+            if base >= 1
+            else None
+        )
+        winners = [
+            (v, _read_json(spark, _manifest_path(table_dir, v)))
+            for v in range(base + 1, head + 1)
+        ]
+    except Exception as e:  # noqa: BLE001 — expired/corrupt winner
+        raise ConcurrentModificationError(
+            f"{op}: lost the commit race at v{base + 1} and the "
+            f"winner manifests (v{base + 1}..v{head}) cannot be read "
+            f"({e}); cannot prove a retry safe"
+        ) from e
+    read_rels: set[str] = set(ctx.get("read_rels") or ())
+    read_dirs = {_rel_dir(r) for r in read_rels}
+    whole = bool(ctx.get("read_whole_table"))
+    meta_only = bool(ctx.get("metadata_op"))
+    empty = bool(ctx.get("source_empty"))
+    bounds = ctx.get("key_bounds") or {}
+    groups = ctx.get("where_groups")
+
+    def _added_may_match(entry: dict | None) -> bool:
+        if empty:
+            return False  # an empty source matches nothing
+        if whole:
+            return True  # full-sync reads (and may delete) anywhere
+        if groups is not None:
+            return _entry_may_match_where(entry, groups)
+        if bounds:
+            return _entry_may_overlap(entry, bounds)
+        return True
+
+    for v, man in winners:
+        pman = prev if prev is not None else {"dirs": [], "stats": {}}
+        wop = man.get("op", "?")
+        for prop in _METADATA_PROPS:
+            if (pman.get(prop) or None) != (man.get(prop) or None):
+                raise ConcurrentMetadataError(
+                    f"{op}: concurrent commit v{v} ({wop}) changed "
+                    f"table metadata ({prop}); this operation planned "
+                    "against the old value — re-run it explicitly"
+                )
+        if wop in ("overwrite", "rollback"):
+            raise ConcurrentOverwriteError(
+                f"{op}: concurrent commit v{v} ({wop}) replaced the "
+                "table history this operation planned against"
+            )
+        if not meta_only and not empty:
+            p_live = _live_rel_set(pman)
+            m_live = _live_rel_set(man)
+            removed = p_live - m_live
+            hit = removed if whole else removed & read_rels
+            if hit:
+                raise ConcurrentDeleteReadError(
+                    f"{op}: concurrent commit v{v} ({wop}) removed or "
+                    f"rewrote {len(hit)} file(s) this operation read "
+                    f"(e.g. {sorted(hit)[0]!r})"
+                )
+            p_del = pman.get("deletes", []) or []
+            m_del = man.get("deletes", []) or []
+            new_del = (
+                m_del[len(p_del):]
+                if m_del[: len(p_del)] == p_del
+                else m_del
+            )
+            # tombstone bounds are recorded under PHYSICAL key names;
+            # map them to logical through the winner's column map
+            to_logical = {
+                p: l for l, p in _column_map(man).items()
+            }
+            for de in new_del:
+                covers = set(de.get("covers", []))
+                if not (whole or covers & read_dirs):
+                    continue
+                db = de.get("bounds")
+                if bounds and isinstance(db, dict):
+                    db_logical = {
+                        to_logical.get(c, c): v2 for c, v2 in db.items()
+                    }
+                    if not _entry_may_overlap(db_logical, bounds):
+                        continue  # provably disjoint key ranges
+                raise ConcurrentDeleteReadError(
+                    f"{op}: concurrent commit v{v} ({wop}) tombstoned "
+                    "rows in files this operation read"
+                )
+            added = m_live - p_live
+            stats = man.get("stats", {})
+            for rel in sorted(added):
+                if _added_may_match(stats.get(rel)):
+                    raise ConcurrentAppendError(
+                        f"{op}: concurrent commit v{v} ({wop}) added "
+                        f"file {rel!r} whose key range may match this "
+                        "operation's keys/predicate"
+                    )
+            # dirs added WITHOUT stats entries (legacy/stat-less
+            # commit): invisible to the zonemap test — refuse unless
+            # the loser provably matches nothing
+            unseen = [
+                d
+                for d in man["dirs"]
+                if d not in set(pman["dirs"])
+                and not any(_rel_dir(r) == d for r in stats)
+            ]
+            if unseen and not empty and _added_may_match(None):
+                raise ConcurrentAppendError(
+                    f"{op}: concurrent commit v{v} ({wop}) added "
+                    f"stat-less dir(s) {unseen} the conflict check "
+                    "cannot assess"
+                )
+        prev = man
+
+
+def _with_commit_retries(
+    spark: SparkSession,
+    table_dir: str,
+    retries: int,
+    attempt,
+):
+    """Run ``attempt()`` up to ``retries + 1`` times. A lost commit
+    race re-runs ONLY after `_check_winner_conflicts` proves every
+    winner disjoint from the attempt's read+write set (the losing
+    verb attaches that set to the error as ``retry_ctx``); a real
+    intersection raises the named ConcurrentModificationError
+    instead. The re-run recomputes the whole operation against the
+    winner's head — sources must therefore be deterministic, the
+    same contract the append retry and streaming replay document."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(retries + 1):
+        try:
+            return attempt()
+        except ConcurrentWriteError as e:
+            ctx = getattr(e, "retry_ctx", None)
+            if ctx is None:
+                raise  # commit path without a read-set: never blind
+            _check_winner_conflicts(spark, table_dir, ctx)
+            last = e
+    raise last
+
+
 def _source_keys_broadcastable(
     spark: SparkSession,
     table_dir: str,
@@ -3751,6 +4204,7 @@ def merge_version(
     when_matched_condition: str | None = None,
     when_not_matched_by_source: str | None = None,
     when_not_matched_condition: str | None = None,
+    commit_retries: int = 0,
 ) -> int:
     """MERGE INTO for the versioned layer — copy-on-write upsert
     (``when_matched="update"``: matched target rows are replaced by
@@ -3845,13 +4299,45 @@ def merge_version(
     exactly mirror the source after the merge. This clause is
     inherently O(table): every live file may hold unmatched rows, so
     file skipping is disabled and every file rewrites; use it for
-    snapshot-sync jobs, not incremental batches."""
+    snapshot-sync jobs, not incremental batches.
+
+    ``commit_retries=N`` (r12 — optimistic concurrency with CONFLICT
+    DETECTION): a lost commit race re-runs the whole merge against
+    the winner's head ONLY after the winner's manifests prove every
+    concurrent change disjoint from this merge's read+write set —
+    added files zonemap-disjoint from the source keys, no
+    removed/rewritten/tombstoned file among the candidates this
+    merge read, no metadata change, no overwrite. A real
+    intersection raises the NAMED conflict
+    (ConcurrentAppendError / ConcurrentDeleteReadError /
+    ConcurrentMetadataError / ConcurrentOverwriteError — Delta's
+    taxonomy) instead of retrying, because a re-run would not
+    preserve snapshot semantics. The re-run re-evaluates
+    ``source_df``: sources must be deterministic, the same contract
+    the append retry documents. Full-sync merges read the whole
+    table, so ANY concurrent data commit conflicts (the honest
+    answer for a snapshot-sync)."""
     import uuid
     from functools import reduce as _reduce
     from operator import and_ as _and, or_ as _or
 
     from pyspark.sql import functions as F
 
+    if commit_retries:
+        return _with_commit_retries(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: merge_version(
+                spark, table_dir, source_df, key, when_matched,
+                txn_id=txn_id, cluster_by=cluster_by,
+                cluster_partitions=cluster_partitions,
+                use_stats=use_stats, merge_schema=merge_schema,
+                when_matched_condition=when_matched_condition,
+                when_not_matched_by_source=when_not_matched_by_source,
+                when_not_matched_condition=when_not_matched_condition,
+            ),
+        )
     if when_matched not in ("update", "delete"):
         raise ValueError(f"unknown when_matched {when_matched!r}")
     if when_not_matched_by_source not in (None, "delete"):
@@ -4246,7 +4732,27 @@ def merge_version(
     if parts and new_stats and hive_out:
         payload["hive_dirs"] = [new_dir]
     _carry_props(man, payload)
-    _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    try:
+        _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
+    except ConcurrentWriteError as e:
+        # lost the race: attach this attempt's read+write set so
+        # `_with_commit_retries` can prove (or refute) that a re-run
+        # against the winner's head preserves snapshot semantics.
+        # The happy path pays nothing — everything here was already
+        # computed. The orphaned data dir is expire-grace debris,
+        # same as a lost append.
+        e.retry_ctx = {
+            "op": f"MERGE ({when_matched})",
+            "base_version": cur,
+            "read_rels": set(candidates),
+            "key_bounds": {
+                k: (bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
+                for k in keys
+            },
+            "read_whole_table": full_sync,
+            "source_empty": src_empty,
+        }
+        raise
     return v
 
 
