@@ -361,6 +361,11 @@ HEADLINE = [
     # round-19 addition: optimistic-concurrency MERGE (conflict-checked
     # commit_retries; bench measures the serial production form)
     "lakehouse_merge_concurrent",
+    # round-19 additions: partial-sync MERGE (conditional NOT MATCHED
+    # BY SOURCE with pruning) and the change data feed (write-time
+    # sidecars, O(changed rows) serving)
+    "lakehouse_merge_sync_window",
+    "lakehouse_cdf_feed",
 ]
 
 

@@ -805,6 +805,23 @@ AUDIT = [
         "metadata only, invisible in the read plan",
     ),
     (
+        "lakehouse_merge_sync_window",
+        ["Scan parquet"],
+        "read after a conditional NOT-MATCHED-BY-SOURCE merge "
+        "(partial sync): the window condition joined the zonemap "
+        "cut at merge time (stale files + key hits rewrite, fresh "
+        "disjoint files never read); the returned read is a plain "
+        "pruned scan",
+    ),
+    (
+        "lakehouse_cdf_feed",
+        ["Scan parquet"],
+        "change-data-feed batch read: append steps scan their own "
+        "data files, DML steps scan the write-time change sidecars "
+        "— O(changed rows), never a snapshot diff; the plan is a "
+        "union of plain parquet scans with constant change metadata",
+    ),
+    (
         "lakehouse_merge_full_sync",
         ["Scan parquet", "partial_count"],
         "read after a full-sync MERGE (NOT MATCHED BY SOURCE "

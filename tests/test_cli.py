@@ -574,3 +574,67 @@ def test_cli_optimize_where(spark, tmp_path, capsys):
     ) == 0
     assert "version 3" in capsys.readouterr().out
     assert read_version(spark, tdir).count() == 60
+
+
+def test_cli_change_feed_and_sync_where(spark, tmp_path, capsys):
+    """r12 CLI surface: `table set-change-feed`, `table cdf`,
+    `table merge --sync-where` (partial sync), `--sync-update-set`
+    (soft delete), and `--commit-retries` passthrough."""
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k int, v int"
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    assert main(["table", "set-change-feed", tdir]) == 0
+    assert "change feed on" in capsys.readouterr().out
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 111)], "k int, v int").write.parquet(src)
+    assert (
+        main(
+            [
+                "table", "merge", tdir, "--source", src, "--key", "k",
+                "--sync-where", "target.v >= 30",
+                "--commit-retries", "2",
+            ]
+        )
+        == 0
+    )
+    got = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert got == {1: 111, 2: 20}  # k=3 stale-deleted, k=2 kept
+
+    assert main(["table", "cdf", tdir, "--from", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "update_post" in out and "delete" in out
+
+    # soft delete: unmatched rows get marked instead of removed
+    assert (
+        main(
+            [
+                "table", "merge", tdir, "--source", src, "--key", "k",
+                "--sync-update-set", "v=-1",
+            ]
+        )
+        == 0
+    )
+    got = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert got == {1: 111, 2: -1}
+
+    # feed off: later DML ranges refuse through the CLI too
+    assert main(["table", "set-change-feed", tdir, "--off"]) == 0
+    assert (
+        main(
+            ["table", "merge", tdir, "--source", src, "--key", "k"]
+        )
+        == 0
+    )
+    assert main(["table", "cdf", tdir, "--from", "4"]) == 2
+    assert "feed was OFF" in capsys.readouterr().err

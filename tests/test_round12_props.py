@@ -478,3 +478,242 @@ def test_delete_vector_records_key_bounds(spark, tmp_path):
         (pathlib.Path(tdir) / "_manifests" / f"v{v:06d}.json").read_text()
     )
     assert man["deletes"][-1]["bounds"] == {"k": [10, 19]}
+
+
+# ---------------------------------------------------------------------------
+# Round-12 part 2: conditional NOT MATCHED BY SOURCE (VERDICT r11 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_sync_window_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE — the
+    partial-sync shape: unmatched target rows inside the sync window
+    survive, stale unmatched rows are deleted, matched rows update,
+    new keys insert. NULL condition keeps the row (conservative)."""
+    tdir = str(tmp_path / "sw")
+    write_version(
+        _mk(
+            spark,
+            [
+                (1, 10, 100),   # matched → update
+                (2, 20, 100),   # unmatched, fresh → kept
+                (3, 30, 10),    # unmatched, stale → deleted
+                (4, 40, None),  # unmatched, NULL age → kept
+            ],
+            "k int, v int, age int",
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    src = _mk(spark, [(1, 111, 100), (9, 99, 100)], "k int, v int, age int")
+    merge_version(
+        spark,
+        tdir,
+        src,
+        "k",
+        when_not_matched_by_source="delete",
+        when_not_matched_by_source_condition="target.age < 50",
+    )
+    got = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert got == {1: 111, 2: 20, 4: 40, 9: 99}
+
+
+def test_merge_update_by_source(spark, tmp_path):
+    """when_not_matched_by_source='update' + SET: the soft-delete /
+    mark-stale shape — unmatched condition-passing rows land with
+    the SET expressions applied, everything else unchanged."""
+    tdir = str(tmp_path / "ubs")
+    write_version(
+        _mk(
+            spark,
+            [(1, 10, "live"), (2, 20, "live"), (3, 30, "live")],
+            "k int, v int, s string",
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    src = _mk(spark, [(1, 111, "live")], "k int, v int, s string")
+    merge_version(
+        spark,
+        tdir,
+        src,
+        "k",
+        when_not_matched_by_source="update",
+        when_not_matched_by_source_condition="target.v >= 30",
+        when_not_matched_by_source_set={"s": "'stale'", "v": "v * -1"},
+    )
+    got = {
+        r["k"]: (r["v"], r["s"])
+        for r in read_version(spark, tdir).collect()
+    }
+    assert got == {
+        1: (111, "live"),
+        2: (20, "live"),   # unmatched but condition fails
+        3: (-30, "stale"),  # unmatched + condition → SET applied
+    }
+
+
+def test_merge_sync_window_composes_with_other_guards(spark, tmp_path):
+    """All three conditional clauses in ONE merge: matched guard,
+    insert guard, and the conditional by-source delete — five row
+    fates enumerated."""
+    tdir = str(tmp_path / "compose")
+    write_version(
+        _mk(
+            spark,
+            [
+                (1, 10, "keep"),   # matched, guard protects
+                (2, 20, "upd"),    # matched, updates
+                (3, 30, "old"),    # unmatched, stale → deleted
+                (4, 40, "fresh"),  # unmatched, survives the window
+            ],
+            "k int, v int, s string",
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    src = _mk(
+        spark,
+        [(1, -1, "w"), (2, -2, "w"), (8, -8, "skip"), (9, -9, "new")],
+        "k int, v int, s string",
+    )
+    merge_version(
+        spark,
+        tdir,
+        src,
+        "k",
+        when_matched_condition="target.s <> 'keep'",
+        when_not_matched_condition="source.s <> 'skip'",
+        when_not_matched_by_source="delete",
+        when_not_matched_by_source_condition="target.s = 'old'",
+    )
+    got = {
+        r["k"]: (r["v"], r["s"])
+        for r in read_version(spark, tdir).collect()
+    }
+    assert got == {
+        1: (10, "keep"),
+        2: (-2, "w"),
+        4: (40, "fresh"),
+        9: (-9, "new"),
+    }
+
+
+def test_merge_sync_window_prunes_files(spark, tmp_path):
+    """The condition's pruning groups join the zonemap cut: a file
+    provably key-disjoint AND condition-empty is never rewritten —
+    the manifest's dead_files (the touched set) excludes it."""
+    import json
+    import pathlib
+
+    tdir = str(tmp_path / "prune")
+    # file A: keys 0..9, all fresh (age 100) — disjoint from source
+    # keys AND provably empty for "age < 50": must NOT rewrite
+    write_version(
+        _mk(spark, [(i, 100) for i in range(10)], "k int, age int")
+        .coalesce(1),
+        tdir,
+        "append",
+    )
+    # file B: keys 100..109, stale — rewrites
+    write_version(
+        _mk(spark, [(100 + i, 10) for i in range(10)], "k int, age int")
+        .coalesce(1),
+        tdir,
+        "append",
+    )
+    src = _mk(spark, [(100, 100)], "k int, age int")
+    v = merge_version(
+        spark,
+        tdir,
+        src,
+        "k",
+        when_not_matched_by_source="delete",
+        when_not_matched_by_source_condition="age < 50",
+    )
+    man = json.loads(
+        (pathlib.Path(tdir) / "_manifests" / f"v{v:06d}.json").read_text()
+    )
+    # file B's dir rewrote wholesale (fully-dead dirs drop out of the
+    # manifest); file A's dir survives UNREAD — the pruning proof
+    dirs = man["dirs"]
+    assert any("v000001" in d for d in dirs)
+    assert not any("v000002" in d for d in dirs)
+    got = {r["k"]: r["age"] for r in read_version(spark, tdir).collect()}
+    assert got == {**{i: 100 for i in range(10)}, 100: 100}
+
+
+def test_merge_sync_window_refusals(spark, tmp_path):
+    tdir = str(tmp_path / "ref")
+    write_version(
+        _mk(spark, [(1, 10)], "k int, v int").coalesce(1), tdir, "append"
+    )
+    src = _mk(spark, [(1, 11)], "k int, v int")
+    with pytest.raises(ValueError, match="requires when_not_matched_by_source"):
+        merge_version(
+            spark, tdir, src, "k",
+            when_not_matched_by_source_condition="v < 0",
+        )
+    with pytest.raises(ValueError, match="requires.*_set"):
+        merge_version(
+            spark, tdir, src, "k", when_not_matched_by_source="update"
+        )
+    with pytest.raises(ValueError, match="only meaningful"):
+        merge_version(
+            spark, tdir, src, "k",
+            when_not_matched_by_source_set={"v": "0"},
+        )
+    with pytest.raises(ValueError, match="non-deterministic"):
+        merge_version(
+            spark, tdir, src, "k",
+            when_not_matched_by_source="delete",
+            when_not_matched_by_source_condition="rand() < 0.5",
+        )
+    with pytest.raises(ValueError, match="merge key"):
+        merge_version(
+            spark, tdir, src, "k",
+            when_not_matched_by_source="update",
+            when_not_matched_by_source_set={"k": "0"},
+        )
+
+
+def test_sync_window_concurrency_conflicts(spark, tmp_path, monkeypatch):
+    """Conflict detection knows the conditional clause: a winner
+    append whose rows may match the sync-window condition conflicts
+    even when key-disjoint; one provably outside BOTH the keys and
+    the window retries clean."""
+    tdir = str(tmp_path / "swcc")
+    write_version(
+        _mk(spark, [(i, 100) for i in range(10)], "k int, age int")
+        .coalesce(1),
+        tdir,
+        "append",
+    )
+    src = _mk(spark, [(1, 100)], "k int, age int")
+
+    def run(winner_rows):
+        def winner():
+            write_version(
+                _mk(spark, winner_rows, "k int, age int").coalesce(1),
+                tdir,
+                "append",
+            )
+
+        _inject_winner(monkeypatch, winner)
+        return merge_version(
+            spark,
+            tdir,
+            src,
+            "k",
+            when_not_matched_by_source="delete",
+            when_not_matched_by_source_condition="age < 50",
+            commit_retries=2,
+        )
+
+    # key-disjoint AND fresh (age >= 50): provably unaffected → lands
+    run([(500, 100)])
+    got = {r["k"] for r in read_version(spark, tdir).collect()}
+    assert got == set(range(10)) | {500}
+    # key-disjoint but STALE: a re-run would delete it → refuses
+    with pytest.raises(ConcurrentAppendError):
+        run([(600, 10)])

@@ -167,6 +167,24 @@ def _parser() -> argparse.ArgumentParser:
     tc.add_argument("--from", dest="from_v", type=int, required=True)
     tc.add_argument("--to", dest="to_v", type=int, default=None)
     tc.add_argument("--limit", type=int, default=20)
+    tcf = tsub.add_parser(
+        "cdf",
+        help="row-level change feed (insert/update_pre/update_post/"
+        "delete) served from write-time sidecars",
+    )
+    tcf.add_argument("dir")
+    tcf.add_argument("--from", dest="from_v", type=int, required=True)
+    tcf.add_argument("--to", dest="to_v", type=int, default=None)
+    tcf.add_argument("--limit", type=int, default=20)
+    tsf = tsub.add_parser(
+        "set-change-feed",
+        help="toggle the change-feed table property (MERGE/DELETE "
+        "commits then record change sidecars; not retroactive)",
+    )
+    tsf.add_argument("dir")
+    tsf.add_argument(
+        "--off", action="store_true", help="disable instead of enable"
+    )
     td = tsub.add_parser(
         "delete", help="row-level delete by key (deletion vector)"
     )
@@ -234,6 +252,18 @@ def _parser() -> argparse.ArgumentParser:
         help="full-sync replication: DELETE target rows with no "
         "source key (WHEN NOT MATCHED BY SOURCE; rewrites every "
         "file)",
+    )
+    tm.add_argument(
+        "--sync-where", default=None, metavar="SQL",
+        help="partial sync: WHEN NOT MATCHED BY SOURCE AND <cond> "
+        "over target. columns — only unmatched rows passing it are "
+        "deleted/updated (the condition also prunes the rewrite "
+        "scope via the zonemaps)",
+    )
+    tm.add_argument(
+        "--sync-update-set", default=None, metavar="COL=EXPR[,...]",
+        help="WHEN NOT MATCHED BY SOURCE THEN UPDATE SET: mark "
+        "unmatched rows instead of deleting them (soft delete)",
     )
     tm.add_argument("--txn-id", default=None)
     tm.add_argument(
@@ -587,6 +617,22 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.dir, args.from_v, args.to_v
             ).show(args.limit, truncate=False)
             return 0
+        if args.table_cmd == "cdf":
+            try:
+                vt.read_version_cdf(
+                    spark, args.dir, args.from_v, args.to_v
+                ).show(args.limit, truncate=False)
+            except ValueError as e:
+                print(f"refused: {e}", file=sys.stderr)
+                return 2
+            return 0
+        if args.table_cmd == "set-change-feed":
+            v = vt.enable_change_feed(
+                spark, args.dir, enabled=not args.off
+            )
+            state = "off" if args.off else "on"
+            print(f"change feed {state} (v{v})")
+            return 0
         if args.table_cmd == "delete":
             from pyspark.sql import functions as F
 
@@ -646,6 +692,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.table_cmd == "merge":
             src = spark.read.parquet(args.source)
             mkeys = [k.strip() for k in args.key.split(",")]
+            sync_set = None
+            if args.sync_update_set is not None:
+                sync_set = {}
+                for pair in args.sync_update_set.split(","):
+                    c, _, e = pair.partition("=")
+                    if not c.strip() or not e:
+                        print(
+                            f"bad --sync-update-set entry {pair!r} "
+                            "(want COL=EXPR)",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    sync_set[c.strip()] = e
+            sync_action = None
+            if sync_set is not None:
+                sync_action = "update"
+            elif args.sync_delete_unmatched or args.sync_where:
+                sync_action = "delete"
             try:
                 v = vt.merge_version(
                     spark,
@@ -658,9 +722,9 @@ def main(argv: list[str] | None = None) -> int:
                     when_not_matched_condition=(
                         args.when_not_matched_condition
                     ),
-                    when_not_matched_by_source=(
-                        "delete" if args.sync_delete_unmatched else None
-                    ),
+                    when_not_matched_by_source=sync_action,
+                    when_not_matched_by_source_condition=args.sync_where,
+                    when_not_matched_by_source_set=sync_set,
                     commit_retries=args.commit_retries,
                 )
             except (ValueError, vt.ConcurrentModificationError) as e:

@@ -1665,6 +1665,54 @@ def delete_rows(
     if del_bounds:
         entry["bounds"] = del_bounds
     deletes.append(entry)
+    # CHANGE DATA FEED sidecar (r12): while the table property is on,
+    # record the deleted rows' PRE-IMAGES — the zonemap-candidate
+    # files (files whose key ranges could hold the keys; stat-less
+    # files scan conservatively) semi-joined with the key set, with
+    # existing tombstones applied so an already-deleted key emits
+    # nothing. Cost: one O(candidate files + keys) scan per
+    # CDF-enabled delete; without the property the delete stays the
+    # pure O(keys) manifest commit it always was.
+    changes_rel: str | None = None
+    if prev.get("change_feed"):
+        logical_bounds = {
+            l: tuple(del_bounds[p])
+            for l, p in zip(logical_cols, phys_cols)
+            if p in del_bounds
+        }
+        live = _live_rel_files(spark, table_dir, prev)
+        stats = prev.get("stats", {})
+        by_dir: dict[str, list[str]] = {}
+        for d, rels in live.items():
+            for rel in rels:
+                ent = stats.get(rel)
+                if (
+                    ent is not None
+                    and logical_bounds
+                    and not _entry_may_overlap(ent, logical_bounds)
+                ):
+                    continue
+                by_dir.setdefault(d, []).append(f"{table_dir}/{rel}")
+        changes_rel = ""  # feed ON, zero matched rows
+        if by_dir:
+            snap = _scan_with_deletes(
+                spark,
+                table_dir,
+                prev,
+                dirs=sorted(by_dir),
+                paths_by_dir=by_dir,
+            )
+            pre = snap.join(
+                keys_df.toDF(*logical_cols).distinct(),
+                logical_cols,
+                "left_semi",
+            ).withColumn("_change_type", F.lit("delete"))
+            pending = f"_changes/pending-{uuid.uuid4().hex[:8]}"
+            pre.write.mode("errorifexists").parquet(
+                f"{table_dir}/{pending}"
+            )
+            if _dir_has_parquet(spark, f"{table_dir}/{pending}"):
+                changes_rel = pending
     payload = {
         "version": v,
         "dirs": list(prev["dirs"]),
@@ -1677,6 +1725,8 @@ def delete_rows(
         payload["dead_files"] = list(prev["dead_files"])
     if txn_id is not None:
         payload["txn_id"] = txn_id
+    if changes_rel is not None:
+        payload["changes"] = changes_rel
     _carry_props(prev, payload)
     try:
         _write_json_atomic(spark, _manifest_path(table_dir, v), payload)
@@ -3524,6 +3574,64 @@ def drop_column(
     return v
 
 
+def enable_change_feed(
+    spark: SparkSession,
+    table_dir: str,
+    enabled: bool = True,
+    commit_retries: int = 0,
+) -> int:
+    """Toggle the table's CHANGE DATA FEED property (r12 — Delta's
+    ``delta.enableChangeDataFeed`` is the public analog) as a
+    metadata-only commit. While enabled, every MERGE and DELETE
+    commit writes a change sidecar (``_changes/…`` parquet of the
+    changed rows with a ``_change_type`` column ∈ {insert,
+    update_pre, update_post, delete}, pointer recorded in the
+    manifest), which is what lets `read_version_cdf` /
+    `stream_read_version_changes` serve row-level changes for those
+    commits WITHOUT diffing snapshots — appends never need a sidecar
+    (their changes ARE the new files). The property is a table
+    property appends/MERGEs inherit; OFF by default because the
+    sidecar costs one extra batch-sized write per DML commit.
+    Already-in-the-requested-state returns the current version with
+    no empty commit. Commits made while the feed was OFF stay
+    unservable (the readers refuse those ranges loudly) — the same
+    contract Delta documents: enabling CDF is not retroactive."""
+    if commit_retries:
+        return _with_commit_retries(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: enable_change_feed(spark, table_dir, enabled),
+        )
+    cur = current_version(spark, table_dir)
+    if cur <= 0:
+        raise ValueError(f"no committed versions at {table_dir}")
+    prev = _read_json(spark, _manifest_path(table_dir, cur))
+    if bool(prev.get("change_feed")) == bool(enabled):
+        return cur
+    v = cur + 1
+    payload: dict = {
+        "version": v,
+        "dirs": list(prev["dirs"]),
+        "op": "alter:change-feed",
+        "stats": prev.get("stats", {}),
+        "recent_txns": _carry_txns(prev, None, v),
+    }
+    if enabled:
+        payload["change_feed"] = True
+    else:
+        # explicit False so _carry_props cannot re-carry True; the
+        # falsy value then ages out of later commits naturally
+        payload["change_feed"] = False
+    if prev.get("deletes"):
+        payload["deletes"] = list(prev["deletes"])
+    if prev.get("dead_files"):
+        payload["dead_files"] = list(prev["dead_files"])
+    _carry_props(prev, payload)
+    _alter_commit(spark, table_dir, v, payload, cur, "ALTER CHANGE FEED")
+    return v
+
+
 def history(spark: SparkSession, table_dir: str) -> list[VersionInfo]:
     """Commit log, oldest SURVIVING version first — manifests only,
     no data access (expired versions drop out of the log)."""
@@ -3612,12 +3720,20 @@ def expire_versions(
         man = _read_json(spark, p)
         referenced.update(man["dirs"])
         referenced.update(de["dir"] for de in man.get("deletes", []))
-    fs, data_root, jvm = _fs(spark, f"{table_dir}/{_DATA}")
+        if man.get("changes"):
+            referenced.add(man["changes"])
     removed = 0
     floor_ms = (time.time() - orphan_grace_hours * 3600.0) * 1000.0
-    if fs.exists(data_root):
+    # change-feed sidecars follow the same lifecycle as data dirs:
+    # referenced by a kept manifest → survive; orphaned (lost commit
+    # race) or referenced only by expired history → GC past the same
+    # in-flight grace window
+    for root_rel in (_DATA, "_changes"):
+        fs, data_root, jvm = _fs(spark, f"{table_dir}/{root_rel}")
+        if not fs.exists(data_root):
+            continue
         for status in fs.listStatus(data_root):
-            rel = f"{_DATA}/{status.getPath().getName()}"
+            rel = f"{root_rel}/{status.getPath().getName()}"
             if rel in referenced:
                 continue
             if status.getModificationTime() > floor_ms:
@@ -4027,10 +4143,18 @@ def _check_winner_conflicts(
     groups = ctx.get("where_groups")
 
     def _added_may_match(entry: dict | None) -> bool:
-        if empty:
-            return False  # an empty source matches nothing
         if whole:
             return True  # full-sync reads (and may delete) anywhere
+        if ctx.get("append_test") == "either" and groups is not None:
+            # conditional NOT-MATCHED-BY-SOURCE merge: an appended
+            # row conflicts via its keys OR via the condition (an
+            # unmatched appended row passing the condition would be
+            # deleted by a re-run but not by the snapshot run)
+            return _entry_may_match_where(entry, groups) or (
+                not empty and _entry_may_overlap(entry, bounds)
+            )
+        if empty:
+            return False  # an empty source matches nothing
         if groups is not None:
             return _entry_may_match_where(entry, groups)
         if bounds:
@@ -4204,6 +4328,8 @@ def merge_version(
     when_matched_condition: str | None = None,
     when_not_matched_by_source: str | None = None,
     when_not_matched_condition: str | None = None,
+    when_not_matched_by_source_condition: str | None = None,
+    when_not_matched_by_source_set: dict[str, str] | None = None,
     commit_retries: int = 0,
 ) -> int:
     """MERGE INTO for the versioned layer — copy-on-write upsert
@@ -4296,10 +4422,28 @@ def merge_version(
     ``when_not_matched_by_source="delete"`` (r11 — Delta's ``WHEN NOT
     MATCHED BY SOURCE THEN DELETE``): full-sync replication — target
     rows whose key has no source row are deleted, making the table
-    exactly mirror the source after the merge. This clause is
-    inherently O(table): every live file may hold unmatched rows, so
-    file skipping is disabled and every file rewrites; use it for
-    snapshot-sync jobs, not incremental batches.
+    exactly mirror the source after the merge. Unconditioned, this
+    clause is inherently O(table): every live file may hold unmatched
+    rows, so file skipping is disabled and every file rewrites; use
+    it for snapshot-sync jobs, not incremental batches.
+
+    ``when_not_matched_by_source_condition`` (r12 — Delta's ``WHEN
+    NOT MATCHED BY SOURCE AND <cond>``): the PARTIAL-sync shape —
+    only unmatched target rows passing the condition (over
+    ``target.<col>`` / bare columns; NULL fails, the row is KEPT)
+    are deleted/updated, e.g. "delete unmatched rows older than the
+    sync window". The condition's pruning groups join the zonemap
+    cut: a file provably key-disjoint AND condition-empty is never
+    read — on a time-clustered table the stale-window sync rewrites
+    the stale files plus the key hits, not the table. Deterministic
+    conditions only (refused otherwise, like every other guard).
+
+    ``when_not_matched_by_source="update"`` with
+    ``when_not_matched_by_source_set={column: SQL expr}`` (Delta's
+    ``whenNotMatchedBySourceUpdate``): unmatched (condition-passing)
+    target rows land with the SET expressions applied instead of
+    being deleted — the soft-delete/mark-stale shape. SET must not
+    touch the merge keys and must be deterministic.
 
     ``commit_retries=N`` (r12 — optimistic concurrency with CONFLICT
     DETECTION): a lost commit race re-runs the whole merge against
@@ -4336,14 +4480,40 @@ def merge_version(
                 when_matched_condition=when_matched_condition,
                 when_not_matched_by_source=when_not_matched_by_source,
                 when_not_matched_condition=when_not_matched_condition,
+                when_not_matched_by_source_condition=(
+                    when_not_matched_by_source_condition
+                ),
+                when_not_matched_by_source_set=(
+                    when_not_matched_by_source_set
+                ),
             ),
         )
     if when_matched not in ("update", "delete"):
         raise ValueError(f"unknown when_matched {when_matched!r}")
-    if when_not_matched_by_source not in (None, "delete"):
+    if when_not_matched_by_source not in (None, "delete", "update"):
         raise ValueError(
-            "when_not_matched_by_source must be None or 'delete', got "
-            f"{when_not_matched_by_source!r}"
+            "when_not_matched_by_source must be None, 'delete' or "
+            f"'update', got {when_not_matched_by_source!r}"
+        )
+    if (
+        when_not_matched_by_source_condition is not None
+        and when_not_matched_by_source is None
+    ):
+        raise ValueError(
+            "when_not_matched_by_source_condition requires "
+            "when_not_matched_by_source='delete'/'update'"
+        )
+    if when_not_matched_by_source == "update":
+        if not when_not_matched_by_source_set:
+            raise ValueError(
+                "when_not_matched_by_source='update' requires "
+                "when_not_matched_by_source_set={column: SQL expr} — "
+                "there is no source row to take values from"
+            )
+    elif when_not_matched_by_source_set:
+        raise ValueError(
+            "when_not_matched_by_source_set is only meaningful with "
+            "when_not_matched_by_source='update'"
         )
     if when_not_matched_condition is not None and when_matched == "delete":
         raise ValueError(
@@ -4358,7 +4528,17 @@ def merge_version(
     missing_keys = [k for k in keys if k not in source_df.columns]
     if missing_keys:
         raise ValueError(f"source has no key column(s) {missing_keys}")
-    full_sync = when_not_matched_by_source == "delete"
+    nmbs = when_not_matched_by_source is not None
+    nmbs_cond = when_not_matched_by_source_condition
+    nmbs_set = dict(when_not_matched_by_source_set or {})
+    # the UNCONDITIONAL clause reads (and may rewrite) the whole
+    # table; a condition lets the zonemap prune the scope back down
+    full_sync = nmbs and nmbs_cond is None
+    nmbs_groups = (
+        _where_pruning_groups(re.sub(r"\btarget\.", "", nmbs_cond))
+        if nmbs_cond is not None
+        else None
+    )
     cur = current_version(spark, table_dir)
     if cur <= 0:
         raise ValueError(f"no committed versions at {table_dir}")
@@ -4403,7 +4583,7 @@ def merge_version(
         when_not_matched_condition is not None
         and when_matched == "update"
     )
-    if conditional and not full_sync:
+    if conditional and not nmbs:
         # the conditional rewrite embeds the source in up to four
         # branches of ONE write plan (guard-kept pairs, updated
         # pairs, unmatched survivors, insert anti-join) AND in the
@@ -4483,13 +4663,30 @@ def merge_version(
     candidates = []
     for d, rels in live.items():
         for rel in rels:
-            if not full_sync and _disjoint(stats.get(rel)):
+            entry = stats.get(rel)
+            if full_sync:
+                pass  # unconditional sync: every live file rewrites
+            elif nmbs_groups is not None:
+                # conditional NOT-MATCHED-BY-SOURCE: a file is
+                # provably untouchable only when it is BOTH
+                # key-disjoint (no matched rows) AND the condition's
+                # pruning groups prove it empty (no doomed unmatched
+                # rows) — 'delete unmatched WHERE stale' on a
+                # time-clustered table rewrites the stale files plus
+                # the key hits, not the table
+                if _disjoint(entry) and not _entry_may_match_where(
+                    entry, nmbs_groups
+                ):
+                    continue
+            elif _disjoint(entry):
                 continue  # proven disjoint from every source key
             candidates.append(rel)
     touched: list[str] = []
-    if full_sync:
-        # every live file rewrites: unmatched-by-source rows must be
-        # dropped wherever they live — the documented O(table) clause
+    if nmbs:
+        # every candidate rewrites: NOT-MATCHED-BY-SOURCE rows must
+        # be deleted/updated wherever they live (the unconditional
+        # form is the documented O(table) clause; a condition prunes
+        # candidates above)
         touched = sorted(candidates)
     elif candidates and not src_empty:
         probe = (
@@ -4564,7 +4761,7 @@ def merge_version(
             dirs=sorted(touched_by_dir),
             paths_by_dir=touched_by_dir,
         )
-        if conditional and not full_sync:
+        if conditional and not nmbs:
             # same plan-reuse move for the touched scan (the source
             # was already checkpointed up front, before src_keys /
             # the probe were derived from it): materialize the
@@ -4624,10 +4821,71 @@ def merge_version(
                     when_not_matched_condition,
                 )
             )
-        if not full_sync:
-            # unmatched target rows survive; under full-sync they are
-            # exactly the NOT MATCHED BY SOURCE rows and are dropped
+        if not nmbs:
+            # unmatched target rows survive
             parts.append(scan.join(src_keys, keys, "left_anti"))
+        else:
+            # WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+            # DELETE/UPDATE: unmatched target rows failing the
+            # condition (NULL counts as fail — the row is KEPT, the
+            # conservative fate) survive untouched; passing rows are
+            # dropped (delete) or land with the SET expressions
+            # applied (update)
+            unmatched = scan.join(src_keys, keys, "left_anti").alias(
+                "target"
+            )
+            if nmbs_cond is not None:
+                hit = F.coalesce(F.expr(nmbs_cond), F.lit(False))
+                kept = unmatched.where(~hit)
+                if not _filter_deterministic(kept):
+                    raise ValueError(
+                        "non-deterministic "
+                        f"when_not_matched_by_source_condition "
+                        f"{nmbs_cond!r} — a replayed or retried merge "
+                        "would pick different rows"
+                    )
+                parts.append(kept)
+                doomed = unmatched.where(hit)
+            else:
+                doomed = unmatched
+            if when_not_matched_by_source == "update":
+                bad_set = [
+                    c for c in nmbs_set if c not in scan.columns
+                ]
+                if bad_set:
+                    raise ValueError(
+                        f"when_not_matched_by_source_set names "
+                        f"column(s) {bad_set} not in the table"
+                    )
+                bad_keys = [c for c in nmbs_set if c in keys]
+                if bad_keys:
+                    raise ValueError(
+                        "when_not_matched_by_source_set must not "
+                        f"touch the merge key(s) {bad_keys}"
+                    )
+                for c, e in nmbs_set.items():
+                    if not _filter_deterministic(
+                        doomed.where(F.expr(e).isNotNull())
+                    ):
+                        raise ValueError(
+                            "non-deterministic SET expression "
+                            f"{e!r} for column {c!r}"
+                        )
+                parts.append(
+                    doomed.select(
+                        *[
+                            (
+                                F.expr(nmbs_set[c])
+                                .cast(scan.schema[c].dataType)
+                                .alias(c)
+                                if c in nmbs_set
+                                else F.col(c)
+                            )
+                            for c in scan.columns
+                        ]
+                    )
+                )
+            # delete action: doomed rows simply do not land
     if src_effective is not None:
         if when_not_matched_condition is not None and not (
             touched and when_matched_condition is None
@@ -4640,6 +4898,158 @@ def merge_version(
                 src_effective, when_not_matched_condition
             )
         parts.append(src_effective)
+
+    # CHANGE DATA FEED sidecar (r12 — Delta's CDF as the public
+    # analog): while the table property is on, the merge also writes
+    # the row-level changes it is making — update_pre/update_post
+    # pairs for guard-passing VALUE-CHANGED matches (no-op rewrites
+    # classify out, parity with `read_version_rowdiff`), delete
+    # pre-images for delete-merges and NOT-MATCHED-BY-SOURCE rows,
+    # inserts for unmatched source rows — to a writer-private pending
+    # dir recorded in the manifest. Cost: one extra batch-sized write
+    # built on the SAME checkpointed scan/source the CoW plan uses.
+    # A lost commit race leaves the sidecar as expire-grace debris,
+    # same as the data dir.
+    changes_rel: str | None = None
+    if man.get("change_feed"):
+        if rec_schema is None:
+            raise ValueError(
+                "change feed requires a recorded table schema "
+                "(legacy stat-less manifest) — rewrite the table or "
+                "disable the feed"
+            )
+        out_cols = [f.name for f in rec_schema.fields]
+        s_have = set(source_df.columns)
+
+        def _chg_aligned(df: DataFrame, have: set, ctype: str) -> DataFrame:
+            return df.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in have
+                        else F.lit(None).cast(rec_schema[c].dataType)
+                    ).alias(c)
+                    for c in out_cols
+                ]
+            ).withColumn("_change_type", F.lit(ctype))
+
+        chg_parts: list[DataFrame] = []
+        if touched:
+            t_have = set(scan.columns)
+            prs = scan.alias("target").join(
+                source_df.alias("source"),
+                _reduce(
+                    _and,
+                    [
+                        F.col(f"target.{k}") == F.col(f"source.{k}")
+                        for k in keys
+                    ],
+                ),
+                "inner",
+            )
+            if when_matched_condition is not None:
+                prs = prs.where(
+                    F.coalesce(
+                        F.expr(when_matched_condition), F.lit(False)
+                    )
+                )
+
+            def _img(pfx: str, have: set):
+                return F.struct(
+                    *[
+                        (
+                            F.col(f"{pfx}.{c}")
+                            if c in have
+                            else F.lit(None).cast(
+                                rec_schema[c].dataType
+                            )
+                        ).alias(c)
+                        for c in out_cols
+                    ]
+                )
+
+            if when_matched == "delete":
+                pre = prs.select("target.*")
+                chg_parts.append(_chg_aligned(pre, t_have, "delete"))
+            else:
+                changed = prs.where(
+                    ~_img("target", t_have).eqNullSafe(
+                        _img("source", s_have)
+                    )
+                )
+                pre = changed.select("target.*")
+                chg_parts.append(
+                    _chg_aligned(pre, t_have, "update_pre")
+                )
+                post_keys = changed.select(
+                    *[F.col(f"target.{k}").alias(k) for k in keys]
+                ).distinct()
+                post = source_df.join(post_keys, keys, "left_semi")
+                chg_parts.append(
+                    _chg_aligned(post, s_have, "update_post")
+                )
+            if nmbs:
+                doomed_c = scan.join(
+                    src_keys, keys, "left_anti"
+                ).alias("target")
+                if nmbs_cond is not None:
+                    doomed_c = doomed_c.where(
+                        F.coalesce(F.expr(nmbs_cond), F.lit(False))
+                    )
+                if when_not_matched_by_source == "delete":
+                    chg_parts.append(
+                        _chg_aligned(doomed_c, t_have, "delete")
+                    )
+                else:
+                    # update-by-source: pre/post pair per VALUE-CHANGED
+                    # row (a SET landing identical values classifies
+                    # out, same rule as the matched-update feed)
+                    changed_c = _reduce(
+                        _or,
+                        [
+                            ~F.expr(e).eqNullSafe(F.col(c))
+                            for c, e in nmbs_set.items()
+                        ],
+                    )
+                    pre_c = doomed_c.where(changed_c)
+                    chg_parts.append(
+                        _chg_aligned(pre_c, t_have, "update_pre")
+                    )
+                    post_c = pre_c.select(
+                        *[
+                            (
+                                F.expr(nmbs_set[c])
+                                .cast(scan.schema[c].dataType)
+                                .alias(c)
+                                if c in nmbs_set
+                                else F.col(c)
+                            )
+                            for c in scan.columns
+                        ]
+                    )
+                    chg_parts.append(
+                        _chg_aligned(post_c, t_have, "update_post")
+                    )
+        if when_matched == "update" and not src_empty:
+            ins = source_df
+            if touched:
+                ins = ins.join(
+                    scan.select(*keys).distinct(), keys, "left_anti"
+                )
+            if when_not_matched_condition is not None:
+                ins = _insert_filter(ins, when_not_matched_condition)
+            chg_parts.append(_chg_aligned(ins, s_have, "insert"))
+        changes_rel = ""  # sentinel: feed ON, zero changes this commit
+        if chg_parts:
+            chg = chg_parts[0]
+            for p in chg_parts[1:]:
+                chg = chg.unionByName(p)
+            pending = f"_changes/pending-{uuid.uuid4().hex[:8]}"
+            chg.write.mode("errorifexists").parquet(
+                f"{table_dir}/{pending}"
+            )
+            if _dir_has_parquet(spark, f"{table_dir}/{pending}"):
+                changes_rel = pending
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-merge-{uuid.uuid4().hex[:8]}"
     new_stats: dict = {}
@@ -4727,6 +5137,11 @@ def merge_version(
         payload["dead_files"] = sorted(dead)
     if txn_id is not None:
         payload["txn_id"] = txn_id
+    if changes_rel is not None:
+        # change-feed pointer: the sidecar dir, or "" for a
+        # feed-enabled commit that changed zero rows (readers emit
+        # nothing instead of refusing an un-sidecared DML commit)
+        payload["changes"] = changes_rel
     # a hive-layout merge output dir needs basePath reads; surviving
     # hive dirs keep their layout via the carry's intersect
     if parts and new_stats and hive_out:
@@ -4750,8 +5165,16 @@ def merge_version(
                 for k in keys
             },
             "read_whole_table": full_sync,
-            "source_empty": src_empty,
+            # an empty source is only a NO-OP without a
+            # NOT-MATCHED-BY-SOURCE clause (with one, it still reads
+            # and deletes/updates unmatched rows)
+            "source_empty": src_empty and not nmbs,
         }
+        if nmbs_groups is not None:
+            # an appended row conflicts when it may match the merge
+            # keys OR the NOT-MATCHED-BY-SOURCE condition
+            e.retry_ctx["where_groups"] = nmbs_groups
+            e.retry_ctx["append_test"] = "either"
         raise
     return v
 
@@ -5279,6 +5702,91 @@ def stream_merge_versioned(
     return w.start()
 
 
+def stream_apply_changes(
+    cdf_sdf,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str | Sequence[str],
+    available_now: bool = True,
+):
+    """Exactly-once CDC-APPLY sink for a CHANGE FEED stream: pipe
+    `stream_read_version_changes(bronze)` in and the target table
+    replays bronze's row-level history — deletes delete, inserts and
+    update post-images upsert — the bronze→silver downstream-apply
+    pipeline Delta builds with ``readChangeFeed`` + foreachBatch
+    MERGE.
+
+    Per micro-batch: events collapse to the NET effect per key (the
+    event with the highest ``_commit_version`` wins; ``update_pre``
+    pre-images are informational and ignored — within one commit a
+    key is deleted XOR upserted, so the net event is well-defined),
+    then ONE `delete_rows` and ONE `merge_version`, each committed
+    with a batch-derived ``txn_id`` so a restart-after-commit race
+    replays as a no-op. Cost per batch: merge cost over touched
+    files + an O(keys) delete — never O(table)."""
+    from pyspark.sql import functions as F
+
+    keys: list[str] = [key] if isinstance(key, str) else list(key)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        events = batch_df.where(F.col("_change_type") != "update_pre")
+        cols = [
+            c
+            for c in batch_df.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        others = [c for c in cols if c not in keys]
+        # net event per key: highest commit version wins; the event
+        # payload (change type + row) rides in a max_by struct. The
+        # row struct itself breaks within-version ties replay-stably
+        # (a commit never both deletes and upserts one key, so ties
+        # are identical events from at-least-once overlap).
+        payload = F.struct(
+            F.col("_change_type").alias("__ct"),
+            *[F.col(c) for c in others],
+        )
+        net = (
+            events.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    payload,
+                    F.struct(F.col("_commit_version"), payload),
+                ).alias("__e")
+            )
+            .select(
+                *keys,
+                F.col("__e.__ct").alias("__ct"),
+                *[F.col(f"__e.{c}").alias(c) for c in others],
+            )
+            .localCheckpoint(eager=False)  # one materialization for
+            # the delete/upsert split below (and replay stability)
+        )
+        doomed = net.where(F.col("__ct") == "delete").select(*keys)
+        ups = net.where(F.col("__ct") != "delete").select(*cols)
+        if (
+            current_version(spark, table_dir) > 0
+            and doomed.limit(1).count()
+        ):
+            # (an empty target has nothing to delete — keys absent)
+            delete_rows(
+                spark, table_dir, doomed, txn_id=f"cdc-del-{batch_id}"
+            )
+        if ups.limit(1).count():
+            txn = f"cdc-ups-{batch_id}"
+            if current_version(spark, table_dir) == 0:
+                write_version(ups, table_dir, "append", txn_id=txn)
+            else:
+                merge_version(spark, table_dir, ups, keys, txn_id=txn)
+
+    w = cdf_sdf.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def read_version_changes(
     spark: SparkSession,
     table_dir: str,
@@ -5513,6 +6021,175 @@ def read_version_rowdiff(
             *[F.col(f"__img.{c}").alias(c) for c in val_cols],
         )
     )
+
+
+def _cdf_step_kind(prev_man: dict, man: dict) -> tuple:
+    """Classify ONE version step for the change feed. Returns
+    ``("sidecar", rel_dir | None)`` (DML commit with a recorded
+    change sidecar; None = feed on, zero changes),
+    ``("append", [new_dirs])`` (pure-append delta: the new files ARE
+    the inserts), or ``("none", None)`` (metadata-only ALTERs/tags
+    and row-preserving maintenance — OPTIMIZE/compact rewrite files
+    but not rows, and the tombstones they purge were already emitted
+    as deletes by their own commits). Raises on unservable steps:
+    overwrite/rollback (history rewrite — no provenance) and
+    MERGE/DELETE commits made while the feed was OFF (Delta's
+    contract too: enabling CDF is not retroactive)."""
+    if "changes" in man:
+        return ("sidecar", man["changes"] or None)
+    op = man.get("op") or ""
+    if op == "overwrite" or op.startswith("rollback"):
+        raise ValueError(
+            f"version {man.get('version')} is a history rewrite "
+            f"({op}): no change provenance exists — restart the feed "
+            "from a later startingVersion"
+        )
+    if op.startswith(("optimize", "compact")):
+        return ("none", None)
+    same_deletes = (prev_man.get("deletes") or []) == (
+        man.get("deletes") or []
+    )
+    same_dead = (prev_man.get("dead_files") or []) == (
+        man.get("dead_files") or []
+    )
+    prev_dirs = set(prev_man["dirs"])
+    if same_deletes and same_dead and prev_dirs <= set(man["dirs"]):
+        new_dirs = [d for d in man["dirs"] if d not in prev_dirs]
+        return ("append", new_dirs) if new_dirs else ("none", None)
+    raise ValueError(
+        f"version {man.get('version')} ({op}) changed rows without a "
+        "change sidecar — the change feed was OFF when it committed; "
+        "enable_change_feed() is not retroactive (use "
+        "read_version_rowdiff for ad-hoc diffs of that range)"
+    )
+
+
+def read_version_cdf(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """BATCH change-data-feed read over ``(from_version, to_version]``
+    — Delta's ``spark.read.option("readChangeFeed", ...)`` as the
+    public analog: one row per row-level change with
+    ``_change_type`` ∈ {insert, update_pre, update_post, delete} and
+    ``_commit_version``. Append commits serve their changes from the
+    data files themselves (zero extra storage); MERGE/DELETE commits
+    serve the write-time sidecar `enable_change_feed` makes them
+    record; maintenance and metadata commits emit nothing. Cost is
+    O(changed rows in the range) — never a snapshot diff. The
+    streaming twin is `stream_read_version_changes`; the
+    retroactive/ad-hoc twin (no property required, value-based) is
+    `read_version_rowdiff`."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(spark, table_dir)
+    to_v = to_version if to_version is not None else cur
+    if not (0 < from_version <= to_v <= cur):
+        raise ValueError(
+            f"bad version range ({from_version}, {to_v}] at "
+            f"{table_dir} (current {cur})"
+        )
+    man_to = _read_json(spark, _manifest_path(table_dir, to_v))
+    to_schema = _man_schema(man_to)
+    if to_schema is None:
+        raise ValueError(
+            "change feed requires a recorded table schema (legacy "
+            "stat-less manifest)"
+        )
+    out_cols = [f.name for f in to_schema.fields]
+
+    def _aligned(df: DataFrame, keep_ct: bool) -> DataFrame:
+        cols = [
+            (
+                F.col(c)
+                if c in df.columns
+                else F.lit(None).cast(to_schema[c].dataType)
+            ).alias(c)
+            for c in out_cols
+        ]
+        if keep_ct:
+            cols.append(F.col("_change_type"))
+        return df.select(*cols)
+
+    frames: list[DataFrame] = []
+    prev_man = _read_json(spark, _manifest_path(table_dir, from_version))
+    for v in range(from_version + 1, to_v + 1):
+        man = _read_json(spark, _manifest_path(table_dir, v))
+        kind, arg = _cdf_step_kind(prev_man, man)
+        if kind == "sidecar" and arg:
+            df = spark.read.parquet(f"{table_dir}/{arg}")
+            frames.append(
+                _aligned(df, keep_ct=True).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+        elif kind == "append":
+            df = _read_files(
+                spark, table_dir, man, [f"{table_dir}/{d}" for d in arg]
+            )
+            frames.append(
+                _aligned(df, keep_ct=False)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        prev_man = man
+    if not frames:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(to_schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            ),
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def stream_read_version_changes(
+    spark: SparkSession,
+    table_dir: str,
+    starting_version: int | str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING change-data-feed source — Delta's
+    ``readStream.option("readChangeFeed", "true")`` as the public
+    analog (VERDICT r11 next-round #2): an unbounded DataFrame of
+    ``(table columns…, _change_type, _commit_version)`` rows tailing
+    the table's commits, MERGE and DELETE included — the primitive a
+    downstream-apply pipeline needs, where the plain
+    `stream_read_versioned` must refuse or degrade to at-least-once
+    re-emission. The offset is the committed version; appends serve
+    their new files as inserts, DML commits serve their recorded
+    change sidecars (`enable_change_feed`), maintenance/ALTER
+    commits emit nothing, and files stream as Arrow batches ON THE
+    EXECUTOR — one partition per file, the driver never touches row
+    data. The initial snapshot (no ``starting_version``) emits every
+    live row as an insert at the current version, with active
+    deletion vectors applied EXECUTOR-SIDE per partition — a table
+    that ran `delete_rows` can start a consumer without an OPTIMIZE.
+    Restart resumes from the checkpointed version exactly like the
+    plain source. Commits made while the feed was OFF fail the
+    stream loudly (not retroactive — Delta's contract too)."""
+    from tms_etl_spark.sources.pyds import VersionedTableCdfDataSource
+
+    spark.dataSource.register(VersionedTableCdfDataSource)
+    r = spark.readStream.format("tms_versioned_cdf").option(
+        "path", table_dir
+    )
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.load()
 
 
 def vacuum_indexes(

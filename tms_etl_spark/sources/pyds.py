@@ -41,6 +41,13 @@ _EXTS = (".log", ".txt")
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+    # CDF / deletion-vector extensions (defaults keep the plain
+    # file-partition uses — status logs, append streams — unchanged):
+    ctype: str | None = None  # constant _change_type; None = not CDF
+    # or the sidecar file carries its own
+    version: int = 0  # _commit_version for CDF partitions
+    del_dirs: tuple = ()  # tombstone vector dirs (abs) covering this file
+    del_keys: tuple = ()  # the vectors' key column names (physical)
 
 
 def _list_log_files(root: str) -> list[str]:
@@ -475,6 +482,22 @@ def _live_files_py(table_dir: str, man: dict) -> list[str]:
     return out
 
 
+def _tombstones_by_dir(table_dir: str, man: dict) -> dict:
+    """Per covered data dir, the deletion-vector dirs (abs) and their
+    key columns — what a partition descriptor ships so `read` can
+    apply tombstones EXECUTOR-SIDE (mixed key sets are refused at
+    write time, so every entry shares one key tuple)."""
+    import os
+
+    out: dict[str, list] = {}
+    for de in man.get("deletes", []):
+        keys = tuple(de.get("keys") or [de["key"]])
+        vdir = os.path.join(table_dir, de["dir"])
+        for d in de.get("covers", []):
+            out.setdefault(d, []).append((vdir, keys))
+    return out
+
+
 class VersionedTableStreamReader(DataSourceStreamReader):
     """Streaming SOURCE over a versioned table — the "table as a
     stream" half of the lakehouse contract (the sink half is
@@ -652,18 +675,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return [_FilePartition("")]
         man_end = _read_manifest_py(self._table, ev)
         if sv == 0:
-            if man_end.get("deletes"):
-                # NOT waived by ignoreChanges/ignoreDeletes: emitting
-                # the initial snapshot per-file would emit the
-                # tombstoned (deleted) rows themselves — leaking
-                # erased data, not just double-delivering live data
-                raise ValueError(
-                    "initial snapshot has row-level deletes; a per-file "
-                    "stream cannot subtract tombstones — optimize the "
-                    "table first, or skip the backfill with "
-                    "startingVersion"
-                )
-            new = _live_files_py(self._table, man_end)
+            # DV-aware initial snapshot (r12): active deletion
+            # vectors ship IN the partition descriptors and are
+            # applied executor-side in read() — a table that ran
+            # delete_rows starts a consumer without an OPTIMIZE, and
+            # erased rows never reach the stream. (The
+            # ignoreChanges mid-stream re-emission path still
+            # refuses tombstone deltas: a survivor re-emit has no
+            # per-file vector scope.)
+            return self._snapshot_partitions(man_end)
         else:
             man_start = _read_manifest_py(self._table, sv)
             tolerant = self._ignore_changes
@@ -702,7 +722,72 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 for f in _live_files_py(self._table, man_end)
                 if f not in old
             ]
-        return [_FilePartition(p) for p in new] or [_FilePartition("")]
+        # a batch can span an append AND a later tombstone on the
+        # appended rows (or a rewrite under ignoreChanges): apply the
+        # END manifest's vectors to the emitted files so rows deleted
+        # within the batch's own range never reach the stream
+        import os
+
+        dels = _tombstones_by_dir(self._table, man_end)
+        parts = []
+        for p in new:
+            rel = os.path.relpath(p, self._table).replace(os.sep, "/")
+            d = next(
+                (
+                    dd
+                    for dd in man_end["dirs"]
+                    if rel.startswith(dd + "/")
+                ),
+                None,
+            )
+            entries = dels.get(d, []) if d else []
+            parts.append(
+                _FilePartition(
+                    p,
+                    del_dirs=tuple(vd for vd, _ in entries),
+                    del_keys=entries[0][1] if entries else (),
+                )
+            )
+        return parts or [_FilePartition("")]
+
+    def _snapshot_partitions(self, man: dict) -> list:
+        """One partition per live file of ``man``, each carrying the
+        deletion-vector dirs that cover its data dir (applied
+        executor-side in read) and, for CDF readers, the constant
+        change metadata."""
+        import glob
+        import os
+
+        dels = _tombstones_by_dir(self._table, man)
+        dead = set(man.get("dead_files", []))
+        ctype = getattr(self, "_snapshot_ctype", None)
+        version = man.get("version", 0) if ctype else 0
+        parts: list[_FilePartition] = []
+        for d in man["dirs"]:
+            entries = dels.get(d, [])
+            del_dirs = tuple(vd for vd, _ in entries)
+            del_keys = entries[0][1] if entries else ()
+            for fp in sorted(
+                glob.glob(
+                    os.path.join(self._table, d, "**", "*.parquet"),
+                    recursive=True,
+                )
+            ):
+                rel = os.path.relpath(fp, self._table).replace(
+                    os.sep, "/"
+                )
+                if rel in dead:
+                    continue
+                parts.append(
+                    _FilePartition(
+                        fp,
+                        ctype=ctype,
+                        version=version,
+                        del_dirs=del_dirs,
+                        del_keys=del_keys,
+                    )
+                )
+        return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.path:
@@ -725,20 +810,72 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if "=" in seg:
                 k, _, val = seg.partition("=")
                 path_vals[k] = unquote(val)
+        # constants injected per partition: hive path values, plus the
+        # CDF change metadata (_change_type from the descriptor when
+        # constant — sidecar files carry their own — and
+        # _commit_version always from the descriptor)
+        const_vals: dict = dict(path_vals)
+        if partition.ctype is not None:
+            const_vals["_change_type"] = partition.ctype
+        if partition.version:
+            const_vals["_commit_version"] = partition.version
+
+        # deletion vectors shipped in the descriptor: load the key
+        # tuples (O(vector) — batch-sized by construction) and
+        # subtract matching rows batch-by-batch, all executor-side.
+        # A file missing a key column null-fills it, and NULL never
+        # equals a vector key — no row of it can be tombstoned.
+        drop = None
+        keys = list(partition.del_keys)
+        if (
+            partition.del_dirs
+            and keys
+            and all(
+                pf.schema_arrow.get_field_index(k) >= 0 for k in keys
+            )
+        ):
+            import glob as _glob
+
+            drop = set()
+            for vd in partition.del_dirs:
+                for f in sorted(
+                    _glob.glob(
+                        os.path.join(vd, "**", "*.parquet"),
+                        recursive=True,
+                    )
+                ):
+                    t = pq.read_table(f, columns=keys)
+                    drop.update(
+                        zip(*[t.column(k).to_pylist() for k in keys])
+                    )
+            if not drop:
+                drop = None
+
         target = None
         if self._schema is not None:
             from pyspark.sql.pandas.types import to_arrow_schema
 
             target = to_arrow_schema(self._schema)
+
+        def _subtract(batches):
+            for b in batches:
+                cols = [b.column(k).to_pylist() for k in keys]
+                mask = [vals not in drop for vals in zip(*cols)]
+                yield b.filter(pa.array(mask, type=pa.bool_()))
+
+        raw = pf.iter_batches()
+        if drop is not None:
+            raw = _subtract(raw)
         if target is None or (
-            not path_vals and pf.schema_arrow.names == list(target.names)
+            not const_vals
+            and pf.schema_arrow.names == list(target.names)
         ):
             # Arrow batches straight to the executor's stream — no
             # per-row Python objects
-            return pf.iter_batches()
+            return raw
 
         def _aligned():
-            for b in pf.iter_batches():
+            for b in raw:
                 n = b.num_rows
                 cols = []
                 for f in target:
@@ -746,10 +883,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         col = b.column(f.name)
                         if col.type != f.type:
                             col = col.cast(f.type)
-                    elif f.name in path_vals:
-                        col = pa.array(
-                            [path_vals[f.name]] * n, type=pa.string()
-                        ).cast(f.type)
+                    elif f.name in const_vals:
+                        col = pa.array([const_vals[f.name]] * n).cast(
+                            f.type
+                        )
                     else:
                         col = pa.nulls(n, type=f.type)
                     cols.append(col)
@@ -759,3 +896,122 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # manifests are immutable; nothing to clean up
+
+
+class VersionedTableCdfStreamReader(VersionedTableStreamReader):
+    """Streaming CHANGE DATA FEED reader (r12) — the
+    ``tms_versioned_cdf`` source behind
+    `operators.versioned.stream_read_version_changes`. Same offset
+    protocol, rate limiting, and executor-side Arrow reads as the
+    plain reader (it IS the plain reader for offsets); only the
+    partition planning differs:
+
+    - the initial snapshot emits every live row as ``insert`` at the
+      current version, deletion vectors applied executor-side;
+    - append steps emit their new files as ``insert`` rows;
+    - MERGE/DELETE steps emit their recorded change sidecar files
+      (rows carry their own ``_change_type``: update_pre/update_post/
+      delete/insert — `enable_change_feed` makes commits record it);
+    - OPTIMIZE/compact/ALTER steps emit nothing (row-preserving);
+    - overwrite/rollback, and DML committed while the feed was OFF,
+      fail the stream loudly (not retroactive — Delta's contract).
+
+    ``_commit_version`` rides in every partition descriptor, so the
+    feed is replayable per offset range like any other source."""
+
+    _snapshot_ctype = "insert"  # _snapshot_partitions marks CDF rows
+
+    def partitions(self, start: dict, end: dict):
+        import glob
+        import os
+
+        from tms_etl_spark.operators.versioned import _cdf_step_kind
+
+        sv, ev = start["version"], end["version"]
+        if self._cursor is None or ev > self._cursor:
+            self._cursor = ev
+        if ev <= sv:
+            return [_FilePartition("")]
+        if sv == 0:
+            return self._snapshot_partitions(
+                _read_manifest_py(self._table, ev)
+            )
+        parts: list[_FilePartition] = []
+        prev = _read_manifest_py(self._table, sv)
+        for v in range(sv + 1, ev + 1):
+            man = _read_manifest_py(self._table, v)
+            kind, arg = _cdf_step_kind(prev, man)
+            if kind == "sidecar" and arg:
+                for fp in sorted(
+                    glob.glob(
+                        os.path.join(
+                            self._table, arg, "**", "*.parquet"
+                        ),
+                        recursive=True,
+                    )
+                ):
+                    # sidecar rows carry their own _change_type
+                    parts.append(_FilePartition(fp, version=v))
+            elif kind == "append":
+                prev_dirs = set(prev["dirs"])
+                for d in arg:
+                    for fp in sorted(
+                        glob.glob(
+                            os.path.join(
+                                self._table, d, "**", "*.parquet"
+                            ),
+                            recursive=True,
+                        )
+                    ):
+                        parts.append(
+                            _FilePartition(fp, ctype="insert", version=v)
+                        )
+            prev = man
+        return parts or [_FilePartition("")]
+
+
+class VersionedTableCdfDataSource(DataSource):
+    """``spark.readStream.format("tms_versioned_cdf")`` — the change
+    feed of a versioned table as a stream; see
+    `VersionedTableCdfStreamReader`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tms_versioned_cdf"
+
+    def schema(self):
+        import json as _json
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "tms_versioned_cdf requires .option('path', ...)"
+            )
+        table = path.removeprefix("file:")
+        cur = _current_version_py(table)
+        if cur <= 0:
+            raise ValueError(f"no committed versions at {table}")
+        man = _read_manifest_py(table, cur)
+        if not man.get("schema"):
+            raise ValueError(
+                "change feed requires a recorded table schema "
+                "(legacy stat-less manifest)"
+            )
+        base = StructType.fromJson(_json.loads(man["schema"]))
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+
+    def streamReader(self, schema) -> VersionedTableCdfStreamReader:
+        return VersionedTableCdfStreamReader(self.options, schema)
