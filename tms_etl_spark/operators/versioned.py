@@ -5483,6 +5483,7 @@ def stream_read_versioned(
     max_files_per_trigger: int | None = None,
     ignore_deletes: bool = False,
     ignore_changes: bool = False,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming SOURCE over a versioned table — the primitive every
     table-to-table pipeline (bronze→silver→gold) is built on, Delta's
@@ -5539,6 +5540,11 @@ def stream_read_versioned(
         r = r.option("startingVersion", str(starting_version))
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        # byte-costed whole-commit rate limiting — the honest
+        # backpressure proxy under uneven file sizes; composes with
+        # the file cap (whichever budget fills first)
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     if ignore_deletes:
         r = r.option("ignoreDeletes", "true")
     if ignore_changes:
@@ -6159,6 +6165,7 @@ def stream_read_version_changes(
     table_dir: str,
     starting_version: int | str | None = None,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """STREAMING change-data-feed source — Delta's
     ``readStream.option("readChangeFeed", "true")`` as the public
@@ -6189,6 +6196,8 @@ def stream_read_version_changes(
         r = r.option("startingVersion", str(starting_version))
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return r.load()
 
 

@@ -550,6 +550,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # when one exists) — a bounded, documented slack that keeps
         # the offset log monotone.
         self._max_files = int(_opt("maxFilesPerTrigger") or 0)
+        # maxBytesPerTrigger (Delta parity): same whole-commit walk
+        # costed in on-disk parquet BYTES — the honest backpressure
+        # proxy when file sizes are uneven (a file-count cap admits
+        # one 10 GB file as readily as ten 1 MB ones). Composes with
+        # the file cap: the walk stops at whichever budget fills
+        # first, always admitting at least one commit.
+        self._max_bytes = int(_opt("maxBytesPerTrigger") or 0)
         self._cursor: int | None = None
 
         def _flag(name: str) -> bool:
@@ -598,22 +605,30 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             self._cursor = v
         return {"version": v}
 
-    def _files_added(self, prev_man: dict, man: dict) -> int:
-        """Files NEW in ``man`` vs ``prev_man`` — listing metadata
-        under the added dirs only (append commits add dirs)."""
+    def _added_cost(self, prev_man: dict | None, man: dict) -> tuple:
+        """(files, bytes) NEW in ``man`` vs ``prev_man`` — listing
+        metadata under the added dirs only (append commits add
+        dirs); ``prev_man=None`` costs the full live set (the
+        initial-snapshot step)."""
+        if prev_man is None:
+            fps = _live_files_py(self._table, man)
+            return len(fps), sum(os.path.getsize(f) for f in fps)
         prev_dirs = set(prev_man["dirs"])
-        n = 0
+        n = b = 0
         for d in man["dirs"]:
             if d in prev_dirs:
                 continue
             full = os.path.join(self._table, d)
             for dirpath, _dn, fns in os.walk(full):
-                n += sum(1 for f in fns if f.endswith(".parquet"))
-        return n
+                for f in fns:
+                    if f.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(dirpath, f))
+        return n, b
 
     def latestOffset(self) -> dict:
         cur = _current_version_py(self._table)
-        if not self._max_files:
+        if not self._max_files and not self._max_bytes:
             self._cursor = cur
             return {"version": cur}
         start = self._cursor
@@ -636,22 +651,27 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             self._cursor = cur
             return {"version": cur}
         end = start
-        files = 0
+        files = size = 0
         try:
             prev_man = _read_manifest_py(self._table, end) if end else None
             while end < cur:
                 man = _read_manifest_py(self._table, end + 1)
-                n_new = (
-                    self._files_added(prev_man, man)
-                    if prev_man is not None
-                    else len(_live_files_py(self._table, man))
+                n_new, b_new = self._added_cost(prev_man, man)
+                over = (
+                    self._max_files
+                    and files + n_new > self._max_files
+                ) or (
+                    self._max_bytes and size + b_new > self._max_bytes
                 )
-                if files and files + n_new > self._max_files:
-                    break
+                if (files or size) and over:
+                    break  # always admit >= 1 commit per trigger
                 files += n_new
+                size += b_new
                 end += 1
                 prev_man = man
-                if files >= self._max_files:
+                if (self._max_files and files >= self._max_files) or (
+                    self._max_bytes and size >= self._max_bytes
+                ):
                     break
         except FileNotFoundError:
             # a manifest in the walk range was EXPIRED (retention):
