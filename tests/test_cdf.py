@@ -461,3 +461,104 @@ def test_stream_apply_changes_bronze_to_silver(spark, tmp_path):
     )
     sync()
     assert rows(silver) == rows(bronze)
+
+
+def test_dv_snapshot_subtracts_hive_partition_key(spark, tmp_path):
+    """Review regression (r12): a deletion-vector key column that is
+    a HIVE PARTITION column lives in the directory path, not the
+    parquet footer — the executor-side subtraction must type the
+    path constant through the vector's column type and still
+    subtract, never silently emit the erased rows."""
+    tdir = str(tmp_path / "hivedv")
+    write_version(
+        _mk(
+            spark,
+            [(i, i % 3, i * 10) for i in range(12)],
+            "id int, part int, v int",
+        ),
+        tdir,
+        "append",
+        partition_by=["part"],
+    )
+    # composite key INCLUDING the partition column
+    delete_rows(
+        spark, tdir, _mk(spark, [(4, 1), (7, 1)], "id int, part int")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_read_versioned(spark, tdir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["part"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(i, i % 3) for i in range(12)} - {(4, 1), (7, 1)}
+    # partition-column-ONLY key: the whole partition vanishes
+    tdir2 = str(tmp_path / "hivedv2")
+    write_version(
+        _mk(
+            spark,
+            [(i, i % 3, i * 10) for i in range(12)],
+            "id int, part int, v int",
+        ),
+        tdir2,
+        "append",
+        partition_by=["part"],
+    )
+    delete_rows(spark, tdir2, _mk(spark, [(2,)], "part int"))
+    out2 = str(tmp_path / "out2")
+    q2 = (
+        stream_read_versioned(spark, tdir2)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["part"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == {0, 1}
+
+
+def test_stream_apply_changes_with_map_column(spark, tmp_path):
+    """Review regression (r12): the CDC-apply net-event pick orders
+    by _commit_version alone — embedding the row payload in the sort
+    key broke on non-orderable column types (maps)."""
+    from tms_etl_spark.operators.versioned import stream_apply_changes
+
+    bronze = str(tmp_path / "bronze")
+    write_version(
+        _mk(
+            spark,
+            [(1, {"a": 1}), (2, {"b": 2})],
+            "k int, m map<string,int>",
+        ).coalesce(1),
+        bronze,
+        "append",
+    )
+    enable_change_feed(spark, bronze)
+    merge_version(
+        spark,
+        bronze,
+        _mk(spark, [(1, {"a": 9}), (3, {"c": 3})], "k int, m map<string,int>"),
+        "k",
+    )
+    delete_rows(spark, bronze, _mk(spark, [(2,)], "k int"))
+    silver = str(tmp_path / "silver")
+    q = stream_apply_changes(
+        stream_read_version_changes(spark, bronze),
+        silver,
+        str(tmp_path / "cp"),
+        key="k",
+    )
+    q.awaitTermination(180)
+    got = {
+        r["k"]: dict(r["m"]) for r in read_version(spark, silver).collect()
+    }
+    want = {
+        r["k"]: dict(r["m"]) for r in read_version(spark, bronze).collect()
+    }
+    assert got == want == {1: {"a": 9}, 3: {"c": 3}}

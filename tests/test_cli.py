@@ -638,3 +638,40 @@ def test_cli_change_feed_and_sync_where(spark, tmp_path, capsys):
     )
     assert main(["table", "cdf", tdir, "--from", "4"]) == 2
     assert "feed was OFF" in capsys.readouterr().err
+
+
+def test_cli_sync_update_set_top_level_split(spark, tmp_path):
+    """Review regression (r12): --sync-update-set splits on TOP-LEVEL
+    commas only — an expression like round(v,0)+length(',') is one
+    entry, not three."""
+    from tms_etl_spark.__main__ import _split_top_level
+    from tms_etl_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    assert _split_top_level("a=round(v,2),b='x,y'") == [
+        "a=round(v,2)",
+        "b='x,y'",
+    ]
+    tdir = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k int, v double"
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 11.5)], "k int, v double").write.parquet(src)
+    assert (
+        main(
+            [
+                "table", "merge", tdir, "--source", src, "--key", "k",
+                "--sync-update-set", "v=round(v + 0.4, 0)",
+            ]
+        )
+        == 0
+    )
+    got = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert got == {1: 11.5, 2: 20.0}

@@ -789,3 +789,54 @@ def test_stream_read_versioned_max_bytes_per_trigger(spark, tmp_path):
         if not f.startswith(".")
     ]
     assert len(commits) >= 4
+
+
+def test_merge_refuses_concurrent_rollback(spark, tmp_path, monkeypatch):
+    """Review regression (r12): rollback manifests record op as
+    'rollback:<N>' — the conflict checker must match by prefix, or a
+    retry could re-run on rewritten history."""
+    from tms_etl_spark.operators.versioned import rollback
+
+    tdir = _base_table(spark, tmp_path)
+    write_version(
+        _mk(spark, [(500, -1)], "k int, v int").coalesce(1),
+        tdir,
+        "append",
+    )
+    _inject_winner(monkeypatch, lambda: rollback(spark, tdir, 1))
+    src = _mk(spark, [(1, 7777)], "k int, v int")
+    with pytest.raises(ConcurrentOverwriteError, match="rollback"):
+        merge_version(spark, tdir, src, "k", commit_retries=2)
+
+
+def test_sync_window_literal_containing_target_not_mangled(
+    spark, tmp_path
+):
+    """Review regression (r12): the pruning-side 'target.' strip must
+    leave string LITERALS intact — a condition like
+    ``note = 'target.ops'`` previously derived groups for
+    ``note = 'ops'``, wrongly pruning a pure file whose rows PASS the
+    real condition (its doomed rows silently survived)."""
+    tdir = str(tmp_path / "lit")
+    # one file, pure on note='target.ops' — the mangled literal would
+    # prove it empty and skip the rewrite entirely
+    write_version(
+        _mk(
+            spark,
+            [(1, "target.ops"), (2, "target.ops")],
+            "k int, note string",
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    src = _mk(spark, [(1, "keep")], "k int, note string")
+    merge_version(
+        spark,
+        tdir,
+        src,
+        "k",
+        when_not_matched_by_source="delete",
+        when_not_matched_by_source_condition="target.note = 'target.ops'",
+    )
+    got = {r["k"]: r["note"] for r in read_version(spark, tdir).collect()}
+    assert got == {1: "keep"}  # k=2 matched the REAL condition: gone

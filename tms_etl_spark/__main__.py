@@ -455,6 +455,33 @@ def _parser() -> argparse.ArgumentParser:
     return p
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split COL=EXPR[,COL=EXPR...] on TOP-LEVEL commas only — a
+    comma inside parentheses or a string literal belongs to the
+    expression (``price=round(price,2)`` is one entry)."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
 
@@ -695,7 +722,7 @@ def main(argv: list[str] | None = None) -> int:
             sync_set = None
             if args.sync_update_set is not None:
                 sync_set = {}
-                for pair in args.sync_update_set.split(","):
+                for pair in _split_top_level(args.sync_update_set):
                     c, _, e = pair.partition("=")
                     if not c.strip() or not e:
                         print(

@@ -1693,7 +1693,7 @@ def delete_rows(
                 ):
                     continue
                 by_dir.setdefault(d, []).append(f"{table_dir}/{rel}")
-        changes_rel = ""  # feed ON, zero matched rows
+        pre = None
         if by_dir:
             snap = _scan_with_deletes(
                 spark,
@@ -1707,12 +1707,7 @@ def delete_rows(
                 logical_cols,
                 "left_semi",
             ).withColumn("_change_type", F.lit("delete"))
-            pending = f"_changes/pending-{uuid.uuid4().hex[:8]}"
-            pre.write.mode("errorifexists").parquet(
-                f"{table_dir}/{pending}"
-            )
-            if _dir_has_parquet(spark, f"{table_dir}/{pending}"):
-                changes_rel = pending
+        changes_rel = _write_change_sidecar(spark, table_dir, pre)
     payload = {
         "version": v,
         "dirs": list(prev["dirs"]),
@@ -2389,6 +2384,21 @@ def _split_disjuncts(where: str) -> list[str]:
         i += 1
     out.append("".join(buf))
     return [d.strip() for d in out if d.strip()]
+
+
+def _strip_target_qualifier(cond: str) -> str:
+    """Drop ``target.`` column qualifiers so the pruning grammar (bare
+    identifiers only) can parse a NOT-MATCHED-BY-SOURCE condition —
+    but ONLY outside string literals: a literal like
+    ``'ping target.ops'`` must survive verbatim or the derived groups
+    would prune files whose rows actually PASS the real condition
+    (silently keeping doomed rows). Segments alternate outside/inside
+    on a single-quote split, so even indexes are safe to rewrite."""
+    parts = cond.split("'")
+    return "'".join(
+        re.sub(r"\btarget\.", "", p) if i % 2 == 0 else p
+        for i, p in enumerate(parts)
+    )
 
 
 def _where_pruning_groups(where: str) -> list[list[tuple]]:
@@ -4171,7 +4181,9 @@ def _check_winner_conflicts(
                     f"table metadata ({prop}); this operation planned "
                     "against the old value — re-run it explicitly"
                 )
-        if wop in ("overwrite", "rollback"):
+        if wop == "overwrite" or wop.startswith("rollback"):
+            # rollback manifests record op as "rollback:<N>" — match
+            # by prefix, like _cdf_step_kind does
             raise ConcurrentOverwriteError(
                 f"{op}: concurrent commit v{v} ({wop}) replaced the "
                 "table history this operation planned against"
@@ -4535,7 +4547,7 @@ def merge_version(
     # table; a condition lets the zonemap prune the scope back down
     full_sync = nmbs and nmbs_cond is None
     nmbs_groups = (
-        _where_pruning_groups(re.sub(r"\btarget\.", "", nmbs_cond))
+        _where_pruning_groups(_strip_target_qualifier(nmbs_cond))
         if nmbs_cond is not None
         else None
     )
@@ -4972,11 +4984,23 @@ def merge_version(
                 pre = prs.select("target.*")
                 chg_parts.append(_chg_aligned(pre, t_have, "delete"))
             else:
-                changed = prs.where(
-                    ~_img("target", t_have).eqNullSafe(
-                        _img("source", s_have)
+                cmp_cols = [
+                    c
+                    for c in out_cols
+                    if _equatable_type(rec_schema[c].dataType)
+                ]
+                if len(cmp_cols) < len(out_cols):
+                    # a map-typed column cannot equality-compare, so
+                    # no-op suppression is off: every guard-passing
+                    # pair emits (Delta CDF records what the MERGE
+                    # did — this is that contract)
+                    changed = prs
+                else:
+                    changed = prs.where(
+                        ~_img("target", t_have).eqNullSafe(
+                            _img("source", s_have)
+                        )
                     )
-                )
                 pre = changed.select("target.*")
                 chg_parts.append(
                     _chg_aligned(pre, t_have, "update_pre")
@@ -5004,14 +5028,23 @@ def merge_version(
                     # update-by-source: pre/post pair per VALUE-CHANGED
                     # row (a SET landing identical values classifies
                     # out, same rule as the matched-update feed)
-                    changed_c = _reduce(
-                        _or,
-                        [
-                            ~F.expr(e).eqNullSafe(F.col(c))
-                            for c, e in nmbs_set.items()
-                        ],
-                    )
-                    pre_c = doomed_c.where(changed_c)
+                    cmp_set = {
+                        c: e
+                        for c, e in nmbs_set.items()
+                        if _equatable_type(scan.schema[c].dataType)
+                    }
+                    if len(cmp_set) < len(nmbs_set):
+                        # map-typed SET target: no-op suppression off
+                        pre_c = doomed_c
+                    else:
+                        changed_c = _reduce(
+                            _or,
+                            [
+                                ~F.expr(e).eqNullSafe(F.col(c))
+                                for c, e in cmp_set.items()
+                            ],
+                        )
+                        pre_c = doomed_c.where(changed_c)
                     chg_parts.append(
                         _chg_aligned(pre_c, t_have, "update_pre")
                     )
@@ -5039,17 +5072,12 @@ def merge_version(
             if when_not_matched_condition is not None:
                 ins = _insert_filter(ins, when_not_matched_condition)
             chg_parts.append(_chg_aligned(ins, s_have, "insert"))
-        changes_rel = ""  # sentinel: feed ON, zero changes this commit
+        chg = None
         if chg_parts:
             chg = chg_parts[0]
             for p in chg_parts[1:]:
                 chg = chg.unionByName(p)
-            pending = f"_changes/pending-{uuid.uuid4().hex[:8]}"
-            chg.write.mode("errorifexists").parquet(
-                f"{table_dir}/{pending}"
-            )
-            if _dir_has_parquet(spark, f"{table_dir}/{pending}"):
-                changes_rel = pending
+        changes_rel = _write_change_sidecar(spark, table_dir, chg)
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-merge-{uuid.uuid4().hex[:8]}"
     new_stats: dict = {}
@@ -5518,9 +5546,17 @@ def stream_read_versioned(
     ``starting_version`` (Delta's ``startingVersion``): begin AT that
     commit instead of the full current snapshot — ``"latest"`` tails
     only commits made after the query starts (backfill-free CDC
-    consumers). ``max_files_per_trigger`` bounds each micro-batch to
-    whole commits totalling at most that many files (always ≥1
-    commit) — backpressure for catch-up reads over long histories.
+    consumers). ``max_files_per_trigger`` / ``max_bytes_per_trigger``
+    bound each micro-batch to whole commits totalling at most that
+    many files / parquet bytes (always ≥1 commit) — backpressure for
+    catch-up reads over long histories. KNOWN SLACK: the FIRST batch
+    of every run is uncapped — the Python DataSource API never shows
+    latestOffset the checkpointed start, and a capped walk from
+    startingVersion would land BELOW a restarted checkpoint and
+    re-emit delivered versions (the r11 ADVICE bug), so monotonicity
+    wins. For a fresh consumer on a large table, bound batch 0 by
+    passing ``starting_version`` explicitly (or ``"latest"``) rather
+    than relying on the caps.
 
     ``ignore_deletes`` / ``ignore_changes`` (Delta parity): relax the
     insert-only contract. ignore_deletes tolerates tombstone commits
@@ -5745,9 +5781,11 @@ def stream_apply_changes(
         others = [c for c in cols if c not in keys]
         # net event per key: highest commit version wins; the event
         # payload (change type + row) rides in a max_by struct. The
-        # row struct itself breaks within-version ties replay-stably
-        # (a commit never both deletes and upserts one key, so ties
-        # are identical events from at-least-once overlap).
+        # ORDERING key is the commit version alone — within one
+        # commit a key carries exactly one event, so same-version
+        # ties are identical rows from at-least-once overlap and any
+        # pick is replay-stable; embedding the payload in the sort
+        # key would also break on non-orderable column types (maps).
         payload = F.struct(
             F.col("_change_type").alias("__ct"),
             *[F.col(c) for c in others],
@@ -5756,8 +5794,7 @@ def stream_apply_changes(
             events.groupBy(*keys)
             .agg(
                 F.max_by(
-                    payload,
-                    F.struct(F.col("_commit_version"), payload),
+                    payload, F.col("_commit_version")
                 ).alias("__e")
             )
             .select(
@@ -6027,6 +6064,39 @@ def read_version_rowdiff(
             *[F.col(f"__img.{c}").alias(c) for c in val_cols],
         )
     )
+
+
+def _equatable_type(dt) -> bool:
+    """Whether Spark can equality-compare the type (maps cannot, nor
+    can any type containing one) — the gate for the change feed's
+    no-op suppression."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _equatable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_equatable_type(f.dataType) for f in dt.fields)
+    return True
+
+
+def _write_change_sidecar(
+    spark: SparkSession, table_dir: str, chg: DataFrame | None
+) -> str:
+    """Land a change-feed sidecar in a writer-private pending dir and
+    return the manifest pointer: the rel dir when rows landed, or
+    ``""`` — the feed-on-zero-changes sentinel readers emit nothing
+    for. One implementation for MERGE and DELETE commits so the
+    on-disk sidecar contract cannot fork between them. A lost commit
+    race leaves the dir as expire-grace debris, like a data dir."""
+    import uuid
+
+    if chg is None:
+        return ""
+    pending = f"_changes/pending-{uuid.uuid4().hex[:8]}"
+    chg.write.mode("errorifexists").parquet(f"{table_dir}/{pending}")
+    return pending if _dir_has_parquet(spark, f"{table_dir}/{pending}") else ""
 
 
 def _cdf_step_kind(prev_man: dict, man: dict) -> tuple:

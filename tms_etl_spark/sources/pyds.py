@@ -843,33 +843,52 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # deletion vectors shipped in the descriptor: load the key
         # tuples (O(vector) — batch-sized by construction) and
         # subtract matching rows batch-by-batch, all executor-side.
-        # A file missing a key column null-fills it, and NULL never
-        # equals a vector key — no row of it can be tombstoned.
+        # A key column can live in THREE places: the parquet footer
+        # (ordinary column), the directory path (hive partition
+        # column — its constant value still participates in
+        # tombstone matching; skipping it would emit erased rows,
+        # the exact leak the pre-r12 snapshot refusal existed to
+        # prevent), or neither (schema-evolution null-fill — NULL
+        # never equals a vector key, so no row can be tombstoned).
         drop = None
         keys = list(partition.del_keys)
-        if (
-            partition.del_dirs
-            and keys
-            and all(
-                pf.schema_arrow.get_field_index(k) >= 0 for k in keys
-            )
-        ):
-            import glob as _glob
+        path_key_vals: dict = {}
+        if partition.del_dirs and keys:
+            in_file = {
+                k
+                for k in keys
+                if pf.schema_arrow.get_field_index(k) >= 0
+            }
+            outside = [k for k in keys if k not in in_file]
+            if all(k in path_vals for k in outside):
+                import glob as _glob
 
-            drop = set()
-            for vd in partition.del_dirs:
-                for f in sorted(
-                    _glob.glob(
-                        os.path.join(vd, "**", "*.parquet"),
-                        recursive=True,
-                    )
-                ):
-                    t = pq.read_table(f, columns=keys)
-                    drop.update(
-                        zip(*[t.column(k).to_pylist() for k in keys])
-                    )
-            if not drop:
-                drop = None
+                drop = set()
+                vec_schema = None
+                for vd in partition.del_dirs:
+                    for f in sorted(
+                        _glob.glob(
+                            os.path.join(vd, "**", "*.parquet"),
+                            recursive=True,
+                        )
+                    ):
+                        t = pq.read_table(f, columns=keys)
+                        vec_schema = t.schema
+                        drop.update(
+                            zip(*[t.column(k).to_pylist() for k in keys])
+                        )
+                if drop:
+                    for k in outside:
+                        # type the path string through the VECTOR's
+                        # column type so the tuple compares equal; a
+                        # failed cast must fail loud, never emit
+                        path_key_vals[k] = (
+                            pa.array([path_vals[k]])
+                            .cast(vec_schema.field(k).type)[0]
+                            .as_py()
+                        )
+                else:
+                    drop = None
 
         target = None
         if self._schema is not None:
@@ -879,7 +898,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         def _subtract(batches):
             for b in batches:
-                cols = [b.column(k).to_pylist() for k in keys]
+                n = b.num_rows
+                cols = [
+                    (
+                        [path_key_vals[k]] * n
+                        if k in path_key_vals
+                        else b.column(k).to_pylist()
+                    )
+                    for k in keys
+                ]
                 mask = [vals not in drop for vals in zip(*cols)]
                 yield b.filter(pa.array(mask, type=pa.bool_()))
 
@@ -973,7 +1000,6 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
                     # sidecar rows carry their own _change_type
                     parts.append(_FilePartition(fp, version=v))
             elif kind == "append":
-                prev_dirs = set(prev["dirs"])
                 for d in arg:
                     for fp in sorted(
                         glob.glob(
