@@ -840,3 +840,83 @@ def test_sync_window_literal_containing_target_not_mangled(
     )
     got = {r["k"]: r["note"] for r in read_version(spark, tdir).collect()}
     assert got == {1: "keep"}  # k=2 matched the REAL condition: gone
+
+
+def test_optimize_commit_retries_blind(spark, tmp_path, monkeypatch):
+    """OPTIMIZE-family commit_retries is a BLIND re-run: compaction
+    is row-preserving, so re-running against any winner's head is
+    always safe — even a winner DELETE that would conflict a DML
+    retry. The retried compaction lands and the table is exact."""
+    from tms_etl_spark.operators.versioned import optimize_incremental
+
+    tdir = str(tmp_path / "opt")
+    for i in range(3):
+        write_version(
+            _mk(spark, [(i, i * 10)], "k int, v int").coalesce(1),
+            tdir,
+            "append",
+        )
+
+    def winner():
+        delete_rows(spark, tdir, _mk(spark, [(1,)], "k int"))
+
+    _inject_winner(monkeypatch, winner)
+    v = optimize_incremental(
+        spark, tdir, min_file_bytes=10**9, commit_retries=2
+    )
+    assert v == 5  # 3 appends, winner delete=4, retried compact=5
+    got = _rows(spark, tdir)
+    assert got == {0: 0, 2: 20}  # delete applied, then compacted away
+    import json
+    import pathlib
+
+    man = json.loads(
+        (pathlib.Path(tdir) / "_manifests" / "v000005.json").read_text()
+    )
+    assert "deletes" not in man  # the re-run purged the tombstone too
+
+
+def test_import_daily_versioned_commit_retries(spark, tmp_path, monkeypatch):
+    """The flagship pipeline passes commit_retries through: its merge
+    survives a disjoint concurrent append (another writer's month)."""
+    import pathlib
+
+    from tms_etl_spark.operators.versioned import read_version
+    from tms_etl_spark.tms.pipeline import import_daily_versioned
+
+    def _row(data_turno, tear):
+        head = [data_turno, tear, "ART", "", "G", "550", "85.5", "400", "40"]
+        return ",".join(head + ["0"] * 56)
+
+    lake = tmp_path / "lake" / "2024-01" / "daily"
+    pathlib.Path(lake).mkdir(parents=True)
+    (lake / "2024-01-05.csv").write_text(
+        _row("2024-01-05.A", "00001"), encoding="utf-8"
+    )
+    tdir = str(tmp_path / "fact")
+    import_daily_versioned(spark, str(tmp_path / "lake"), tdir)
+
+    # second import loses its merge race to a disjoint append
+    (lake / "2024-01-06.csv").write_text(
+        _row("2024-01-06.A", "00001"), encoding="utf-8"
+    )
+    base = read_version(spark, tdir)
+
+    def winner():
+        write_version(
+            base.limit(1)
+            .withColumn("DataTurno", F.lit("2099-12-31.C"))
+            .withColumn("month", F.lit("2099-12")),
+            tdir,
+            "append",
+        )
+
+    _inject_winner(monkeypatch, winner)
+    stats = import_daily_versioned(
+        spark, str(tmp_path / "lake"), tdir, commit_retries=2
+    )
+    assert stats.batch_rows == 2
+    turnos = {
+        r["DataTurno"] for r in read_version(spark, tdir).collect()
+    }
+    assert turnos == {"2024-01-05.A", "2024-01-06.A", "2099-12-31.C"}

@@ -3775,6 +3775,7 @@ def optimize_version(
     cluster_by: str | None = None,
     zorder_by: tuple[str, str] | None = None,
     partition_by: list[str] | None = None,
+    commit_retries: int = 0,
 ) -> int:
     """Compaction commit: rewrite the CURRENT version's rows into one
     fresh data dir with file sizes targeted from LISTING METADATA
@@ -3803,6 +3804,19 @@ def optimize_version(
     subset of the dimensions skip files — the OPTIMIZE ... ZORDER BY
     of Delta, on this layer. Mutually exclusive with
     ``cluster_by``."""
+    if commit_retries:
+        # row-preserving maintenance: a blind re-run against the
+        # winner's head is always safe (see _retry_blind)
+        return _retry_blind(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: optimize_version(
+                spark, table_dir, target_file_bytes,
+                cluster_by=cluster_by, zorder_by=zorder_by,
+                partition_by=partition_by,
+            ),
+        )
     from math import ceil
 
     from tms_etl_spark.sources.fs import total_size
@@ -4276,6 +4290,23 @@ def _with_commit_retries(
             if ctx is None:
                 raise  # commit path without a read-set: never blind
             _check_winner_conflicts(spark, table_dir, ctx)
+            last = e
+    raise last
+
+
+def _retry_blind(spark, table_dir, retries, attempt):
+    """Blind lost-race retry for ROW-PRESERVING maintenance commits
+    (OPTIMIZE family): unlike DML, a compaction re-run against ANY
+    newer head is semantically safe — it rewrites files, never rows,
+    and recomputes its debt set from the winner's snapshot — so no
+    conflict walk is needed (the same soundness argument as the
+    append retry; Delta conflicts compaction-vs-delete only because
+    it re-commits PRECOMPUTED actions instead of re-running)."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(retries + 1):
+        try:
+            return attempt()
+        except ConcurrentWriteError as e:
             last = e
     raise last
 
@@ -5212,6 +5243,7 @@ def optimize_incremental(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_file_bytes: int = 32 * 1024 * 1024,
+    commit_retries: int = 0,
 ) -> int:
     """Incremental compaction: rewrite ONLY the data dirs that need
     it — dirs whose average live file is smaller than
@@ -5225,6 +5257,17 @@ def optimize_incremental(
     touches the day's small batches, never the petabyte of healthy
     history. Returns the new version (or the current one untouched
     if there is no debt — no empty commit)."""
+    if commit_retries:
+        # row-preserving maintenance: a blind re-run against the
+        # winner's head is always safe (see _retry_blind)
+        return _retry_blind(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: optimize_incremental(
+                spark, table_dir, target_file_bytes, min_file_bytes
+            ),
+        )
     from math import ceil
 
     cur = current_version(spark, table_dir)
@@ -5340,6 +5383,7 @@ def optimize_where(
     value,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: str | None = None,
+    commit_retries: int = 0,
 ) -> int:
     """Partition-scoped compaction — Delta's ``OPTIMIZE … WHERE``:
     rewrite ONLY the files PROVEN wholly inside ``col op value`` by
@@ -5365,6 +5409,19 @@ def optimize_where(
     (within the preserved hive layout), so the hot partition comes
     out of its compaction with tight per-file zonemaps — compact AND
     cluster today's partition in one pass, the full nightly move."""
+    if commit_retries:
+        # row-preserving maintenance: a blind re-run against the
+        # winner's head is always safe (see _retry_blind)
+        return _retry_blind(
+            spark,
+            table_dir,
+            commit_retries,
+            lambda: optimize_where(
+                spark, table_dir, col, op, value,
+                target_file_bytes=target_file_bytes,
+                cluster_by=cluster_by,
+            ),
+        )
     from math import ceil
 
     import uuid

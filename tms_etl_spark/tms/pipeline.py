@@ -113,6 +113,7 @@ def import_daily_versioned(
     months: list[str] | None = None,
     encoding: str = "UTF-8",
     txn_id: str | None = None,
+    commit_retries: int = 0,
 ) -> ImportStats:
     """`import_daily` landing in a VERSIONED lakehouse table — the
     flagship domain pipeline running on the engine's own lakehouse
@@ -153,6 +154,7 @@ def import_daily_versioned(
             "append",
             partition_by=["month"],
             txn_id=txn_id,
+            commit_retries=commit_retries,
         )
     else:
         merge_version(
@@ -164,6 +166,11 @@ def import_daily_versioned(
             when_matched_condition=(
                 f"NOT ({is_tear_desligado_sql('source')})"
             ),
+            # optimistic concurrency: a lost race against a DISJOINT
+            # writer (another month's import, an append) re-runs; a
+            # real conflict raises the named error — safe because the
+            # batch derives deterministically from the CSV files
+            commit_retries=commit_retries,
         )
     # Touched-month stat via a Column predicate, NOT an interpolated
     # SQL string: `month` is data-derived (substring of DataTurno from
