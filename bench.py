@@ -366,6 +366,15 @@ HEADLINE = [
     # sidecars, O(changed rows) serving)
     "lakehouse_merge_sync_window",
     "lakehouse_cdf_feed",
+    # round-20 additions: predicate UPDATE (CoW of touched files
+    # only), the SQL-text DML front door (parser + lowering + merge),
+    # and the CDF rename-seam read (physical-identity alignment)
+    "lakehouse_update_where",
+    "lakehouse_sql_merge",
+    "lakehouse_cdf_rename",
+    # round-20 addition: the monthly report surface (top-k looms by
+    # weighted efficiency — decimal-exact aggregate + window rank)
+    "tms_monthly_report",
 ]
 
 

@@ -829,6 +829,39 @@ AUDIT = [
         "(documented O(table) clause); the read itself is one scan "
         "of the replaced snapshot with a partial-combined aggregate",
     ),
+    (
+        "lakehouse_update_where",
+        ["Scan parquet"],
+        "read after a predicate UPDATE (update_where, r13): the "
+        "UPDATE copy-on-wrote only the zonemap-surviving files with "
+        "matching rows (exact input_file_name probe); the returned "
+        "snapshot read is a plain parquet scan — no residual "
+        "filter/join machinery survives into the read plan",
+    ),
+    (
+        "lakehouse_sql_merge",
+        ["Scan parquet"],
+        "read after the SQL-text MERGE (sql_dml parser lowered onto "
+        "merge_version): identical physical story to the "
+        "programmatic merge — the string front door adds zero plan "
+        "overhead; the read is one scan of the merged snapshot",
+    ),
+    (
+        "lakehouse_cdf_rename",
+        ["Scan parquet", "partial_count"],
+        "change-feed read across a RENAME seam: the pre-rename "
+        "sidecar scans under its write-time (physical-identity) "
+        "column, aliased to the end-version name in the projection "
+        "— alignment is metadata-only, the plan stays a union of "
+        "plain sidecar scans with a partial-combined aggregate",
+    ),
+    (
+        "tms_monthly_report",
+        ["partial_count", "Window"],
+        "monthly report: decimal-exact weighted aggregate with "
+        "map-side partial combine, then one window rank per month "
+        "partition — a single shuffle on the group keys feeds both",
+    ),
 ]
 
 

@@ -71,6 +71,55 @@ def _parser() -> argparse.ArgumentParser:
         help="also register a versioned table (current snapshot + "
         "NAME__history view); repeatable",
     )
+    sp.add_argument(
+        "--dml", action="store_true",
+        help="the statement is DML (MERGE INTO / UPDATE / DELETE "
+        "FROM) over versioned-table DIRECTORIES — lowered onto "
+        "merge_version/update_where/delete_where (operators/sqldml.py)",
+    )
+    sp.add_argument(
+        "--key", default=None,
+        help="(--dml) DELETE's vector key column(s), comma-separated "
+        "— alternative to the statement's KEY (…) suffix",
+    )
+    sp.add_argument("--txn-id", default=None, help="(--dml) idempotent replay id")
+    sp.add_argument(
+        "--commit-retries", type=int, default=0, metavar="N",
+        help="(--dml) optimistic-concurrency retries on a lost commit race",
+    )
+
+    ip = sub.add_parser(
+        "import-daily",
+        help="the reference's daily import as one distributed run: "
+        "read month-dir CSVs -> cast -> arity filter -> newest-file-"
+        "wins dedupe -> guarded MERGE (desligado rows insert-only) "
+        "into the fact table (tms/pipeline.py)",
+    )
+    ip.add_argument("lake", help="lake root holding month dirs of daily CSVs")
+    ip.add_argument(
+        "target",
+        help="fact-table path: a parquet dir, or a versioned table "
+        "dir with --versioned",
+    )
+    ip.add_argument(
+        "--versioned", action="store_true",
+        help="land in a VERSIONED lakehouse table (time travel, "
+        "change feed, txn-id replay) instead of plain parquet",
+    )
+    ip.add_argument(
+        "--months", default=None, metavar="M[,M...]",
+        help="restrict to these month dirs (default: every month)",
+    )
+    ip.add_argument("--encoding", default="UTF-8")
+    ip.add_argument(
+        "--txn-id", default=None,
+        help="(--versioned) idempotent replay id: re-running the "
+        "same txn-id is a no-op commit-wise",
+    )
+    ip.add_argument(
+        "--commit-retries", type=int, default=0, metavar="N",
+        help="(--versioned) optimistic concurrency on a lost commit race",
+    )
 
     tp = sub.add_parser(
         "table", help="versioned-table maintenance (operators/versioned.py)"
@@ -210,6 +259,26 @@ def _parser() -> argparse.ArgumentParser:
     )
     td.add_argument("--txn-id", default=None)
     td.add_argument(
+        "--commit-retries", type=int, default=0, metavar="N",
+        help="optimistic concurrency: on a lost commit race, retry up to N times when the winner's changes are provably disjoint from this op's read+write set (a real conflict refuses with the named ConcurrentModificationError)",
+    )
+    tu = tsub.add_parser(
+        "update",
+        help="predicate UPDATE (copy-on-write of the touched files "
+        "only; SET evaluated against the pre-image)",
+    )
+    tu.add_argument("dir")
+    tu.add_argument(
+        "--where", required=True,
+        help="SQL predicate selecting the rows to update (pruned "
+        "scan: only zonemap-surviving files are probed)",
+    )
+    tu.add_argument(
+        "--set", required=True, dest="set_", metavar="COL=EXPR[,...]",
+        help="assignments; EXPR may reference any column (pre-image)",
+    )
+    tu.add_argument("--txn-id", default=None)
+    tu.add_argument(
         "--commit-retries", type=int, default=0, metavar="N",
         help="optimistic concurrency: on a lost commit race, retry up to N times when the winner's changes are provably disjoint from this op's read+write set (a real conflict refuses with the named ConcurrentModificationError)",
     )
@@ -515,10 +584,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
+        if args.dml:
+            from tms_etl_spark.operators import versioned as vt
+            from tms_etl_spark.operators.sqldml import sql_dml
+
+            key = (
+                [k.strip() for k in args.key.split(",")]
+                if args.key
+                else None
+            )
+            try:
+                v = sql_dml(
+                    spark,
+                    args.statement,
+                    key=key,
+                    txn_id=args.txn_id,
+                    commit_retries=args.commit_retries,
+                )
+            except (ValueError, vt.ConcurrentModificationError) as e:
+                print(f"refused: {e}", file=sys.stderr)
+                return 2
+            print(f"committed v{v}")
+            return 0
         from tms_etl_spark.sources.tables import register_views
 
         register_views(spark, args.sf_dir)
         from tms_etl_spark.operators.versioned import register_versioned
+        # (plain-SQL path continues below)
 
         for spec in args.vtable:
             name, _, tdir = spec.partition("=")
@@ -528,6 +620,46 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             register_versioned(spark, tdir, name)
         spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "import-daily":
+        from tms_etl_spark.operators import versioned as vt
+        from tms_etl_spark.tms.pipeline import (
+            import_daily,
+            import_daily_versioned,
+        )
+
+        months = (
+            [m.strip() for m in args.months.split(",") if m.strip()]
+            if args.months
+            else None
+        )
+        try:
+            if args.versioned:
+                st = import_daily_versioned(
+                    spark,
+                    args.lake,
+                    args.target,
+                    months=months,
+                    encoding=args.encoding,
+                    txn_id=args.txn_id,
+                    commit_retries=args.commit_retries,
+                )
+            else:
+                st = import_daily(
+                    spark,
+                    args.lake,
+                    args.target,
+                    months=months,
+                    encoding=args.encoding,
+                )
+        except (ValueError, vt.ConcurrentModificationError) as e:
+            print(f"refused: {e}", file=sys.stderr)
+            return 2
+        print(
+            f"imported {st.batch_rows} batch rows; "
+            f"{st.table_rows} rows now in the touched months"
+        )
         return 0
 
     if args.cmd == "table":
@@ -684,8 +816,10 @@ def main(argv: list[str] | None = None) -> int:
                         allow_key_scope=args.allow_key_scope,
                         commit_retries=args.commit_retries,
                     )
-                except ValueError as e:
-                    print(str(e), file=sys.stderr)
+                except (ValueError, vt.ConcurrentModificationError) as e:
+                    # named conflicts exit 2 like the merge verb —
+                    # never a raw traceback (r13, ADVICE)
+                    print(f"refused: {e}", file=sys.stderr)
                     return 2
                 print(f"committed v{v}")
                 return 0
@@ -701,10 +835,36 @@ def main(argv: list[str] | None = None) -> int:
             keys = spark.createDataFrame(
                 [(v,) for v in args.values.split(",")], f"{kc} string"
             ).select(F.col(kc).cast(ktype))
-            v = vt.delete_rows(
-                spark, args.dir, keys, txn_id=args.txn_id,
-                commit_retries=args.commit_retries,
-            )
+            try:
+                v = vt.delete_rows(
+                    spark, args.dir, keys, txn_id=args.txn_id,
+                    commit_retries=args.commit_retries,
+                )
+            except (ValueError, vt.ConcurrentModificationError) as e:
+                print(f"refused: {e}", file=sys.stderr)
+                return 2
+            print(f"committed v{v}")
+            return 0
+        if args.table_cmd == "update":
+            assign = {}
+            for pair in _split_top_level(args.set_):
+                c, _, e = pair.partition("=")
+                if not c.strip() or not e:
+                    print(
+                        f"bad --set entry {pair!r} (want COL=EXPR)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                assign[c.strip()] = e
+            try:
+                v = vt.update_where(
+                    spark, args.dir, args.where, assign,
+                    txn_id=args.txn_id,
+                    commit_retries=args.commit_retries,
+                )
+            except (ValueError, vt.ConcurrentModificationError) as e:
+                print(f"refused: {e}", file=sys.stderr)
+                return 2
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "compact":
@@ -732,6 +892,16 @@ def main(argv: list[str] | None = None) -> int:
                         )
                         return 2
                     sync_set[c.strip()] = e
+            if sync_set is not None and args.sync_delete_unmatched:
+                # contradictory sync actions must refuse, not silently
+                # resolve to update (r13, ADVICE)
+                print(
+                    "--sync-update-set and --sync-delete-unmatched are "
+                    "mutually exclusive (update or delete the "
+                    "unmatched target rows — not both)",
+                    file=sys.stderr,
+                )
+                return 2
             sync_action = None
             if sync_set is not None:
                 sync_action = "update"

@@ -257,3 +257,70 @@ def tms_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         """
     )
+
+
+@query(
+    "tms_monthly_report",
+    oracle="""
+    WITH eff AS (
+        SELECT strftime(ts, '%Y-%m') AS month,
+               user_id,
+               CAST(ROUND(SUM(CAST(value * (event_id % 7 + 1)
+                                   AS DECIMAL(28,8))), 2) AS DOUBLE)
+               / CAST(SUM(event_id % 7 + 1) AS DOUBLE) AS weighted_eff,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY month
+                                  ORDER BY weighted_eff DESC, user_id)
+                 AS rk
+        FROM eff
+    )
+    SELECT month, user_id AS loom, CAST(rk AS INTEGER) AS rk,
+           weighted_eff, n_events
+    FROM ranked WHERE rk <= 2
+    """,
+)
+def tms_monthly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/O2/U5 composed: the monthly REPORT surface — top-2 looms
+    (user_id analog) per month by weighted efficiency (the U5
+    aggregate, weight = a structural event weight), the thing the
+    reference exports to a spreadsheet for the floor manager
+    (openpyxl declared at /root/reference/requirements.txt:5; export
+    GUI at /root/reference/src/main_02.py:194-390). The DataFrame is
+    the report; tests/test_update_sqldml.py drives it through the
+    Excel sink (`sources.sinks.export_excel`, import-gated) and a CSV
+    round-trip so the sink surface carries a driver-green query
+    (VERDICT r12 next-round #8)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = F.col("event_id") % 7 + 1
+    eff = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+    ).agg(
+        (
+            F.round(
+                F.sum((F.col("value") * w).cast("decimal(28,8)")), 2
+            ).cast("double")
+            / F.sum(w).cast("double")
+        ).alias("weighted_eff"),
+        F.count("*").alias("n_events"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("month").orderBy(
+            F.col("weighted_eff").desc(), F.col("user_id")
+        )
+    )
+    return (
+        eff.withColumn("rk", rk)
+        .where(F.col("rk") <= 2)
+        .select(
+            "month",
+            F.col("user_id").alias("loom"),
+            "rk",
+            "weighted_eff",
+            "n_events",
+        )
+    )

@@ -48,6 +48,12 @@ class _FilePartition(InputPartition):
     version: int = 0  # _commit_version for CDF partitions
     del_dirs: tuple = ()  # tombstone vector dirs (abs) covering this file
     del_keys: tuple = ()  # the vectors' key column names (physical)
+    # (target_name, name_in_file) pairs for columns whose name in the
+    # file differs from the declared stream schema — data files carry
+    # PHYSICAL names (stable across renames) and CDF sidecars carry
+    # write-time LOGICAL names, so a renamed column needs this map or
+    # read() would null-fill it (r13 fix)
+    renames: tuple = ()
 
 
 def _list_log_files(root: str) -> list[str]:
@@ -749,6 +755,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         import os
 
         dels = _tombstones_by_dir(self._table, man_end)
+        # renamed columns carry PHYSICAL names in data files (r13 fix,
+        # same pairing the snapshot path ships)
+        renames = tuple(
+            (l, p)
+            for l, p in (man_end.get("column_map") or {}).items()
+            if l != p
+        )
         parts = []
         for p in new:
             rel = os.path.relpath(p, self._table).replace(os.sep, "/")
@@ -766,6 +779,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     p,
                     del_dirs=tuple(vd for vd, _ in entries),
                     del_keys=entries[0][1] if entries else (),
+                    renames=renames,
                 )
             )
         return parts or [_FilePartition("")]
@@ -782,6 +796,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         dead = set(man.get("dead_files", []))
         ctype = getattr(self, "_snapshot_ctype", None)
         version = man.get("version", 0) if ctype else 0
+        # renamed columns: data files carry PHYSICAL names — ship the
+        # logical→physical pairs so read() aligns instead of
+        # null-filling the renamed column (r13 fix)
+        renames = tuple(
+            (l, p)
+            for l, p in (man.get("column_map") or {}).items()
+            if l != p
+        )
         parts: list[_FilePartition] = []
         for d in man["dirs"]:
             entries = dels.get(d, [])
@@ -805,6 +827,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         version=version,
                         del_dirs=del_dirs,
                         del_keys=del_keys,
+                        renames=renames,
                     )
                 )
         return parts or [_FilePartition("")]
@@ -897,6 +920,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             target = to_arrow_schema(self._schema)
 
         def _subtract(batches):
+            # anti-join NULL semantics (r13, ADVICE): a key tuple with
+            # a None component can never match — SQL NULL equals
+            # nothing — so keep such rows unconditionally instead of
+            # letting Python's None == None tombstone them (the batch
+            # reader's left_anti keeps them; diverging here would
+            # drop NULL-keyed rows from streaming snapshots only).
+            # delete_rows now refuses NULL-keyed vectors, so this
+            # guards legacy vectors written before the refusal.
             for b in batches:
                 n = b.num_rows
                 cols = [
@@ -907,14 +938,20 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     )
                     for k in keys
                 ]
-                mask = [vals not in drop for vals in zip(*cols)]
+                mask = [
+                    any(v is None for v in vals) or vals not in drop
+                    for vals in zip(*cols)
+                ]
                 yield b.filter(pa.array(mask, type=pa.bool_()))
 
         raw = pf.iter_batches()
         if drop is not None:
             raw = _subtract(raw)
+        # {target column → its name in THIS file} for renamed columns
+        ren = dict(partition.renames)
         if target is None or (
             not const_vals
+            and not ren
             and pf.schema_arrow.names == list(target.names)
         ):
             # Arrow batches straight to the executor's stream — no
@@ -926,8 +963,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 n = b.num_rows
                 cols = []
                 for f in target:
-                    if f.name in b.schema.names:
-                        col = b.column(f.name)
+                    fname = ren.get(f.name, f.name)
+                    if fname in b.schema.names:
+                        col = b.column(fname)
                         if col.type != f.type:
                             col = col.cast(f.type)
                     elif f.name in const_vals:
@@ -968,6 +1006,48 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
 
     _snapshot_ctype = "insert"  # _snapshot_partitions marks CDF rows
 
+    def _declared_cmap(self) -> dict:
+        """{declared logical name → physical name} for the stream's
+        DECLARED schema — the namespace every emitted row must align
+        to. The declared schema is the table's logical schema at
+        stream start; a later rename makes the CURRENT manifest's
+        logical names diverge from it, so resolve by walking versions
+        back to the first manifest whose logical field names equal
+        the declared names and take ITS column_map (physical names
+        are stable across renames, so that map is the bridge from any
+        step's namespace). Cached per reader."""
+        import json as _json
+
+        cached = getattr(self, "_cmap_decl", None)
+        if cached is not None:
+            return cached
+        declared = [
+            f.name
+            for f in (self._schema.fields if self._schema else [])
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        v = _current_version_py(self._table)
+        while v > 0:
+            try:
+                man = _read_manifest_py(self._table, v)
+            except FileNotFoundError:
+                break  # expired by retention — nothing older exists
+            sch = man.get("schema")
+            if sch:
+                names = [
+                    f["name"] for f in _json.loads(sch)["fields"]
+                ]
+                if names == declared:
+                    self._cmap_decl = man.get("column_map") or {}
+                    return self._cmap_decl
+            v -= 1
+        raise ValueError(
+            f"no version of {self._table} matches the stream's "
+            f"declared schema {declared} — the table's columns were "
+            "renamed/dropped since the checkpoint; restart the stream "
+            "to adopt the new schema"
+        )
+
     def partitions(self, start: dict, end: dict):
         import glob
         import os
@@ -983,12 +1063,39 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
             return self._snapshot_partitions(
                 _read_manifest_py(self._table, ev)
             )
+        cmap_decl = self._declared_cmap()
+        decl_cols = [
+            f.name
+            for f in (self._schema.fields if self._schema else [])
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+
+        def _renames(rmap_v: dict | None) -> tuple:
+            """(declared_name, name_in_file) pairs via PHYSICAL
+            identity (r13 fix — a sidecar or data file written before
+            a rename must not null-fill the renamed column).
+            ``rmap_v`` = {physical → step-logical} for sidecar files
+            (written with the step version's LOGICAL names); None for
+            data files, which carry PHYSICAL names directly."""
+            out = []
+            for c in decl_cols:
+                p = cmap_decl.get(c, c)
+                in_file = rmap_v.get(p, p) if rmap_v is not None else p
+                if in_file != c:
+                    out.append((c, in_file))
+            return tuple(out)
+
         parts: list[_FilePartition] = []
         prev = _read_manifest_py(self._table, sv)
         for v in range(sv + 1, ev + 1):
             man = _read_manifest_py(self._table, v)
             kind, arg = _cdf_step_kind(prev, man)
             if kind == "sidecar" and arg:
+                rmap_v = {
+                    p: l
+                    for l, p in (man.get("column_map") or {}).items()
+                }
+                ren = _renames(rmap_v)
                 for fp in sorted(
                     glob.glob(
                         os.path.join(
@@ -998,8 +1105,11 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
                     )
                 ):
                     # sidecar rows carry their own _change_type
-                    parts.append(_FilePartition(fp, version=v))
+                    parts.append(
+                        _FilePartition(fp, version=v, renames=ren)
+                    )
             elif kind == "append":
+                ren = _renames(None)
                 for d in arg:
                     for fp in sorted(
                         glob.glob(
@@ -1010,7 +1120,12 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
                         )
                     ):
                         parts.append(
-                            _FilePartition(fp, ctype="insert", version=v)
+                            _FilePartition(
+                                fp,
+                                ctype="insert",
+                                version=v,
+                                renames=ren,
+                            )
                         )
             prev = man
         return parts or [_FilePartition("")]
