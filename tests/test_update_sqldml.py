@@ -411,3 +411,162 @@ def test_tms_monthly_report_through_sinks(spark, sf_dir, tmp_path):
         .csv(csv_path)
     )
     assert sorted(tuple(r) for r in back.collect()) == rows
+
+
+# ------------------------------------------------- r13 review regressions
+
+
+def test_sql_dml_delete_key_named_column(spark, tmp_path):
+    """A predicate may reference a column literally named ``key`` —
+    the KEY (…) suffix detection anchors at the END of the statement
+    (r13 review: the first-occurrence scan refused these)."""
+    tdir = str(tmp_path / "t")
+    write_version(
+        _mk(spark, [(1, 1), (3, 3)], "key int, v int").coalesce(1),
+        tdir,
+        "append",
+    )
+    sql_dml(spark, f"DELETE FROM '{tdir}' WHERE key = 3 KEY (key)")
+    assert sorted(r["key"] for r in read_version(spark, tdir).collect()) == [1]
+    # key= argument with the column in the predicate, no suffix
+    sql_dml(spark, f"DELETE FROM '{tdir}' WHERE key = 1", key="key")
+    assert read_version(spark, tdir).count() == 0
+
+
+def test_sql_dml_case_when_inside_conditions_and_set(spark, tmp_path):
+    """CASE WHEN … THEN … END inside a MERGE condition or a
+    NOT-MATCHED-BY-SOURCE SET expression must not split the WHEN
+    clauses (r13 review: the keyword splitter broke on them)."""
+    tdir = str(tmp_path / "t")
+    srcp = str(tmp_path / "src")
+    write_version(
+        _mk(
+            spark, [(1, 10, "a"), (2, 20, "a"), (3, 30, "a")],
+            "k int, v int, s string",
+        ).coalesce(1),
+        tdir,
+        "append",
+    )
+    _mk(spark, [(1, 100, "u")], "k int, v int, s string").write.parquet(srcp)
+    sql_dml(
+        spark,
+        f"MERGE INTO '{tdir}' AS t USING '{srcp}' AS s ON t.k = s.k "
+        "WHEN MATCHED AND (CASE WHEN s.v > t.v THEN true ELSE false END) "
+        "THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+        "s = CASE WHEN t.v >= 30 THEN 'stale' ELSE t.s END",
+    )
+    got = {
+        r["k"]: (r["v"], r["s"])
+        for r in read_version(spark, tdir).collect()
+    }
+    assert got == {1: (100, "u"), 2: (20, "a"), 3: (30, "stale")}
+
+
+def test_sql_dml_refuses_identical_aliases(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    write_version(_mk(spark, [(1, 1)], "k int, v int"), tdir, "append")
+    with pytest.raises(ValueError, match="share the alias"):
+        sql_dml(
+            spark,
+            f"MERGE INTO '{tdir}' AS t USING '{tdir}' AS t "
+            "ON t.k = t.k WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_cdf_stream_refuses_ambiguous_drop_readd(spark, tmp_path):
+    """A same-name drop + re-add within retained history makes the
+    declared-schema → physical resolution AMBIGUOUS (two matching
+    manifests, different physical identities): the stream refuses
+    loudly instead of adopting the newest mapping and null-filling
+    pre-drop changes (r13 review)."""
+    from tms_etl_spark.operators.versioned import (
+        add_column,
+        drop_column,
+        merge_version,
+        stream_read_version_changes,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(
+        _mk(spark, [(1, 10, "a")], "k int, v int, s string").coalesce(1),
+        tdir,
+        "append",
+    )
+    enable_change_feed(spark, tdir)
+    merge_version(
+        spark, tdir,
+        _mk(spark, [(2, 20, "b")], "k int, v int, s string"), "k",
+    )  # v3 sidecar under the OLD physical s
+    drop_column(spark, tdir, "s")  # v4
+    add_column(spark, tdir, "s", "string")  # v5: same name, new physical
+    q = (
+        stream_read_version_changes(spark, tdir, starting_version=2)
+        .writeStream.format("memory")
+        .queryName("ambig_cdf")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="dropped and re-added"):
+        q.awaitTermination(120)
+        raise AssertionError("stream did not fail")
+
+
+def test_cli_update_set_grammar_unified(spark, tmp_path, capsys):
+    """`table update --set` parses through sqldml._parse_assignments:
+    malformed assignments refuse with exit 2 BEFORE any Spark work,
+    and quoted/nested expressions parse identically to sql_dml."""
+    tdir = str(tmp_path / "t")
+    write_version(
+        _mk(spark, [(1, 10, "x")], "k int, v int, s string"),
+        tdir,
+        "append",
+    )
+    rc = main(["table", "update", tdir, "--where", "k = 1", "--set", "v >= 2"])
+    assert rc == 2
+    assert "bad --set" in capsys.readouterr().err
+    rc = main(
+        [
+            "table", "update", tdir,
+            "--where", "k = 1",
+            "--set", "v=round(v + 0.6, 0), s=concat(s, ',y')",
+        ]
+    )
+    assert rc == 0
+    r = read_version(spark, tdir).head()
+    assert (r["v"], r["s"]) == (11, "x,y")
+
+
+def test_update_where_flows_through_cdc_apply(spark, tmp_path):
+    """An UPDATE commit's change sidecar is legal stream content:
+    bronze runs update_where, a silver replica built with
+    stream_apply_changes converges to exact row parity (the
+    update_post net-event upserts)."""
+    from tms_etl_spark.operators.versioned import (
+        stream_apply_changes,
+        stream_read_version_changes,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    write_version(
+        _mk(
+            spark, [(i, i * 10, "a") for i in range(8)],
+            "k int, v int, s string",
+        ).coalesce(1),
+        bronze,
+        "append",
+    )
+    enable_change_feed(spark, bronze)
+    update_where(spark, bronze, "k % 3 = 0", {"v": "v + 1", "s": "'u'"})
+    silver = str(tmp_path / "silver")
+    q = stream_apply_changes(
+        stream_read_version_changes(spark, bronze),
+        silver,
+        str(tmp_path / "cp"),
+        key="k",
+    )
+    q.awaitTermination(180)
+    want = sorted(tuple(r) for r in read_version(spark, bronze).collect())
+    got = sorted(tuple(r) for r in read_version(spark, silver).collect())
+    assert got == want

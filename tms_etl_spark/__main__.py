@@ -846,16 +846,16 @@ def main(argv: list[str] | None = None) -> int:
             print(f"committed v{v}")
             return 0
         if args.table_cmd == "update":
-            assign = {}
-            for pair in _split_top_level(args.set_):
-                c, _, e = pair.partition("=")
-                if not c.strip() or not e:
-                    print(
-                        f"bad --set entry {pair!r} (want COL=EXPR)",
-                        file=sys.stderr,
-                    )
-                    return 2
-                assign[c.strip()] = e
+            from tms_etl_spark.operators.sqldml import _parse_assignments
+
+            # ONE assignment grammar for every DML front door (r13
+            # review): identifier validation, <=/>=/!= awareness, and
+            # ''-escape handling live in sqldml._parse_assignments
+            try:
+                assign = _parse_assignments(args.set_)
+            except ValueError as e:
+                print(f"bad --set: {e}", file=sys.stderr)
+                return 2
             try:
                 v = vt.update_where(
                     spark, args.dir, args.where, assign,
@@ -881,17 +881,18 @@ def main(argv: list[str] | None = None) -> int:
             mkeys = [k.strip() for k in args.key.split(",")]
             sync_set = None
             if args.sync_update_set is not None:
-                sync_set = {}
-                for pair in _split_top_level(args.sync_update_set):
-                    c, _, e = pair.partition("=")
-                    if not c.strip() or not e:
-                        print(
-                            f"bad --sync-update-set entry {pair!r} "
-                            "(want COL=EXPR)",
-                            file=sys.stderr,
-                        )
-                        return 2
-                    sync_set[c.strip()] = e
+                from tms_etl_spark.operators.sqldml import (
+                    _parse_assignments,
+                )
+
+                try:
+                    sync_set = _parse_assignments(args.sync_update_set)
+                except ValueError as e:
+                    print(
+                        f"bad --sync-update-set: {e} (want COL=EXPR[,...])",
+                        file=sys.stderr,
+                    )
+                    return 2
             if sync_set is not None and args.sync_delete_unmatched:
                 # contradictory sync actions must refuse, not silently
                 # resolve to update (r13, ADVICE)

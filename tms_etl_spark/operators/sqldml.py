@@ -173,6 +173,31 @@ def _parse_assignments(s: str) -> dict[str, str]:
     return out
 
 
+_KW_SCAN = re.compile(r"\b(CASE|END|WHEN|THEN)\b", re.IGNORECASE)
+
+
+def _top_keyword_positions(s: str) -> list[tuple[int, str]]:
+    """(position, WORD) for every WHEN/THEN OUTSIDE any CASE … END
+    span (and outside quotes) — the clause-boundary scanner. A CASE
+    expression inside a condition or SET expression must not split
+    the MERGE's WHEN clauses (r13 review finding)."""
+    out: list[tuple[int, str]] = []
+    depth = 0
+    pos = 0
+    for is_code, seg in _split_quoted(s):
+        if is_code:
+            for m in _KW_SCAN.finditer(seg):
+                w = m.group(1).upper()
+                if w == "CASE":
+                    depth += 1
+                elif w == "END":
+                    depth = max(0, depth - 1)
+                elif depth == 0:
+                    out.append((pos + m.start(), w))
+        pos += len(seg)
+    return out
+
+
 def _is_versioned_dir(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "_manifests"))
 
@@ -233,13 +258,6 @@ def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
     return keys
 
 
-_WHEN_RE = re.compile(
-    r"WHEN\s+(?P<kind>MATCHED|NOT\s+MATCHED(?:\s+BY\s+SOURCE)?)"
-    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+(?P<action>.*)",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def sql_dml(
     spark: SparkSession,
     sql: str,
@@ -295,18 +313,24 @@ def sql_dml(
                 "want: DELETE FROM <table_dir> WHERE <pred> [KEY (k[, …])]"
             )
         rest = m.group("rest")
-        ki = _find_kw(rest, "KEY")
+        # the KEY (…) suffix must anchor at the END of the statement:
+        # a predicate may legitimately reference a column named "key"
+        # (r13 review finding), so only a trailing, fully-formed
+        # KEY (cols) span is the suffix — anything else stays in the
+        # predicate
         dkey = key
-        if ki >= 0:
+        ki = _find_kw(rest, "KEY")
+        while ki >= 0:
             km = re.fullmatch(
                 r"KEY\s*\(\s*(?P<cols>[^)]+)\)\s*",
                 rest[ki:],
                 re.IGNORECASE,
             )
-            if not km:
-                raise ValueError("bad KEY (…) suffix")
-            dkey = [c.strip() for c in km.group("cols").split(",")]
-            rest = rest[:ki]
+            if km:
+                dkey = [c.strip() for c in km.group("cols").split(",")]
+                rest = rest[:ki]
+                break
+            ki = _find_kw(rest, "KEY", ki + 1)
         pred = rest.strip()
         if not pred:
             raise ValueError("empty WHERE predicate")
@@ -342,31 +366,55 @@ def sql_dml(
         ta, sa = m.group("ta"), m.group("sa")
         if ta.upper() in ("USING", "ON") or sa.upper() == "ON":
             raise ValueError("MERGE target and source need aliases")
+        if ta.lower() == sa.lower():
+            raise ValueError(
+                f"MERGE target and source share the alias {ta!r} — "
+                "every qualified reference would be ambiguous; use "
+                "distinct aliases"
+            )
         rest = stmt[m.end() :]
-        wi = _find_kw(rest, "WHEN")
-        if wi < 0:
+        # clause boundaries via the CASE-aware scanner: a CASE WHEN …
+        # THEN … END inside a condition or SET expression must not
+        # split the MERGE's clauses (r13 review finding)
+        tops = _top_keyword_positions(rest)
+        when_ps = [p for p, w in tops if w == "WHEN"]
+        if not when_ps:
             raise ValueError("MERGE needs at least one WHEN clause")
-        keys = _parse_on_keys(rest[:wi], ta, sa)
-        # split the WHEN clauses on code-segment WHEN keywords
-        clauses: list[str] = []
-        pos = wi
-        while True:
-            nxt = _find_kw(rest, "WHEN", pos + 1)
-            if nxt < 0:
-                clauses.append(rest[pos:].strip())
-                break
-            clauses.append(rest[pos:nxt].strip())
-            pos = nxt
+        keys = _parse_on_keys(rest[: when_ps[0]], ta, sa)
+        spans = list(zip(when_ps, when_ps[1:] + [len(rest)]))
         matched_action = None  # ("update"|"delete", cond)
         insert_clause = None  # cond (or "" for unconditional)
         nmbs_action = None  # ("delete"|"update", cond, set)
-        for cl in clauses:
-            cm = _WHEN_RE.fullmatch(cl)
-            if not cm:
+        for a, b in spans:
+            cl = rest[a:b].strip()
+            km = re.match(
+                r"WHEN\s+(?P<kind>MATCHED|NOT\s+MATCHED"
+                r"(?:\s+BY\s+SOURCE)?)\s*",
+                cl,
+                re.IGNORECASE,
+            )
+            if not km:
                 raise ValueError(f"unsupported WHEN clause {cl!r}")
-            kind = re.sub(r"\s+", " ", cm.group("kind").upper())
-            cond = cm.group("cond")
-            action = cm.group("action").strip()
+            then_ps = [
+                p for p, w in tops if w == "THEN" and a <= p < b
+            ]
+            if not then_ps:
+                raise ValueError(f"WHEN clause without THEN: {cl!r}")
+            tp = then_ps[0] - a  # clause-relative
+            kind = re.sub(r"\s+", " ", km.group("kind").upper())
+            between = cl[km.end() : tp].strip()
+            cond = None
+            if between:
+                am = re.match(r"AND\b", between, re.IGNORECASE)
+                if not am:
+                    raise ValueError(
+                        f"unsupported WHEN clause {cl!r} (want WHEN "
+                        f"{kind} [AND <cond>] THEN …)"
+                    )
+                cond = between[am.end() :].strip()
+                if not cond:
+                    raise ValueError(f"empty AND condition in {cl!r}")
+            action = cl[tp + len("THEN") :].strip()
             if kind == "MATCHED":
                 if matched_action is not None:
                     raise ValueError("multiple WHEN MATCHED clauses")

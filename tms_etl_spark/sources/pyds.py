@@ -1026,6 +1026,15 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
             for f in (self._schema.fields if self._schema else [])
             if f.name not in ("_change_type", "_commit_version")
         ]
+        # Collect EVERY surviving manifest whose logical names match
+        # the declared schema. Name equality alone cannot distinguish
+        # a drop + same-name re-add (fresh physical identity) from
+        # the manifest the schema actually came from — if two
+        # matching manifests map a declared column to DIFFERENT
+        # physicals, the checkpoint is ambiguous and the stream must
+        # refuse, not silently adopt the newest mapping (r13 review
+        # finding).
+        resolved: dict | None = None
         v = _current_version_py(self._table)
         while v > 0:
             try:
@@ -1038,9 +1047,29 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
                     f["name"] for f in _json.loads(sch)["fields"]
                 ]
                 if names == declared:
-                    self._cmap_decl = man.get("column_map") or {}
-                    return self._cmap_decl
+                    cmap = man.get("column_map") or {}
+                    eff = {c: cmap.get(c, c) for c in declared}
+                    if resolved is None:
+                        resolved = eff
+                    elif resolved != eff:
+                        raise ValueError(
+                            f"the declared schema {declared} matches "
+                            f"two versions of {self._table} with "
+                            "DIFFERENT physical column identities (a "
+                            "column was dropped and re-added under "
+                            "the same name within retained history) "
+                            "— cannot tell which version the "
+                            "stream's schema meant, so changes could "
+                            "silently mis-align; expire the pre-drop "
+                            "versions (expire_versions) and start a "
+                            "fresh checkpoint"
+                        )
             v -= 1
+        if resolved is not None:
+            self._cmap_decl = {
+                c: p for c, p in resolved.items() if c != p
+            }
+            return self._cmap_decl
         raise ValueError(
             f"no version of {self._table} matches the stream's "
             f"declared schema {declared} — the table's columns were "
