@@ -346,3 +346,43 @@ def test_cdf_stream_restart_across_rename(spark, tmp_path):
     assert sorted(
         (r["k"], r["val"], r["_commit_version"]) for r in got
     ) == [(6, 60, 5), (6, 66, 5)]
+
+
+def test_cdf_offset_walk_costs_sidecars(spark, tmp_path):
+    """The capped offset walk costs a DML commit by its change
+    SIDECAR (r13): DELETE commits add no data dirs, so they costed
+    ZERO before — maxFilesPerTrigger=1 walked straight past any
+    number of them in one trigger. With an armed cursor, each
+    latestOffset now advances exactly one sidecar commit; the rows
+    still arrive exactly once end-to-end."""
+    from tms_etl_spark.operators.versioned import delete_where
+    from tms_etl_spark.sources.pyds import VersionedTableCdfStreamReader
+
+    tdir = _feed_base(spark, tmp_path, "rl")  # k 0..19, feed on (v2)
+    for i in range(3):
+        delete_where(spark, tdir, f"k = {i}", key="k")  # v3, v4, v5
+    r = VersionedTableCdfStreamReader(
+        {"path": tdir, "maxFilesPerTrigger": "1"}, None
+    )
+    r._cursor = 2  # armed (the cold first call is documented slack)
+    assert r.latestOffset() == {"version": 3}
+    assert r.latestOffset() == {"version": 4}
+    assert r.latestOffset() == {"version": 5}
+    # byte cap: each sidecar is a small parquet, far over 1 byte —
+    # still always >= 1 commit per trigger
+    rb = VersionedTableCdfStreamReader(
+        {"path": tdir, "maxBytesPerTrigger": "1"}, None
+    )
+    rb._cursor = 2
+    assert rb.latestOffset() == {"version": 3}
+    # end-to-end: the drained feed carries each delete exactly once
+    got = _drain(
+        spark,
+        stream_read_version_changes(spark, tdir, starting_version=2),
+        tmp_path,
+        "rl",
+    )
+    assert sorted(
+        (r2["k"], r2["_change_type"], r2["_commit_version"])
+        for r2 in got.collect()
+    ) == [(0, "delete", 3), (1, "delete", 4), (2, "delete", 5)]

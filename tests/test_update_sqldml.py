@@ -570,3 +570,44 @@ def test_update_where_flows_through_cdc_apply(spark, tmp_path):
     want = sorted(tuple(r) for r in read_version(spark, bronze).collect())
     got = sorted(tuple(r) for r in read_version(spark, silver).collect())
     assert got == want
+
+
+def test_update_where_cluster_by_preserves_layout(spark, tmp_path):
+    """cluster_by: the UPDATE's CoW output keeps DISJOINT cluster-key
+    ranges (the merge_version recipe) — zonemap pruning stays tight
+    under update churn instead of degrading until the next OPTIMIZE."""
+    tdir = str(tmp_path / "t")
+    write_version(
+        _mk(
+            spark, [(i, i, "a") for i in range(4000)],
+            "k int, v int, s string",
+        ).repartitionByRange(4, "k"),
+        tdir,
+        "append",
+    )
+    update_where(
+        spark, tdir, "v >= 0", {"s": "'u'"},
+        cluster_by="k", cluster_partitions=4,
+    )
+    man = json.load(
+        open(sorted(
+            (os.path.join(tdir, "_manifests", f) for f in
+             os.listdir(os.path.join(tdir, "_manifests"))
+             if f.endswith(".json"))
+        )[-1])
+    )
+    ranges = sorted(
+        tuple(ent["k"])
+        for rel, ent in man["stats"].items()
+        if "-update-" in rel and isinstance(ent, dict) and "k" in ent
+    )
+    assert len(ranges) >= 3  # cluster_partitions pinned the split
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint cluster-key ranges
+    got = read_version(spark, tdir)
+    assert got.count() == 4000
+    assert got.where("s <> 'u'").count() == 0
+    with pytest.raises(ValueError, match="unknown cluster_by"):
+        update_where(
+            spark, tdir, "v = 1", {"s": "'x'"}, cluster_by="nope"
+        )

@@ -279,6 +279,11 @@ def _parser() -> argparse.ArgumentParser:
     )
     tu.add_argument("--txn-id", default=None)
     tu.add_argument(
+        "--cluster-by", default=None, metavar="COL",
+        help="clustering-preserving rewrite: the CoW output keeps "
+        "disjoint COL ranges (zonemap pruning stays tight)",
+    )
+    tu.add_argument(
         "--commit-retries", type=int, default=0, metavar="N",
         help="optimistic concurrency: on a lost commit race, retry up to N times when the winner's changes are provably disjoint from this op's read+write set (a real conflict refuses with the named ConcurrentModificationError)",
     )
@@ -860,6 +865,7 @@ def main(argv: list[str] | None = None) -> int:
                 v = vt.update_where(
                     spark, args.dir, args.where, assign,
                     txn_id=args.txn_id,
+                    cluster_by=args.cluster_by,
                     commit_retries=args.commit_retries,
                 )
             except (ValueError, vt.ConcurrentModificationError) as e:

@@ -1970,6 +1970,8 @@ def update_where(
     where: str,
     set: dict[str, str],
     txn_id: str | None = None,
+    cluster_by: str | None = None,
+    cluster_partitions: int | None = None,
     commit_retries: int = 0,
 ) -> int:
     """``UPDATE t SET col = expr[, …] WHERE <pred>`` for the
@@ -2002,7 +2004,13 @@ def update_where(
     optimistic concurrency where the ConcurrentAppend test uses the
     predicate's pruning groups (an appended matching row would be
     updated by a re-run but not by the snapshot run). No-op (zero
-    matching rows) returns the current version WITHOUT a commit."""
+    matching rows) returns the current version WITHOUT a commit.
+
+    ``cluster_by`` (the merge_version knob): clustering-preserving
+    rewrite — the CoW output's files keep DISJOINT cluster-key ranges
+    so zonemap pruning stays tight under update churn instead of
+    degrading until the next OPTIMIZE; ``cluster_partitions`` pins
+    the file split (AQE coalesces otherwise)."""
     import uuid
     from functools import reduce as _reduce
     from operator import or_ as _or
@@ -2017,7 +2025,13 @@ def update_where(
         def _attempt():
             try:
                 return update_where(
-                    spark, table_dir, where, assign, txn_id=txn_id
+                    spark,
+                    table_dir,
+                    where,
+                    assign,
+                    txn_id=txn_id,
+                    cluster_by=cluster_by,
+                    cluster_partitions=cluster_partitions,
                 )
             except ConcurrentWriteError as e:
                 ctx = getattr(e, "retry_ctx", None)
@@ -2202,6 +2216,18 @@ def update_where(
     v = cur + 1
     new_dir = f"{_DATA}/v{v:06d}-update-{uuid.uuid4().hex[:8]}"
     hive_out = bool(part_cols)
+    if cluster_by is not None:
+        if cluster_by not in cols:
+            raise ValueError(f"unknown cluster_by column {cluster_by!r}")
+        # clustering-preserving rewrite (the merge_version recipe):
+        # range-partition on (partition cols, cluster key) so the CoW
+        # output's files keep disjoint cluster-key ranges
+        rb = (
+            [cluster_partitions] if cluster_partitions else []
+        ) + [F.col(c) for c in part_cols] + [F.col(cluster_by)]
+        out = out.repartitionByRange(*rb).sortWithinPartitions(
+            *part_cols, cluster_by
+        )
     writer = _to_physical(out, cmap).write.mode("errorifexists")
     if hive_out:
         writer = writer.partitionBy(*part_cols)

@@ -1006,6 +1006,28 @@ class VersionedTableCdfStreamReader(VersionedTableStreamReader):
 
     _snapshot_ctype = "insert"  # _snapshot_partitions marks CDF rows
 
+    def _added_cost(self, prev_man: dict | None, man: dict) -> tuple:
+        """CDF costing for the capped offset walk: a DML commit's
+        stream content is its change SIDECAR, not the CoW data dirs
+        the plain costing counts — cost the sidecar files/bytes so
+        maxFilesPerTrigger/maxBytesPerTrigger actually throttle
+        sidecar-heavy ranges (they costed 0 before, r13)."""
+        import os
+
+        if prev_man is None or "changes" not in man:
+            return super()._added_cost(prev_man, man)
+        rel = man["changes"]
+        if not rel:
+            return 0, 0  # feed-on commit with zero changes
+        n = b = 0
+        full = os.path.join(self._table, rel)
+        for dirpath, _dn, fns in os.walk(full):
+            for f in fns:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(dirpath, f))
+        return n, b
+
     def _declared_cmap(self) -> dict:
         """{declared logical name → physical name} for the stream's
         DECLARED schema — the namespace every emitted row must align
