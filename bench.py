@@ -403,6 +403,25 @@ def main() -> None:
     # speedups). "queries" carries best-of-N (the headline number);
     # medians ride along for run-variance visibility.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+
+    # Session hygiene between executions (r13, guide §5 "unpersist
+    # when done"): operators that localCheckpoint (label propagation,
+    # BPE rounds, MERGE source pinning) leave their blocks in the
+    # block manager after the action completes — across ~90 queries
+    # × (warmup + N) runs in ONE session those dead blocks accumulate
+    # into GB of storage memory, and the resulting memory pressure /
+    # GC inflated LATE queries 3-10× over their solo cost (measured:
+    # dedup_minhash_lsh 21.7 s in-session vs 2.2 s solo at identical
+    # code). Each run re-derives its DataFrame from the catalog fn,
+    # so no lazy plan ever re-reads a previous run's blocks — the
+    # sweep is outside every timed region and removes only dead
+    # state, exactly what a production job would unpersist.
+    def _release_persisted() -> None:
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist(False)
+
     # Per-query untimed warm-up before the timed N: the r5 artifact's
     # first ~7 queries carried 1.3-2x inflated MEDIANS from
     # early-process JVM pressure (JIT, allocator growth, codegen cache
@@ -416,14 +435,20 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = overrides.get(name) or catalog.QUERIES[name]
+        # §1.5: label jobs so UI/event-log analysis maps to queries
+        spark.sparkContext.setJobDescription(f"bench:{name}:warmup")
         for _ in range(warmup_runs):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
+            _release_persisted()  # untimed: drop prior runs' dead blocks
+            spark.sparkContext.setJobDescription(f"bench:{name}:run{i}")
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        _release_persisted()
         runs.sort()
         mid = len(runs) // 2
         timings[name] = round(runs[0], 3)

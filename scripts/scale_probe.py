@@ -252,6 +252,16 @@ def main() -> None:
         int(m)
         for m in os.environ.get("SCALE_MULTS", "1,2,4").split(",")
     ]
+    # Session hygiene between runs (r13, same rationale as bench.py):
+    # leaked localCheckpoint blocks from earlier queries otherwise
+    # accumulate across the probe matrix and inflate LATE cells —
+    # fatal for a scaling measurement, where the 8× cells run last.
+    def _release_persisted() -> None:
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist(False)
+
     results: dict[str, dict[int, float]] = {n: {} for n in names}
     for mult in mults:
         scaled_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_x{mult}")
@@ -259,6 +269,7 @@ def main() -> None:
         for n in names:
             best = float("inf")
             for _ in range(2):  # best-of-2: shields against GC blips
+                _release_persisted()  # untimed: drop dead blocks
                 t0 = time.perf_counter()
                 fn = overrides.get(n) or catalog.QUERIES[n]
                 fn(spark, scaled_dir).write.format("noop").mode(
@@ -266,6 +277,7 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             results[n][mult] = round(best, 3)
+    _release_persisted()
     # recorded run conditions (r11, VERDICT r10 probe-hygiene ask):
     # the r10 artifact's 8×-points were inflated by machine contention
     # on identical code — probe-vs-probe comparisons need the load

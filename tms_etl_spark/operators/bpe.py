@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
 from tms_etl_spark.operators.corpus import TOKEN_SPLIT
 
 
@@ -95,6 +96,7 @@ def learn_bpe_merges(
         "n",
     )
     types = types.localCheckpoint()
+    pin = types  # current checkpoint; superseded pins are released
     merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
         top = (
@@ -112,6 +114,9 @@ def learn_bpe_merges(
         # into one ever-deeper expression tree
         if (i + 1) % 8 == 0:
             types = types.localCheckpoint()
+            unpersist_checkpoint(pin)  # superseded by the new pin
+            pin = types
+    unpersist_checkpoint(pin)  # merges list is driver-side: all dead
     return merges
 
 
@@ -139,10 +144,14 @@ def apply_bpe(
         "word",
         F.expr("filter(split(word, ''), s -> s != '')").alias("syms"),
     )
+    pin = None  # superseded checkpoints only — the LAST one feeds
+    # the returned plan and must stay resident
     for i, (a, b, _) in enumerate(merges):
         vocab = vocab.select("word", _merge_expr(a, b).alias("syms"))
         if (i + 1) % 8 == 0:
             vocab = vocab.localCheckpoint()
+            unpersist_checkpoint(pin)
+            pin = vocab
     seg = vocab.select("word", F.size("syms").alias("__n_syms"))
 
     toks = F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)

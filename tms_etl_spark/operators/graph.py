@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -58,6 +60,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev = None  # round i-1's checkpoint: dead once round i lands
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -99,6 +102,12 @@ def connected_components(
                 ).alias("__changed"),
             )
         ).localCheckpoint(eager=True)
+        # round i is materialized (eager): round i-1's blocks are the
+        # only remaining copy of SUPERSEDED state — release them, or
+        # an O(diameter) run holds O(rounds) node-sized block sets
+        # (guide §5: unpersist when done)
+        unpersist_checkpoint(prev)
+        prev = updated
         changed = updated.where(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
@@ -114,6 +123,11 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    if prev is not None:
+        # at least one round checkpointed: the returned labels'
+        # lineage is truncated at that checkpoint, so the symmetrized
+        # edge pin is dead state for the caller
+        unpersist_checkpoint(sym)
     return labels
 
 
@@ -301,6 +315,7 @@ def bfs_levels(
     levels = source_node.select(
         F.col("node"), F.lit(0).cast("int").alias("level")
     )
+    prev = None  # superseded round's checkpoint (guide §5)
     for _ in range(max_depth):
         cand = (
             levels.join(both, levels["node"] == both["u"])
@@ -315,6 +330,12 @@ def bfs_levels(
             .agg(F.min("level").alias("level"))
             .localCheckpoint()
         )
+        unpersist_checkpoint(prev)
+        prev = levels
+    if prev is not None:
+        # levels' lineage is truncated at its own checkpoint; the
+        # edge pin is no longer reachable from the returned plan
+        unpersist_checkpoint(both)
     return levels
 
 

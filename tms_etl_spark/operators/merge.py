@@ -157,19 +157,26 @@ def upsert_partitioned(
     """
     from tms_etl_spark.sources.fs import path_exists
 
+    from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
+
     spark = source.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ours = None  # OUR checkpoint only — never touch the caller's df
     if path_exists(spark, spark_target_path):
         touched = [r[0] for r in source.select(partition_col).distinct().collect()]
         target = spark.read.parquet(spark_target_path).where(
             F.col(partition_col).isin(touched)
         )
-        merged = upsert(target, source, keys).localCheckpoint(eager=True)
+        merged = ours = upsert(target, source, keys).localCheckpoint(eager=True)
     else:  # first write: nothing to merge with
         merged = source
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(
         spark_target_path
     )
+    # the checkpointed batch is dead once written — release its
+    # blocks so a long-lived session doesn't accumulate one pinned
+    # batch per MERGE (guide §5)
+    unpersist_checkpoint(ours)
 
 
 def snapshot_diff(

@@ -41,6 +41,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
 from tms_etl_spark.sources.fs import _fs, list_files, path_exists
 
 _MANIFESTS = "_manifests"
@@ -277,6 +278,173 @@ _STATS_TYPES = frozenset(
 )
 
 
+def _footer_file_stats(
+    table_dir: str,
+    rel_dir: str,
+    schema,
+    column_map: dict[str, str] | None = None,
+) -> dict | None:
+    """Parquet-FOOTER twin of the `_dir_file_stats` aggregation (r13,
+    guide §1.2/§6): the zonemap min/max, per-column null counts and
+    row counts a commit records are exactly what the parquet writer
+    already put in every file's footer — reading the footers is
+    metadata-sized work, where the Spark aggregation re-reads the
+    whole just-written batch (a second full pass of every commit's
+    data, O(batch) I/O at 100 TB).
+
+    Parity contract (pinned by tests/test_round13_opt.py against the
+    Spark aggregation on plain / hive / column-mapped / evolved /
+    NaN / all-null tables): identical stats dict, or ``None`` when
+    footers cannot PROVE parity — the caller then falls back to the
+    aggregation. Conservative-by-construction cases that mirror the
+    aggregation exactly:
+
+    - NaN extremes: Spark's parquet writer records NaN in min/max
+      (Double.compare ordering), so a NaN-poisoned column surfaces
+      ``max != max`` here and the entry is skipped — the same "no
+      zonemap for NaN bounds" rule as the aggregation (verified
+      empirically: footer max IS NaN for a NaN-bearing column).
+    - All-null chunks carry ``null_count`` but no min/max: entry
+      skipped, like the aggregation's ``mn is None`` rule.
+    - Oversized string stats (parquet-java drops stats > 4 KB):
+      ``has_min_max`` False on a non-null column → ``None`` (full
+      fallback), because the aggregation WOULD have recorded bounds.
+    - Hive-partitioned files carry the partition value in the PATH:
+      parsed (one hive-unescape — listing-derived rel paths keep the
+      on-disk escaped form) and cast per the recorded type, giving
+      the same min==max entry the aggregation derives via partition
+      discovery; ``__HIVE_DEFAULT_PARTITION__`` → all-null.
+
+    Local filesystem only (footers via direct reads); any non-flat
+    schema (array/map/struct null counts are leaf-level in footers,
+    not row-level), ambiguity (a partition column also present in
+    the file), or decode surprise returns ``None``."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(table_dir)
+    if parsed.scheme not in ("", "file") or schema is None:
+        return None
+    for f in schema.fields:
+        if "<" in f.dataType.simpleString():
+            return None  # nested type: footer null counts are leaf-level
+    base = parsed.path if parsed.scheme else table_dir
+    root = os.path.join(base, *rel_dir.split("/"))
+    try:
+        import pyarrow.parquet as _pq
+
+        cmap = column_map or {}
+        cols = [
+            f.name
+            for f in schema.fields
+            if f.dataType.simpleString() in _STATS_TYPES
+        ]
+        null_cols = [f.name for f in schema.fields]
+        int_like = frozenset({"tinyint", "smallint", "int", "bigint"})
+        stats: dict[str, dict] = {}
+        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+            # partition values from the path segments under rel_dir
+            part_vals: dict[str, object] = {}
+            seg_rel = os.path.relpath(dirpath, root)
+            for seg in () if seg_rel == "." else seg_rel.split(os.sep):
+                if "=" not in seg:
+                    return None  # unexpected layout
+                name, _, raw = seg.partition("=")
+                if name not in null_cols:
+                    return None
+                val = unquote(raw)
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    part_vals[name] = None
+                    continue
+                t = schema[name].dataType.simpleString()
+                if t in int_like:
+                    part_vals[name] = int(val)
+                elif t == "double":
+                    part_vals[name] = float(val)
+                elif t == "float":
+                    # Python float() is float64; Spark casts the dir
+                    # string through float32 — values like "1.1"
+                    # would disagree. Prove-nothing → fallback.
+                    return None
+                else:
+                    part_vals[name] = val  # string (or nulls-only type)
+            for fname in sorted(filenames):
+                if fname.startswith(("_", ".")) or not fname.endswith(
+                    ".parquet"
+                ):
+                    continue
+                fpath = os.path.join(dirpath, fname)
+                md = _pq.ParquetFile(fpath).metadata
+                nrows = md.num_rows
+                if nrows == 0:
+                    continue  # the aggregation never emits 0-row files
+                by_phys: dict[str, list] = {}
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        cc = rg.column(c_i)
+                        by_phys.setdefault(cc.path_in_schema, []).append(
+                            cc.statistics
+                        )
+                entry: dict = {"__rows": int(nrows), "__nulls": {}}
+                for c in null_cols:
+                    if c in part_vals:
+                        if cmap.get(c, c) in by_phys:
+                            return None  # path AND data carry the column
+                        entry["__nulls"][c] = (
+                            int(nrows) if part_vals[c] is None else 0
+                        )
+                        if part_vals[c] is not None and c in cols:
+                            entry[c] = [part_vals[c], part_vals[c]]
+                        continue
+                    chunks = by_phys.get(cmap.get(c, c))
+                    if chunks is None:
+                        # evolved column the batch didn't carry:
+                        # reads null-fill it, like the aggregation
+                        entry["__nulls"][c] = int(nrows)
+                        continue
+                    if any(
+                        st is None or not st.has_null_count
+                        for st in chunks
+                    ):
+                        return None
+                    nulls = sum(st.null_count for st in chunks)
+                    entry["__nulls"][c] = int(nulls)
+                    if c not in cols:
+                        continue
+                    if nulls >= nrows:
+                        continue  # all-null: no bounds, like min=None
+                    if any(not st.has_min_max for st in chunks):
+                        # non-null values but no bounds (e.g. >4 KB
+                        # strings): the aggregation WOULD have bounds
+                        return None
+                    mns = [st.min for st in chunks if st.has_min_max]
+                    mxs = [st.max for st in chunks if st.has_min_max]
+                    mn, mx = min(mns), max(mxs)
+                    if isinstance(mn, float) and (mn != mn or mx != mx):
+                        continue  # NaN extremes: no zonemap entry
+                    t = schema[c].dataType.simpleString()
+                    if t in int_like:
+                        if not (
+                            isinstance(mn, int) and isinstance(mx, int)
+                        ):
+                            return None
+                    elif t in ("float", "double"):
+                        mn, mx = float(mn), float(mx)
+                    elif not (
+                        isinstance(mn, str) and isinstance(mx, str)
+                    ):
+                        return None  # string column, non-str stats
+                    entry[c] = [mn, mx]
+                rel = f"{rel_dir}/{os.path.relpath(fpath, root)}".replace(
+                    os.sep, "/"
+                )
+                stats[rel] = entry
+        return stats
+    except Exception:
+        return None  # any surprise: prove-nothing → full aggregation
+
+
 def _dir_file_stats(
     spark: SparkSession,
     table_dir: str,
@@ -298,8 +466,19 @@ def _dir_file_stats(
     ``column_map``: mapped tables' files carry physical names — read
     physically, alias to logical right away, so the RECORDED stats
     (and everything downstream that consults them) stay keyed by the
-    logical names the pruning grammar sees."""
+    logical names the pruning grammar sees.
+
+    Fast path (r13): on a local filesystem with a flat recorded
+    schema the same stats come straight from the parquet FOOTERS
+    (`_footer_file_stats` — metadata-sized, no second read of the
+    just-written batch); the aggregation below is the exact-parity
+    fallback for everything the footers cannot prove."""
     from pyspark.sql import functions as F
+
+    if schema is not None:
+        fast = _footer_file_stats(table_dir, rel_dir, schema, column_map)
+        if fast is not None:
+            return fast
 
     if column_map:
         phys = _phys_schema(schema, column_map) if schema else None
@@ -341,17 +520,24 @@ def _dir_file_stats(
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
+    from urllib.parse import unquote as _uq
+
     stats: dict[str, dict] = {}
     for r in rows:
         # hive layouts nest, so the rel path is everything under the
         # dir, not the basename; the version-dir token makes the
-        # marker unique. (Hive value escaping: Spark writes
-        # `c=a%20b` ON DISK for special chars, and input_file_name
-        # re-encodes only the URI layer — stripping the scheme without
-        # unquoting keeps rel paths equal to listing-derived ones.)
+        # marker unique. input_file_name returns the URI-ENCODED
+        # path (`p=a b` on disk → `p=a%20b`, and Spark's own hive
+        # escaping `p=pl%25us` → `p=pl%2525us`), while manifests
+        # record LISTING paths (the on-disk form) — one unquote of
+        # the URI layer restores the listing form, so stats keys
+        # match the recorded file list for special-char partition
+        # values too (r13: before this, such files simply never
+        # matched a stats entry and were unprunable).
         rel = _rel_of(r["__f"], rel_dir)
         if rel is None:
             rel = f"{rel_dir}/{r['__f'].rsplit('/', 1)[-1]}"
+        rel = _uq(rel)
         entry = {
             "__rows": int(r["__nrows"]),
             "__nulls": {c: int(r[f"__nl_{c}"]) for c in null_cols},
@@ -1629,8 +1815,10 @@ def delete_rows(
     # under-cover the written vector (which would let another
     # writer's conflict check prove a false disjointness) or CDF
     # pre-images that disagree with what was tombstoned. Same hazard
-    # rule merge_version applies to its source.
-    keys_df = keys_df.distinct().localCheckpoint()
+    # rule merge_version applies to its source. Lazy (r13 opt): the
+    # bounds aggregate right below is a full, limit-free pass, so IT
+    # materializes the checkpoint — one job instead of two.
+    keys_df = keys_df.distinct().localCheckpoint(eager=False)
     v = cur + 1
     # key-range bounds (physical names, like the vector itself): one
     # O(keys) aggregate that lets concurrent writers' conflict checks
@@ -1777,7 +1965,9 @@ def delete_rows(
             "key_bounds": ctx_bounds or None,
             "read_whole_table": statless or not ctx_bounds,
         }
+        unpersist_checkpoint(keys_df)
         raise
+    unpersist_checkpoint(keys_df)  # committed: the pin is dead state
     return v
 
 
@@ -1901,44 +2091,58 @@ def delete_where(
             "slices"
         )
     any_null = _reduce(_or, [F.col(k).isNull() for k in keys])
-    counts = matching.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(any_null, F.lit(1))).alias("nulls"),
-    ).head()
-    n_match, n_null = counts["n"], counts["nulls"]
-    if n_match == 0:
-        return current_version(spark, table_dir)
-    if n_null:
-        # a NULL key component can never equal anything, so the
-        # tombstone anti-join would silently KEEP these matched rows
-        # — an under-delete the caller can't see (mirrors
-        # merge_version's NULL-key refusal). Refused under
-        # allow_key_scope too: key-scoped semantics widen the delete,
-        # they don't make NULL comparable.
-        raise ValueError(
-            f"DELETE WHERE matched {n_null} rows with a NULL in "
-            f"{keys} — a key-level deletion vector can never remove "
-            "them (NULL never equals), so the delete would silently "
-            "under-delete; delete by a non-null key or repair the "
-            "key column first"
-        )
-    keys_df = matching.select(*keys).distinct()
-    if not allow_key_scope:
-        n_keyed = read_version_pruned_semijoin(
-            spark, table_dir, keys if len(keys) > 1 else keys[0],
-            keys_df,
-        ).count()
-        if n_keyed != n_match:
+    # Matched-KEYS projection, materialized ONCE (r13, guide §1.2):
+    # the count/NULL gate, the distinct-keys extraction, the key-
+    # coverage guard and delete_rows' bounds aggregate all consume
+    # the same pruned predicate scan — without the pin the WHERE
+    # extraction re-scans the surviving files 2-3 times. The pin is
+    # keys-only (narrow) and matched-rows-sized; released at every
+    # exit. Lazy: the gate aggregate right below materializes it.
+    kproj = matching.select(*keys).localCheckpoint(eager=False)
+    try:
+        counts = kproj.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(any_null, F.lit(1))).alias("nulls"),
+        ).head()
+        n_match, n_null = counts["n"], counts["nulls"]
+        if n_match == 0:
+            return current_version(spark, table_dir)
+        if n_null:
+            # a NULL key component can never equal anything, so the
+            # tombstone anti-join would silently KEEP these matched
+            # rows — an under-delete the caller can't see (mirrors
+            # merge_version's NULL-key refusal). Refused under
+            # allow_key_scope too: key-scoped semantics widen the
+            # delete, they don't make NULL comparable.
             raise ValueError(
-                f"DELETE WHERE matched {n_match} rows but their "
-                f"{keys} values cover {n_keyed} rows — the key is "
-                "not unique over the matched set, so a key-level "
-                "deletion vector would over-delete "
-                f"{n_keyed - n_match} non-matching rows; pass "
-                "allow_key_scope=True to delete every row sharing a "
-                "matched key, or delete by a unique key"
+                f"DELETE WHERE matched {n_null} rows with a NULL in "
+                f"{keys} — a key-level deletion vector can never "
+                "remove them (NULL never equals), so the delete "
+                "would silently under-delete; delete by a non-null "
+                "key or repair the key column first"
             )
-    return delete_rows(spark, table_dir, keys_df, txn_id=txn_id)
+        keys_df = kproj.distinct()
+        if not allow_key_scope:
+            n_keyed = read_version_pruned_semijoin(
+                spark, table_dir, keys if len(keys) > 1 else keys[0],
+                keys_df,
+            ).count()
+            if n_keyed != n_match:
+                raise ValueError(
+                    f"DELETE WHERE matched {n_match} rows but their "
+                    f"{keys} values cover {n_keyed} rows — the key "
+                    "is not unique over the matched set, so a "
+                    "key-level deletion vector would over-delete "
+                    f"{n_keyed - n_match} non-matching rows; pass "
+                    "allow_key_scope=True to delete every row "
+                    "sharing a matched key, or delete by a unique "
+                    "key"
+                )
+        return delete_rows(spark, table_dir, keys_df, txn_id=txn_id)
+    finally:
+        # delete_rows re-checkpoints its distinct keys_df, so the
+        # projection pin is dead state at every exit
+        unpersist_checkpoint(kproj)
 
 
 def _project_deterministic(df: DataFrame) -> bool:
@@ -2294,7 +2498,9 @@ def update_where(
             "where_groups": groups,
             "read_whole_table": not groups,
         }
+        unpersist_checkpoint(scan)
         raise
+    unpersist_checkpoint(scan)  # committed: the plan-reuse pin is dead
     return v
 
 
@@ -5026,6 +5232,9 @@ def merge_version(
         when_not_matched_condition is not None
         and when_matched == "update"
     )
+    # checkpointed frames this merge pins for plan reuse — dead state
+    # once the commit returns/raises, released at both exits (r13)
+    _pins: list[DataFrame] = []
     if conditional and not nmbs:
         # the conditional rewrite embeds the source in up to four
         # branches of ONE write plan (guard-kept pairs, updated
@@ -5039,6 +5248,7 @@ def merge_version(
         # where a second materialized copy of a table-sized scan is
         # exactly the memory pressure to avoid (branches re-scan).
         source_df = source_df.localCheckpoint(eager=False)
+        _pins.append(source_df)
 
     # one row per NON-NULL source key tuple, or the merge is
     # nondeterministic. count_distinct ignores NULL-component tuples,
@@ -5046,10 +5256,18 @@ def merge_version(
     # duplicates gives a misleading error (and a tuple with any NULL
     # component can never match a target row).
     any_null = _reduce(_or, [F.col(k).isNull() for k in keys])
+    # ONE aggregation job for uniqueness/NULL checks AND the per-key
+    # [min, max] bounds (r13, guide §1.2 — the bounds used to be a
+    # second full pass over the source)
+    bexprs = []
+    for k in keys:
+        bexprs.append(F.min(k).alias(f"__mn_{k}"))
+        bexprs.append(F.max(k).alias(f"__mx_{k}"))
     nd = source_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
         F.count(F.when(any_null, F.lit(1))).alias("nulls"),
+        *bexprs,
     ).head()
     if nd["nulls"]:
         raise ValueError(
@@ -5063,11 +5281,7 @@ def merge_version(
             "dedupe (e.g. max_by precedence) before merging"
         )
     src_empty = nd["n"] == 0
-    bexprs = []
-    for k in keys:
-        bexprs.append(F.min(k).alias(f"__mn_{k}"))
-        bexprs.append(F.max(k).alias(f"__mx_{k}"))
-    bounds = source_df.agg(*bexprs).head()
+    bounds = nd  # same fused row: __mn_/__mx_ fields ride along
     src_keys = source_df.select(*keys).distinct()
     # stats-driven broadcast for BOTH source/target joins (the probe
     # semi-join and the CoW anti-join): the exact distinct count from
@@ -5213,6 +5427,7 @@ def merge_version(
             # "touched" is the whole table and a second materialized
             # copy is exactly the memory pressure to avoid.
             scan = scan.localCheckpoint(eager=False)
+            _pins.append(scan)
         if when_matched_condition is not None:
             # WHEN MATCHED AND <cond>: evaluated per matched
             # (target, source) pair under the documented aliases —
@@ -5634,7 +5849,11 @@ def merge_version(
             # keys OR the NOT-MATCHED-BY-SOURCE condition
             e.retry_ctx["where_groups"] = nmbs_groups
             e.retry_ctx["append_test"] = "either"
+        for p in _pins:
+            unpersist_checkpoint(p)
         raise
+    for p in _pins:  # committed: the plan-reuse pins are dead state
+        unpersist_checkpoint(p)
     return v
 
 

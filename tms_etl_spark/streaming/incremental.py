@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
 from tms_etl_spark.operators.merge import upsert_guarded
 from tms_etl_spark.sources.tables import normalize_event_time
 from tms_etl_spark.tms.quality import is_tear_desligado
@@ -90,9 +91,11 @@ def stream_import(
             insert_only=is_tear_desligado(),
         )
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-            "month"
-        ).parquet(target_path)
+        ckpt = merged.localCheckpoint(eager=True)
+        ckpt.write.mode("overwrite").partitionBy("month").parquet(target_path)
+        # release the batch pin: a streaming driver runs this per
+        # micro-batch and would otherwise hold every batch forever
+        unpersist_checkpoint(ckpt)
 
     return (
         stream_daily_files(spark, lake_root)

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
 from tms_etl_spark.operators.merge import dedupe_batch, upsert_guarded
 from tms_etl_spark.sources.fs import path_exists
 from tms_etl_spark.tms.quality import is_tear_desligado
@@ -91,9 +92,10 @@ def import_daily(
         # The merge plan reads the same partitions the write replaces:
         # break the dependency by materializing first (localCheckpoint
         # here; a staging path + atomic rename on a real cluster).
-        merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-            "month"
-        ).parquet(target_path)
+        ckpt = merged.localCheckpoint(eager=True)
+        ckpt.write.mode("overwrite").partitionBy("month").parquet(target_path)
+        # written and re-read from disk below: the pin is dead state
+        unpersist_checkpoint(ckpt)
 
     # Post-write stat over the TOUCHED partitions only (partition
     # pruning on `month`) — a full-table count here would be a 100 TB
