@@ -299,3 +299,38 @@ def test_merge_version_bounds_still_recorded(spark, tmp_path):
         for r in vt.read_version(spark, tdir).collect()
     }
     assert out == {(1, "a"), (5, "b"), (3, "c"), (9, "d")}
+
+
+def test_triangle_count_materializes_shared_subplans(spark):
+    """triangle_count's edge list and oriented-edge frame each feed
+    several differently-keyed plan branches; since r13 both are
+    localCheckpoint'ed so the (possibly expensive) upstream subplan
+    executes ONCE instead of ~5x. Pin the design (two pins appear)
+    and the result on a graph with known triangles."""
+    import re
+
+    from tms_etl_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5)
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "u long, v long",
+    )
+    start = len(spark.sparkContext._jsc.getPersistentRDDs())
+    res = triangle_count(edges)
+    pinned = len(spark.sparkContext._jsc.getPersistentRDDs()) - start
+    assert pinned >= 2  # e + oriented, materialized once each
+    # the compiled plan must be checkpoint-rooted, not an inlined
+    # explosion of the edges subplan (was 260 Exchange nodes on the
+    # co-purchase entry before r13, 20 after)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\bExchange\b", plan)) <= 30
+    row = res.head()
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["max_degree"],
+        row["n_triangles"],
+    ) == (5, 7, 4, 4)

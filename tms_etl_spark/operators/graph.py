@@ -166,7 +166,20 @@ def triangle_count(
     Returns a single row: (n_nodes, n_edges, max_degree,
     n_triangles), all exact longs.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # e feeds FOUR plan branches (degree x2 via nodes, the orientation
+    # join, the edge count) and oriented feeds three more — and the
+    # caller's edge list is often itself an expensive subplan (the
+    # co-purchase entry's capped co-occurrence aggregation). Spark has
+    # no cross-branch common-subtree elimination and the branches'
+    # exchanges are keyed differently, so without materialization the
+    # edge subplan executes ~5x (measured at sf0.01: 46 executed
+    # stages, 0 reused exchanges). Checkpoint each once (r13, guide
+    # §2.4 "remove shuffles outright" / §3.3 plan-truncation); the
+    # blocks are edge-sized and the bench/caller sweep releases them
+    # after the action (checkpoints.py discipline).
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     # undirected degree per node
     nodes = e.select(F.col("a").alias("n")).unionAll(
         e.select(F.col("b").alias("n"))
@@ -182,11 +195,13 @@ def triangle_count(
         F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("y"),
         F.when(key_a < key_b, key_b).otherwise(key_a).alias("ykey"),
-    )
-    # oriented feeds three plan branches (both wedge sides + the
-    # closing probe); Catalyst's exchange reuse dedupes the identical
-    # subtrees, so no explicit materialization is needed (measured:
-    # a localCheckpoint here is a wash locally and would block AQE)
+    ).localCheckpoint()
+    # oriented feeds three branches (both wedge sides + the closing
+    # probe) whose exchanges are keyed differently (x vs (y1, y2)),
+    # so exchange reuse can NEVER dedupe them — without the
+    # checkpoint the degree-join subtree executes three times (r13;
+    # the pre-r13 comment claiming reuse covered this was wrong —
+    # runtime-verified 0 ReusedExchange)
     # wedges x->y1, x->y2 with pi(y1) < pi(y2), closed by oriented (y1, y2)
     e1 = oriented.select(
         F.col("x"), F.col("y").alias("y1"), F.col("ykey").alias("k1")
