@@ -341,9 +341,11 @@ def _footer_file_stats(
         ]
         null_cols = [f.name for f in schema.fields]
         int_like = frozenset({"tinyint", "smallint", "int", "bigint"})
-        stats: dict[str, dict] = {}
+
+        # pass 1 (serial, path-only): enumerate files and parse each
+        # dir's hive partition values; any layout surprise → fallback
+        files: list[tuple[str, dict]] = []  # (fpath, part_vals)
         for dirpath, _dirnames, filenames in sorted(os.walk(root)):
-            # partition values from the path segments under rel_dir
             part_vals: dict[str, object] = {}
             seg_rel = os.path.relpath(dirpath, root)
             for seg in () if seg_rel == "." else seg_rel.split(os.sep):
@@ -373,73 +375,102 @@ def _footer_file_stats(
                     ".parquet"
                 ):
                     continue
-                fpath = os.path.join(dirpath, fname)
-                md = _pq.ParquetFile(fpath).metadata
-                nrows = md.num_rows
-                if nrows == 0:
-                    continue  # the aggregation never emits 0-row files
-                by_phys: dict[str, list] = {}
-                for rg_i in range(md.num_row_groups):
-                    rg = md.row_group(rg_i)
-                    for c_i in range(rg.num_columns):
-                        cc = rg.column(c_i)
-                        by_phys.setdefault(cc.path_in_schema, []).append(
-                            cc.statistics
-                        )
-                entry: dict = {"__rows": int(nrows), "__nulls": {}}
-                for c in null_cols:
-                    if c in part_vals:
-                        if cmap.get(c, c) in by_phys:
-                            return None  # path AND data carry the column
-                        entry["__nulls"][c] = (
-                            int(nrows) if part_vals[c] is None else 0
-                        )
-                        if part_vals[c] is not None and c in cols:
-                            entry[c] = [part_vals[c], part_vals[c]]
-                        continue
-                    chunks = by_phys.get(cmap.get(c, c))
-                    if chunks is None:
-                        # evolved column the batch didn't carry:
-                        # reads null-fill it, like the aggregation
-                        entry["__nulls"][c] = int(nrows)
-                        continue
-                    if any(
-                        st is None or not st.has_null_count
-                        for st in chunks
+                files.append((os.path.join(dirpath, fname), part_vals))
+
+        class _Fallback(Exception):
+            """This file cannot prove parity — whole dir falls back."""
+
+        def _one(fpath: str, part_vals: dict) -> dict | None:
+            """Footer → stats entry for one file; None = no entry
+            (0 rows), _Fallback = give up on the footer path."""
+            md = _pq.ParquetFile(fpath).metadata
+            nrows = md.num_rows
+            if nrows == 0:
+                return None  # the aggregation never emits 0-row files
+            by_phys: dict[str, list] = {}
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    cc = rg.column(c_i)
+                    by_phys.setdefault(cc.path_in_schema, []).append(
+                        cc.statistics
+                    )
+            entry: dict = {"__rows": int(nrows), "__nulls": {}}
+            for c in null_cols:
+                if c in part_vals:
+                    if cmap.get(c, c) in by_phys:
+                        raise _Fallback()  # path AND data carry it
+                    entry["__nulls"][c] = (
+                        int(nrows) if part_vals[c] is None else 0
+                    )
+                    if part_vals[c] is not None and c in cols:
+                        entry[c] = [part_vals[c], part_vals[c]]
+                    continue
+                chunks = by_phys.get(cmap.get(c, c))
+                if chunks is None:
+                    # evolved column the batch didn't carry:
+                    # reads null-fill it, like the aggregation
+                    entry["__nulls"][c] = int(nrows)
+                    continue
+                if any(
+                    st is None or not st.has_null_count for st in chunks
+                ):
+                    raise _Fallback()
+                nulls = sum(st.null_count for st in chunks)
+                entry["__nulls"][c] = int(nulls)
+                if c not in cols:
+                    continue
+                if nulls >= nrows:
+                    continue  # all-null: no bounds, like min=None
+                if any(not st.has_min_max for st in chunks):
+                    # non-null values but no bounds (e.g. >4 KB
+                    # strings): the aggregation WOULD have bounds
+                    raise _Fallback()
+                mns = [st.min for st in chunks if st.has_min_max]
+                mxs = [st.max for st in chunks if st.has_min_max]
+                mn, mx = min(mns), max(mxs)
+                if isinstance(mn, float) and (mn != mn or mx != mx):
+                    continue  # NaN extremes: no zonemap entry
+                t = schema[c].dataType.simpleString()
+                if t in int_like:
+                    if not (
+                        isinstance(mn, int) and isinstance(mx, int)
                     ):
-                        return None
-                    nulls = sum(st.null_count for st in chunks)
-                    entry["__nulls"][c] = int(nulls)
-                    if c not in cols:
-                        continue
-                    if nulls >= nrows:
-                        continue  # all-null: no bounds, like min=None
-                    if any(not st.has_min_max for st in chunks):
-                        # non-null values but no bounds (e.g. >4 KB
-                        # strings): the aggregation WOULD have bounds
-                        return None
-                    mns = [st.min for st in chunks if st.has_min_max]
-                    mxs = [st.max for st in chunks if st.has_min_max]
-                    mn, mx = min(mns), max(mxs)
-                    if isinstance(mn, float) and (mn != mn or mx != mx):
-                        continue  # NaN extremes: no zonemap entry
-                    t = schema[c].dataType.simpleString()
-                    if t in int_like:
-                        if not (
-                            isinstance(mn, int) and isinstance(mx, int)
-                        ):
-                            return None
-                    elif t in ("float", "double"):
-                        mn, mx = float(mn), float(mx)
-                    elif not (
-                        isinstance(mn, str) and isinstance(mx, str)
-                    ):
-                        return None  # string column, non-str stats
-                    entry[c] = [mn, mx]
-                rel = f"{rel_dir}/{os.path.relpath(fpath, root)}".replace(
-                    os.sep, "/"
+                        raise _Fallback()
+                elif t in ("float", "double"):
+                    mn, mx = float(mn), float(mx)
+                elif not (
+                    isinstance(mn, str) and isinstance(mx, str)
+                ):
+                    raise _Fallback()  # string column, non-str stats
+                entry[c] = [mn, mx]
+            return entry
+
+        # pass 2: footer reads — parallel above a handful of files
+        # (r13b): pyarrow's footer parse releases the GIL, and at
+        # scale a commit touches thousands of files, so a serial
+        # driver-side walk would re-introduce an O(files × latency)
+        # stall — the same reason listings are batched. Order stays
+        # deterministic: results are assembled in pass-1 file order.
+        if len(files) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(files))
+            ) as pool:
+                entries = list(
+                    pool.map(lambda fp: _one(fp[0], fp[1]), files)
                 )
-                stats[rel] = entry
+        else:
+            entries = [_one(fp, pv) for fp, pv in files]
+        stats: dict[str, dict] = {}
+        for (fpath, _pv), entry in zip(files, entries):
+            if entry is None:
+                continue
+            rel = f"{rel_dir}/{os.path.relpath(fpath, root)}".replace(
+                os.sep, "/"
+            )
+            stats[rel] = entry
         return stats
     except Exception:
         return None  # any surprise: prove-nothing → full aggregation
