@@ -1,0 +1,20 @@
+"""Leak evidence probe (r13): run checkpoint-using catalog queries in
+one session and print the persistent-RDD count after each -- shows
+whether superseded checkpoints leak. Usage: python scripts/leak_probe.py <repo_root>
+"""
+import os, sys
+root = sys.argv[1]
+sys.path.insert(0, root)
+from tms_etl_spark import catalog
+from tms_etl_spark.session import get_spark
+catalog.load_all()
+spark = get_spark(app_name="leak_probe")
+sc = spark.sparkContext
+sf_dir = "/root/testdata/sf0.01"
+for name in ("dedup_clusters","dedup_minhash_lsh","lakehouse_merge_composite_key","text_bpe_encode"):
+    fn = catalog.QUERIES.get(name)
+    if fn is None: print(name,"absent"); continue
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    n = len(sc._jsc.getPersistentRDDs())
+    print("%-32s persistent RDDs now: %d" % (name, n))
+spark.stop()
