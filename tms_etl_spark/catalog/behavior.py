@@ -435,13 +435,25 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     where naive float sums would drift differently every run. Plan:
     ``iters`` static (join + exact-sum) rounds keyed on node id;
     rank vector never collects."""
+    from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
     from tms_etl_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
+    pins: list[DataFrame] = []
     pr = pagerank(
-        _copurchase_edges(li), "u", "v", iters=_PR_ITERS, damping=_PR_DAMP
+        _copurchase_edges(li), "u", "v", iters=_PR_ITERS,
+        damping=_PR_DAMP, pins_out=pins,
     )
-    return pr.orderBy(F.desc("rank"), "node").limit(20)
+    out = pr.orderBy(F.desc("rank"), "node").limit(20)
+    # top-20 is a driver-scale scalar: materialize it here and release
+    # the operator's edge/degree pins (r14, guide §5) — callers replay
+    # a 20-row local relation with identical rows and schema instead
+    # of a plan whose checkpoints nothing ever unpersists
+    rows = out.collect()
+    schema = out.schema
+    for p in pins:
+        unpersist_checkpoint(p)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

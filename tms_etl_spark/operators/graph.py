@@ -101,14 +101,21 @@ def connected_components(
                     < F.col("__old")
                 ).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
-        # round i is materialized (eager): round i-1's blocks are the
-        # only remaining copy of SUPERSEDED state — release them, or
-        # an O(diameter) run holds O(rounds) node-sized block sets
-        # (guide §5: unpersist when done)
+        ).localCheckpoint(eager=False)
+        # ONE job materializes the round AND reads its convergence
+        # count (r14, guide §1.2 "don't compute things twice"): the
+        # count's full scan of the lazy checkpoint caches every
+        # partition — exactly what eager=True's internal count did —
+        # while also answering "did anything change", which used to be
+        # a SECOND job per round. The checkpoint is opaque to Catalyst
+        # (LogicalRDD), so the count cannot prune the cached columns.
+        changed = updated.where(F.col("__changed")).count()
+        # round i is fully materialized by the count above: round
+        # i-1's blocks are the only remaining copy of SUPERSEDED
+        # state — release them, or an O(diameter) run holds O(rounds)
+        # node-sized block sets (guide §5: unpersist when done)
         unpersist_checkpoint(prev)
         prev = updated
-        changed = updated.where(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
             break
@@ -221,11 +228,22 @@ def triangle_count(
         F.max("deg").alias("max_degree"),
     )
     n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
-    return (
+    out = (
         stats.crossJoin(n_edges)
         .crossJoin(tris)
         .select("n_nodes", "n_edges", "max_degree", "n_triangles")
     )
+    # The census is ONE row of four longs: materialize it here and
+    # release the e/oriented pins before returning (r14, guide §5 —
+    # the r13 shape returned a lazy plan whose checkpoints only the
+    # bench sweep ever released; any other caller leaked two
+    # edge-sized block sets per call). The caller's action replays a
+    # 1-row local relation; rows and schema are byte-identical.
+    rows = out.collect()
+    schema = out.schema
+    unpersist_checkpoint(e)
+    unpersist_checkpoint(oriented)
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def pagerank(
@@ -234,6 +252,7 @@ def pagerank(
     dst: str = "v",
     iters: int = 5,
     damping: float = 0.85,
+    pins_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected graph given by
     (src, dst) pairs (each edge walked in both directions).
@@ -252,35 +271,78 @@ def pagerank(
     constant, so the full plan is a static chain (no driver loop
     reads data).
 
+    ``pins_out``: optional list the operator appends its live
+    localCheckpoint frames to, so a caller that fully consumes the
+    returned ranks can release the pins
+    (`checkpoints.unpersist_checkpoint`) instead of leaking
+    edge-sized blocks for the life of the session.
+
     Returns (node, rank) after ``iters`` rounds.
     """
+    spark = edges.sparkSession
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    # both and deg are probed EVERY iteration — materialize once so
-    # iteration i doesn't re-derive the edge list i times (the same
+    # both is probed EVERY iteration — materialize once so iteration
+    # i doesn't re-derive the edge list i times (the same
     # lineage-truncation discipline as connected_components)
     both = both.localCheckpoint()
     deg = both.groupBy("u").agg(
         F.count("*").cast("long").alias("deg")
     ).localCheckpoint()
-    n_nodes = deg.select(
-        F.count("*").cast("long").alias("__n")
-    )
+    # r14 (guide §2.4/§2.3): attach deg to the edge list ONCE. The
+    # old shape re-joined ranks⋈deg every iteration AND re-shuffled
+    # the un-partitioned edge checkpoint into every iteration's join
+    # — 2 node-keyed exchanges + 1 edge-sized exchange per iteration.
+    # deg is static, so (u, v, deg-of-u) is a loop invariant; hash-
+    # partitioning it by u at the session's shuffle-partition count
+    # and sorting within partitions makes the per-iteration join
+    # exchange-free on the edge side (the LogicalRDD checkpoint
+    # preserves partitioning+ordering), leaving ONE node-sized
+    # exchange (the ranks side doubles as the aggregation shuffle).
+    # Per-edge contribution is the same rank/deg division over the
+    # same values, so ranks stay bit-identical.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # AQE must be OFF while the checkpoint materializes: an eager
+    # localCheckpoint under an AdaptiveSparkPlan records
+    # UnknownPartitioning on its LogicalRDD (measured r14 — the
+    # co-partitioning below is then never recognized and the edge
+    # list re-shuffles every iteration, the exact cost this
+    # restructure removes). The checkpointed statement is one join +
+    # one explicit repartition over two already-cached RDDs; AQE has
+    # nothing to re-plan there.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        both_deg = (
+            both.join(deg, "u")
+            .repartition(n_part, "u")
+            .sortWithinPartitions("u")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    # the raw edge pin is dead once (u, v, deg) is materialized — the
+    # iterations (and r0 below) only touch both_deg and deg
+    unpersist_checkpoint(both)
+    if pins_out is not None:
+        pins_out.extend([deg, both_deg])
+    # N is a scalar the damping step divides by: read it ONCE from
+    # the materialized deg checkpoint (a metadata-cheap count)
+    # instead of re-deriving a 1-row aggregate + broadcast per
+    # iteration (the r13 plan carried 6 BroadcastNestedLoopJoin
+    # subplans for it). The literal is the same long value, so every
+    # division is the identical IEEE operation.
+    n_total = F.lit(deg.count()).cast("long")
     # r0 = 1/N
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+    ranks = deg.select(
         F.col("u").alias("node"),
-        (F.lit(1.0) / F.col("__n")).alias("rank"),
+        (F.lit(1.0) / n_total).alias("rank"),
     )
     base = 1.0 - damping
     for _ in range(iters):
         contrib = (
-            both.join(
-                ranks.join(deg, ranks["node"] == deg["u"]).select(
-                    F.col("node"), F.col("rank"), F.col("deg")
-                ),
-                both["u"] == F.col("node"),
-            )
+            both_deg.join(ranks, both_deg["u"] == ranks["node"])
             .select(
                 F.col("v"),
                 (F.col("rank") / F.col("deg"))
@@ -291,10 +353,10 @@ def pagerank(
         sums = contrib.groupBy("v").agg(
             F.sum("c").cast("double").alias("s")
         )
-        ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
+        ranks = sums.select(
             F.col("v").alias("node"),
             (
-                F.lit(base) / F.col("__n")
+                F.lit(base) / n_total
                 + F.lit(damping) * F.col("s")
             ).alias("rank"),
         )

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tms_etl_spark.operators.checkpoints import unpersist_checkpoint
 from tms_etl_spark.operators.versioned import (
     _live_rel_files,
     _manifest_path,
@@ -101,6 +102,13 @@ def build_text_index(
         )
         .where(F.col("token") != "")
         .distinct()
+        # r14 (guide §1.2): repartitionByRange SAMPLES its child to
+        # pick range boundaries — without materialization the whole
+        # explode+distinct subplan (a full read of the indexed data)
+        # executes TWICE, once for the sampler and once for the
+        # write. Checkpoint the postings so the second execution is
+        # a cache read; released right after the write.
+        .localCheckpoint()
     )
     out = _index_dir(table_dir, col, v)
     (
@@ -109,6 +117,7 @@ def build_text_index(
         .write.mode("overwrite")
         .parquet(out)
     )
+    unpersist_checkpoint(postings)
     return out
 
 
@@ -188,6 +197,9 @@ def extend_text_index(
     out_df = parts[0]
     for p in parts[1:]:
         out_df = out_df.unionByName(p)
+    # same sampler-double-compute fix as build_text_index (r14): the
+    # carried semi-join + fresh postings scan run once, not twice
+    out_df = out_df.localCheckpoint()
     out = _index_dir(table_dir, col, v)
     (
         out_df.repartitionByRange(n_shards, "token")
@@ -195,6 +207,7 @@ def extend_text_index(
         .write.mode("overwrite")
         .parquet(out)
     )
+    unpersist_checkpoint(out_df)
     return out
 
 
@@ -213,6 +226,8 @@ def search_token(
     exists, and — correctness first — when the version carries
     deletion vectors (the tombstone-subtracted scan path owns that
     case, same policy as `read_version_point`)."""
+    import re as _re
+
     tok = token.lower()
     cur = current_version(spark, table_dir)
     v = version if version is not None else cur
@@ -222,6 +237,13 @@ def search_token(
     idx = _index_dir(table_dir, col, v)
     if not path_exists(spark, idx) or man.get("deletes"):
         return pred_scan.where(residual)
+    if not _re.fullmatch(r"[a-z0-9]+", tok):
+        # the tokenizer only ever emits [a-z0-9]+ runs or "" (split
+        # boundary artifacts, which the index intentionally drops but
+        # array_contains CAN match) — no posting can answer such a
+        # probe, so scan with the residual predicate (correctness
+        # first; r14, previously "" mis-routed through the index)
+        return pred_scan.where(residual)
     hits = {
         _canon(r["file"])
         for r in spark.read.parquet(idx)
@@ -229,19 +251,23 @@ def search_token(
         .select("file")
         .collect()
     }
-    indexed = {
-        _canon(r["file"])
-        for r in spark.read.parquet(idx).select("file").distinct().collect()
-    }
+    # Every live file of version v was scanned by the build/extend
+    # that wrote sidecar v (postings are per-file facts; a live file
+    # with no posting rows provably contains no tokens at all), so
+    # the sidecar IS complete for v: the "committed after the build"
+    # conservative-rescan set is empty by construction, and the full
+    # sidecar read that derived it (a second scan + driver collect of
+    # the distinct file list, r13 shape) is gone — one token-pruned
+    # probe remains (r14, guide §1.2/§5 "no driver work you can
+    # avoid"). A version with no sidecar still takes the fallback
+    # above.
     live = _live_rel_files(spark, table_dir, man)
     all_files = [
         _canon(f"{table_dir}/{rel}")
         for rels in live.values()
         for rel in rels
     ]
-    scan_files = sorted(
-        set(f for f in all_files if f in hits or f not in indexed)
-    )
+    scan_files = sorted(set(f for f in all_files if f in hits))
     if not scan_files:
         return pred_scan.where(residual).limit(0)
     # _read_files: hive partition columns live in the PATH and need

@@ -277,6 +277,21 @@ _STATS_TYPES = frozenset(
     {"tinyint", "smallint", "int", "bigint", "float", "double", "string"}
 )
 
+# r14 exactness guard for footer STRING bounds: a parquet writer
+# configured to TRUNCATE long binary statistics (rather than drop
+# them) records bounds that are prefix-truncated (min) / prefix-
+# incremented (max) — still valid for pruning, but NOT what the
+# aggregation would record, so the footer fast path must not trust
+# them. pyarrow 16 exposes no is_{min,max}_value_exact flags, so the
+# guard is a length boundary: bounds at or beyond this many UTF-8
+# bytes could plausibly be a truncation product (truncating writers
+# cut at fixed lengths; Spark's parquet-java never truncates by
+# default — it drops stats past 4 KB, already handled via
+# has_min_max) and force the full-aggregation fallback. Engine-
+# written data stays on the fast path: no testdata string column
+# carries KB-scale values except document text (<= ~600 B).
+_STR_STAT_TRUST_BYTES = 1024
+
 
 def _footer_file_stats(
     table_dir: str,
@@ -443,6 +458,17 @@ def _footer_file_stats(
                     isinstance(mn, str) and isinstance(mx, str)
                 ):
                     raise _Fallback()  # string column, non-str stats
+                else:
+                    # string bounds this long could be a foreign
+                    # writer's TRUNCATION product (prefix-cut min /
+                    # prefix-incremented max: prunable but not what
+                    # the aggregation records) — prove-nothing →
+                    # fallback (_STR_STAT_TRUST_BYTES above)
+                    if (
+                        len(mn.encode("utf-8")) >= _STR_STAT_TRUST_BYTES
+                        or len(mx.encode("utf-8")) >= _STR_STAT_TRUST_BYTES
+                    ):
+                        raise _Fallback()
                 entry[c] = [mn, mx]
             return entry
 
