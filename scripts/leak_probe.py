@@ -11,7 +11,11 @@ catalog.load_all()
 spark = get_spark(app_name="leak_probe")
 sc = spark.sparkContext
 sf_dir = "/root/testdata/sf0.01"
-for name in ("dedup_clusters","dedup_minhash_lsh","lakehouse_merge_composite_key","text_bpe_encode"):
+# r14: graph_triangle_count / graph_pagerank_topk added (VERDICT r13
+# item 5) — both must now show ZERO residue without any bench sweep
+# (the operator/entry releases its own pins on materializing its
+# scalar result)
+for name in ("dedup_clusters","dedup_minhash_lsh","lakehouse_merge_composite_key","text_bpe_encode","graph_triangle_count","graph_pagerank_topk"):
     fn = catalog.QUERIES.get(name)
     if fn is None: print(name,"absent"); continue
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -37,11 +37,21 @@ def pytest_collection_modifyitems(config, items):
         "SPARK_GRAFT_RUN_SLOW"
     ):
         return
+    manifest = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    slow_ids: set[str] = set()
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            slow_ids = {
+                ln.strip()
+                for ln in f
+                if ln.strip() and not ln.startswith("#")
+            }
     skip = pytest.mark.skip(
         reason="slow tier (run with --runslow / SPARK_GRAFT_RUN_SLOW=1)"
     )
     for item in items:
-        if "slow" in item.keywords:
+        # nodeid in the duration-derived manifest, or hand-marked slow
+        if "slow" in item.keywords or item.nodeid in slow_ids:
             item.add_marker(skip)
 
 

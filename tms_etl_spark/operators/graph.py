@@ -302,7 +302,19 @@ def pagerank(
     # exchange (the ranks side doubles as the aggregation shuffle).
     # Per-edge contribution is the same rank/deg division over the
     # same values, so ranks stay bit-identical.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Scale-adaptive partition count (guide §2.2 "derive from input
+    # size, not a constant"): the co-partitioned exchanges below are
+    # pinned to this count for the whole iteration chain — AQE cannot
+    # coalesce them without breaking the co-partitioning — so sizing
+    # it to the CORE count over-partitions small graphs into hundreds
+    # of near-empty tasks per iteration (measured: the session-conf
+    # form ran the sf0.1 co-purchase graph 1.4x SLOWER than the r13
+    # shape at 32 cores). Target ~256k edge rows (~8 MB) per
+    # partition, capped by the session's shuffle-partition knob; the
+    # edge count is a cache-read off the materialized checkpoint.
+    n_edges2 = both.count()
+    sess_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = max(1, min(sess_part, -(-n_edges2 // 262_144)))  # ceil div
     # AQE must be OFF while the checkpoint materializes: an eager
     # localCheckpoint under an AdaptiveSparkPlan records
     # UnknownPartitioning on its LogicalRDD (measured r14 — the
@@ -341,6 +353,23 @@ def pagerank(
     )
     base = 1.0 - damping
     for _ in range(iters):
+        # co-partitioning bookkeeping: when n_part equals the session
+        # shuffle-partition count, the previous aggregation's exchange
+        # already lands ranks as hash(node, n_part) and the join needs
+        # NO further exchange on either side (verified in-plan: the
+        # both_deg scans enter the SMJ with no Exchange and no Sort).
+        # When the data-derived n_part is smaller but still > 1, move
+        # the NODE-sized ranks to n_part explicitly, or the planner
+        # re-exchanges the EDGE side to the session count every
+        # iteration (measured at sf0.01). At n_part == 1 the
+        # checkpoint is SinglePartition, which EnsureRequirements
+        # refuses to co-partition against (it re-numbers the user
+        # shuffle to the session default — measured), so the explicit
+        # repartition would only add a redundant node-sized exchange:
+        # skip it and let the planner place the joins — a graph that
+        # small is exchange-cost-free anyway.
+        if n_part != sess_part and n_part > 1:
+            ranks = ranks.repartition(n_part, "node")
         contrib = (
             both_deg.join(ranks, both_deg["u"] == ranks["node"])
             .select(

@@ -5304,6 +5304,16 @@ def merge_version(
         # could drop or double-land rows). Skipped under full-sync,
         # where a second materialized copy of a table-sized scan is
         # exactly the memory pressure to avoid (branches re-scan).
+        # r14 note (measured, then reverted): extending this pin to
+        # ALL non-NMBS merges removed ~2 source passes per commit but
+        # made the source an opaque LogicalRDD with no size estimate,
+        # so the CoW/update branches lost their broadcast decisions
+        # and went sort-merge — lakehouse_cdf_feed 3.5 s -> 7.3 s,
+        # merge_state 1.2 -> 1.5 s in the alternating solo A/B. The
+        # un-pinned source's re-scans are pushdown-pruned parquet
+        # reads and strictly cheaper than de-broadcast joins; the
+        # conditional case keeps the pin because there determinism
+        # (not cost) requires it.
         source_df = source_df.localCheckpoint(eager=False)
         _pins.append(source_df)
 
