@@ -142,16 +142,24 @@ AUDIT = [
     ),
     (
         "graph_triangle_count",
-        ["HashAggregate", "Exchange"],
+        ["Scan ExistingRDD"],
         "degree-oriented triangle census: orientation bounds any "
         "node's out-degree at O(sqrt(E)), so the wedge join survives "
-        "power-law hubs",
+        "power-law hubs. Since r14 the 1-row census is materialized "
+        "inside the operator (checkpoint pins released, zero "
+        "residue), so the RETURNED plan is a local relation; the "
+        "compute-plan evidence lives in plans/r14/ and the r13 "
+        "before/after dumps",
     ),
     (
         "graph_pagerank_topk",
-        ["HashAggregate", "Exchange"],
+        ["Scan ExistingRDD"],
         "5 static PageRank rounds, each one node-keyed join + "
-        "DECIMAL-exact sum; rank vector never collects",
+        "DECIMAL-exact sum over the deg-fused co-partitionable edge "
+        "checkpoint (r14). The entry materializes its top-20 and "
+        "releases the operator pins, so the RETURNED plan is a local "
+        "relation; the iteration-plan evidence lives in "
+        "plans/r14/graph_pagerank_inner_*.txt",
     ),
     (
         "rolling_active_users",

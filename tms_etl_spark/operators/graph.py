@@ -315,25 +315,36 @@ def pagerank(
     n_edges2 = both.count()
     sess_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_part = max(1, min(sess_part, -(-n_edges2 // 262_144)))  # ceil div
-    # AQE must be OFF while the checkpoint materializes: an eager
-    # localCheckpoint under an AdaptiveSparkPlan records
-    # UnknownPartitioning on its LogicalRDD (measured r14 — the
-    # co-partitioning below is then never recognized and the edge
-    # list re-shuffles every iteration, the exact cost this
-    # restructure removes). The checkpointed statement is one join +
-    # one explicit repartition over two already-cached RDDs; AQE has
-    # nothing to re-plan there.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        both_deg = (
-            both.join(deg, "u")
-            .repartition(n_part, "u")
-            .sortWithinPartitions("u")
-            .localCheckpoint()
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    if n_part > 1:
+        # AQE must be OFF while the checkpoint materializes: an eager
+        # localCheckpoint under an AdaptiveSparkPlan records
+        # UnknownPartitioning on its LogicalRDD (measured r14 — the
+        # co-partitioning below is then never recognized and the edge
+        # list re-shuffles every iteration, the exact cost this
+        # restructure removes). The checkpointed statement is one
+        # join + one explicit repartition over two already-cached
+        # RDDs; AQE has nothing to re-plan there.
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            both_deg = (
+                both.join(deg, "u")
+                .repartition(n_part, "u")
+                .sortWithinPartitions("u")
+                .localCheckpoint()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    else:
+        # single-partition regime (small graph): a repartition(1)
+        # checkpoint would funnel every iteration's join exchange
+        # through ONE map task (EnsureRequirements refuses
+        # SinglePartition co-partitioning and re-shuffles the edge
+        # side anyway — measured: ~1 s slower in-bench at sf0.1).
+        # Keep the checkpoint at its natural parallelism under AQE;
+        # the per-iteration exchanges stay parallel and cheap at this
+        # size, and the deg-fusion/n_nodes wins still apply.
+        both_deg = both.join(deg, "u").localCheckpoint()
     # the raw edge pin is dead once (u, v, deg) is materialized — the
     # iterations (and r0 below) only touch both_deg and deg
     unpersist_checkpoint(both)
